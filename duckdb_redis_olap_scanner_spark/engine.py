@@ -1,0 +1,181 @@
+"""Engine session: SparkSession construction, Redis connection state,
+data-source/function registration, and test-table loading.
+
+Replaces the reference's process-global connection state + extension
+loading (``src/redduck_extension.cpp:44-52,348-362``) with an explicit
+engine object.  ``connect("HOST:PORT")`` validates with a PING handshake
+exactly like the reference (``redis_client.cpp:98-115``) and rejects
+NULL / malformed addresses (``redduck_extension.cpp:57-90``); executors
+connect lazily inside data-source reads and UDFs using these options.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.redis_source import ALL_DATASOURCES
+from .functions.redis_fns import make_redis_get, make_redis_hgetall
+from .transport.resp import RedisClient, parse_host_port
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Tables small enough to broadcast at ANY scale factor (dimension tables
+# bounded by the schema itself: 5 regions, 25 nations).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def get_spark(
+    app_name: str = "duckdb-redis-olap-scanner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Local testing uses ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    same configs apply (AQE handles runtime re-planning, skew joins, and
+    partition coalescing — the knobs that matter at 100 TB).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers unpickle our DataSource classes by module reference —
+    # the package root must be importable in the worker processes, which
+    # inherit PYTHONPATH from the JVM we are about to launch.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    register_datasources(spark)
+    return spark
+
+
+def register_datasources(spark: SparkSession) -> None:
+    for ds in ALL_DATASOURCES:
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            # Already registered in this session — idempotent.
+            pass
+
+
+class Engine:
+    """Session facade: ``Engine(spark).connect("127.0.0.1:6379")`` then
+    ``engine.redis_scan("testkey:*")`` / ``engine.redis_get_udf()``."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.host: str | None = None
+        self.port: int | None = None
+        register_datasources(spark)
+
+    # -- connection ------------------------------------------------------------
+    def connect(self, address: str) -> str:
+        """Parse 'HOST:PORT', validate with PING, store as session state.
+
+        Mirrors `redis_connect` (`redduck_extension.cpp:54-119`): NULL and
+        malformed addresses raise; a PING/PONG handshake runs synchronously;
+        returns the same confirmation string.
+        """
+        host, port = parse_host_port(address)
+        with RedisClient(host, port):
+            pass  # context manager connects (PING inside) and closes
+        self.host, self.port = host, port
+        return f"Redis Target Set: {host}:{port}"
+
+    def _require_conn(self) -> tuple[str, int]:
+        if self.host is None or self.port is None:
+            raise RuntimeError("not connected: call engine.connect('HOST:PORT') first")
+        return self.host, self.port
+
+    # -- readers ---------------------------------------------------------------
+    def redis_scan(self, pattern: str = "*", **options) -> DataFrame:
+        host, port = self._require_conn()
+        reader = (
+            self.spark.read.format("redis_scan")
+            .option("host", host)
+            .option("port", port)
+            .option("pattern", pattern)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def redis_kv(self, pattern: str = "*", **options) -> DataFrame:
+        host, port = self._require_conn()
+        reader = (
+            self.spark.read.format("redis_kv")
+            .option("host", host)
+            .option("port", port)
+            .option("pattern", pattern)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def redis_hash(self, pattern: str = "*", **options) -> DataFrame:
+        host, port = self._require_conn()
+        reader = (
+            self.spark.read.format("redis_hash")
+            .option("host", host)
+            .option("port", port)
+            .option("pattern", pattern)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    # -- scalar UDFs -----------------------------------------------------------
+    def redis_get_udf(self, missing: str = "null"):
+        host, port = self._require_conn()
+        return make_redis_get(host, port, missing=missing)
+
+    def redis_hgetall_udf(self):
+        host, port = self._require_conn()
+        return make_redis_hgetall(host, port)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables and register temp views.
+
+    Plans stay declarative so Catalyst gets column pruning + filter
+    pushdown into the parquet scans for free; `region`/`nation` are
+    broadcast-hinted at join sites (size is schema-bounded, safe at any SF).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

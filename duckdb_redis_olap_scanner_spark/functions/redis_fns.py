@@ -1,0 +1,94 @@
+"""Scalar function surface mirroring the reference extension's scalars.
+
+Reference registrations (``src/redduck_extension.cpp:348-362``):
+
+* ``redis_get(key) -> VARCHAR`` — per-row GET, one TCP round trip per row
+  under a mutex (``redduck_extension.cpp:327-342``).  Here: an
+  iterator-of-Series ``pandas_udf`` holding ONE connection per executor
+  partition and issuing pipelined ``MGET`` per Arrow batch — identical
+  semantics, O(rows/batch) round trips instead of O(rows).
+* ``redduck(name) -> VARCHAR`` — template demo returning
+  ``"Redduck <name> 🐥"`` (``redduck_extension.cpp:17-22``).
+* ``set_name(name) -> VARCHAR`` — template demo returning the constant
+  ``"name is set"`` (``redduck_extension.cpp:24-40``).
+
+Missing-key semantics: the reference coerces a missing key to ``""``
+(``src/transport/redis_client.cpp:232-236``).  We surface SQL NULL by
+default (the correct relational answer) and provide
+``missing="empty"`` for bug-compatible behavior; tests pin both.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import MapType, StringType
+
+from ..transport.resp import RedisClient
+
+# Keys per MGET pipeline call; Arrow batches are typically 10k rows, and a
+# single MGET of that size is one round trip — chunk to bound reply size.
+MGET_CHUNK = 2048
+
+
+def make_redis_get(host: str, port: int, missing: str = "null"):
+    """Build a ``redis_get(col) -> string`` Arrow-vectorized UDF.
+
+    One connection per executor partition (lazy, inside the iterator —
+    sockets never pickle), one MGET round trip per chunk.
+    """
+    fill_empty = missing == "empty"
+
+    @pandas_udf(StringType())
+    def redis_get(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        with RedisClient(host, port) as client:
+            for keys in batches:
+                out: list[str | None] = []
+                kl = keys.tolist()
+                for i in range(0, len(kl), MGET_CHUNK):
+                    chunk = kl[i : i + MGET_CHUNK]
+                    vals = client.mget([k if k is not None else "" for k in chunk])
+                    if fill_empty:
+                        vals = [v if v is not None else "" for v in vals]
+                    out.extend(vals)
+                yield pd.Series(out, dtype="object")
+
+    return redis_get
+
+
+def make_redis_hgetall(host: str, port: int):
+    """Build a ``redis_hgetall(key) -> map<string,string>`` UDF.
+
+    The reference documents this as returning a STRUCT (``README.md:36-38``)
+    but never implements it; MapType is the schema-free Spark analogue.
+    """
+
+    @pandas_udf(MapType(StringType(), StringType()))
+    def redis_hgetall(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        with RedisClient(host, port) as client:
+            for keys in batches:
+                kl = keys.tolist()
+                maps: list[dict | None] = []
+                for i in range(0, len(kl), MGET_CHUNK):
+                    chunk = [k if k is not None else "" for k in kl[i : i + MGET_CHUNK]]
+                    maps.extend(client.hgetall_pipelined(chunk))
+                yield pd.Series(maps, dtype="object")
+
+    return redis_hgetall
+
+
+def redduck(name: Column | str) -> Column:
+    """``redduck(name) -> 'Redduck <name> 🐥'`` — pure column expression,
+    JVM-side (no UDF needed for a concat)."""
+    col = F.col(name) if isinstance(name, str) else name
+    return F.concat(F.lit("Redduck "), col, F.lit(" \U0001f425"))
+
+
+def set_name(name: Column | str) -> Column:  # noqa: ARG001 - parity signature
+    """``set_name(name) -> 'name is set'`` — constant per row, as in the
+    reference demo scalar."""
+    return F.lit("name is set")

@@ -1,0 +1,238 @@
+"""In-process fake Redis server for tests and demos.
+
+The reference's test suite requires a live, pre-seeded Redis
+(``test/sql/scan.test:18`` — "ensure these keys exist before running
+tests").  No Redis server nor client library exists in this runtime, so
+we ship a tiny RESP2 TCP server (threaded, in-memory dict) implementing
+exactly the command surface our engine uses: PING, GET, SET, MGET,
+HSET, HGETALL, SCAN (cursor + MATCH glob + COUNT), TYPE, DEL, FLUSHALL.
+
+SCAN semantics: we snapshot the key list per cursor sequence and page
+through it — a *stable* keyspace scan, which matches the assumption the
+reference's own golden tests make (stable keyspace, sorted assertions).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from .transport.resp import CRLF, RespProtocolError, _SocketReader
+
+
+def _encode(obj: Any) -> bytes:
+    """Encode a Python value as a RESP2 reply."""
+    if obj is None:
+        return b"$-1\r\n"
+    if isinstance(obj, bool):
+        return b":1\r\n" if obj else b":0\r\n"
+    if isinstance(obj, int):
+        return b":%d\r\n" % obj
+    if isinstance(obj, str):
+        obj = obj.encode("utf-8")
+    if isinstance(obj, bytes):
+        return b"$%d\r\n" % len(obj) + obj + CRLF
+    if isinstance(obj, (list, tuple)):
+        return b"*%d\r\n" % len(obj) + b"".join(_encode(x) for x in obj)
+    if isinstance(obj, Exception):
+        return b"-ERR " + str(obj).encode("utf-8") + CRLF
+    raise TypeError(f"cannot encode {type(obj)}")
+
+
+def _simple(s: str) -> bytes:
+    return b"+" + s.encode("utf-8") + CRLF
+
+
+def _glob_match(pattern: str, key: str) -> bool:
+    # Redis globs and fnmatch agree on * ? [...]; fnmatch.translate is
+    # case-sensitive via fnmatchcase.
+    return fnmatch.fnmatchcase(key, pattern)
+
+
+class FakeRedisStore:
+    def __init__(self) -> None:
+        self.strings: dict[str, str] = {}
+        self.hashes: dict[str, dict[str, str]] = {}
+        self.lock = threading.Lock()
+        self._scan_snapshots: dict[int, list[str]] = {}
+        self._next_snapshot = 1
+
+    def all_keys(self) -> list[str]:
+        return list(self.strings.keys()) + list(self.hashes.keys())
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:  # noqa: C901 - command dispatch
+        store: FakeRedisStore = self.server.store  # type: ignore[attr-defined]
+        reader = _SocketReader(self.request)
+        while True:
+            try:
+                cmd = self._read_command(reader)
+            except (RespProtocolError, ConnectionError, OSError):
+                return
+            if cmd is None:
+                return
+            try:
+                reply = self._dispatch(store, cmd)
+            except Exception as e:  # -> RESP error reply
+                reply = _encode(e)
+            try:
+                self.request.sendall(reply)
+            except OSError:
+                return
+
+    def _read_command(self, reader: _SocketReader) -> list[str] | None:
+        line = reader.read_line()
+        if not line.startswith(b"*"):
+            raise RespProtocolError("inline commands unsupported")
+        n = int(line[1:])
+        args = []
+        for _ in range(n):
+            hdr = reader.read_line()
+            if not hdr.startswith(b"$"):
+                raise RespProtocolError("expected bulk string")
+            args.append(reader.read_exact(int(hdr[1:])).decode("utf-8"))
+        return args
+
+    def _dispatch(self, store: FakeRedisStore, cmd: list[str]) -> bytes:
+        name, args = cmd[0].upper(), cmd[1:]
+        with store.lock:
+            if name == "PING":
+                return _simple("PONG")
+            if name == "SET":
+                store.strings[args[0]] = args[1]
+                store.hashes.pop(args[0], None)
+                return _simple("OK")
+            if name == "GET":
+                return _encode(store.strings.get(args[0]))
+            if name == "MGET":
+                return _encode([store.strings.get(k) for k in args])
+            if name == "HSET":
+                h = store.hashes.setdefault(args[0], {})
+                added = 0
+                for f, v in zip(args[1::2], args[2::2]):
+                    added += 0 if f in h else 1
+                    h[f] = v
+                return _encode(added)
+            if name == "HGETALL":
+                h = store.hashes.get(args[0], {})
+                flat: list[str] = []
+                for f, v in h.items():
+                    flat += [f, v]
+                return _encode(flat)
+            if name == "TYPE":
+                if args[0] in store.strings:
+                    return _simple("string")
+                if args[0] in store.hashes:
+                    return _simple("hash")
+                return _simple("none")
+            if name == "DEL":
+                n = 0
+                for k in args:
+                    n += 1 if (store.strings.pop(k, None) is not None) else 0
+                    n += 1 if (store.hashes.pop(k, None) is not None) else 0
+                return _encode(n)
+            if name == "FLUSHALL":
+                store.strings.clear()
+                store.hashes.clear()
+                return _simple("OK")
+            if name == "DBSIZE":
+                return _encode(len(store.all_keys()))
+            if name == "SCAN":
+                return self._scan(store, args)
+        raise ValueError(f"unknown command '{name}'")
+
+    def _scan(self, store: FakeRedisStore, args: list[str]) -> bytes:
+        cursor = int(args[0])
+        match, count = "*", 10
+        i = 1
+        while i < len(args):
+            opt = args[i].upper()
+            if opt == "MATCH":
+                match = args[i + 1]
+            elif opt == "COUNT":
+                count = int(args[i + 1])
+            i += 2
+        # cursor encoding: snapshot_id * 1_000_000_000 + offset
+        if cursor == 0:
+            snap_id = store._next_snapshot
+            store._next_snapshot += 1
+            store._scan_snapshots[snap_id] = store.all_keys()
+            offset = 0
+        else:
+            snap_id, offset = divmod(cursor, 1_000_000_000)
+        keys = store._scan_snapshots.get(snap_id, [])
+        page = keys[offset : offset + count]
+        new_offset = offset + count
+        if new_offset >= len(keys):
+            next_cursor = "0"
+            store._scan_snapshots.pop(snap_id, None)
+        else:
+            next_cursor = str(snap_id * 1_000_000_000 + new_offset)
+        matched = [k for k in page if _glob_match(match, k)]
+        return _encode([next_cursor, matched])
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class FakeRedisServer:
+    """Threaded fake Redis bound to 127.0.0.1:<ephemeral port>."""
+
+    def __init__(self) -> None:
+        self.store = FakeRedisStore()
+        self._server = _Server(("127.0.0.1", 0), _Handler)
+        self._server.store = self.store  # type: ignore[attr-defined]
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True, name="fake-redis"
+        )
+
+    @property
+    def address(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def start(self) -> "FakeRedisServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "FakeRedisServer":
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.stop()
+
+    # -- seeding helpers -------------------------------------------------------
+    def seed_strings(self, kv: dict[str, str]) -> None:
+        with self.store.lock:
+            self.store.strings.update(kv)
+
+    def seed_hashes(self, kh: dict[str, dict[str, str]]) -> None:
+        with self.store.lock:
+            for k, h in kh.items():
+                self.store.hashes.setdefault(k, {}).update(h)
+
+
+def seed_reference_fixture(server: FakeRedisServer) -> None:
+    """The keyspace implied by the reference's golden test
+    (``test/sql/scan.test:19-29``): keys testkey:0001..testkey:0010,
+    plus non-matching keys to exercise MATCH filtering."""
+    server.seed_strings(
+        {f"testkey:{i:04d}": f"value:{i:04d}" for i in range(1, 11)}
+    )
+    server.seed_strings({"other:0001": "nope", "other:0002": "nope"})
+    server.seed_hashes(
+        {
+            "user:1001": {"name": "ada", "age": "36"},
+            "user:1002": {"name": "grace", "city": "nyc"},
+        }
+    )

@@ -1,0 +1,55 @@
+"""Scalar surface: redis_get (null vs empty-string semantics), redduck,
+set_name, redis_hgetall UDF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.functions.redis_fns import redduck, set_name
+
+
+def test_redis_get_null_semantics(engine, spark):
+    df = spark.createDataFrame(
+        [("testkey:0001",), ("missing-key",), ("testkey:0002",)], ["k"]
+    )
+    g = engine.redis_get_udf()  # default: missing → NULL
+    rows = df.select("k", g("k").alias("v")).orderBy("k").collect()
+    by_key = {r.k: r.v for r in rows}
+    assert by_key["testkey:0001"] == "value:0001"
+    assert by_key["missing-key"] is None
+
+
+def test_redis_get_empty_string_bug_compat(engine, spark):
+    # Reference behavior: missing key → "" (redis_client.cpp:232-236).
+    df = spark.createDataFrame([("missing-key",)], ["k"])
+    g = engine.redis_get_udf(missing="empty")
+    assert df.select(g("k").alias("v")).collect()[0].v == ""
+
+
+def test_redis_get_over_scan(engine):
+    # README.md:33-34 — SELECT key, redis_get(key) FROM redis_scan('pattern')
+    g = engine.redis_get_udf()
+    rows = (
+        engine.redis_scan("testkey:*")
+        .select("key_name", g("key_name").alias("value"))
+        .orderBy("key_name")
+        .collect()
+    )
+    assert [r.value for r in rows] == [f"value:{i:04d}" for i in range(1, 11)]
+
+
+def test_redduck_and_set_name(spark):
+    df = spark.createDataFrame([("Quack",)], ["name"])
+    row = df.select(
+        redduck("name").alias("r"), set_name("name").alias("s")
+    ).collect()[0]
+    assert row.r == "Redduck Quack \U0001f425"
+    assert row.s == "name is set"
+
+
+def test_hgetall_udf(engine, spark):
+    df = spark.createDataFrame([("user:1001",), ("nope",)], ["k"])
+    h = engine.redis_hgetall_udf()
+    rows = {r.k: r.m for r in df.select("k", h("k").alias("m")).collect()}
+    assert rows["user:1001"] == {"name": "ada", "age": "36"}
+    assert rows["nope"] == {}

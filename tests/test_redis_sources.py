@@ -1,0 +1,84 @@
+"""Golden-parity tests with the reference's own test file
+(/root/reference/test/sql/scan.test) plus the documented-but-
+unimplemented surface (redis_kv, redis_hgetall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scan_count_golden(engine):
+    # scan.test:19-22 — SELECT COUNT(*) FROM redis_scan('testkey:*') == 10
+    assert engine.redis_scan("testkey:*").count() == 10
+
+
+def test_scan_sorted_limit_golden(engine):
+    # scan.test:24-29 — first 3 keys in sorted order
+    rows = (
+        engine.redis_scan("testkey:*")
+        .orderBy("key_name")
+        .limit(3)
+        .collect()
+    )
+    assert [r.key_name for r in rows] == [
+        "testkey:0001",
+        "testkey:0002",
+        "testkey:0003",
+    ]
+
+
+def test_scan_match_filters_serverside(engine):
+    assert engine.redis_scan("other:*").count() == 2
+    assert engine.redis_scan("nomatch:*").count() == 0
+
+
+def test_scan_small_count_multi_roundtrip(engine):
+    # COUNT 3 forces multiple SCAN cursor round trips; results identical.
+    df = engine.redis_scan("testkey:*", count=3)
+    assert df.count() == 10
+
+
+def test_scan_sharded_parallel(engine):
+    # Parallel scan via disjoint shard globs — two InputPartitions.
+    df = engine.redis_scan(
+        shard_patterns="testkey:*;other:*",
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 12
+
+
+def test_kv_reader(engine):
+    rows = engine.redis_kv("testkey:*").orderBy("key").collect()
+    assert len(rows) == 10
+    assert rows[0].key == "testkey:0001" and rows[0].value == "value:0001"
+
+
+def test_hash_reader_maptype(engine):
+    df = engine.redis_hash("user:*")
+    rows = {r.key: r.value for r in df.collect()}
+    assert rows["user:1001"] == {"name": "ada", "age": "36"}
+    assert rows["user:1002"] == {"name": "grace", "city": "nyc"}
+    # Map access via value['field'] — the STRUCT-access analogue.
+    got = (
+        df.select("key", F.col("value")["name"].alias("name"))
+        .orderBy("key")
+        .collect()
+    )
+    assert [r.name for r in got] == ["ada", "grace"]
+
+
+def test_sql_over_scan(engine, spark):
+    engine.redis_scan("testkey:*").createOrReplaceTempView("rscan")
+    n = spark.sql("SELECT CAST(COUNT(*) AS INT) AS n FROM rscan").collect()[0].n
+    assert n == 10
+
+
+def test_connect_errors(engine):
+    import pytest
+
+    with pytest.raises(ValueError):
+        engine.connect("no-port-here")
+    with pytest.raises(ValueError):
+        engine.connect(None)
+    with pytest.raises(Exception):
+        engine.connect("127.0.0.1:1")  # nothing listening
