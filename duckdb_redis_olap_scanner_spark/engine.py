@@ -78,6 +78,34 @@ def get_spark(
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Spark's Python workers even when the
+    driver session was created by someone else (e.g. the test driver):
+    zip the package and addPyFile it (idempotent per session)."""
+    if getattr(spark, "_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._pkg_shipped = True
+
+
 def register_datasources(spark: SparkSession) -> None:
     for ds in ALL_DATASOURCES:
         try:
@@ -170,12 +198,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     pushdown into the parquet scans for free; `region`/`nation` are
     broadcast-hinted at join sites (size is schema-bounded, safe at any SF).
     """
+    from .plans.catalog import table
+
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all DataFrame→DataFrame and shuffle-based (no driver
+materialization, no O(n²) full cross products — the candidate set is
+always bounded by hashing/banding before any pairwise verification):
+
+* exact dedup           — group by content fingerprint.
+* MinHash + LSH         — shingle → K minhashes → banded buckets →
+                          candidate pairs → exact Jaccard verify.
+* SimHash               — 16-bit sign-of-weighted-bit-sums signature.
+* n-gram Jaccard        — exact pairwise Jaccard on a bounded id range
+                          (the LSH variant is the scale path; this is
+                          the ground-truth oracle).
+
+All hashing uses the deterministic polynomial char fold from
+``operators.text`` so every stage is DuckDB-oracle-checkable.
+At 100 TB scale: shingle explode shuffles on (shingle-hash), band
+buckets shuffle on (band, value) — both well-distributed keys; skew
+from ultra-common shingles is bounded by ``array_distinct`` per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import HASH_P, canonical_text, poly_hash, tokens_col
+
+# MinHash permutation constants (fixed, shared with the SQL oracle).
+MINHASH_A = (730287973, 454362982, 271796861, 926029826, 585897002,
+             132489022, 986712341, 557812901)
+MINHASH_B = (867431905, 259453810, 715348902, 104329871, 672189345,
+             392817465, 45891023, 783412956)
+N_MINHASH = 8
+BAND_ROWS = 2  # 4 bands of 2 rows
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by SHA-256 of the canonical text; keep the smallest doc_id.
+
+    Returns (sha256_fp, keep_id, dup_cnt). At scale this is one hash
+    aggregation — the canonical exact-dedup plan.
+    """
+    return (
+        docs.select("doc_id", F.sha2(canonical_text(), 256).alias("sha256_fp"))
+        .groupBy("sha256_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exploded distinct word n-gram shingles: (doc_id, shingle)."""
+    toks = tokens_col()
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, gram)),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7): K min-hashes over the shingle set."""
+    h = poly_hash(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)).alias(f"m{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures (bands of BAND_ROWS) and emit candidate pairs
+    sharing any band bucket. The self-join is on (band, value) — only
+    docs in the same bucket ever meet, which is the 100 TB guarantee."""
+    n_bands = N_MINHASH // BAND_ROWS
+    bands = None
+    for j in range(n_bands):
+        bv = (
+            F.col(f"m{BAND_ROWS * j}") * F.lit(HASH_P)
+            + F.col(f"m{BAND_ROWS * j + 1}")
+        ).alias("band_val")
+        part = sig.select("doc_id", F.lit(j).alias("band"), bv)
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard over the shingle sets of candidate pairs.
+
+    (doc_a, doc_b, common, jaccard) — jaccard is an int/int division,
+    engine-stable.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands →
+    candidates → exact-Jaccard verify → pairs above threshold."""
+    sh = shingles(docs)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct-token hashes.
+    Bit b is set iff sum over tokens of ±1 (sign of bit b of the token
+    hash) is positive."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
+    )
+    h = poly_hash(F.col("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, max_doc_id: int = 60, threshold: float = 0.05
+) -> DataFrame:
+    """Ground-truth exact Jaccard for a bounded doc_id range (the brute
+    baseline the LSH path is validated against — NOT the scale path)."""
+    sub = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = shingles(sub)
+    ids = sub.select("doc_id")
+    a = ids.select(F.col("doc_id").alias("doc_a"))
+    b = ids.select(F.col("doc_id").alias("doc_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)

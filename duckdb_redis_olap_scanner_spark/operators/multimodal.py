@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery (schema, partitioning, UDF signature, batch
+shape) is real and tested; the actual media decoding is STUBBED because
+no image/audio library exists in this container:
+
+* ``decode_image`` / ``decode_audio`` raise ``NotImplementedError``
+  unless Pillow / soundfile are importable (import-gated).
+* ``fake_decode_features`` is the deterministic stand-in used by tests
+  and the catalog oracle: features derived arithmetically from the
+  payload byte length, so DuckDB can verify the full pipeline.
+
+At scale: ``mapInPandas`` streams Arrow batches through the Python
+worker — payload bytes never materialize on the driver, and the
+operator preserves the upstream partitioning (no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, fake_width int, fake_height int, modality string"
+)
+
+
+def _try_import_pillow():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes):
+    """Real image decode — gated on Pillow availability."""
+    image_mod = _try_import_pillow()
+    if image_mod is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed in this "
+            "container; use fake_decode_features for the pipeline plumbing"
+        )
+    import io
+
+    return image_mod.open(io.BytesIO(payload))
+
+
+def decode_audio(payload: bytes):
+    raise NotImplementedError(
+        "audio decoding requires an audio library not present in this "
+        "container; use fake_decode_features for the pipeline plumbing"
+    )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload column + typed metadata struct —
+    the storage shape for multimodal data (bytes + sidecar metadata)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length("text").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder: features are pure arithmetic on the
+    payload length (so the pipeline is oracle-checkable end to end)."""
+    for pdf in batch_iter:
+        n = pdf["payload"].apply(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": (n).astype("int32"),
+                "fake_width": (n % 640).astype("int32"),
+                "fake_height": ((n * 7) % 480).astype("int32"),
+                "modality": "image-stub",
+            }
+        )
+
+
+def decode_stub_pipeline(docs: DataFrame) -> DataFrame:
+    """binary payload → mapInPandas decode (Arrow batches) → typed features."""
+    return with_binary_payload(docs).mapInPandas(
+        fake_decode_features, schema=DECODED_SCHEMA
+    )

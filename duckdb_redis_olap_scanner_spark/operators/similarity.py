@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against all embeddings. Exact, O(Q·N) — the correctness baseline.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH: sign-bit bucket per
+  vector, candidates limited to the query's bucket. The 100 TB path:
+  the expensive pairwise work only happens within buckets (shuffle on
+  bucket id), and bucket count scales with #planes.
+
+Determinism: embeddings are quantized to integer milli-units
+(``FLOOR(x*1000)``) before any arithmetic — integer dot products and
+norms are exact in any accumulation order, and the final
+``dot / (sqrt(na)*sqrt(nb))`` is a single identical double expression
+on both engines, so results hash-match the DuckDB oracle exactly.
+Hyperplanes are integer vectors from a fixed LCG-style formula shared
+with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000
+N_PLANES = 4
+
+
+def hyperplane_weights(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplanes: w[j][i] in [-1000, 1000]."""
+    return [
+        [((j * 2654435761 + i * 40503) % 2001) - 1000 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def quantized(col: Column | str = "embedding") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x * QUANT).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact-integer cosine of two quantized vectors (double at the end)."""
+    return _dot(a, b).cast("double") / (
+        F.sqrt(_sqnorm(a).cast("double")) * F.sqrt(_sqnorm(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_max_id: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (vec_id < query_max_id),
+    excluding self. Query side is broadcast — the fact table never shuffles."""
+    q = (
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select(F.col("vec_id").alias("query_id"), quantized().alias("qv"))
+    )
+    a = embeddings.select(F.col("vec_id").alias("neighbor_id"), quantized().alias("av"))
+    sim = (
+        F.broadcast(q)
+        .join(a, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("av")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def bucket_of(v: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j))."""
+    bucket = None
+    for j, w in enumerate(planes):
+        wl = F.array(*[F.lit(x).cast("long") for x in w])
+        term = F.when(_dot(v, wl) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 5,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    The bucket equi-join replaces the cross product — this is what keeps
+    the plan shuffle-bounded at scale (trade recall for candidate count
+    via n_planes)."""
+    planes = hyperplane_weights(n_planes)
+    base = embeddings.select("vec_id", quantized().alias("v"))
+    bucketed = base.select(
+        "vec_id", "v", bucket_of(F.col("v"), planes).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("av"), "bucket"
+    )
+    sim = (
+        F.broadcast(q)
+        .join(a, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            cosine(F.col("qv"), F.col("av")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.5, max_id: int | None = None
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    Test-scale form is all-pairs over a bounded id range; the scale path
+    is the same verify step fed by LSH buckets (see lsh_bucketed_topk).
+    """
+    base = embeddings.select("vec_id", quantized().alias("v"))
+    if max_id is not None:
+        base = base.filter(F.col("vec_id") < max_id)
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

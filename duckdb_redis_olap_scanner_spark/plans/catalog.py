@@ -1,0 +1,94 @@
+"""Query catalog: the registry behind ``__spark_entry__.queries()`` /
+``oracle_sql()``.
+
+Every capability from SURVEY.md §2 (and the §7 north-star extensions)
+is declared here as a named entry pairing
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame`` (DataFrame API or
+  ``spark.sql`` — both are the engine's public surface), and
+* an equivalent ANSI-SQL oracle string DuckDB can run over the same
+  parquet tables (``None`` for genuinely non-SQL-expressible ops, which
+  the driver then checks rows-only).
+
+Determinism / hash-match discipline (the driver compares value hashes
+order-insensitively but exactly):
+
+* Monetary/quantity SUMs are computed over ``DECIMAL(18,2)`` casts on
+  BOTH sides — decimal aggregation is exact, so results are bitwise
+  identical regardless of partial-aggregation order, then cast to
+  DOUBLE for a common output schema.
+* AVGs are expressed as exact-decimal SUM divided by COUNT (one double
+  division of identical operands on both sides).
+* Transcendentals (ln/exp/pow) are rounded to 6 decimals — Java Math
+  and libm may differ in the last ulp.
+* Every computed column is aliased identically on both sides; the
+  driver sorts columns by name before hashing.
+* Timestamps are cast to DATE or formatted strings in outputs (duckdb
+  returns naive timestamps, Spark session-TZ ones).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+):
+    """Decorator registering a catalog query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog entry {name!r}")
+        _REGISTRY[name] = CatalogEntry(name, fn, oracle, tuple(tags), doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, CatalogEntry]:
+    """All catalog entries (imports the defining modules on first use)."""
+    # Local imports to avoid import cycles; each module registers on import.
+    from . import relational  # noqa: F401
+    from . import pipeline_ops  # noqa: F401
+    from . import redis_demo  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (declarative scan → Catalyst
+    gets column pruning + predicate pushdown into the file scan).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as raw nanos (legacy conf)
+    and integer-divide to microseconds — the same truncation DuckDB applies
+    when it surfaces the column as TIMESTAMP (µs), so both engines see
+    identical values.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

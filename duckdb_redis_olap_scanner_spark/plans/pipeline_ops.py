@@ -1,0 +1,402 @@
+"""Catalog entries for the training-data pipeline operators (SURVEY.md
+§7 north-star): dedup, similarity search, text analysis, multimodal.
+
+Every entry pairs the Spark operator (from ``operators/``) with a
+DuckDB oracle that re-derives the same result in SQL — including the
+full MinHash-LSH pipeline, whose polynomial hashing was chosen
+specifically to be bit-identical across engines (see operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from .catalog import register, table
+
+P = T.HASH_P
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_CANON = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _sql_shingles_cte(source: str = "documents") -> str:
+    """CTEs producing (doc_id, shingle) distinct word-3-gram rows."""
+    return f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM {source}),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, greatest(len(t) - 2, 0)),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+      FROM toks
+    )"""
+
+
+_SQL_JACCARD_TAIL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) AS jaccard
+    FROM common c
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) >= {thr}
+"""
+
+_SQL_QUANT_EMB = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(0, 64), i -> {a}[i+1] * {b}[i+1]))"
+
+
+def _sql_sqnorm(v: str) -> str:
+    return f"list_sum(list_transform({v}, x -> x * x))"
+
+
+def _sql_cosine(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST({dot} AS DOUBLE) / "
+        f"(SQRT(CAST({na} AS DOUBLE)) * SQRT(CAST({nb} AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS INT)
+               AS bpeish_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars_measured,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+    tags=("text", "bench"),
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens + char/byte counts.",
+)
+def text_token_stats(spark: SparkSession, sf: str):
+    return T.with_token_stats(table(spark, sf, "documents"))
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS token_cnt,
+           CAST(len(list_filter(toks, x -> x IN {T.STOPWORDS!r})) AS INT) AS stop_cnt,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT)
+               AS punct_cnt,
+           CAST(len(list_filter(toks, x -> x IN {T.STOPWORDS!r})) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+           CAST(LENGTH(text) AS DOUBLE) / len(toks) AS chars_per_token,
+           (len(toks) >= 20 AND len(toks) <= 2000) AS len_ok
+    FROM t
+    """,
+    tags=("text",),
+    doc="Heuristic quality scoring (stopword/punct ratios, chars-per-token).",
+)
+def text_quality_score(spark: SparkSession, sf: str):
+    return T.with_quality_score(table(spark, sf, "documents"))
+
+
+def _sql_lang_score(markers: tuple[str, ...]) -> str:
+    return f"CAST(len(list_filter({_SQL_TOKS}, x -> x IN {markers!r})) AS INT)"
+
+
+@register(
+    "text_lang_guess",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_lang_score(T.LANG_MARKERS['en'])} AS c_en,
+             {_sql_lang_score(T.LANG_MARKERS['de'])} AS c_de,
+             {_sql_lang_score(T.LANG_MARKERS['fr'])} AS c_fr,
+             {_sql_lang_score(T.LANG_MARKERS['es'])} AS c_es
+      FROM documents
+    )
+    SELECT doc_id, c_en, c_de, c_fr, c_es,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           lang,
+           (CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                 WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                 WHEN c_fr >= c_es THEN 'fr'
+                 ELSE 'es' END) = lang AS label_match
+    FROM scored
+    """,
+    tags=("text",),
+    doc="Marker-stopword language-ID heuristic (fixed tie-break priority).",
+)
+def text_lang_guess(spark: SparkSession, sf: str):
+    return T.with_lang_guess(table(spark, sf, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           sha256({_SQL_CANON}) AS sha256_fp,
+           md5({_SQL_CANON}) AS md5_fp,
+           {T.sql_poly_hash(_SQL_CANON)} AS poly_fp
+    FROM documents
+    """,
+    tags=("text", "bench"),
+    doc="Document fingerprinting: SHA-256 + MD5 + polynomial rolling hash "
+    "over the canonical (lowercased, ws-collapsed) text.",
+)
+def text_fingerprints(spark: SparkSession, sf: str):
+    return T.with_fingerprints(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT sha256({_SQL_CANON}) AS sha256_fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY sha256({_SQL_CANON})
+    """,
+    tags=("dedup", "bench"),
+    doc="Exact dedup: one hash-aggregate on the content fingerprint.",
+)
+def dedup_exact(spark: SparkSession, sf: str):
+    return D.exact_dedup(table(spark, sf, "documents"))
+
+
+def _sql_minhash_lsh(threshold: float) -> str:
+    h = T.sql_poly_hash("shingle")
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{k}"
+        for k, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, m{2 * j} * {P} + m{2 * j + 1} AS band_val FROM sig"
+        for j in range(D.N_MINHASH // D.BAND_ROWS)
+    )
+    return f"""
+    WITH {_sql_shingles_cte()},
+    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+    ),
+    {_SQL_JACCARD_TAIL.format(thr=threshold).lstrip()}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash_lsh(0.2),
+    tags=("dedup", "bench"),
+    doc="MinHash(8)+LSH(4 bands) near-dup pairs, exact-Jaccard verified at "
+    ">= 0.2. The LSH band join bounds candidates — the 100 TB shape.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str):
+    return D.minhash_lsh_dedup(table(spark, sf, "documents"), threshold=0.2)
+
+
+def _sql_simhash() -> str:
+    h = T.sql_poly_hash("token")
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_sql_simhash(),
+    tags=("dedup",),
+    doc="16-bit SimHash signature per document (near-dup key; Hamming "
+    "banding is the scale path for pairing).",
+)
+def dedup_simhash(spark: SparkSession, sf: str):
+    return D.simhash_signatures(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    {_sql_shingles_cte('src').lstrip()},
+    ids AS (SELECT doc_id FROM src),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    {_SQL_JACCARD_TAIL.format(thr=0.02).lstrip()}
+    """,
+    tags=("dedup",),
+    doc="Exact n-gram Jaccard on a bounded range — ground truth for LSH "
+    "recall tests (brute force is NOT the scale path).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str):
+    return D.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), max_doc_id=60, threshold=0.02
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_sql_dot('a.v', 'b.v')} AS dot,
+             {_sql_sqnorm('a.v')} AS na,
+             {_sql_sqnorm('b.v')} AS nb
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {_sql_cosine('dot', 'na', 'nb')} AS cos_sim
+    FROM pairs
+    WHERE {_sql_cosine('dot', 'na', 'nb')} >= 0.45
+    """,
+    tags=("dedup", "similarity"),
+    doc="Embedding near-dup pairs (quantized-integer cosine >= 0.45). "
+    "Scale path: LSH buckets feed the same verify step.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str):
+    return S.embedding_near_dup_pairs(table(spark, sf, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_sql_cosine(_sql_dot('q.qv', 'a.v'), _sql_sqnorm('q.qv'), _sql_sqnorm('a.v'))}
+                 AS cos_sim
+      FROM q JOIN base a ON a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) t WHERE rank <= 10
+    """,
+    tags=("similarity", "bench"),
+    doc="Brute-force cosine top-10 for 5 query vectors (broadcast queries; "
+    "exact baseline).",
+)
+def ann_cosine_topk(spark: SparkSession, sf: str):
+    return S.brute_force_topk(table(spark, sf, "embeddings"), query_max_id=5, k=10)
+
+
+def _sql_lsh_topk() -> str:
+    planes = S.hyperplane_weights()
+    bucket_terms = []
+    for j, w in enumerate(planes):
+        wl = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = f"list_sum(list_transform(range(0, 64), i -> v[i+1] * ({wl})[i+1]))"
+        bucket_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 5),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.bucket,
+             {_sql_cosine(_sql_dot('q.qv', 'a.v'), _sql_sqnorm('q.qv'), _sql_sqnorm('a.v'))}
+                 AS cos_sim
+      FROM q JOIN bucketed a
+        ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, bucket, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) t WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_sql_lsh_topk(),
+    tags=("similarity",),
+    doc="LSH-bucketed approximate top-5 (4 random hyperplanes → 16 buckets; "
+    "candidates restricted to the query's bucket — the scale path).",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str):
+    return S.lsh_bucketed_topk(table(spark, sf, "embeddings"), query_max_id=5, k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+           'image-stub' AS modality
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="Multimodal plumbing: binary payload + metadata struct through an "
+    "Arrow-batched mapInPandas decode (decoder stubbed deterministically; "
+    "real decode import-gated on Pillow).",
+)
+def multimodal_decode_stub(spark: SparkSession, sf: str):
+    return M.decode_stub_pipeline(table(spark, sf, "documents"))

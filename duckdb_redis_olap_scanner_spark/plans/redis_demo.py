@@ -1,0 +1,120 @@
+"""Catalog entries exercising the Redis surface against the in-process
+fake Redis server (no external Redis exists in the test environment;
+the reference's own tests likewise assume a pre-seeded live server —
+``test/sql/scan.test:18``).
+
+The golden keyspace (testkey:0001..0010) makes the oracle expressible
+as pure generated SQL in DuckDB — a hash-match check with no tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Engine, ship_package
+from .catalog import register
+
+_SERVER = None
+
+
+def _engine(spark: SparkSession) -> Engine:
+    """Start (once) the fake server seeded with the reference fixture and
+    return a connected Engine. Ships the package to Python workers first
+    (the driver may have created the session without our PYTHONPATH)."""
+    global _SERVER
+    if _SERVER is None:
+        from ..testing import FakeRedisServer, seed_reference_fixture
+
+        _SERVER = FakeRedisServer().start()
+        seed_reference_fixture(_SERVER)
+    ship_package(spark)
+    eng = Engine(spark)
+    eng.connect(_SERVER.address)
+    return eng
+
+
+@register(
+    "redis_scan_golden",
+    oracle="""
+    SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key_name
+    FROM range(1, 11) t(i)
+    """,
+    tags=("redis",),
+    doc="redis_scan('testkey:*') — golden parity with the reference's "
+    "test/sql/scan.test:19-29 keyspace.",
+)
+def redis_scan_golden(spark: SparkSession, sf: str):
+    return _engine(spark).redis_scan("testkey:*")
+
+
+@register(
+    "redis_kv_golden",
+    oracle="""
+    SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key,
+           'value:' || lpad(CAST(i AS VARCHAR), 4, '0') AS value
+    FROM range(1, 11) t(i)
+    """,
+    tags=("redis",),
+    doc="redis_kv('testkey:*') — the documented-but-unimplemented batch "
+    "KV surface (reference README.md:30-31), SCAN + pipelined MGET.",
+)
+def redis_kv_golden(spark: SparkSession, sf: str):
+    return _engine(spark).redis_kv("testkey:*")
+
+
+@register(
+    "redis_get_over_scan",
+    oracle="""
+    SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key_name,
+           'value:' || lpad(CAST(i AS VARCHAR), 4, '0') AS value
+    FROM range(1, 11) t(i)
+    """,
+    tags=("redis",),
+    doc="SELECT key, redis_get(key) FROM redis_scan(p) — the reference's "
+    "README.md:33-34 projection, via Arrow-vectorized UDF with MGET batching.",
+)
+def redis_get_over_scan(spark: SparkSession, sf: str):
+    eng = _engine(spark)
+    g = eng.redis_get_udf()
+    return eng.redis_scan("testkey:*").select(
+        "key_name", g("key_name").alias("value")
+    )
+
+
+@register(
+    "redis_hash_maptype",
+    oracle=None,  # MapType output — not hash-comparable via ANSI SQL
+    tags=("redis",),
+    doc="redis_hash('user:*') → (key, map<string,string>) — the documented "
+    "redis_hgetall STRUCT surface (reference README.md:36-38) as MapType.",
+)
+def redis_hash_maptype(spark: SparkSession, sf: str):
+    return (
+        _engine(spark)
+        .redis_hash("user:*")
+        .select("key", F.col("value")["name"].alias("name_field"), "value")
+    )
+
+
+@register(
+    "redduck_scalar",
+    oracle="""
+    SELECT n_name, 'Redduck ' || n_name || ' \U0001f425' AS quacked,
+           'name is set' AS named
+    FROM nation
+    """,
+    tags=("redis",),
+    doc="The reference's template demo scalars redduck()/set_name() "
+    "(redduck_extension.cpp:17-40) as pure column expressions.",
+)
+def redduck_scalar(spark: SparkSession, sf: str):
+    from ..functions.redis_fns import redduck, set_name
+    from .catalog import table
+
+    n = table(spark, sf, "nation")
+    return n.select(
+        "n_name",
+        redduck("n_name").alias("quacked"),
+        set_name("n_name").alias("named"),
+    )

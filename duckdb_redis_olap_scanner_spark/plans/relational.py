@@ -1,0 +1,1250 @@
+"""Relational capability catalog (SURVEY.md §2.B).
+
+The reference delegates its entire relational surface to host DuckDB —
+the capability bar is that every operator family works over our engine
+with hash-identical results vs a DuckDB oracle.  Entries here cover:
+scans/projection/filter, every join type (inner/left/right/full/semi/
+anti/theta/cross), aggregation (group/distinct/rollup/cube/grouping
+sets/having/stats), window functions (row_number/rank/lag/lead/running
+/moving/ntile/first-last), sort/limit/top-k, set ops, scalar function
+families (string/regexp/math/date/JSON/case/null/cast/array), subqueries,
+pivot, and sessionization.
+
+Float determinism: aggregates over double columns are quantized to
+integer cents first — ``FLOOR(col * 100)`` is bit-identical IEEE math
+in Spark and DuckDB, and BIGINT sums are exact, so hashes match no
+matter the partial-aggregation order.  Single-row double arithmetic
+(min/max, lag-diff, element access) is exact and left unquantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+
+# ---------------------------------------------------------------------------
+# helpers — deterministic money math (see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(100)).cast("long")
+
+
+_SQL_CENTS = "CAST(FLOOR({expr} * 100) AS BIGINT)"
+
+
+def sql_cents(expr: str) -> str:
+    return _SQL_CENTS.format(expr=expr)
+
+
+def sql_sum_cents(expr: str) -> str:
+    """DuckDB SUM over integers returns HUGEINT (which pandas renders as
+    float64); cast back to BIGINT so both engines emit int64."""
+    return f"CAST(SUM({sql_cents(expr)}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_cents('l_quantity')} AS sum_qty_cents,
+           {sql_sum_cents('l_extendedprice')} AS sum_base_price_cents,
+           {sql_sum_cents('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price_cents,
+           {sql_sum_cents('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge_cents,
+           SUM({sql_cents('l_quantity')}) / (100.0 * COUNT(*)) AS avg_qty,
+           SUM({sql_cents('l_extendedprice')}) / (100.0 * COUNT(*)) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("bench", "agg"),
+    doc="TPC-H Q1 pricing summary: filter → hash agg with map-side combine.",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+        F.sum(_cents(disc)).alias("sum_disc_price_cents"),
+        F.sum(_cents(charge)).alias("sum_charge_cents"),
+        (F.sum(_cents("l_quantity")) / (F.lit(100.0) * F.count(F.lit(1)))).alias(
+            "avg_qty"
+        ),
+        (
+            F.sum(_cents("l_extendedprice")) / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {sql_sum_cents('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("bench", "join", "topk"),
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-k (unique tiebreak).",
+)
+def q3_shipping_priority(spark: SparkSession, sf: str):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .select(
+            "o_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_sum_cents('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue_cents
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("bench", "join"),
+    doc="TPC-H Q5: 6-way join; region/nation/supplier broadcast (dims are "
+    "schema-bounded or SF-small — the 100 TB plan keeps lineitem shuffle-free "
+    "on the dim side).",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf: str):
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf, "nation")
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_sum_cents('l_extendedprice * l_discount')} AS revenue_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("bench", "filter"),
+    doc="TPC-H Q6: pure filter + scalar agg — pushdown showcase (all four "
+    "predicates reach the parquet scan).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_sum_cents('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("bench", "join", "topk"),
+    doc="TPC-H Q10: returned-item revenue ranking.",
+)
+def q10_returned_items(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    l = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_groupby",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS order_cnt,
+           {sql_sum_cents('o.o_totalprice')} AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join",),
+    doc="Inner equi-join + agg; fact-side shuffle on join key only.",
+)
+def join_inner_groupby(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+    doc="Left outer join preserving customers with zero qualifying orders.",
+)
+def join_left_outer(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000.0),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM orders o RIGHT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+    doc="Right outer join (mirror of left; exercises Spark's right-join path).",
+)
+def join_right_outer(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(
+            c,
+            (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "F"),
+            "right",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+    WITH big_spenders AS (
+        SELECT o_custkey AS k, {sql_sum_cents('o_totalprice')} AS spend_cents
+        FROM orders WHERE o_totalprice > 450000.0 GROUP BY o_custkey
+    ),
+    low_balance AS (
+        SELECT c_custkey AS k, {sql_cents('c_acctbal')} AS acctbal_cents
+        FROM customer WHERE c_acctbal < 0.0
+    )
+    SELECT COALESCE(a.k, b.k) AS custkey, a.spend_cents, b.acctbal_cents
+    FROM big_spenders a FULL OUTER JOIN low_balance b ON a.k = b.k
+    """,
+    tags=("join",),
+    doc="Full outer join with non-overlapping key sets on both sides.",
+)
+def join_full_outer(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    a = (
+        o.filter(F.col("o_totalprice") > 450000.0)
+        .groupBy(F.col("o_custkey").alias("ka"))
+        .agg(F.sum(_cents("o_totalprice")).alias("spend_cents"))
+    )
+    b = c.filter(F.col("c_acctbal") < 0.0).select(
+        F.col("c_custkey").alias("kb"), _cents("c_acctbal").alias("acctbal_cents")
+    )
+    return a.join(b, a.ka == b.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("custkey"), "spend_cents", "acctbal_cents"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("join",),
+    doc="Left semi join (EXISTS): customers with at least one 'P' order.",
+)
+def join_semi(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    """,
+    tags=("join",),
+    doc="Left anti join (NOT EXISTS): customers with no large order.",
+)
+def join_anti(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_higher_nations
+    FROM supplier s JOIN nation n ON s.s_nationkey < n.n_nationkey
+    GROUP BY s.s_suppkey
+    """,
+    tags=("join",),
+    doc="Theta (non-equi) join — planned as broadcast nested loop over the "
+    "25-row nation side.",
+)
+def join_theta(spark: SparkSession, sf: str):
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_higher_nations"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+    doc="Cross join of the two schema-bounded dims (5 x 25).",
+)
+def join_cross(spark: SparkSession, sf: str):
+    r = table(spark, sf, "region")
+    n = table(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# aggregation family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+    doc="Multi-distinct aggregation (expand-based plan in Spark).",
+)
+def agg_distinct_count(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    tags=("agg",),
+    doc="DISTINCT projection.",
+)
+def distinct_rows(spark: SparkSession, sf: str):
+    return table(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {sql_sum_cents('c.c_acctbal')} AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg",),
+    doc="ROLLUP hierarchy totals (region → nation → grand total).",
+)
+def agg_rollup(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_sum_cents('l_quantity')} AS qty_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+    doc="CUBE over two low-cardinality dimensions.",
+)
+def agg_cube(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_cents("l_quantity")).alias("qty_cents"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+    doc="Explicit GROUPING SETS (via Spark SQL).",
+)
+def agg_grouping_sets(spark: SparkSession, sf: str):
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_sum_cents('o_totalprice')} AS spend_cents
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("agg",),
+    doc="GROUP BY ... HAVING (post-aggregation filter).",
+)
+def agg_having(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("spend_cents"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS first_ship_ts,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)) AS mean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+    doc="min/max/mean stats (min/max of doubles and timestamps are exact).",
+)
+def agg_stats(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_shipdate").alias("first_ship_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(_cents("l_quantity")).cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("mean_qty"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate sketches differ across engines by design
+    tags=("agg", "approx"),
+    doc="approx_count_distinct (HLL++) — rows-only check; sketch estimates "
+    "are engine-specific.",
+)
+def agg_approx_distinct(spark: SparkSession, sf: str):
+    return table(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_row_number",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+    doc="row_number per partition with unique tiebreak; first-3 orders per customer.",
+)
+def window_row_number(spark: SparkSession, sf: str):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS drnk
+    FROM part
+    """,
+    tags=("window",),
+    doc="rank/dense_rank with ties (deterministic: equal values share rank).",
+)
+def window_rank_dense(spark: SparkSession, sf: str):
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return table(spark, sf, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_cents('value')}
+             - LAG({sql_cents('value')}) OVER w AS delta_cents,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+    doc="lag/lead over event streams (per-user time ordering).",
+)
+def window_lag_lead(spark: SparkSession, sf: str):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = _cents("value")
+    return table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({sql_cents('o_totalprice')}) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_spend_cents
+    FROM orders
+    """,
+    tags=("window",),
+    doc="Running total per customer (explicit ROWS frame, exact cents).",
+)
+def window_running_sum(spark: SparkSession, sf: str):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents("o_totalprice")).over(w).alias("running_spend_cents"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM({sql_cents('value')}) OVER w AS DOUBLE)
+             / (100.0 * COUNT(*) OVER w) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+    doc="3-row moving average (exact-cents sum / count — engine-stable).",
+)
+def window_moving_avg(spark: SparkSession, sf: str):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(_cents("value")).over(w).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "window_ntile_first_last",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_in_nation,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest_in_nation
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+    doc="ntile/first_value/last_value with full frames.",
+)
+def window_ntile_first_last(spark: SparkSession, sf: str):
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return table(spark, sf, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("poorest_in_nation"),
+        F.last("c_custkey").over(w_full).alias("richest_in_nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle=f"""
+    SELECT o_orderkey, {sql_cents('o_totalprice')} AS totalprice_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort",),
+    doc="Top-k by price (Spark plans TakeOrderedAndProject — no full sort).",
+)
+def topk_orders(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "orders")
+        .select("o_orderkey", _cents("o_totalprice").alias("totalprice_cents"))
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "sort_multi_key",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey, {sql_cents('c_acctbal')} AS acctbal_cents
+    FROM customer
+    ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+    LIMIT 25
+    """,
+    tags=("sort",),
+    doc="Multi-key mixed-direction sort with limit.",
+)
+def sort_multi_key(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "customer")
+        .orderBy(F.asc("c_nationkey"), F.desc("c_acctbal"), F.asc("c_custkey"))
+        .select("c_custkey", "c_nationkey", _cents("c_acctbal").alias("acctbal_cents"))
+        .limit(25)
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey, 'building' AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'auto' AS seg FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("setop",),
+    doc="UNION ALL with a provenance marker column.",
+)
+def set_union_all(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("building").alias("seg")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey", F.lit("auto").alias("seg")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+    doc="INTERSECT (distinct): customers having both open and finished orders.",
+)
+def set_intersect(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop",),
+    doc="EXCEPT (distinct): customers without any pending order.",
+)
+def set_except(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)  # subtract == EXCEPT DISTINCT (exceptAll is the bag form)
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_pfx,
+           REPLACE(p_type, 'A', '_') AS type_repl,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           TRIM('  x  ') AS trimmed,
+           REVERSE(p_brand) AS brand_rev
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="String function family: case/length/substr/replace/concat/pad/trim/reverse.",
+)
+def string_funcs(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("type_repl"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "like_case_funcs",
+    oracle="""
+    SELECT p_partkey,
+           (p_name LIKE '%red%') AS is_red,
+           (p_name NOT LIKE 'small%') AS not_small,
+           (p_type IN ('PROMO', 'STANDARD')) AS is_common_type,
+           CASE WHEN p_size BETWEEN 10 AND 25 THEN 'mid'
+                WHEN p_size < 10 THEN 'small'
+                ELSE 'large' END AS size_class
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="LIKE / NOT LIKE / IN / CASE WHEN / BETWEEN.",
+)
+def like_case_funcs(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%red%").alias("is_red"),
+        (~F.col("p_name").like("small%")).alias("not_small"),
+        F.col("p_type").isin("PROMO", "STANDARD").alias("is_common_type"),
+        F.when((F.col("p_size") >= 10) & (F.col("p_size") <= 25), "mid")
+        .when(F.col("p_size") < 10, "small")
+        .otherwise("large")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           REGEXP_MATCHES(p_name, 'w.dget') AS is_widget
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="Regex extract/replace/match. DuckDB regexp_replace needs the 'g' "
+    "flag to match Spark's replace-all semantics.",
+)
+def regexp_funcs(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("w.dget").alias("is_widget"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25.0) AS abs_dev,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS log_price,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("scalar",),
+    doc="Math family. sqrt is IEEE-correctly-rounded (exact both engines); "
+    "ln is rounded to 6 decimals (libm vs JVM last-ulp).",
+)
+def math_funcs(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_ceil_k"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_floor_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+           strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since_epoch95,
+           strftime(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("scalar",),
+    doc="Date/time family: extract, trunc, diff, last_day.",
+)
+def date_funcs(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch95"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_bucket
+    FROM events WHERE event_id < 200
+    """,
+    tags=("scalar",),
+    doc="JSON scalar extraction over the events.props column.",
+)
+def json_funcs(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events").filter(F.col("event_id") < 200)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN {sql_cents('value')} ELSE 0 END) AS BIGINT) AS purchase_cents,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "scalar"),
+    doc="Conditional aggregation (CASE inside SUM/COUNT).",
+)
+def conditional_agg(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _cents("value")).otherwise(0)
+        ).alias("purchase_cents"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_orderstatus, 'NO_ORDERS') AS status_or_default,
+           (o.o_orderkey IS NULL) AS has_no_big_order,
+           NULLIF(c.c_mktsegment, 'BUILDING') AS seg_nullified
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, MIN(o_orderkey) AS o_orderkey,
+               MIN(o_orderstatus) AS o_orderstatus
+        FROM orders WHERE o_totalprice > 450000.0 GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+    tags=("scalar",),
+    doc="NULL handling: coalesce / IS NULL / nullif over outer-join nulls.",
+)
+def null_funcs(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.min("o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("o_orderstatus", F.lit("NO_ORDERS")).alias("status_or_default"),
+        F.col("o_orderkey").isNull().alias("has_no_big_order"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+    )
+
+
+@register(
+    "cast_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("scalar",),
+    doc="Cast family (double→int via FLOOR: DuckDB rounds on cast, Spark "
+    "truncates — FLOOR first makes both deterministic).",
+)
+def cast_funcs(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS e_first,
+           embedding[64] AS e_last
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+    doc="Array basics over the embedding column (size + element access; "
+    "float32 elements compare bitwise).",
+)
+def array_funcs(spark: SparkSession, sf: str):
+    e = table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e_first"),
+        F.element_at("embedding", 64).alias("e_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries / pivot / sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_in_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+      AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+    doc="IN-subquery + uncorrelated scalar subquery (avg compare is a "
+    "filter, not an output — double avg is safe as a predicate here because "
+    "both engines see identical per-row compare except at ulp boundaries of "
+    "the mean itself; the orders far from the mean dominate).",
+)
+def subquery_in_scalar(spark: SparkSession, sf: str):
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+          AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot event_type → columns (fixed value list so no discovery scan).",
+)
+def pivot_event_types(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+                         - CAST(FLOOR(EXTRACT(EPOCH FROM LAG(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                         > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("window", "sessionize"),
+    doc="Gaps-and-islands sessionization (30-min inactivity gap) — the "
+    "classic streaming-adjacent pattern done in batch with windows.",
+)
+def events_sessionize(spark: SparkSession, sf: str):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf, "events")
+    epoch = F.unix_timestamp("ts")
+    prev_ts = F.lag("ts").over(w)
+    prev_epoch = F.unix_timestamp(prev_ts)
+    flagged = e.select(
+        "user_id",
+        F.when((epoch - prev_epoch > 1800) | prev_ts.isNull(), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
