@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect — the number measures the engine, not result
+transfer). A warmup run of the flagship query absorbs one-time JVM/
+codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_redis_olap_scanner_spark.engine import get_spark  # noqa: E402
+from duckdb_redis_olap_scanner_spark.plans.catalog import registry  # noqa: E402
+
+
+def _force(df) -> None:
+    """Materialize every row/column of the plan without collecting."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    entries = registry()
+    bench_names = sorted(n for n, e in entries.items() if "bench" in e.tags)
+
+    # Warmup: JVM JIT + codegen + parquet footer caches.
+    _force(entries["q1_pricing_summary"].fn(spark, sf_dir))
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(entries[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,42 +53,65 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Exploded distinct word n-gram shingles: (doc_id, shingle)."""
-    toks = tokens_col()
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    """Exploded distinct word n-gram shingles: (doc_id, shingle).
+
+    The token array is projected in its own select first: inlining the
+    regex-split expression into the transform lambda would re-run the
+    split once per `element_at` access (~3n× per row) because Catalyst
+    does no subexpression elimination inside HOF lambdas.
+    """
+    tk = docs.select("doc_id", tokens_col().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        " ", *[F.element_at(t, i + k + 1) for k in range(n)]
     )
     sh = F.when(
-        F.size(toks) >= n,
+        F.size(t) >= n,
         F.array_distinct(F.transform(idx, gram)),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return tk.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m7): K min-hashes over the shingle set."""
-    h = poly_hash(F.col("shingle"))
+    """(doc_id, m0..m7): K min-hashes over the shingle set.
+
+    The per-character fold hash is projected ONCE per shingle row before
+    aggregation — inlining it in each of the 8 min() expressions would
+    evaluate the fold 8× per row (Spark does not CSE across aggregates).
+    """
+    hashed = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(HASH_P)).alias(f"m{k}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{k}")
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signatures (bands of BAND_ROWS) and emit candidate pairs
     sharing any band bucket. The self-join is on (band, value) — only
-    docs in the same bucket ever meet, which is the 100 TB guarantee."""
+    docs in the same bucket ever meet, which is the 100 TB guarantee.
+
+    Bands come from ONE explode over the signature row (a union of
+    per-band projections would re-run the whole shingle→minhash
+    aggregation once per band)."""
     n_bands = N_MINHASH // BAND_ROWS
-    bands = None
-    for j in range(n_bands):
-        bv = (
-            F.col(f"m{BAND_ROWS * j}") * F.lit(HASH_P)
-            + F.col(f"m{BAND_ROWS * j + 1}")
-        ).alias("band_val")
-        part = sig.select("doc_id", F.lit(j).alias("band"), bv)
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                (
+                    F.col(f"m{BAND_ROWS * j}") * F.lit(HASH_P)
+                    + F.col(f"m{BAND_ROWS * j + 1}")
+                ).alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bv")).select(
+        "doc_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -140,8 +163,16 @@ def verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
 def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
-    candidates → exact-Jaccard verify → pairs above threshold."""
-    sh = shingles(docs)
+    candidates → exact-Jaccard verify → pairs above threshold.
+
+    The exploded shingle table feeds four consumers (minhash agg, sizes,
+    both sides of the common-shingle join); persist it so the tokenize+
+    shingle+explode work runs once. MEMORY_AND_DISK: at cluster scale the
+    shingle table spills rather than OOMs — on a real 100 TB run this
+    stage would typically be checkpointed to distributed storage instead."""
+    from pyspark import StorageLevel
+
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
 

@@ -63,23 +63,45 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine when the square-norms were precomputed per side.
+
+    In a pairwise join each row's norm would otherwise be re-folded once
+    per PAIR (Q× or bucket-size× amplification) — computing it once per
+    input row before the join leaves only the dot product as per-pair
+    work."""
+    return _dot(a, b).cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_max_id: int = 5, k: int = 10
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (vec_id < query_max_id),
     excluding self. Query side is broadcast — the fact table never shuffles."""
-    q = (
-        embeddings.filter(F.col("vec_id") < query_max_id)
-        .select(F.col("vec_id").alias("query_id"), quantized().alias("qv"))
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
     )
-    a = embeddings.select(F.col("vec_id").alias("neighbor_id"), quantized().alias("av"))
+    q = base.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("av"),
+        F.col("n2").alias("an"),
+    )
     sim = (
         F.broadcast(q)
         .join(a, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("av")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("qv"), F.col("av"), F.col("qn"), F.col("an")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -115,15 +137,22 @@ def lsh_bucketed_topk(
     planes = hyperplane_weights(n_planes)
     base = embeddings.select("vec_id", quantized().alias("v"))
     bucketed = base.select(
-        "vec_id", "v", bucket_of(F.col("v"), planes).alias("bucket")
+        "vec_id",
+        "v",
+        bucket_of(F.col("v"), planes).alias("bucket"),
+        _sqnorm(F.col("v")).alias("n2"),
     )
     q = bucketed.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
         "bucket",
     )
     a = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("av"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("av"),
+        F.col("n2").alias("an"),
+        "bucket",
     )
     sim = (
         F.broadcast(q)
@@ -133,7 +162,9 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             "bucket",
-            cosine(F.col("qv"), F.col("av")).alias("cos_sim"),
+            cosine_with_norms(
+                F.col("qv"), F.col("av"), F.col("qn"), F.col("an")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,17 +185,20 @@ def embedding_near_dup_pairs(
     Test-scale form is all-pairs over a bounded id range; the scale path
     is the same verify step fed by LSH buckets (see lsh_bucketed_topk).
     """
-    base = embeddings.select("vec_id", quantized().alias("v"))
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
+    )
     if max_id is not None:
         base = base.filter(F.col("vec_id") < max_id)
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        cos.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
