@@ -1,0 +1,219 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is strictly batch-pull (SURVEY.md §2.B: "Streaming —
+none"), so nothing here is required for fidelity; this module is the
+engine's streaming growth path for the training-data pipeline: the same
+declarative transformations run
+
+* in BATCH mode (``transform(batch_events_df)``) — used by the query
+  catalog so every operator is DuckDB-oracle-checkable, and
+* in STREAMING mode (``transform(read_events_stream(...))`` →
+  ``run_stream_to_memory``) — exercised by tests with an
+  ``availableNow`` trigger, proving stream/batch equivalence.
+
+Operators:
+
+* ``tumbling_window_counts``  — watermarked fixed windows (`F.window`).
+* ``sliding_window_counts``   — overlapping windows (window > slide).
+* ``session_window_stats``    — data-driven session windows
+  (`F.session_window`, 30-min inactivity gap).
+* ``running_user_state``      — custom stateful operator via
+  ``applyInPandasWithState`` (per-user running count/sum with explicit
+  GroupState), the escape hatch for semantics windows can't express.
+
+Scale notes: all window aggregations shuffle once on (key, window);
+watermarks bound state size — without them a 100 TB stream's window
+state grows forever. ``applyInPandasWithState`` keeps state per
+grouping key in the state store; key cardinality (users), not event
+volume, bounds memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet. The file source needs an
+    explicit schema; ``ts`` arrives as raw nanos (Spark rejects
+    TIMESTAMP(NANOS) parquet) and is integer-divided to a µs timestamp —
+    the same truncation DuckDB applies (see ``plans.catalog.table``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a DIRECTORY; the testdata tables are
+    # single files (and read-only), so stage a symlink in a temp dir.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# window aggregations (batch- and stream-applicable)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Fixed-window counts+sums per event_type. The watermark lets the
+    engine finalize windows and evict their state once event time has
+    passed window_end + 30 min; late rows beyond that are dropped."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping windows (each event lands in window/slide windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Data-driven session windows per user: a session extends while
+    events arrive within `gap` of the previous one. Streaming needs the
+    watermark to know when a session can no longer grow."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_USER_STATE_SCHEMA = "user_id long, n_events long, total_cents long"
+_STATE_SCHEMA = "n long, cents long"
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-user (count, cents-sum) across micro-batches."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        # floor(value*100) summed as exact ints — same quantization as the
+        # batch/window operators (F.floor(value * 100)).
+        cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """Per-user running totals with explicit GroupState — the custom
+    stateful-operator surface (semantics no built-in window expresses:
+    monotone running totals that survive across micro-batches)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream runner (tests / demos)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table and return it as a batch DataFrame."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,158 @@
+"""Streaming execution tests: the operators in streaming/events.py run
+as REAL streams (file source → availableNow trigger → memory sink) and
+must produce exactly the rows their batch twins produce — plus
+watermark late-data semantics and the applyInPandasWithState operator.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.plans.catalog import table
+from duckdb_redis_olap_scanner_spark.streaming import events as SE
+
+from .conftest import SF_DIR
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def events_stream(spark):
+    return SE.read_events_stream(spark, SF_DIR)
+
+
+@pytest.fixture()
+def events_batch(spark):
+    return table(spark, SF_DIR, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream, events_batch):
+    got = SE.run_stream_to_memory(
+        SE.tumbling_window_counts(events_stream), "t_tumbling"
+    )
+    want = SE.tumbling_window_counts(events_batch)
+    cols = ["win_start", "event_type", "n_events", "value_cents"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events_stream, events_batch):
+    got = SE.run_stream_to_memory(
+        SE.sliding_window_counts(events_stream), "t_sliding"
+    )
+    want = SE.sliding_window_counts(events_batch)
+    cols = ["win_start", "n_events"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_session_stream_equals_batch(spark, events_stream, events_batch):
+    got = SE.run_stream_to_memory(
+        SE.session_window_stats(events_stream), "t_session"
+    )
+    want = SE.session_window_stats(events_batch)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stateful_running_totals(spark, events_stream, events_batch, tmp_path):
+    got = SE.run_stream_to_memory(
+        SE.running_user_state(events_stream),
+        "t_state",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # update-mode emits one row per user per micro-batch; the LAST row per
+    # user is the final state. availableNow over one parquet file is a
+    # single micro-batch here, but dedupe defensively.
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    cols = ["user_id", "n_events", "total_cents"]
+    assert _canon(final, cols) == _canon(want, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two availableNow runs over a shared checkpoint: batch 1 advances
+    the event-time watermark to (max_ts - 10 min); batch 2's hours-late
+    row must be dropped, its fresh row kept (append mode emits only
+    finalized windows)."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        for f in (tmp_path / "tmp" / name).glob("*.parquet"):
+            shutil.copy(f, src / f"{name}.parquet")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .parquet(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Batch 1: events in hour 0 and hour 6 → watermark ≈ 05:50,
+    # finalizing (and emitting) the hour-0 window.
+    write_batch(
+        "b1",
+        [
+            (1, t0, 1, 1.0),
+            (2, t0 + dt.timedelta(minutes=5), 1, 1.0),
+            (3, t0 + dt.timedelta(hours=6), 1, 1.0),
+        ],
+    )
+    run_once()
+    # Batch 2: one row hours behind the watermark (dropped) + one fresh
+    # row in hour 8 (kept; advances the watermark to 07:50 ≥ 07:00, so
+    # the hour-6 window finalizes and is emitted).
+    write_batch(
+        "b2",
+        [
+            (4, t0 + dt.timedelta(minutes=30), 1, 1.0),  # LATE → dropped
+            (5, t0 + dt.timedelta(hours=8), 1, 1.0),
+        ],
+    )
+    run_once()
+
+    result = {
+        r.win_start: r.n for r in spark.read.parquet(out).collect()
+    }
+    # Hour-0 window: the late row did NOT bump the count past 2.
+    assert result[t0] == 2
+    # Hour-6 window finalized with its single row.
+    assert result[t0 + dt.timedelta(hours=6)] == 1
