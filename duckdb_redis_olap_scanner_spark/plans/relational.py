@@ -1248,3 +1248,363 @@ def events_sessionize(spark: SparkSession, sf: str):
         F.sum("is_new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bag set ops / lateral / map / struct / unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'F')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+    doc="EXCEPT ALL (bag semantics — multiplicities subtract, not vanish).",
+)
+def set_except_all(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus").isin("O", "F")).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+    doc="INTERSECT ALL (bag semantics — min of multiplicities).",
+)
+def set_intersect_all(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "lateral_posexplode",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey, string_split(p_name, ' ') AS w
+        FROM part WHERE p_partkey < 500
+    ),
+    e AS (
+        SELECT p_partkey,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> struct_pack(pos := i - 1, word := w[i]))) AS u
+        FROM t
+    )
+    SELECT p_partkey, CAST(u.pos AS INT) AS pos, u.word AS word FROM e
+    """,
+    tags=("lateral",),
+    doc="posexplode (LATERAL VIEW): one row per word of p_name with its "
+    "position.",
+)
+def lateral_posexplode(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand_from_map,
+           p_type  AS type_from_map,
+           2 AS n_keys,
+           'missing' AS absent_key
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("scalar", "map"),
+    doc="MapType construction + element access + cardinality + safe "
+    "missing-key access (oracle states expected values directly).",
+)
+def map_funcs(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part").filter(F.col("p_partkey") < 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return p.select(
+        "p_partkey",
+        m["brand"].alias("brand_from_map"),
+        m["type"].alias("type_from_map"),
+        F.size(m).alias("n_keys"),
+        F.coalesce(m["nope"], F.lit("missing")).alias("absent_key"),
+    )
+
+
+@register(
+    "struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_field,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents_field,
+           (o_orderstatus = 'O' AND o_totalprice > 100000.0) AS is_big_open
+    FROM orders WHERE o_orderkey < 800
+    """,
+    tags=("scalar", "struct"),
+    doc="Nested struct construction and field extraction, flattened back "
+    "to scalars for the hash check.",
+)
+def struct_funcs(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 800)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    return o.select(
+        "o_orderkey",
+        s["status"].alias("status_field"),
+        s["price_cents"].alias("price_cents_field"),
+        ((s["status"] == "O") & (s["price_cents"] > 10000000)).alias("is_big_open"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle=f"""
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS BIGINT) AS val
+    FROM part WHERE p_partkey < 400
+    UNION ALL
+    SELECT p_partkey, 'retail_cents' AS measure, {sql_cents('p_retailprice')} AS val
+    FROM part WHERE p_partkey < 400
+    """,
+    tags=("unpivot",),
+    doc="Unpivot (stack): wide measures to long (measure, value) rows.",
+)
+def unpivot_measures(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part").filter(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS BIGINT), "
+            "'retail_cents', CAST(FLOOR(p_retailprice * 100) AS BIGINT)) "
+            "AS (measure, val)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# more window / date / agg families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+    doc="percent_rank / cume_dist / nth_value (rank ratios are int/int "
+    "divisions of identical operands — engine-stable doubles).",
+)
+def window_percent_rank(spark: SparkSession, sf: str):
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return table(spark, sf, "customer").select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_poorest"),
+    )
+
+
+@register(
+    "date_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+               AS plus_30d,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+               AS plus_2mo,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 YEAR, '%Y-%m-%d')
+               AS minus_1y,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow,
+           CAST(EXTRACT(WEEK FROM o_orderdate) AS INT) AS iso_week
+    FROM orders WHERE o_orderkey < 600
+    """,
+    tags=("scalar", "date"),
+    doc="Date arithmetic: interval add/sub, day-of-week, ISO week. "
+    "(DuckDB DOW is 0=Sunday; Spark dayofweek is 1=Sunday → subtract 1.)",
+)
+def date_arith_funcs(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 600)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.add_months(d, -12), "yyyy-MM-dd").alias("minus_1y"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+    )
+
+
+@register(
+    "agg_string_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+    doc="Ordered string aggregation (listagg): deterministic via "
+    "distinct + sort before join.",
+)
+def agg_string_listagg(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+    doc="GROUPING() marker columns distinguish real NULL groups from "
+    "rollup subtotal rows.",
+)
+def agg_grouping_id(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT CAST(SUM(CAST(FLOOR(c3.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+    """,
+    tags=("subquery",),
+    doc="Correlated scalar subqueries: customers above their nation's "
+    "mean balance, expressed as an exact integer cross-multiplication "
+    "(cents*count > sum_cents) so no double division is compared.",
+)
+def subquery_correlated(spark: SparkSession, sf: str):
+    table(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(FLOOR(c3.c_acctbal * 100) AS BIGINT))
+                 FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDAF / UDTF extension surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_second_max",
+    oracle="""
+    WITH cents AS (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_custkey, c,
+               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY c DESC) AS r
+        FROM (SELECT DISTINCT o_custkey, c FROM cents)
+    )
+    SELECT g.o_custkey, r.c AS second_best_cents
+    FROM (SELECT DISTINCT o_custkey FROM cents) g
+    LEFT JOIN ranked r ON r.o_custkey = g.o_custkey AND r.r = 2
+    """,
+    tags=("udf", "agg"),
+    doc="GROUPED_AGG pandas UDAF (second-largest distinct order value "
+    "per customer) vs a dense_rank oracle — the custom-aggregate "
+    "extension surface.",
+)
+def udaf_second_max(spark: SparkSession, sf: str):
+    from ..functions.custom_fns import second_max_cents
+
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(second_max_cents(F.col("o_totalprice")).alias("second_best_cents"))
+    )
+
+
+@register(
+    "udtf_word_expand",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+                   AS word
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, word, CAST(LENGTH(word) AS INT) AS wlen
+    FROM t WHERE LENGTH(word) > 5
+    """,
+    tags=("udf", "lateral"),
+    doc="Python UDTF via SQL LATERAL (distinct long words per doc) — the "
+    "table-function extension surface, mirroring the reference's "
+    "redis_scan registration mechanism.",
+)
+def udtf_word_expand(spark: SparkSession, sf: str):
+    from ..functions.custom_fns import register_custom_functions
+
+    register_custom_functions(spark)
+    table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.wlen
+        FROM documents d, LATERAL word_expand(d.text) t
+        WHERE d.doc_id < 40
+        """
+    )
