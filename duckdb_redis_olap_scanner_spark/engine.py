@@ -69,6 +69,9 @@ def get_spark(
             str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Enables pushFilters on Python DataSources (LIKE→glob pushdown
+        # into the Redis SCAN; off by default in Spark 4.1).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -107,6 +110,11 @@ def ship_package(spark: SparkSession) -> None:
 
 
 def register_datasources(spark: SparkSession) -> None:
+    # Runtime-settable; required because RedisScanReader implements
+    # pushFilters — Spark refuses ANY read through such a reader while
+    # the conf is off, so foreign sessions (e.g. the test driver's) must
+    # have it flipped here, not only in get_spark().
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for ds in ALL_DATASOURCES:
         try:
             spark.dataSource.register(ds)

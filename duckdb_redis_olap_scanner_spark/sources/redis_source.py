@@ -27,10 +27,19 @@ through Python-object row conversion.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterable, Iterator
 
 import pyarrow as pa
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
 from pyspark.sql.types import (
     MapType,
     StringType,
@@ -39,6 +48,16 @@ from pyspark.sql.types import (
 )
 
 from ..transport.resp import DEFAULT_SCAN_COUNT, RedisClient
+
+
+def glob_escape(literal: str) -> str:
+    """Escape Redis-glob metacharacters in a literal using the [c]
+    single-char-class trick (portable: Redis globs and fnmatch agree on
+    it, unlike backslash escapes)."""
+    out = []
+    for ch in literal:
+        out.append(f"[{ch}]" if ch in "*?[]\\" else ch)
+    return "".join(out)
 
 
 class RedisShard(InputPartition):
@@ -64,6 +83,37 @@ def _shards(options: dict) -> list[RedisShard]:
 class RedisScanReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = options
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """LIKE→glob pushdown (SURVEY.md §4.2's optional nicety): a
+        prefix/suffix/contains/equality predicate on key_name becomes the
+        server-side SCAN MATCH pattern, so non-matching keys never cross
+        the network. Applies only when the user left pattern='*' (the
+        glob can't soundly be intersected with another glob); one filter
+        is consumed, the rest stay with Spark."""
+        if self.options.get("pattern", "*") != "*" or self.options.get(
+            "shard_patterns"
+        ):
+            return filters
+        remaining: list[Filter] = []
+        consumed = False
+        for f in filters:
+            pattern = None
+            if not consumed and getattr(f, "attribute", None) == ("key_name",):
+                if isinstance(f, StringStartsWith):
+                    pattern = glob_escape(f.value) + "*"
+                elif isinstance(f, StringEndsWith):
+                    pattern = "*" + glob_escape(f.value)
+                elif isinstance(f, StringContains):
+                    pattern = "*" + glob_escape(f.value) + "*"
+                elif isinstance(f, EqualTo) and isinstance(f.value, str):
+                    pattern = glob_escape(f.value)
+            if pattern is None:
+                remaining.append(f)
+            else:
+                self.options["pattern"] = pattern
+                consumed = True
+        return remaining
 
     def partitions(self) -> list[InputPartition]:
         return _shards(self.options)

@@ -82,3 +82,56 @@ def test_connect_errors(engine):
         engine.connect(None)
     with pytest.raises(Exception):
         engine.connect("127.0.0.1:1")  # nothing listening
+
+
+class TestFilterPushdown:
+    def test_pushfilters_translates_like_prefix(self):
+        from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+            RedisScanReader,
+        )
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            StringStartsWith,
+        )
+
+        r = RedisScanReader({"pattern": "*"})
+        remaining = list(
+            r.pushFilters(
+                [
+                    StringStartsWith(("key_name",), "testkey:"),
+                    GreaterThan(("key_name",), "a"),
+                ]
+            )
+        )
+        assert r.options["pattern"] == "testkey:*"
+        assert len(remaining) == 1  # the range predicate stays with Spark
+
+    def test_pushfilters_escapes_glob_metachars(self):
+        from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+            RedisScanReader,
+        )
+        from pyspark.sql.datasource import EqualTo
+
+        r = RedisScanReader({"pattern": "*"})
+        r.pushFilters([EqualTo(("key_name",), "weird*key?")])
+        assert r.options["pattern"] == "weird[*]key[?]"
+
+    def test_pushfilters_keeps_user_pattern(self):
+        from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+            RedisScanReader,
+        )
+        from pyspark.sql.datasource import StringStartsWith
+
+        r = RedisScanReader({"pattern": "user:*"})
+        remaining = list(r.pushFilters([StringStartsWith(("key_name",), "t")]))
+        assert r.options["pattern"] == "user:*"
+        assert len(remaining) == 1  # nothing consumed
+
+    def test_like_pushdown_end_to_end(self, engine):
+        # LIKE 'testkey:%' becomes the SCAN MATCH glob server-side; the
+        # result must equal the explicit-pattern scan (10 golden keys),
+        # with non-matching 'other:*' keys excluded at the source.
+        df = engine.redis_scan("*").filter(F.col("key_name").like("testkey:%"))
+        keys = sorted(r.key_name for r in df.collect())
+        assert keys == [f"testkey:{i:04d}" for i in range(1, 11)]
