@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the wire protocol and glob
+escaping — coverage the reference lacks entirely (SURVEY.md §5: no
+parser/client unit tests, single-recv fragmentation bug at
+redis_client.cpp:127-143).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_redis_olap_scanner_spark.sources.redis_source import glob_escape
+from duckdb_redis_olap_scanner_spark.testing import _encode
+from duckdb_redis_olap_scanner_spark.transport.resp import (
+    _parse,
+    _SocketReader,
+    encode_command,
+)
+
+
+class ChunkedFakeSocket:
+    """Delivers a byte stream in caller-chosen fragment sizes —
+    simulates TCP segmentation, which the parser must reassemble."""
+
+    def __init__(self, data: bytes, cuts: list[int]) -> None:
+        self.chunks = []
+        prev = 0
+        for c in sorted(set(min(max(c, 1), len(data)) for c in cuts)):
+            if c > prev:
+                self.chunks.append(data[prev:c])
+                prev = c
+        if prev < len(data):
+            self.chunks.append(data[prev:])
+        self.i = 0
+
+    def recv(self, _n: int) -> bytes:
+        if self.i >= len(self.chunks):
+            return b""
+        chunk = self.chunks[self.i]
+        self.i += 1
+        return chunk
+
+
+# RESP value universe for round-trip: what _encode emits maps 1:1 back
+# except bytes→str on simple strings; restrict to the asymmetry-free set.
+resp_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.binary(max_size=64).filter(lambda b: True),
+    ),
+    lambda children: st.lists(children, max_size=6),
+    max_leaves=20,
+)
+
+
+@given(
+    value=resp_values,
+    cuts=st.lists(st.integers(min_value=1, max_value=10_000), max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_resp_roundtrip_survives_fragmentation(value, cuts):
+    wire = _encode(value)
+    reader = _SocketReader(ChunkedFakeSocket(wire, cuts))
+    got = _parse(reader)
+    assert got == value
+
+
+@given(
+    args=st.lists(
+        st.one_of(st.text(max_size=32), st.binary(max_size=32), st.integers()),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_encode_command_parses_back(args):
+    """A command encoded as a RESP array of bulk strings parses back to
+    exactly its normalized (bytes) argument list."""
+    wire = encode_command(*args)
+    reader = _SocketReader(ChunkedFakeSocket(wire, [3, 7, 11]))
+    got = _parse(reader)
+    want = [
+        a if isinstance(a, bytes) else str(a).encode("utf-8") for a in args
+    ]
+    assert got == want
+
+
+key_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@given(key=key_text)
+@settings(max_examples=300, deadline=None)
+def test_glob_escape_matches_itself(key):
+    assert fnmatch.fnmatchcase(key, glob_escape(key))
+
+
+@given(key=key_text, other=key_text)
+@settings(max_examples=300, deadline=None)
+def test_glob_escape_matches_only_itself(key, other):
+    if other != key:
+        assert not fnmatch.fnmatchcase(other, glob_escape(key))
+
+
+@given(prefix=key_text, suffix=key_text)
+@settings(max_examples=200, deadline=None)
+def test_glob_escape_prefix_pattern(prefix, suffix):
+    """The pushdown's startswith translation: '<escaped prefix>*' must
+    match exactly the keys with that literal prefix."""
+    pattern = glob_escape(prefix) + "*"
+    assert fnmatch.fnmatchcase(prefix + suffix, pattern)
+    if not (prefix + "X" + suffix).startswith(prefix * 2) and prefix:
+        not_prefixed = "\x01" + prefix[1:] + suffix
+        if not not_prefixed.startswith(prefix):
+            assert not fnmatch.fnmatchcase(not_prefixed, pattern)
