@@ -202,3 +202,74 @@ def embedding_near_dup_pairs(
         "vec_b",
         cos.alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+N_IVF_CELLS = 16
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """(vec_id, v, n2, cell): IVF coarse quantization. Centroids are the
+    first ``n_cells`` vectors (deterministic stand-in for k-means — the
+    assignment/search machinery is identical); each vector goes to the
+    centroid maximizing the exact-integer dot product (ties → smallest
+    centroid id). The centroid table is broadcast: assignment is a
+    narrow map over the corpus, no shuffle."""
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
+    )
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "v", "n2", "cid", _dot(F.col("v"), F.col("cv")).alias("cdot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "n2", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 5,
+    k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """Approximate top-k via IVF: candidates restricted to the query's
+    cell (n_probe=1). The cell equi-join replaces the cross product —
+    same scale shape as the hyperplane-LSH path, but with data-adaptive
+    partitioning of the vector space."""
+    assigned = ivf_assign(embeddings, n_cells)
+    q = assigned.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+        "cell",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("av"),
+        F.col("n2").alias("an"),
+        "cell",
+    )
+    sim = (
+        F.broadcast(q)
+        .join(a, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            cosine_with_norms(
+                F.col("qv"), F.col("av"), F.col("qn"), F.col("an")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )

@@ -400,3 +400,51 @@ def ann_lsh_topk(spark: SparkSession, sf: str):
 )
 def multimodal_decode_stub(spark: SparkSession, sf: str):
     return M.decode_stub_pipeline(table(spark, sf, "documents"))
+
+
+def _sql_ivf_topk(n_cells: int = 16, query_max: int = 5, k: int = 5) -> str:
+    return f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid,
+             {_sql_dot('b.v', 'c.cv')} AS cdot
+      FROM base b CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, cid) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
+          WHERE vec_id < {query_max}),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+             {_sql_cosine(_sql_dot('q.qv', 'a.v'), _sql_sqnorm('q.qv'), _sql_sqnorm('a.v'))}
+                 AS cos_sim
+      FROM q JOIN assigned a
+        ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cell, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) t WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_sql_ivf_topk(),
+    tags=("similarity",),
+    doc="IVF approximate top-5: deterministic coarse centroids, exact-"
+    "integer argmax cell assignment, search restricted to the query's "
+    "cell (n_probe=1) — the data-adaptive counterpart to the "
+    "hyperplane-LSH path.",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str):
+    return S.ivf_topk(table(spark, sf, "embeddings"), query_max_id=5, k=5)

@@ -1,0 +1,67 @@
+"""Salted aggregation / join produce results identical to their
+unsalted forms while spreading hot keys over multiple reducers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.operators.skew import salted_agg, salted_join
+from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+from .conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    li = table(spark, SF_DIR, "lineitem").withColumn(
+        "qty_cents", F.floor(F.col("l_quantity") * 100).cast("long")
+    )
+    got = salted_agg(
+        li,
+        key="l_returnflag",
+        salt_from="l_orderkey",
+        n_salts=16,
+        sum_col="qty_cents",
+        sum_alias="qty_total",
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty_cents").alias("qty_total"),
+    )
+    cols = ["l_returnflag", "n_rows", "qty_total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_salted_agg_spreads_groups(spark):
+    """Phase 1 must actually produce multiple (key, salt) groups per key."""
+    li = table(spark, SF_DIR, "lineitem")
+    phase1 = (
+        li.withColumn("_salt", F.pmod(F.hash(F.col("l_orderkey")), F.lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .count()
+    )
+    per_key = phase1.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] == 16 for r in per_key)
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = table(spark, SF_DIR, "orders")
+    c = table(spark, SF_DIR, "customer")
+    # Treat the 3 busiest customers as "hot".
+    hot = [
+        r.o_custkey
+        for r in o.groupBy("o_custkey").count().orderBy(F.desc("count")).limit(3).collect()
+    ]
+    got = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"),
+        key="o_custkey", hot_keys=hot, salt_from="o_orderkey", n_salts=8,
+    )
+    want = o.join(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "inner"
+    )
+    assert got.count() == want.count()
+    cols = ["o_orderkey", "o_custkey", "c_nationkey"]
+    assert _rows(got, cols) == _rows(want, cols)
