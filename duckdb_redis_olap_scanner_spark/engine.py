@@ -198,6 +198,21 @@ class Engine:
         host, port = self._require_conn()
         return make_redis_hgetall(host, port)
 
+    # -- streaming -------------------------------------------------------------
+    def redis_stream(self, key: str = "events", **options) -> DataFrame:
+        """Unbounded DataFrame over a Redis Stream (XADD/XRANGE) —
+        offsets are native stream entry IDs, checkpoint-durable."""
+        host, port = self._require_conn()
+        reader = (
+            self.spark.readStream.format("redis_stream")
+            .option("host", host)
+            .option("port", port)
+            .option("key", key)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views.

@@ -221,4 +221,11 @@ class RedisHashDataSource(DataSource):
         return RedisHashReader(self.options)
 
 
-ALL_DATASOURCES = [RedisScanDataSource, RedisKVDataSource, RedisHashDataSource]
+from .redis_stream_source import RedisStreamDataSource  # noqa: E402
+
+ALL_DATASOURCES = [
+    RedisScanDataSource,
+    RedisKVDataSource,
+    RedisHashDataSource,
+    RedisStreamDataSource,
+]

@@ -56,12 +56,19 @@ class FakeRedisStore:
     def __init__(self) -> None:
         self.strings: dict[str, str] = {}
         self.hashes: dict[str, dict[str, str]] = {}
+        # stream key -> list of (id, [field, value, ...]) in append order
+        self.streams: dict[str, list[tuple[str, list[str]]]] = {}
+        self._stream_seq: dict[str, int] = {}
         self.lock = threading.Lock()
         self._scan_snapshots: dict[int, list[str]] = {}
         self._next_snapshot = 1
 
     def all_keys(self) -> list[str]:
-        return list(self.strings.keys()) + list(self.hashes.keys())
+        return (
+            list(self.strings.keys())
+            + list(self.hashes.keys())
+            + list(self.streams.keys())
+        )
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -143,6 +150,45 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _encode(len(store.all_keys()))
             if name == "SCAN":
                 return self._scan(store, args)
+            if name == "XADD":
+                # XADD key <id|*> field value [field value ...]
+                key, req_id = args[0], args[1]
+                if req_id == "*":
+                    seq = store._stream_seq.get(key, 0) + 1
+                    store._stream_seq[key] = seq
+                    entry_id = f"0-{seq}"
+                else:
+                    entry_id = req_id
+                    store._stream_seq[key] = int(entry_id.split("-")[1])
+                store.streams.setdefault(key, []).append((entry_id, args[2:]))
+                return _encode(entry_id)
+            if name == "XLEN":
+                return _encode(len(store.streams.get(args[0], [])))
+            if name == "XRANGE":
+                # XRANGE key start end [COUNT n]; '-'/'+' = min/max; a
+                # '(' prefix on start means exclusive (Redis 6.2+).
+                key, start, end = args[0], args[1], args[2]
+                count = None
+                if len(args) >= 5 and args[3].upper() == "COUNT":
+                    count = int(args[4])
+                exclusive = start.startswith("(")
+                if exclusive:
+                    start = start[1:]
+
+                def _key(sid: str) -> tuple[int, int]:
+                    ms, seq = sid.split("-")
+                    return (int(ms), int(seq))
+
+                lo = _key(start) if start != "-" else (-1, -1)
+                hi = _key(end) if end != "+" else (2**62, 2**62)
+                out = []
+                for sid, fields in store.streams.get(key, []):
+                    k = _key(sid)
+                    if (k > lo if exclusive else k >= lo) and k <= hi:
+                        out.append([sid, fields])
+                        if count is not None and len(out) >= count:
+                            break
+                return _encode(out)
         raise ValueError(f"unknown command '{name}'")
 
     def _scan(self, store: FakeRedisStore, args: list[str]) -> bytes:

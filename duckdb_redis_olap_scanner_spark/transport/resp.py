@@ -236,6 +236,36 @@ class RedisClient:
     def type_of(self, key: str) -> str:
         return _as_str(self.command("TYPE", key))
 
+    # -- streams ---------------------------------------------------------------
+    def xadd(self, key: str, fields: dict[str, str], entry_id: str = "*") -> str:
+        flat: list[str] = []
+        for f, v in fields.items():
+            flat += [f, v]
+        return _as_str(self.command("XADD", key, entry_id, *flat))
+
+    def xlen(self, key: str) -> int:
+        return int(self.command("XLEN", key))
+
+    def xrange(
+        self,
+        key: str,
+        start: str = "-",
+        end: str = "+",
+        count: int | None = None,
+    ) -> list[tuple[str, dict[str, str]]]:
+        """Entries in [start, end] (start may carry a '(' prefix for the
+        exclusive form) as (id, fields) pairs."""
+        args: list[Any] = ["XRANGE", key, start, end]
+        if count is not None:
+            args += ["COUNT", count]
+        out = []
+        for sid, flat in self.command(*args) or []:
+            it = iter(flat)
+            out.append(
+                (_as_str(sid), {_as_str(f): _as_str(v) for f, v in zip(it, it)})
+            )
+        return out
+
     def scan_iter(
         self, match: str = "*", count: int = DEFAULT_SCAN_COUNT
     ) -> Iterator[list[str]]:

@@ -1,0 +1,83 @@
+"""Redis Stream streaming source: exactly-once delivery across
+checkpointed availableNow runs, plus the XADD/XRANGE client surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+
+def _consume(engine, out, ckpt):
+    # Parquet sink: supports checkpoint recovery (the memory sink does
+    # not), so consecutive runs continue from the committed offset.
+    df = engine.redis_stream(key="metrics").select(
+        "entry_id",
+        F.col("fields")["n"].cast("long").alias("n"),
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return engine.spark.read.parquet(out)
+
+
+def test_xadd_xrange_client(redis_server):
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        i1 = c.xadd("sensor", {"v": "1"})
+        i2 = c.xadd("sensor", {"v": "2"})
+        assert c.xlen("sensor") == 2
+        entries = c.xrange("sensor")
+        assert entries == [(i1, {"v": "1"}), (i2, {"v": "2"})]
+        # Exclusive-start form pages correctly.
+        assert c.xrange("sensor", f"({i1}") == [(i2, {"v": "2"})]
+        assert c.xrange("sensor", "-", "+", count=1) == [(i1, {"v": "1"})]
+
+
+def test_stream_source_exactly_once(engine, redis_server, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(5):
+            c.xadd("metrics", {"n": str(i), "kind": "a"})
+
+    got1 = _consume(engine, out, ckpt)
+    assert sorted(r.n for r in got1.collect()) == [0, 1, 2, 3, 4]
+
+    # New entries after the checkpointed offset: the second run must
+    # deliver exactly the delta — total output is all 8, no replays.
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(5, 8):
+            c.xadd("metrics", {"n": str(i), "kind": "b"})
+
+    got2 = _consume(engine, out, ckpt)
+    assert sorted(r.n for r in got2.collect()) == list(range(8))
+
+
+def test_stream_fields_project_to_columns(engine, redis_server, tmp_path):
+    """The raw map<string,string> projects into typed columns — the
+    downstream shape for windowed aggregation over the stream."""
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.xadd("metrics", {"n": "100", "kind": "c"})
+    df = engine.redis_stream(key="metrics").select(
+        "entry_id",
+        F.col("fields")["n"].cast("long").alias("n"),
+        F.col("fields")["kind"].alias("kind"),
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("stream_typed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = engine.spark.table("stream_typed").collect()
+    assert any(r.n == 100 and r.kind == "c" for r in rows)
+    assert all(isinstance(r.entry_id, str) for r in rows)
