@@ -89,7 +89,15 @@ def fake_decode_features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 
 
 def decode_stub_pipeline(docs: DataFrame) -> DataFrame:
-    """binary payload → mapInPandas decode (Arrow batches) → typed features."""
+    """binary payload → mapInPandas decode (Arrow batches) → typed features.
+
+    The decode function is pickled by module reference, so the package
+    must be importable in the Python workers — ship it for sessions
+    created outside ``get_spark()`` (which exports PYTHONPATH itself).
+    """
+    from ..engine import ship_package
+
+    ship_package(docs.sparkSession)
     return with_binary_payload(docs).mapInPandas(
         fake_decode_features, schema=DECODED_SCHEMA
     )
