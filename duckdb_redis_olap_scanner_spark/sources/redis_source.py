@@ -33,12 +33,14 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     StringContains,
     StringEndsWith,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     MapType,
@@ -154,8 +156,36 @@ class RedisKVReader(DataSourceReader):
                 yield pa.RecordBatch.from_pydict({"key": keys, "value": values})
 
 
+class RedisKVWriter(DataSourceWriter):
+    """Batch writer: each partition pipelines SET commands (one round
+    trip per ``batch_size`` rows) — the write-side mirror of the MGET
+    batching on the read path. The reference is read-only
+    (``README.md:49``); this completes the source/sink symmetry."""
+
+    def __init__(self, options: dict) -> None:
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 6379))
+        self.batch_size = int(options.get("batch_size", DEFAULT_SCAN_COUNT))
+
+    def write(self, rows) -> WriterCommitMessage:
+        n = 0
+        with RedisClient(self.host, self.port) as client:
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(("SET", row.key, row.value))
+                if len(batch) >= self.batch_size:
+                    client.pipeline(batch)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                client.pipeline(batch)
+                n += len(batch)
+        return WriterCommitMessage()
+
+
 class RedisKVDataSource(DataSource):
-    """``spark.read.format("redis_kv").option("pattern", p).load()``"""
+    """``spark.read.format("redis_kv").option("pattern", p).load()`` /
+    ``df.write.format("redis_kv").mode("append").save()``"""
 
     @classmethod
     def name(cls) -> str:
@@ -171,6 +201,9 @@ class RedisKVDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RedisKVReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return RedisKVWriter(self.options)
 
 
 _HASH_ARROW_SCHEMA = pa.schema(

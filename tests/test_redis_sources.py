@@ -135,3 +135,20 @@ class TestFilterPushdown:
         df = engine.redis_scan("*").filter(F.col("key_name").like("testkey:%"))
         keys = sorted(r.key_name for r in df.collect())
         assert keys == [f"testkey:{i:04d}" for i in range(1, 11)]
+
+
+def test_kv_writer_roundtrip(spark, engine, redis_server):
+    """df.write.format('redis_kv') pipelines SETs; reading the pattern
+    back returns exactly the written pairs."""
+    rows = [(f"wtest:{i:03d}", f"v{i}") for i in range(250)]
+    df = spark.createDataFrame(rows, "key string, value string")
+    (
+        df.write.format("redis_kv")
+        .option("host", redis_server.host)
+        .option("port", redis_server.port)
+        .option("batch_size", 64)
+        .mode("append")
+        .save()
+    )
+    back = engine.redis_kv("wtest:*").collect()
+    assert sorted((r.key, r.value) for r in back) == sorted(rows)
