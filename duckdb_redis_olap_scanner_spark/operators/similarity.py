@@ -273,3 +273,74 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
+
+
+N_LSH_TABLES = 4
+
+
+def table_planes(t: int, n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Hyperplanes for hash table ``t``: the same LCG family, offset by
+    table index so each table is an independent projection set."""
+    all_planes = hyperplane_weights((t + 1) * n_planes, dim)
+    return all_planes[t * n_planes :]
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_LSH_TABLES,
+) -> DataFrame:
+    """Near-duplicate pairs via multi-table LSH — the scale path for
+    ``embedding_near_dup_pairs``. OR-amplification: a pair is a
+    candidate if it collides in ANY of ``n_tables`` independent
+    hyperplane tables (recall 1-(1-p)^T vs p for one table); candidates
+    are deduplicated BEFORE the exact-integer cosine verify, so the
+    expensive step runs once per distinct pair. Precision is 1 by
+    construction (same verify filter as brute force)."""
+    base = embeddings.select("vec_id", quantized().alias("v"))
+    # (vec_id, table, bucket): one explode-free pass per table, unioned.
+    bucket_cols = [
+        bucket_of(F.col("v"), table_planes(t, n_planes)).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    bucketed = base.select("vec_id", "v", *bucket_cols)
+    tagged = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    x = tagged.alias("x")
+    y = tagged.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    withv = base.select("vec_id", "v", _sqnorm(F.col("v")).alias("n2"))
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

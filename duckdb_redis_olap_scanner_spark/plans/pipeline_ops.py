@@ -448,3 +448,64 @@ def _sql_ivf_topk(n_cells: int = 16, query_max: int = 5, k: int = 5) -> str:
 )
 def ann_ivf_topk(spark: SparkSession, sf: str):
     return S.ivf_topk(table(spark, sf, "embeddings"), query_max_id=5, k=5)
+
+
+def _sql_near_dup_lsh(threshold: float = 0.45) -> str:
+    def bucket_expr(planes) -> str:
+        terms = []
+        for j, w in enumerate(planes):
+            wl = "[" + ", ".join(str(x) for x in w) + "]"
+            dot = f"list_sum(list_transform(range(0, 64), i -> v[i+1] * ({wl})[i+1]))"
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    bucket_cols = ",\n             ".join(
+        f"CAST({bucket_expr(S.table_planes(t))} AS INT) AS b{t}"
+        for t in range(S.N_LSH_TABLES)
+    )
+    table_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS b FROM bucketed"
+        for t in range(S.N_LSH_TABLES)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v,
+             {bucket_cols}
+      FROM base
+    ),
+    tagged AS (
+      {table_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM tagged x JOIN tagged y
+        ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+    ),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b,
+             {_sql_dot('a.v', 'b.v')} AS dot,
+             {_sql_sqnorm('a.v')} AS na,
+             {_sql_sqnorm('b.v')} AS nb
+      FROM cand c
+      JOIN base a ON a.vec_id = c.vec_a
+      JOIN base b ON b.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b,
+           {_sql_cosine('dot', 'na', 'nb')} AS cos_sim
+    FROM pairs
+    WHERE {_sql_cosine('dot', 'na', 'nb')} >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_sql_near_dup_lsh(),
+    tags=("dedup", "similarity"),
+    doc="Multi-table LSH embedding near-dup pairs — the scale path for "
+    "dedup_embedding_cosine: candidates collide in any of 4 hyperplane "
+    "tables (OR-amplified recall), dedupe before the exact-integer "
+    "cosine verify.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf: str):
+    return S.embedding_near_dup_lsh(table(spark, sf, "embeddings"), threshold=0.45)

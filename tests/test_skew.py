@@ -65,3 +65,27 @@ def test_salted_join_equals_plain_join(spark):
     assert got.count() == want.count()
     cols = ["o_orderkey", "o_custkey", "c_nationkey"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_lsh_recall_against_ground_truth(spark):
+    """Every LSH-found near-dup pair must appear in the brute-force
+    ground truth (precision = 1 by construction: same verify filter),
+    and recall at this threshold/plane-count must be substantial."""
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    from .conftest import SF_DIR_ORACLE
+
+    emb = table(spark, SF_DIR_ORACLE, "embeddings")
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_near_dup_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh <= truth  # no false positives
+    if truth:
+        recall = len(lsh) / len(truth)
+        # 4 tables × 4 planes at cos≥0.45 → expected recall ≈ 0.55.
+        assert recall >= 0.25, f"LSH recall collapsed: {recall:.2f}"
