@@ -139,3 +139,57 @@ def with_fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(canon).alias("md5_fp"),
         poly_hash(canon).alias("poly_fp"),
     )
+
+
+# Character-trigram marker sets per language for the n-gram language-ID
+# variant (deterministic, SQL-expressible; occurrence counts, not
+# probabilities — determinism is what the oracle checks).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "ing", "and", " of"),
+    "de": ("der", "sch", "ein", "ich", "und"),
+    "fr": ("les", " le", "ent", "que", " de"),
+    "es": (" de", "los", "ció", " la", "ado"),
+}
+
+
+def with_lang_ngram(docs: DataFrame) -> DataFrame:
+    """n-gram language-ID: score = number of character-trigram positions
+    whose trigram is in the language's marker set; fixed priority
+    tie-break (en > de > fr > es). The trigram array is projected in its
+    own select before the per-element filters (no CSE inside HOF
+    lambdas — same pitfall as operators/dedup.shingles)."""
+    canon = canonical_text()
+    c = docs.select("doc_id", "lang", canon.alias("canon"))
+    n = F.length("canon")
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.col("canon").substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = c.select("doc_id", "lang", tris.alias("tris"))
+
+    def score(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(F.col("tris"), lambda x: x.isin(*markers)))
+
+    s = {lang: score(m) for lang, m in LANG_TRIGRAMS.items()}
+    guess = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return t.select(
+        "doc_id",
+        s["en"].alias("t_en"),
+        s["de"].alias("t_de"),
+        s["fr"].alias("t_fr"),
+        s["es"].alias("t_es"),
+        guess.alias("lang_guess"),
+        "lang",
+        (guess == F.col("lang")).alias("label_match"),
+    )

@@ -509,3 +509,50 @@ def _sql_near_dup_lsh(threshold: float = 0.45) -> str:
 )
 def dedup_embedding_lsh(spark: SparkSession, sf: str):
     return S.embedding_near_dup_lsh(table(spark, sf, "embeddings"), threshold=0.45)
+
+
+def _sql_lang_ngram() -> str:
+    def score(markers: tuple[str, ...]) -> str:
+        return f"CAST(len(list_filter(tris, x -> x IN {markers!r})) AS INT)"
+
+    s = {lang: score(m) for lang, m in T.LANG_TRIGRAMS.items()}
+    return f"""
+    WITH c AS (SELECT doc_id, lang, {_SQL_CANON} AS canon FROM documents),
+    t AS (
+      SELECT doc_id, lang,
+             CASE WHEN LENGTH(canon) >= 3
+                  THEN list_transform(range(1, LENGTH(canon) - 1),
+                                      i -> substr(canon, CAST(i AS INT), 3))
+                  ELSE CAST([] AS VARCHAR[]) END AS tris
+      FROM c
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             {s['en']} AS t_en, {s['de']} AS t_de,
+             {s['fr']} AS t_fr, {s['es']} AS t_es
+      FROM t
+    )
+    SELECT doc_id, t_en, t_de, t_fr, t_es,
+           CASE WHEN t_en >= t_de AND t_en >= t_fr AND t_en >= t_es THEN 'en'
+                WHEN t_de >= t_fr AND t_de >= t_es THEN 'de'
+                WHEN t_fr >= t_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           lang,
+           (CASE WHEN t_en >= t_de AND t_en >= t_fr AND t_en >= t_es THEN 'en'
+                 WHEN t_de >= t_fr AND t_de >= t_es THEN 'de'
+                 WHEN t_fr >= t_es THEN 'fr'
+                 ELSE 'es' END) = lang AS label_match
+    FROM scored
+    """
+
+
+@register(
+    "text_lang_ngram",
+    oracle=_sql_lang_ngram(),
+    tags=("text",),
+    doc="Character-trigram language-ID (occurrence counts over fixed "
+    "marker trigram sets, priority tie-break) — the n-gram variant of "
+    "text_lang_guess.",
+)
+def text_lang_ngram(spark: SparkSession, sf: str):
+    return T.with_lang_ngram(table(spark, sf, "documents"))
