@@ -1608,3 +1608,165 @@ def udtf_word_expand(spark: SparkSession, sf: str):
         WHERE d.doc_id < 40
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# array set ops / range frames / bitwise / median / more strings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS words,
+             string_split(lower(p_type), ' ') AS twords
+      FROM part WHERE p_partkey < 300
+    )
+    SELECT p_partkey,
+           COALESCE(array_to_string(list_sort(list_distinct(list_cat(words, twords))), ','), '')
+               AS union_csv,
+           COALESCE(array_to_string(list_sort(list_intersect(words, twords)), ','), '')
+               AS intersect_csv,
+           COALESCE(array_to_string(list_sort(list_filter(list_distinct(words),
+                                                 w -> NOT list_contains(twords, w))), ','), '')
+               AS except_csv,
+           list_contains(words, 'red') AS has_red
+    FROM t
+    """,
+    tags=("scalar", "array"),
+    doc="Array set algebra (union/intersect/except/contains) over word "
+    "arrays, serialized sorted for the hash check.",
+)
+def array_set_ops(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part").filter(F.col("p_partkey") < 300)
+    t = p.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").alias("words"),
+        F.split(F.lower(F.col("p_type")), " ").alias("twords"),
+    )
+    return t.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat(F.col("words"), F.col("twords")))),
+            ",",
+        ).alias("union_csv"),
+        F.array_join(
+            F.array_sort(F.array_intersect("words", "twords")), ","
+        ).alias("intersect_csv"),
+        F.array_join(F.array_sort(F.array_except("words", "twords")), ",").alias(
+            "except_csv"
+        ),
+        F.array_contains("words", "red").alias("has_red"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY {sql_cents('o_totalprice')}
+               RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING
+           ) AS BIGINT) AS n_within_10k
+    FROM orders
+    """,
+    tags=("window",),
+    doc="RANGE frame on integer cents: peers within ±$10,000 of each "
+    "order's price (value-based frame, not row-based).",
+)
+def window_range_frame(spark: SparkSession, sf: str):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(_cents("o_totalprice"))
+        .rangeBetween(-1_000_000, 1_000_000)
+    )
+    return table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS all_and,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS all_or,
+           CAST(bit_xor(l_orderkey % 4096) AS BIGINT) AS keys_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+    doc="Bitwise aggregates (and/or/xor) — order-independent, exact.",
+)
+def agg_bitwise(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").cast("long").alias("all_and"),
+            F.bit_or("l_linenumber").cast("long").alias("all_or"),
+            F.bit_xor(F.col("l_orderkey") % 4096).cast("long").alias("keys_xor"),
+        )
+    )
+
+
+@register(
+    "agg_median_cents",
+    oracle=f"""
+    SELECT c_nationkey,
+           quantile_cont({sql_cents('c_acctbal')}, 0.5) AS median_cents,
+           quantile_cont({sql_cents('c_acctbal')}, 0.9) AS p90_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+    doc="Exact continuous median/p90 over integer cents — both engines "
+    "use the p*(n-1) linear-interpolation formula on identical sorted "
+    "integers, so the doubles agree bitwise.",
+)
+def agg_median_cents(spark: SparkSession, sf: str):
+    cents = _cents("c_acctbal")
+    return (
+        table(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.percentile(cents, F.lit(0.5)).alias("median_cents"),
+            F.percentile(cents, F.lit(0.9)).alias("p90_cents"),
+        )
+    )
+
+
+@register(
+    "string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_head,
+           translate(p_brand, '#', '-') AS brand_dash,
+           left(p_name, 4) AS name_left,
+           right(p_name, 3) AS name_right,
+           repeat('ab', 3) AS repeated,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           md5(p_name) AS name_md5
+    FROM part WHERE p_partkey < 300
+    """,
+    tags=("scalar",),
+    doc="Second string family: split_part/translate/left/right/repeat/"
+    "strpos/md5.",
+)
+def string_funcs2(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+        F.substring("p_name", 1, 4).alias("name_left"),
+        F.substr(F.col("p_name"), F.length("p_name") - 2, F.lit(3)).alias(
+            "name_right"
+        ),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.md5("p_name").alias("name_md5"),
+    )
