@@ -556,3 +556,70 @@ def _sql_lang_ngram() -> str:
 )
 def text_lang_ngram(spark: SparkSession, sf: str):
     return T.with_lang_ngram(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks, {_SQL_CANON} AS canon
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, canon, len(toks) AS token_cnt
+      FROM q
+      WHERE len(toks) >= 20 AND len(toks) <= 2000
+        AND CAST(len(list_filter(toks, x -> x IN {T.STOPWORDS!r})) AS DOUBLE)
+            / len(toks) >= 0.05
+    ),
+    deduped AS (
+      SELECT sha256(canon) AS fp, MIN(doc_id) AS doc_id,
+             COUNT(*) AS dup_cnt, MIN(token_cnt) AS token_cnt
+      FROM kept GROUP BY sha256(canon)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(token_cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(dup_cnt - 1) AS BIGINT) AS dups_removed,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM deduped
+    """,
+    tags=("pipeline", "dedup", "text", "bench"),
+    doc="Composite training-data pipeline: quality gate (length + "
+    "stopword-ratio) → exact dedup on the content fingerprint → corpus "
+    "stats. One scan, one shuffle (the dedup hash-agg), one tiny final "
+    "agg — the 100 TB cleaning-job shape.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf, "documents")
+    toks = T.tokens_col()
+    q = docs.select(
+        "doc_id",
+        T.canonical_text().alias("canon"),
+        F.size(toks).alias("token_cnt"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    kept = q.filter(
+        (F.col("token_cnt") >= 20)
+        & (F.col("token_cnt") <= 2000)
+        & (F.col("stop_ratio") >= 0.05)
+    )
+    deduped = (
+        kept.select("doc_id", "token_cnt", F.sha2("canon", 256).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("token_cnt").alias("token_cnt"),
+        )
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_cnt").cast("long").alias("total_tokens"),
+        F.sum(F.col("dup_cnt") - 1).cast("long").alias("dups_removed"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -81,3 +81,81 @@ def test_stream_fields_project_to_columns(engine, redis_server, tmp_path):
     rows = engine.spark.table("stream_typed").collect()
     assert any(r.n == 100 and r.kind == "c" for r in rows)
     assert all(isinstance(r.entry_id, str) for r in rows)
+
+
+def test_stream_windowed_agg_pipeline(engine, redis_server, tmp_path):
+    """Full streaming pipeline on the custom source: redis_stream →
+    typed projection → watermarked tumbling-window aggregation →
+    parquet sink. Results must equal the same aggregation computed in
+    batch over XRANGE."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(60):
+            ts = base + dt.timedelta(minutes=7 * i)
+            c.xadd(
+                "winstream",
+                {"ts": ts.strftime("%Y-%m-%d %H:%M:%S"), "amt": str(i)},
+            )
+
+    stream = (
+        engine.redis_stream(key="winstream")
+        .select(
+            F.col("fields")["ts"].cast("timestamp").alias("ts"),
+            F.col("fields")["amt"].cast("long").alias("amt"),
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("amt_sum"))
+        .select(F.col("w.start").alias("win_start"), "n", "amt_sum")
+    )
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1 ingests the 60 entries and advances the watermark at batch
+    # end; append mode emits nothing yet. A far-future sentinel entry
+    # then forces run 2 to process a batch whose watermark has passed
+    # every original window, so all of them finalize and emit.
+    run_once()
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.xadd(
+            "winstream",
+            {"ts": (base + dt.timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S"),
+             "amt": "0"},
+        )
+    run_once()
+
+    got = {
+        (r.win_start, r.n, r.amt_sum)
+        for r in engine.spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for i in range(60):
+        ts = base + dt.timedelta(minutes=7 * i)
+        win = ts.replace(minute=0, second=0)
+        agg[win][0] += 1
+        agg[win][1] += i
+    # Append mode emits a window once a batch runs whose STARTING
+    # watermark has passed its end. Run 1 ends with watermark =
+    # max_ts - 1h = 05:53, so the sentinel batch (run 2) finalizes
+    # exactly the windows ending <= 05:53 — hours 0..4. Later windows
+    # wait for further data; the sentinel's own window must not appear.
+    wm = base + dt.timedelta(minutes=7 * 59) - dt.timedelta(hours=1)
+    want = {
+        (w, n, s)
+        for w, (n, s) in agg.items()
+        if w + dt.timedelta(hours=1) <= wm
+    }
+    assert got == want
+    assert len(got) == 5
