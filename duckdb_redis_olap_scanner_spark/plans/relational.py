@@ -1770,3 +1770,156 @@ def string_funcs2(spark: SparkSession, sf: str):
         F.instr(F.col("p_name"), "a").alias("first_a"),
         F.md5("p_name").alias("name_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# additional TPC-H-style benchmark queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("bench", "join", "subquery"),
+    doc="TPC-H Q4 shape (order-priority checking) adapted to the "
+    "synthetic schema (no commit/receipt dates): an order counts when "
+    "any line shipped >60 days after the order date. Correlated EXISTS "
+    "with a cross-table inequality — planned as a left semi join.",
+)
+def q4_order_priority(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (
+                l.l_shipdate
+                > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipmode",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("bench", "join"),
+    doc="TPC-H Q12 shape (priority split per line category) adapted to "
+    "the synthetic schema (no l_shipmode): returned/acknowledged lines "
+    "shipped in 1996, split by order priority.",
+)
+def q12_shipmode(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN {sql_cents('l.l_extendedprice * (1.0 - l.l_discount)')}
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           {sql_sum_cents('l.l_extendedprice * (1.0 - l.l_discount)')} AS total_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("bench", "join"),
+    doc="TPC-H Q14: promotion-revenue share as two exact integer sums "
+    "(the ratio is derivable; comparing cents avoids a double divide).",
+)
+def q14_promo_effect(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf, "part")
+    disc_cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type").like("PROMO%"), disc_cents).otherwise(0))
+        .cast("long")
+        .alias("promo_cents"),
+        F.sum(disc_cents).alias("total_cents"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           {sql_sum_cents('l.l_quantity')} AS qty_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) > 21200
+    )
+    GROUP BY c.c_custkey, o.o_orderkey
+    ORDER BY qty_cents DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("bench", "join", "subquery", "topk"),
+    doc="TPC-H Q18: large-volume orders via an IN-aggregate subquery "
+    "(planned as a semi join on the pre-aggregated key set).",
+)
+def q18_large_orders(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("s"))
+        .filter(F.col("s") > 21200)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_cents"))
+        .orderBy(F.desc("qty_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
