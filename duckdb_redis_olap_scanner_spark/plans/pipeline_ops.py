@@ -623,3 +623,43 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str):
         F.sum(F.col("dup_cnt") - 1).cast("long").alias("dups_removed"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+@register(
+    "dedup_keep_newest",
+    oracle="""
+    SELECT user_id, event_id AS newest_event, event_type AS newest_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("dedup", "window"),
+    doc="Keep-newest-version dedup: latest record per key via a single "
+    "row_number window (the canonical snapshot-compaction operator for "
+    "versioned training data; one shuffle on the key).",
+)
+def dedup_keep_newest(spark: SparkSession, sf: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        table(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("newest_event"),
+            F.col("event_type").alias("newest_type"),
+        )
+    )
