@@ -253,6 +253,36 @@ class RedisHashDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return RedisHashReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return RedisHashWriter(self.options)
+
+
+class RedisHashWriter(DataSourceWriter):
+    """Batch writer for (key, value map<string,string>) rows: each
+    partition pipelines one HSET per row (fields flattened), batched
+    like the KV writer."""
+
+    def __init__(self, options: dict) -> None:
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 6379))
+        self.batch_size = int(options.get("batch_size", DEFAULT_SCAN_COUNT))
+
+    def write(self, rows) -> WriterCommitMessage:
+        with RedisClient(self.host, self.port) as client:
+            batch: list[tuple] = []
+            for row in rows:
+                flat: list = []
+                for f, v in (row.value or {}).items():
+                    flat += [f, v]
+                if flat:
+                    batch.append(("HSET", row.key, *flat))
+                if len(batch) >= self.batch_size:
+                    client.pipeline(batch)
+                    batch = []
+            if batch:
+                client.pipeline(batch)
+        return WriterCommitMessage()
+
 
 from .redis_stream_source import RedisStreamDataSource  # noqa: E402
 

@@ -152,3 +152,20 @@ def test_kv_writer_roundtrip(spark, engine, redis_server):
     )
     back = engine.redis_kv("wtest:*").collect()
     assert sorted((r.key, r.value) for r in back) == sorted(rows)
+
+
+def test_hash_writer_roundtrip(spark, engine, redis_server):
+    rows = [
+        ("whash:001", {"name": "a", "size": "1"}),
+        ("whash:002", {"name": "b"}),
+    ]
+    df = spark.createDataFrame(rows, "key string, value map<string,string>")
+    (
+        df.write.format("redis_hash")
+        .option("host", redis_server.host)
+        .option("port", redis_server.port)
+        .mode("append")
+        .save()
+    )
+    back = {r.key: dict(r.value) for r in engine.redis_hash("whash:*").collect()}
+    assert back == dict(rows)

@@ -66,3 +66,33 @@ def test_error_reply(redis_server):
     with RedisClient(redis_server.host, redis_server.port) as c:
         with pytest.raises(RespError):
             c.command("NOSUCHCOMMAND")
+
+
+def test_resp3_parse_branches():
+    """Direct wire-bytes coverage for the RESP3 tag set (double, bool,
+    big number, null, verbatim, set, map, push) — branches a RESP2-only
+    server never produces."""
+    from duckdb_redis_olap_scanner_spark.transport.resp import _parse, _SocketReader
+
+    class OneShot:
+        def __init__(self, data: bytes) -> None:
+            self.data = data
+
+        def recv(self, _n: int) -> bytes:
+            d, self.data = self.data, b""
+            return d
+
+    def parse(wire: bytes):
+        return _parse(_SocketReader(OneShot(wire)))
+
+    assert parse(b",3.25\r\n") == 3.25
+    assert parse(b"#t\r\n") is True
+    assert parse(b"#f\r\n") is False
+    assert parse(b"(12345678901234567890123\r\n") == 12345678901234567890123
+    assert parse(b"_\r\n") is None
+    assert parse(b"=8\r\ntxt:abcd\r\n") == b"abcd"
+    assert parse(b"~2\r\n:1\r\n:2\r\n") == [1, 2]
+    assert parse(b">2\r\n+pub\r\n:7\r\n") == ["pub", 7]
+    assert parse(b"%2\r\n$1\r\na\r\n:1\r\n$1\r\nb\r\n:2\r\n") == {"a": 1, "b": 2}
+    assert parse(b"$-1\r\n") is None
+    assert parse(b"*-1\r\n") is None
