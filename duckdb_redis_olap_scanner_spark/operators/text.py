@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 HASH_P = 1_000_000_007
 
 # Small per-language stopword marker sets for the n-gram-free heuristic
@@ -42,6 +44,28 @@ def poly_hash(col: Column) -> Column:
     )
 
 
+def md5_hash64(col: Column) -> Column:
+    """MD5-based 64-bit string hash reduced mod HASH_P — the fast hot-path
+    hash (md5/substr/conv are all whole-stage-codegen'd, unlike the
+    interpreted HOF char fold of :func:`poly_hash`, ~10× slower/row).
+
+    Matches DuckDB's ``md5_number_lower(s) % HASH_P`` bit-for-bit:
+    md5_number_lower is the little-endian u64 of the LAST 8 digest
+    bytes, reproduced here by byte-swapping hex chars 17..32 before
+    ``conv``; the u64 doesn't fit a BIGINT so it passes through
+    DECIMAL(20,0) for the mod."""
+    hx = F.md5(col)
+    rev = F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(8)])
+    return (F.conv(rev, 16, 10).cast("decimal(20,0)") % F.lit(HASH_P)).cast(
+        "long"
+    )
+
+
+def sql_md5_hash64(expr: str) -> str:
+    """The DuckDB-side twin of :func:`md5_hash64`."""
+    return f"CAST(md5_number_lower({expr}) % {HASH_P} AS BIGINT)"
+
+
 def sql_poly_hash(expr: str) -> str:
     """The DuckDB-side twin of :func:`poly_hash` (used by oracle SQL)."""
     return (
@@ -65,6 +89,7 @@ def canonical_text(text: Column | str = "text") -> Column:
 
 def with_token_stats(docs: DataFrame) -> DataFrame:
     """doc_id + token/char/byte counts (whitespace and BPE-ish regex)."""
+    docs = fan_out(docs)
     return docs.select(
         "doc_id",
         F.size(tokens_col()).alias("ws_tokens"),
@@ -77,6 +102,7 @@ def with_token_stats(docs: DataFrame) -> DataFrame:
 def with_quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, punctuation ratio,
     chars-per-token; all ratios are int/int divisions (engine-stable)."""
+    docs = fan_out(docs)
     toks = tokens_col()
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     punct_cnt = F.length("text") - F.length(
@@ -98,6 +124,7 @@ def with_lang_guess(docs: DataFrame) -> DataFrame:
     """Marker-stopword language heuristic with a fixed priority tie-break
     (en > de > fr > es). On this synthetic corpus most docs guess 'en';
     determinism, not accuracy, is what the oracle checks."""
+    docs = fan_out(docs)
     toks = tokens_col()
 
     def marker_count(markers: tuple[str, ...]) -> Column:
@@ -132,6 +159,7 @@ def with_lang_guess(docs: DataFrame) -> DataFrame:
 def with_fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprints over the canonical form: SHA-256 (crypto,
     collision-free dedup key) and the polynomial rolling hash (cheap)."""
+    docs = fan_out(docs)
     canon = canonical_text()
     return docs.select(
         "doc_id",
@@ -158,6 +186,7 @@ def with_lang_ngram(docs: DataFrame) -> DataFrame:
     tie-break (en > de > fr > es). The trigram array is projected in its
     own select before the per-element filters (no CSE inside HOF
     lambdas — same pitfall as operators/dedup.shingles)."""
+    docs = fan_out(docs)
     canon = canonical_text()
     c = docs.select("doc_id", "lang", canon.alias("canon"))
     n = F.length("canon")

@@ -76,6 +76,14 @@ def registry() -> dict[str, CatalogEntry]:
     return dict(_REGISTRY)
 
 
+# Catalog metadata cache: (session id, sf_dir, table) → analyzed DataFrame.
+# A DataFrame is an immutable logical plan, so sharing one across queries
+# is safe; re-running spark.read.parquet costs ~100 ms of file listing +
+# footer/schema reads per call, which dominates plan-build time for
+# multi-table queries. Real engines cache catalog metadata the same way.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (declarative scan → Catalyst
     gets column pruning + predicate pushdown into the file scan).
@@ -86,10 +94,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     when it surfaces the column as TIMESTAMP (µs), so both engines see
     identical values.
     """
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_CACHE[key] = df
+    return df

@@ -194,7 +194,7 @@ def dedup_exact(spark: SparkSession, sf: str):
 
 
 def _sql_minhash_lsh(threshold: float) -> str:
-    h = T.sql_poly_hash("shingle")
+    h = T.sql_md5_hash64("shingle")
     mins = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {P}) AS m{k}"
         for k, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
@@ -219,7 +219,20 @@ def _sql_minhash_lsh(threshold: float) -> str:
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
     ),
-    {_SQL_JACCARD_TAIL.format(thr=threshold).lstrip()}
+    sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n_sh FROM hashed GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(DISTINCT sa.h) AS common
+      FROM cand c
+      JOIN hashed sa ON sa.doc_id = c.doc_a
+      JOIN hashed sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.common,
+           CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) AS jaccard
+    FROM common c
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) >= {threshold}
     """
 
 
