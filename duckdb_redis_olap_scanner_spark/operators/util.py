@@ -5,21 +5,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, min_parts: int | None = None, key: str | None = None
+) -> DataFrame:
     """Ensure a per-row-heavy pipeline isn't bottlenecked by input file
     granularity.
 
     A small parquet table is one file = one split = ONE core doing all
     the downstream per-row work (hashing, shingling, vector math) while
     the rest of the cluster idles. When the scan has fewer partitions
-    than the session's default parallelism, round-robin repartition up
-    to it — the shuffle moves only the (small) source rows, and the
-    expensive narrow work after it runs wide. At real scale the input
-    already splits into >= parallelism partitions and this is a no-op,
-    so it never adds a shuffle of big data.
+    than the session's default parallelism, repartition up to it — the
+    shuffle moves only the (small) source rows, and the expensive
+    narrow work after it runs wide. At real scale the input already
+    splits into >= parallelism partitions and this is a no-op, so it
+    never adds a shuffle of big data.
+
+    ``key`` hash-partitions on that column instead of round-robin.
+    Prefer it: round-robin repartition local-sorts every row for retry
+    determinism (spark.sql.execution.sortBeforeRepartition), while
+    hash partitioning is sort-free — and partitioning a table by its
+    join key makes downstream equi-joins on that key shuffle-free on
+    the pre-partitioned side, the same co-location bucketing buys.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, df[key])
         return df.repartition(target)
     return df

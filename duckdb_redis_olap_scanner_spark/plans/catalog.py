@@ -83,6 +83,25 @@ def registry() -> dict[str, CatalogEntry]:
 # multi-table queries. Real engines cache catalog metadata the same way.
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Primary/join key per table: when a scan is under-partitioned for the
+# session (small files = few splits), table() hash-repartitions on this
+# key up to default parallelism. That (a) spreads scan-side work across
+# all cores instead of one, and (b) pre-partitions each table on the key
+# its equi-joins use, so lineitem⋈orders etc. reuse the layout instead
+# of re-shuffling — the bucketed-table co-location strategy, applied at
+# load. At real scale scans arrive well-partitioned and this is a no-op.
+_TABLE_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    # documents/embeddings/events are NOT keyed here: their consumers
+    # (dedup/similarity/text operators) fan out themselves at the point
+    # where the per-row-heavy work starts — a table-level repartition
+    # would just add a second shuffle in front of that one.
+}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (declarative scan → Catalyst
@@ -106,5 +125,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    part_key = _TABLE_KEYS.get(name)
+    if part_key is not None:
+        from ..operators.util import fan_out
+
+        df = fan_out(df, min_parts=8, key=part_key)
     _TABLE_CACHE[key] = df
     return df

@@ -41,18 +41,21 @@ def test_q6_filter_pushdown_and_pruning(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
-    # Column pruning: the scan must not read join keys it doesn't need.
+    # Column pruning: the scan must not read wide columns it doesn't
+    # need. (l_orderkey IS read: it's the load-time hash-partitioning
+    # key from catalog._TABLE_KEYS, referenced by the repartition node.)
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "l_orderkey" not in read and "l_comment" not in read
+    assert "l_partkey" not in read and "l_comment" not in read
 
 
 def test_q1_pruned_scan(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    # 7 referenced columns only — not the full 16-column lineitem schema.
+    # Referenced columns (+ the load-time partition key) only — not
+    # the full 16-column lineitem schema.
     for col in ("l_returnflag", "l_linestatus", "l_quantity"):
         assert col in read
-    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+    for col in ("l_partkey", "l_suppkey", "l_comment"):
         assert col not in read
 
 
@@ -100,7 +103,14 @@ def test_q1_codegen_and_partial_agg(spark):
 
 
 def test_window_plans_single_shuffle(spark):
-    """A partitioned window function shuffles exactly once (on the
-    partition key)."""
+    """A partitioned window function shuffles exactly once on its
+    partition key. (The plan also carries the load-time fan-out
+    exchange on o_orderkey from catalog._TABLE_KEYS — that one is
+    input layout, not window cost.)"""
     plan = plan_of(spark, "window_running_sum")
-    assert plan.count("+- Exchange") == 1
+    window_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning(o_custkey" in ln
+    ]
+    assert len(window_shuffles) == 1, plan
