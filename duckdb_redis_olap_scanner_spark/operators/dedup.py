@@ -44,7 +44,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     aggregation — the canonical exact-dedup plan.
     """
     return (
-        fan_out(docs)
+        fan_out(docs, key="doc_id")
         .select("doc_id", F.sha2(canonical_text(), 256).alias("sha256_fp"))
         .groupBy("sha256_fp")
         .agg(
@@ -190,7 +190,7 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     the naive formulation. At 100 TB the dominant cost is the band
     shuffle, whose keys (band, band_val) are uniformly distributed by
     construction."""
-    ex = shingles(fan_out(docs))
+    ex = shingles(fan_out(docs, key="doc_id"))
     hashed = ex.select("doc_id", md5_hash64(F.col("shingle")).alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{k}")
@@ -263,7 +263,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over distinct-token hashes.
     Bit b is set iff sum over tokens of ±1 (sign of bit b of the token
     hash) is positive."""
-    tok = fan_out(docs).select(
+    tok = fan_out(docs, key="doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
     )
     h = poly_hash(F.col("token"))

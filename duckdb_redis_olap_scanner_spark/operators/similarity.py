@@ -82,7 +82,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (vec_id < query_max_id),
     excluding self. Query side is broadcast — the fact table never shuffles."""
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, key="vec_id")
     base = embeddings.select("vec_id", quantized().alias("v")).select(
         "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
     )
@@ -137,7 +137,7 @@ def lsh_bucketed_topk(
     The bucket equi-join replaces the cross product — this is what keeps
     the plan shuffle-bounded at scale (trade recall for candidate count
     via n_planes)."""
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, key="vec_id")
     planes = hyperplane_weights(n_planes)
     base = embeddings.select("vec_id", quantized().alias("v"))
     bucketed = base.select(
@@ -189,7 +189,7 @@ def embedding_near_dup_pairs(
     Test-scale form is all-pairs over a bounded id range; the scale path
     is the same verify step fed by LSH buckets (see lsh_bucketed_topk).
     """
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, key="vec_id")
     base = embeddings.select("vec_id", quantized().alias("v")).select(
         "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
     )
@@ -219,7 +219,7 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     centroid maximizing the exact-integer dot product (ties → smallest
     centroid id). The centroid table is broadcast: assignment is a
     narrow map over the corpus, no shuffle."""
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, key="vec_id")
     base = embeddings.select("vec_id", quantized().alias("v")).select(
         "vec_id", "v", _sqnorm(F.col("v")).alias("n2")
     )
@@ -304,7 +304,7 @@ def embedding_near_dup_lsh(
     are deduplicated BEFORE the exact-integer cosine verify, so the
     expensive step runs once per distinct pair. Precision is 1 by
     construction (same verify filter as brute force)."""
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, key="vec_id")
     base = embeddings.select("vec_id", quantized().alias("v"))
     # (vec_id, table, bucket): one explode-free pass per table, unioned.
     bucket_cols = [

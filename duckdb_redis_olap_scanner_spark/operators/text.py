@@ -89,7 +89,7 @@ def canonical_text(text: Column | str = "text") -> Column:
 
 def with_token_stats(docs: DataFrame) -> DataFrame:
     """doc_id + token/char/byte counts (whitespace and BPE-ish regex)."""
-    docs = fan_out(docs)
+    docs = fan_out(docs, key="doc_id")
     return docs.select(
         "doc_id",
         F.size(tokens_col()).alias("ws_tokens"),
@@ -102,7 +102,7 @@ def with_token_stats(docs: DataFrame) -> DataFrame:
 def with_quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, punctuation ratio,
     chars-per-token; all ratios are int/int divisions (engine-stable)."""
-    docs = fan_out(docs)
+    docs = fan_out(docs, key="doc_id")
     toks = tokens_col()
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     punct_cnt = F.length("text") - F.length(
@@ -124,7 +124,7 @@ def with_lang_guess(docs: DataFrame) -> DataFrame:
     """Marker-stopword language heuristic with a fixed priority tie-break
     (en > de > fr > es). On this synthetic corpus most docs guess 'en';
     determinism, not accuracy, is what the oracle checks."""
-    docs = fan_out(docs)
+    docs = fan_out(docs, key="doc_id")
     toks = tokens_col()
 
     def marker_count(markers: tuple[str, ...]) -> Column:
@@ -159,7 +159,7 @@ def with_lang_guess(docs: DataFrame) -> DataFrame:
 def with_fingerprints(docs: DataFrame) -> DataFrame:
     """Content fingerprints over the canonical form: SHA-256 (crypto,
     collision-free dedup key) and the polynomial rolling hash (cheap)."""
-    docs = fan_out(docs)
+    docs = fan_out(docs, key="doc_id")
     canon = canonical_text()
     return docs.select(
         "doc_id",
@@ -186,7 +186,7 @@ def with_lang_ngram(docs: DataFrame) -> DataFrame:
     tie-break (en > de > fr > es). The trigram array is projected in its
     own select before the per-element filters (no CSE inside HOF
     lambdas — same pitfall as operators/dedup.shingles)."""
-    docs = fan_out(docs)
+    docs = fan_out(docs, key="doc_id")
     canon = canonical_text()
     c = docs.select("doc_id", "lang", canon.alias("canon"))
     n = F.length("canon")

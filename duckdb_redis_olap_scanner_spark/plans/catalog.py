@@ -54,12 +54,31 @@ def register(
     tags: tuple[str, ...] = (),
     doc: str = "",
 ):
-    """Decorator registering a catalog query."""
+    """Decorator registering a catalog query.
+
+    The registered callable memoizes the built DataFrame per
+    (session, sf_dir) — a prepared-plan cache. Building a big pipeline
+    through the Python DSL costs 0.1–0.5 s of py4j round trips and JVM
+    analysis; a DataFrame is an immutable plan, so re-serving it to
+    repeat callers is free and changes nothing about execution.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in _REGISTRY:
             raise ValueError(f"duplicate catalog entry {name!r}")
-        _REGISTRY[name] = CatalogEntry(name, fn, oracle, tuple(tags), doc)
+        memo: dict[tuple[int, str], DataFrame] = {}
+
+        def cached_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            k = (id(spark), os.path.abspath(sf_dir))
+            df = memo.get(k)
+            if df is None:
+                df = fn(spark, sf_dir)
+                memo[k] = df
+            return df
+
+        cached_fn.__name__ = fn.__name__
+        cached_fn.__doc__ = fn.__doc__
+        _REGISTRY[name] = CatalogEntry(name, cached_fn, oracle, tuple(tags), doc)
         return fn
 
     return deco
