@@ -91,6 +91,7 @@ def registry() -> dict[str, CatalogEntry]:
     from . import pipeline_ops  # noqa: F401
     from . import redis_demo  # noqa: F401
     from . import streaming_ops  # noqa: F401
+    from . import temporal_ops  # noqa: F401
 
     return dict(_REGISTRY)
 
