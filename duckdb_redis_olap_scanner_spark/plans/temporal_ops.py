@@ -79,3 +79,84 @@ def range_join_events_1h(spark: SparkSession, sf: str):
         F.col("b.event_id").alias("b_id"),
         "micros_apart",
     )
+
+
+@register(
+    "recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE d(day) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM d
+      WHERE day < DATE '2024-01-30'
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM d LEFT JOIN (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ) c USING (day)
+    """,
+    tags=("recursive",),
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE) date spine joined to "
+    "daily event counts — days with zero events included. The classic "
+    "gap-filling pattern for time-series reporting.",
+)
+def recursive_date_spine(spark: SparkSession, sf: str):
+    spine = spark.sql(
+        """
+        WITH RECURSIVE d(day) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM d
+          WHERE day < DATE '2024-01-30'
+        )
+        SELECT day FROM d
+        """
+    )
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(CAST(hour AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_value_cents
+    FROM hourly GROUP BY 1
+    """,
+    tags=("rollup", "temporal"),
+    doc="Hypertable-style cascading rollup: raw events → hourly "
+    "aggregate → daily aggregate by RE-aggregating the hourly layer "
+    "(count/sum are associative). At scale the hourly layer is the "
+    "materialized continuous aggregate; every coarser resolution "
+    "derives from it without touching raw data.",
+)
+def hypertable_rollup(spark: SparkSession, sf: str):
+    hourly = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"),
+        )
+    )
+    return hourly.groupBy(F.to_date("hour").alias("day")).agg(
+        F.sum("n").alias("n_events"), F.sum("v").alias("sum_value_cents")
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "sum_value_cents",
+    )
