@@ -612,6 +612,25 @@ def agg_approx_distinct(spark: SparkSession, sf: str):
     )
 
 
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # quantile sketches differ across engines by design
+    tags=("agg", "approx"),
+    doc="percentile_approx (GK sketch) per returnflag — rows-only check; "
+    "the exact-percentile twin (agg_median_cents) is the oracle-checked "
+    "counterpart.",
+)
+def agg_approx_percentile(spark: SparkSession, sf: str):
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # window functions
 # ---------------------------------------------------------------------------
