@@ -1942,3 +1942,44 @@ def q18_large_orders(spark: SparkSession, sf: str):
         .orderBy(F.desc("qty_cents"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "outer"),
+    doc="TPC-H Q13 shape (customer order-count distribution) adapted to "
+    "the synthetic schema (no o_comment; the anti-filter is on "
+    "o_orderpriority instead). Left outer join keeps zero-order "
+    "customers as c_count=0; the second aggregation's key space is "
+    "tiny (distinct order counts), so the distribution shuffle is "
+    "negligible at any scale — the custkey shuffle dominates and "
+    "reuses the key-partitioned table load.",
+)
+def q13_customer_distribution(spark: SparkSession, sf: str):
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
