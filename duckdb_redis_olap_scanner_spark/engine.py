@@ -87,24 +87,34 @@ def ship_package(spark: SparkSession) -> None:
     zip the package and addPyFile it (idempotent per session)."""
     if getattr(spark, "_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    # Collect sources deterministically and name the zip by a content
+    # hash — a name-only cache would silently ship a stale zip to the
+    # executors after any code edit.
+    sources: list[tuple[str, str]] = []
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                sources.append((full, rel))
+                h.update(rel.encode())
+                with open(full, "rb") as f:
+                    h.update(f.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip"
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            pkg_name, os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+            for full, rel in sources:
+                zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
     spark._pkg_shipped = True
 
