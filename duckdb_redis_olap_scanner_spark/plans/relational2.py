@@ -1,0 +1,698 @@
+"""Round-2 relational additions: the remaining TPC-H query shapes.
+
+The reference delegates its whole relational surface to host DuckDB
+(``test/sql/scan.test`` runs plain SQL through it), so the capability
+bar includes the full TPC-H suite.  Round 1 covered q1/q3/q4/q5/q6/q10/
+q12/q13/q14/q18; this module adds the remaining shapes — q2, q7–q9,
+q11, q15–q17, q19–q22 — **adapted to the synthetic schema** (no
+partsupp table; no phone/comment/commitdate/receiptdate/shipmode/
+container columns).  Each adaptation preserves the query's defining
+operator shape (correlated min, EXISTS/NOT EXISTS over the same fact,
+scalar-aggregate thresholds, disjunctive join predicates, nested
+IN-aggregates) and each docstring names the substitution.
+
+Where classic TPC-H needs partsupp, the part↔supplier relation is
+derived from lineitem (``GROUP BY l_partkey, l_suppkey``) — the same
+join graph, sourced from the fact table.
+
+Determinism: money aggregates quantized to integer cents
+(``FLOOR(x*100)`` per row, BIGINT sums — bit-identical across engines
+regardless of partial-agg order); quantity averages computed over
+integer-valued doubles (order-free exact sums), year via EXTRACT/year
+cast to INT on both sides.
+
+This module registers AFTER every round-1 module (see
+``catalog.registry``) so the driver's 50-entry correctness gate drains
+the round-1 unverified frontier before these new entries enter it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, table
+from .relational import _cents, sql_cents, sql_sum_cents
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(MIN({sql_cents('l_extendedprice')}) AS BIGINT) AS cost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT ps.l_partkey, ps.cost_cents,
+               s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_name, eu.cost_cents
+    FROM part p
+    JOIN eu ON eu.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+      AND eu.cost_cents = (SELECT MIN(e2.cost_cents) FROM eu e2
+                           WHERE e2.l_partkey = eu.l_partkey)
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    """,
+    tags=("join", "subquery", "window"),
+    doc="TPC-H Q2 shape (minimum-cost supplier with a correlated MIN "
+    "subquery) adapted to the synthetic schema: the part↔supplier "
+    "catalog is derived from lineitem and the supply cost is the "
+    "minimum observed line price in cents. Spark plans the correlated "
+    "MIN as a min-over-window on the partkey — one shuffle instead of "
+    "a self-join re-scan.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents("l_extendedprice")).alias("cost_cents")
+    )
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    # supplier⋈nation⋈region is ≤|supplier| rows — broadcast the whole
+    # dim side so the fact-derived ps never shuffles for it.
+    sn = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu = ps.join(F.broadcast(sn), ps.l_suppkey == F.col("s_suppkey"))
+    # Correlated MIN per part → analytic min over a partkey window
+    # (re-uses one hash shuffle; no second scan of eu).
+    w = Window.partitionBy("l_partkey")
+    eu = eu.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    p = table(spark, sf, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost_cents")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_sum_cents('volume')} AS revenue_cents
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1.0 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("bench", "join", "agg"),
+    doc="TPC-H Q7 (volume shipping between two nations, by year). "
+    "Full shape on the synthetic schema (nation pair via the "
+    "NATION_1/NATION_2 analog of FRANCE/GERMANY; no date-range filter "
+    "since the synthetic span is the whole range). Both nation joins "
+    "broadcast; the disjunctive nation-pair predicate prunes on the "
+    "broadcast sides before the fact joins.",
+)
+def q7_volume_shipping(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    s = table(spark, sf, "supplier")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    # Restrict each dim to the two nations FIRST, broadcast-join them
+    # into supplier/customer, then join the (now ~8%-selectivity) dims
+    # into the facts — the fact tables only shuffle surviving rows.
+    sup = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _cents(disc).alias("vol_cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol_cents").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol_cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_cents('l.l_extendedprice * (1.0 - l.l_discount)')} AS vol_cents,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q8 (national market share within a region, by year): "
+    "numerator and denominator returned as exact cents (the share "
+    "ratio is derivable; comparing cents avoids a cross-engine double "
+    "divide). Supplier-nation NATION_5 plays BRAZIL; customer region "
+    "AMERICA; p_type PROMO plays the part-type filter. Seven-table "
+    "join with every dimension broadcast.",
+)
+def q8_market_share(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    p = table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    cn = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                "n_nationkey"
+            )
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    vol = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _cents(disc).alias("vol_cents"),
+            "nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("nation") == "NATION_5", F.col("vol_cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("nation_cents"),
+            F.sum("vol_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_cents('(l.l_extendedprice * (1.0 - l.l_discount)'
+                          ' - p.p_retailprice * l.l_quantity)')} AS amount_cents
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE 'red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("bench", "join", "agg"),
+    doc="TPC-H Q9 (product-type profit by nation and year) adapted to "
+    "the synthetic schema: no partsupp, so line cost is "
+    "p_retailprice*quantity instead of ps_supplycost*quantity (same "
+    "expression shape, one row-level FLOOR over the whole profit "
+    "term). Part filter p_name LIKE 'red%' plays '%green%'. "
+    "Part/supplier/nation broadcast; orders joins co-partitioned on "
+    "the order key.",
+)
+def q9_product_type_profit(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    p = table(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            _cents(amount).alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_cents").cast("long").alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_partkey,
+               {sql_sum_cents('l.l_extendedprice')} AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM val
+    WHERE value_cents * 500 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM val)
+    ORDER BY value_cents DESC, l_partkey
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q11 (important stock identification) adapted: per-part "
+    "line value from one nation's suppliers, HAVING value above a "
+    "scalar-subquery fraction of the global total. The threshold "
+    "compare is integer-only (value*500 > total) so both engines "
+    "decide each part identically. Spark plans the scalar as a "
+    "broadcast cross-join of a 1-row aggregate.",
+)
+def q11_important_stock(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").cast("long").alias("total_cents")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 500 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_sum_cents('l_extendedprice * (1.0 - l_discount)')}
+                   AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q15 (top supplier over a quarter): the CTE-twice shape "
+    "— revenue view joined against its own MAX. Spark computes the "
+    "revenue aggregate once and reuses the DataFrame for both the "
+    "join side and the 1-row MAX (broadcast cross-join), instead of "
+    "re-scanning lineitem.",
+)
+def q15_top_supplier(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents(disc)).alias("total_revenue_cents")
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("max_rev"))
+    s = table(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(revenue), s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue_cents") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q16 (parts/supplier relationship counts) adapted: the "
+    "part↔supplier relation derives from lineitem; the complaint "
+    "NOT-IN exclusion becomes negative-balance suppliers. NOT IN over "
+    "a non-null key column → null-safe anti join in Spark.",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_sum_cents('l.l_extendedprice')} AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q17 (small-quantity-order revenue): correlated scalar "
+    "AVG threshold per part. Quantities are integer-valued doubles, "
+    "so the per-part mean is an order-free exact sum / count — the "
+    "0.2×avg comparison is engine-deterministic without quantizing. "
+    "Spark computes the per-part average as a broadcast aggregate "
+    "join instead of a correlated re-scan (p_container absent: "
+    "p_type plays the container filter).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    # Per-part mean quantity over ALL lineitem (the correlation domain
+    # is the full fact table, not the brand-filtered slice).
+    avg_qty = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_quantity")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), l.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_quantity"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("revenue_cents"))
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_sum_cents('l.l_extendedprice * (1.0 - l.l_discount)')}
+               AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20 AND l.l_returnflag = 'N')
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("bench", "join"),
+    doc="TPC-H Q19 (discounted revenue, disjunctive predicates): three "
+    "OR'd brand/size/quantity bands spanning both join sides "
+    "(l_shipmode/l_shipinstruct absent — l_returnflag plays the "
+    "shipping filter). Catalyst splits the disjunction into "
+    "single-side conjuncts (quantity/returnflag push to the lineitem "
+    "scan, brand/size to the part scan) before evaluating the "
+    "residual join predicate.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+        & (F.col("l_returnflag") == "N")
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") == "N")
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band1 | band2 | band3)
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=f"""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM({sql_cents('l.l_quantity')}) > 20000
+      )
+    ORDER BY s.s_name
+    """,
+    tags=("join", "subquery", "agg"),
+    doc="TPC-H Q20 (suppliers with promotion-part stock) adapted: no "
+    "partsupp/availqty, so the inner threshold is total shipped "
+    "quantity of 'red%' parts in 1996 (nested IN → aggregate → "
+    "HAVING, the Q20 shape). Spark: broadcast part filter into "
+    "lineitem, aggregate per supplier, semi-join supplier.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 20000)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    tags=("join", "subquery", "agg"),
+    doc="TPC-H Q21 (suppliers who kept orders waiting) adapted: "
+    "l_receiptdate/l_commitdate absent, so 'late' is l_returnflag = "
+    "'R' — the supplier is the ONLY late supplier on a finished "
+    "order with other suppliers present. The defining shape "
+    "survives: EXISTS plus NOT EXISTS, both correlated to the same "
+    "fact table with an equi key and a non-equi residual; Spark "
+    "plans them as left-semi and left-anti hash joins on the order "
+    "key (both sides co-partitioned on l_orderkey from the scan).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
+    l1 = l.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    cand = (
+        l1.join(F.broadcast(sn), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) > (
+          SELECT AVG(CAST(FLOOR(c2.c_acctbal * 100) AS BIGINT))
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+    tags=("subquery", "agg"),
+    doc="TPC-H Q22 (global sales opportunity) adapted: no c_phone, so "
+    "the country code is c_nationkey restricted to the odd-key set; "
+    "'customers without orders' becomes 'without urgent orders' "
+    "(every synthetic customer has orders). The shape survives: "
+    "scalar-average threshold over a filtered self-aggregate plus an "
+    "anti-join NOT EXISTS. The average is over integer cents (exact "
+    "sum), so the threshold compare is engine-deterministic.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf: str):
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    c = table(spark, sf, "customer").filter(F.col("c_nationkey").isin(*codes))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(_cents("c_acctbal")).alias("avg_cents"))
+    )
+    urgent = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(_cents("c_acctbal") > F.col("avg_cents"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents("c_acctbal")).alias("totacctbal_cents"),
+        )
+        .orderBy("cntrycode")
+    )
