@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import HASH_P, canonical_text, md5_hash64, poly_hash, tokens_col
+from .text import HASH_P, canonical_text, md5_hash64, tokens_col
 from .util import fan_out
 
 # MinHash permutation constants (fixed, shared with the SQL oracle).
@@ -88,11 +88,13 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m7): K min-hashes over the shingle set.
 
-    The per-character fold hash is projected ONCE per shingle row before
-    aggregation — inlining it in each of the 8 min() expressions would
-    evaluate the fold 8× per row (Spark does not CSE across aggregates).
+    The shingle hash is projected ONCE per row before aggregation —
+    inlining it in each of the 8 min() expressions would evaluate it 8×
+    per row (Spark does not CSE across aggregates) — and is the
+    codegen'd ``md5_hash64`` (DuckDB twin: ``md5_number_lower % p``),
+    not the interpreted per-character fold.
     """
-    hashed = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h"))
+    hashed = sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{k}")
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -266,7 +268,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     tok = fan_out(docs, key="doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("token")
     )
-    h = poly_hash(F.col("token"))
+    h = md5_hash64(F.col("token"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

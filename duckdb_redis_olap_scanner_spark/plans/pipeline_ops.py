@@ -248,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str):
 
 
 def _sql_simhash() -> str:
-    h = T.sql_poly_hash("token")
+    h = T.sql_md5_hash64("token")
     sums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(D.SIMHASH_BITS)

@@ -1975,7 +1975,7 @@ def q18_large_orders(spark: SparkSession, sf: str):
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    tags=("join", "agg", "outer"),
+    tags=("bench", "join", "agg", "outer"),
     doc="TPC-H Q13 shape (customer order-count distribution) adapted to "
     "the synthetic schema (no o_comment; the anti-filter is on "
     "o_orderpriority instead). Left outer join keeps zero-order "
@@ -1989,12 +1989,20 @@ def q13_customer_distribution(spark: SparkSession, sf: str):
     o = (
         table(spark, sf, "orders")
         .filter(F.col("o_orderpriority") != "1-URGENT")
-        .select("o_custkey", "o_orderkey")
+        .select("o_custkey")
     )
+    # Aggregate orders to one (custkey, count) row per customer BEFORE
+    # the outer join: the map-side partial count collapses the shuffled
+    # volume from one row per ORDER to one row per distinct custkey,
+    # and customer (hash-partitioned on c_custkey at the scan) joins
+    # exchange-free. COUNT(o_orderkey) over the left join ≡ COALESCE of
+    # the pre-counted value with 0 for order-less customers. No join
+    # hint: the aggregated side is dim-sized, so AQE broadcast-converts
+    # when that wins and keeps the co-partitioned join when it doesn't.
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(per_cust, c.c_custkey == F.col("o_custkey"), "left_outer")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))

@@ -154,7 +154,7 @@ def q7_volume_shipping(spark: SparkSession, sf: str):
     return (
         l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select(
             "supp_nation",
@@ -224,7 +224,7 @@ def q8_market_share(spark: SparkSession, sf: str):
     vol = (
         l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
         .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
