@@ -102,3 +102,48 @@ def stream_sliding_window(spark: SparkSession, sf: str):
 )
 def stream_session_window(spark: SparkSession, sf: str):
     return SE.session_window_stats(table(spark, sf, "events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM p.ts) * 1000000) AS BIGINT)
+             - CAST(FLOOR(EXTRACT(EPOCH FROM c.ts) * 1000000) AS BIGINT)
+               AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(FLOOR(EXTRACT(EPOCH FROM p.ts) * 1000000) AS BIGINT)
+         - CAST(FLOOR(EXTRACT(EPOCH FROM c.ts) * 1000000) AS BIGINT)
+         BETWEEN 0 AND 3600000000
+    """,
+    tags=("streaming", "join", "temporal"),
+    doc="Stream-stream inner join (clicks→purchases within 1 h per "
+    "user) in batch mode; streaming/events.py runs the identical plan "
+    "with per-side watermarks bounding the join state. "
+    "tests/test_streaming.py proves stream == batch row sets.",
+)
+def stream_stream_join(spark: SparkSession, sf: str):
+    return SE.clicks_purchases_join(table(spark, sf, "events"))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+               AS minute_start
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+    doc="Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark "
+    "over (user, type, minute) keys) in its batch form — a plain "
+    "DISTINCT over the same keys. The streaming twin keeps dedup state "
+    "only within the 1 h watermark horizon (state bounded by horizon, "
+    "not stream length); tests/test_streaming.py proves the emitted "
+    "key set matches and survives a checkpoint restart.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf: str):
+    return SE.dedup_events_within_watermark(table(spark, sf, "events"))

@@ -149,6 +149,88 @@ def session_window_stats(
 
 
 # ---------------------------------------------------------------------------
+# stream-stream join + watermark-bounded dedup
+# ---------------------------------------------------------------------------
+
+
+def clicks_purchases_join(
+    events: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner equi-join with a time-range bound: each click
+    pairs with the same user's purchases within ``max_lag`` after it.
+
+    In streaming mode BOTH sides carry watermarks and the join has a
+    time-range condition — exactly what Structured Streaming requires
+    to bound join state: a click's state is evictable once the purchase
+    watermark passes click_ts + max_lag, so state size tracks the lag
+    window, not the stream length. In batch mode the same plan is a
+    banded self-join. Lag is reported in exact integer µs (both
+    engines' timestamps are µs-truncated — see ``read_events_stream``),
+    so results hash-match the DuckDB oracle."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag}")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "lag_us"
+            ),
+        )
+    )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Distinct (user_id, event_type, minute) keys — the streaming form
+    via ``dropDuplicatesWithinWatermark``: state for a key is dropped
+    once the watermark passes its event time plus the delay, so dedup
+    state is bounded by the watermark horizon instead of growing with
+    the stream (the streaming analog of the batch exact-dedup
+    operator). Duplicates arriving later than the horizon would
+    re-emit — the documented watermark trade-off. The batch twin is a
+    plain DISTINCT over the same keys, so outputs (keys only) are
+    identical whenever all duplicates of a key fall inside the
+    horizon."""
+    keyed = events.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
+    if events.isStreaming:
+        deduped = keyed.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+    else:
+        deduped = keyed.dropDuplicates(["user_id", "event_type", "minute_ts"])
+    return deduped.select(
+        "user_id",
+        "event_type",
+        F.date_format("minute_ts", "yyyy-MM-dd HH:mm:ss").alias("minute_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 

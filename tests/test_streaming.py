@@ -156,3 +156,90 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert result[t0] == 2
     # Hour-6 window finalized with its single row.
     assert result[t0 + dt.timedelta(hours=6)] == 1
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream, events_batch):
+    got = SE.run_stream_to_memory(
+        SE.clicks_purchases_join(events_stream),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    want = SE.clicks_purchases_join(events_batch)
+    cols = ["user_id", "click_id", "purchase_id", "lag_us"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_dedup_watermark_equals_batch_distinct(spark, events_stream, events_batch):
+    got = SE.run_stream_to_memory(
+        SE.dedup_events_within_watermark(events_stream),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    want = SE.dedup_events_within_watermark(events_batch)
+    cols = ["user_id", "event_type", "minute_start"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_dedup_watermark_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: run 2 re-sends a key
+    already emitted in run 1 (same minute, inside the 1 h watermark
+    horizon) — it must NOT re-emit; a brand-new key must."""
+    import datetime as dt
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(rows, schema)
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        for f in (tmp_path / "tmp" / name).glob("*.parquet"):
+            _shutil.copy(f, src / f"{name}.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src))
+        )
+        deduped = SE.dedup_events_within_watermark(stream, watermark="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    write_batch(
+        "b1",
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=10), 2, "view", 1.0, "{}"),
+        ],
+    )
+    run_once()
+    write_batch(
+        "b2",
+        [
+            # same (user, type, minute) as event 1, 20s later → duplicate
+            (3, t0 + dt.timedelta(seconds=20), 1, "click", 1.0, "{}"),
+            # new key
+            (4, t0 + dt.timedelta(minutes=20), 3, "purchase", 1.0, "{}"),
+        ],
+    )
+    run_once()
+
+    rows = sorted(
+        (r.user_id, r.event_type, r.minute_start)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (1, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 00:10:00"),
+        (3, "purchase", "2024-01-01 00:20:00"),
+    ]
