@@ -1,7 +1,12 @@
-"""Catalog entries exercising the Redis surface against the in-process
-fake Redis server (no external Redis exists in the test environment;
-the reference's own tests likewise assume a pre-seeded live server —
-``test/sql/scan.test:18``).
+"""Catalog entries exercising the Redis surface against a live server.
+
+The server address comes from ``SPARK_GRAFT_REDIS_ADDR`` (a real,
+pre-seeded Redis — the reference's own tests likewise assume one,
+``test/sql/scan.test:18``); when unset, the entries fall back to the
+in-process fake server that ``testing.golden_server_address`` starts
+and seeds (no external Redis exists in this test environment). The
+server bootstrap lives entirely in ``testing`` — no catalog code
+starts servers.
 
 The golden keyspace (testkey:0001..0010) makes the oracle expressible
 as pure generated SQL in DuckDB — a hash-match check with no tables.
@@ -9,28 +14,27 @@ as pure generated SQL in DuckDB — a hash-match check with no tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import Engine, ship_package
 from .catalog import register
 
-_SERVER = None
-
 
 def _engine(spark: SparkSession) -> Engine:
-    """Start (once) the fake server seeded with the reference fixture and
-    return a connected Engine. Ships the package to Python workers first
-    (the driver may have created the session without our PYTHONPATH)."""
-    global _SERVER
-    if _SERVER is None:
-        from ..testing import FakeRedisServer, seed_reference_fixture
+    """Connect an Engine to the configured (or golden test) server.
+    Ships the package to Python workers first (the driver may have
+    created the session without our PYTHONPATH)."""
+    addr = os.environ.get("SPARK_GRAFT_REDIS_ADDR")
+    if addr is None:
+        from ..testing import golden_server_address
 
-        _SERVER = FakeRedisServer().start()
-        seed_reference_fixture(_SERVER)
+        addr = golden_server_address()
     ship_package(spark)
     eng = Engine(spark)
-    eng.connect(_SERVER.address)
+    eng.connect(addr)
     return eng
 
 

@@ -55,11 +55,22 @@ from ..transport.resp import DEFAULT_SCAN_COUNT, RedisClient
 def glob_escape(literal: str) -> str:
     """Escape Redis-glob metacharacters in a literal using the [c]
     single-char-class trick (portable: Redis globs and fnmatch agree on
-    it, unlike backslash escapes)."""
+    it, unlike backslash escapes).
+
+    Only sound for literals :func:`glob_safe` accepts: ``]`` and ``\\``
+    cannot be portably class-escaped (real Redis ``stringmatchlen``
+    reads ``[]]`` as an empty class that never matches and ``[\\]`` as a
+    class containing ``]`` — unlike fnmatch), so pushdown must be
+    declined for them rather than risking silently missing rows."""
     out = []
     for ch in literal:
-        out.append(f"[{ch}]" if ch in "*?[]\\" else ch)
+        out.append(f"[{ch}]" if ch in "*?[" else ch)
     return "".join(out)
+
+
+def glob_safe(literal: str) -> bool:
+    """True when a literal can be soundly embedded in a Redis glob."""
+    return "]" not in literal and "\\" not in literal
 
 
 class RedisShard(InputPartition):
@@ -91,31 +102,41 @@ class RedisScanReader(DataSourceReader):
         prefix/suffix/contains/equality predicate on key_name becomes the
         server-side SCAN MATCH pattern, so non-matching keys never cross
         the network. Applies only when the user left pattern='*' (the
-        glob can't soundly be intersected with another glob); one filter
-        is consumed, the rest stay with Spark."""
+        glob can't soundly be intersected with another glob).
+
+        Soundness: the pattern is treated as a SUPERSET optimization —
+        every filter (including the one turned into the MATCH pattern)
+        is returned to Spark for re-verification, so a server whose glob
+        semantics over-match never yields wrong rows. Literals that
+        can't be portably escaped (see :func:`glob_safe`) are not pushed
+        at all, since an UNDER-matching pattern would silently drop rows
+        no re-check can restore."""
         if self.options.get("pattern", "*") != "*" or self.options.get(
             "shard_patterns"
         ):
             return filters
-        remaining: list[Filter] = []
         consumed = False
         for f in filters:
             pattern = None
-            if not consumed and getattr(f, "attribute", None) == ("key_name",):
+            if (
+                not consumed
+                and getattr(f, "attribute", None) == ("key_name",)
+                and isinstance(getattr(f, "value", None), str)
+                and glob_safe(f.value)
+            ):
                 if isinstance(f, StringStartsWith):
                     pattern = glob_escape(f.value) + "*"
                 elif isinstance(f, StringEndsWith):
                     pattern = "*" + glob_escape(f.value)
                 elif isinstance(f, StringContains):
                     pattern = "*" + glob_escape(f.value) + "*"
-                elif isinstance(f, EqualTo) and isinstance(f.value, str):
+                elif isinstance(f, EqualTo):
                     pattern = glob_escape(f.value)
-            if pattern is None:
-                remaining.append(f)
-            else:
+            if pattern is not None:
                 self.options["pattern"] = pattern
                 consumed = True
-        return remaining
+        # ALL filters go back to Spark — the MATCH pattern only prunes.
+        return filters
 
     def partitions(self) -> list[InputPartition]:
         return _shards(self.options)

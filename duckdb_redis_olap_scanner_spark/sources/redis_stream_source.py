@@ -72,11 +72,14 @@ class RedisStreamReader(DataSourceStreamReader):
         return {"last_id": "0-0"}
 
     def latestOffset(self) -> dict:
+        # Newest id only (XREVRANGE ... COUNT 1): O(1) per trigger.
+        # An XRANGE over the full stream here would materialize every
+        # entry on the driver at every micro-batch.
         with RedisClient(self.host, self.port) as c:
-            entries = c.xrange(self.key, "-", "+")
+            entries = c.xrevrange(self.key, "+", "-", count=1)
             if not entries:
                 return {"last_id": "0-0"}
-            return {"last_id": entries[-1][0]}
+            return {"last_id": entries[0][0]}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if _id_key(end["last_id"]) <= _id_key(start["last_id"]):

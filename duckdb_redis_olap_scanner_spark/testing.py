@@ -58,7 +58,9 @@ class FakeRedisStore:
         self.hashes: dict[str, dict[str, str]] = {}
         # stream key -> list of (id, [field, value, ...]) in append order
         self.streams: dict[str, list[tuple[str, list[str]]]] = {}
-        self._stream_seq: dict[str, int] = {}
+        # last generated/accepted (ms, seq) per stream — XADD enforces
+        # strictly-increasing ids, so the entry list stays sorted.
+        self._stream_last: dict[str, tuple[int, int]] = {}
         self.lock = threading.Lock()
         self._scan_snapshots: dict[int, list[str]] = {}
         self._next_snapshot = 1
@@ -151,15 +153,25 @@ class _Handler(socketserver.BaseRequestHandler):
             if name == "SCAN":
                 return self._scan(store, args)
             if name == "XADD":
-                # XADD key <id|*> field value [field value ...]
+                # XADD key <id|*> field value [field value ...].
+                # Explicit ids are 'ms[-seq]' (seq defaults to 0, as in
+                # real Redis) and must be strictly greater than the
+                # stream's last id — rejecting non-increasing ids keeps
+                # the entry list sorted, which XRANGE paging relies on.
                 key, req_id = args[0], args[1]
+                last = store._stream_last.get(key, (0, 0))
                 if req_id == "*":
-                    seq = store._stream_seq.get(key, 0) + 1
-                    store._stream_seq[key] = seq
-                    entry_id = f"0-{seq}"
+                    new = (last[0], last[1] + 1)
                 else:
-                    entry_id = req_id
-                    store._stream_seq[key] = int(entry_id.split("-")[1])
+                    parts = req_id.split("-")
+                    new = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
+                    if new <= last:
+                        raise ValueError(
+                            "ERR The ID specified in XADD is equal or "
+                            "smaller than the target stream top item"
+                        )
+                store._stream_last[key] = new
+                entry_id = f"{new[0]}-{new[1]}"
                 store.streams.setdefault(key, []).append((entry_id, args[2:]))
                 return _encode(entry_id)
             if name == "XLEN":
@@ -185,6 +197,29 @@ class _Handler(socketserver.BaseRequestHandler):
                 for sid, fields in store.streams.get(key, []):
                     k = _key(sid)
                     if (k > lo if exclusive else k >= lo) and k <= hi:
+                        out.append([sid, fields])
+                        if count is not None and len(out) >= count:
+                            break
+                return _encode(out)
+            if name == "XREVRANGE":
+                # XREVRANGE key end start [COUNT n] — highest-first; the
+                # COUNT 1 form is how latestOffset() reads the newest id
+                # without materializing the stream.
+                key, end, start = args[0], args[1], args[2]
+                count = None
+                if len(args) >= 5 and args[3].upper() == "COUNT":
+                    count = int(args[4])
+
+                def _rkey(sid: str) -> tuple[int, int]:
+                    ms, seq = sid.split("-")
+                    return (int(ms), int(seq))
+
+                hi = _rkey(end) if end != "+" else (2**62, 2**62)
+                lo = _rkey(start) if start != "-" else (-1, -1)
+                out = []
+                for sid, fields in reversed(store.streams.get(key, [])):
+                    k = _rkey(sid)
+                    if lo <= k <= hi:
                         out.append([sid, fields])
                         if count is not None and len(out) >= count:
                             break
@@ -282,3 +317,19 @@ def seed_reference_fixture(server: FakeRedisServer) -> None:
             "user:1002": {"name": "grace", "city": "nyc"},
         }
     )
+
+
+_GOLDEN_SERVER: FakeRedisServer | None = None
+
+
+def golden_server_address() -> str:
+    """Address of a process-wide fake server pre-seeded with the
+    reference's golden keyspace, started on first use. This is the
+    TEST-INFRA fallback the Redis catalog entries use when no real
+    server address is configured (``SPARK_GRAFT_REDIS_ADDR``) — the
+    server bootstrap lives here, not in catalog code."""
+    global _GOLDEN_SERVER
+    if _GOLDEN_SERVER is None:
+        _GOLDEN_SERVER = FakeRedisServer().start()
+        seed_reference_fixture(_GOLDEN_SERVER)
+    return _GOLDEN_SERVER.address

@@ -266,6 +266,26 @@ class RedisClient:
             )
         return out
 
+    def xrevrange(
+        self,
+        key: str,
+        end: str = "+",
+        start: str = "-",
+        count: int | None = None,
+    ) -> list[tuple[str, dict[str, str]]]:
+        """Entries in [start, end], HIGHEST id first. ``count=1`` reads
+        just the newest entry — O(1) instead of an O(stream) XRANGE."""
+        args: list[Any] = ["XREVRANGE", key, end, start]
+        if count is not None:
+            args += ["COUNT", count]
+        out = []
+        for sid, flat in self.command(*args) or []:
+            it = iter(flat)
+            out.append(
+                (_as_str(sid), {_as_str(f): _as_str(v) for f, v in zip(it, it)})
+            )
+        return out
+
     def scan_iter(
         self, match: str = "*", count: int = DEFAULT_SCAN_COUNT
     ) -> Iterator[list[str]]:

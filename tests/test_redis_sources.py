@@ -105,7 +105,10 @@ class TestFilterPushdown:
             )
         )
         assert r.options["pattern"] == "testkey:*"
-        assert len(remaining) == 1  # the range predicate stays with Spark
+        # ALL filters return to Spark: the MATCH pattern is a superset
+        # optimization, re-verified engine-side (sound against server
+        # glob-semantics differences).
+        assert len(remaining) == 2
 
     def test_pushfilters_escapes_glob_metachars(self):
         from duckdb_redis_olap_scanner_spark.sources.redis_source import (
@@ -116,6 +119,21 @@ class TestFilterPushdown:
         r = RedisScanReader({"pattern": "*"})
         r.pushFilters([EqualTo(("key_name",), "weird*key?")])
         assert r.options["pattern"] == "weird[*]key[?]"
+
+    def test_pushfilters_declines_unescapable_literals(self):
+        # ']' and '\' can't be portably escaped in a Redis glob (real
+        # stringmatchlen reads '[]]' as an empty class) — such literals
+        # must not be pushed at all; Spark filters them engine-side.
+        from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+            RedisScanReader,
+        )
+        from pyspark.sql.datasource import StringStartsWith
+
+        for bad in ("a]b", "a\\b"):
+            r = RedisScanReader({"pattern": "*"})
+            remaining = list(r.pushFilters([StringStartsWith(("key_name",), bad)]))
+            assert r.options["pattern"] == "*"
+            assert len(remaining) == 1
 
     def test_pushfilters_keeps_user_pattern(self):
         from duckdb_redis_olap_scanner_spark.sources.redis_source import (

@@ -37,6 +37,29 @@ def test_xadd_xrange_client(redis_server):
         # Exclusive-start form pages correctly.
         assert c.xrange("sensor", f"({i1}") == [(i2, {"v": "2"})]
         assert c.xrange("sensor", "-", "+", count=1) == [(i1, {"v": "1"})]
+        # Newest-first read: the COUNT-1 form latestOffset() uses.
+        assert c.xrevrange("sensor", "+", "-", count=1) == [(i2, {"v": "2"})]
+
+
+def test_xadd_explicit_id_semantics(redis_server):
+    import pytest
+
+    from duckdb_redis_olap_scanner_spark.transport.resp import RespError
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        # 'ms'-only explicit ids get seq 0, like real Redis.
+        assert c.xadd("mix", {"v": "a"}, entry_id="5") == "5-0"
+        assert c.xadd("mix", {"v": "b"}, entry_id="5-1") == "5-1"
+        # Auto ids continue strictly after the explicit last id.
+        auto = c.xadd("mix", {"v": "c"})
+        assert tuple(map(int, auto.split("-"))) > (5, 1)
+        # Non-increasing explicit ids are rejected (keeps XRANGE paging
+        # assumptions: entries always sorted).
+        with pytest.raises(RespError):
+            c.xadd("mix", {"v": "d"}, entry_id="5-1")
+        with pytest.raises(RespError):
+            c.xadd("mix", {"v": "e"}, entry_id="4")
+        assert c.xlen("mix") == 3
 
 
 def test_stream_source_exactly_once(engine, redis_server, tmp_path):
