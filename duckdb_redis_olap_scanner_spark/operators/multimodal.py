@@ -101,3 +101,92 @@ def decode_stub_pipeline(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(
         fake_decode_features, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, orig_bytes int, target_w int, target_h int, "
+    "resized_bytes int, modality string"
+)
+
+FRAME_BYTES = 256
+FRAME_EVERY = 4
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, frame_len int"
+
+
+def make_fake_resize(target_w: int, target_h: int):
+    """Deterministic resize stand-in: the 'resized' payload size is the
+    crop min(orig, w·h) — pure arithmetic, so DuckDB can verify the
+    whole pipeline. A real implementation swaps this closure for a
+    Pillow ``Image.resize`` over ``io.BytesIO(payload)`` (same mapInPandas
+    signature, same schema, decode import-gated as in
+    :func:`decode_image`)."""
+
+    def fake_resize(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            n = pdf["payload"].apply(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": n.astype("int32"),
+                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_bytes": n.clip(upper=target_w * target_h).astype(
+                        "int32"
+                    ),
+                    "modality": "image-stub",
+                }
+            )
+
+    return fake_resize
+
+
+def resize_stub_pipeline(
+    docs: DataFrame, target_w: int = 64, target_h: int = 48
+) -> DataFrame:
+    """binary payload → mapInPandas resize (Arrow batches) → size metadata.
+    Partition-preserving, no shuffle, payloads never leave the workers."""
+    from ..engine import ship_package
+
+    ship_package(docs.sparkSession)
+    return with_binary_payload(docs).mapInPandas(
+        make_fake_resize(target_w, target_h), schema=RESIZED_SCHEMA
+    )
+
+
+def _sample_frames(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixed-size 'video' framing of the payload (FRAME_BYTES per frame),
+    emitting every FRAME_EVERY-th frame — the frame-sampling shape: one
+    input row fans out to its sampled frames, all inside the worker."""
+    for pdf in batch_iter:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        offs: list[int] = []
+        lens: list[int] = []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            nframes = -(-n // FRAME_BYTES)
+            for i in range(0, nframes, FRAME_EVERY):
+                doc_ids.append(did)
+                idxs.append(i)
+                offs.append(i * FRAME_BYTES)
+                lens.append(min(FRAME_BYTES, n - i * FRAME_BYTES))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_off": pd.Series(offs, dtype="int32"),
+                "frame_len": pd.Series(lens, dtype="int32"),
+            }
+        )
+
+
+def frame_sample_pipeline(docs: DataFrame) -> DataFrame:
+    """binary payload → per-frame fan-out with sampling (mapInPandas).
+    The fan-out happens inside the Arrow batch — no explode shuffle, no
+    driver involvement; output volume is input/FRAME_EVERY frames."""
+    from ..engine import ship_package
+
+    ship_package(docs.sparkSession)
+    return with_binary_payload(docs).mapInPandas(
+        _sample_frames, schema=FRAME_SCHEMA
+    )

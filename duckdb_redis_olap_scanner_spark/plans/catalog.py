@@ -136,6 +136,7 @@ def registry() -> dict[str, CatalogEntry]:
     # Round-2 additions import LAST: within the unverified frontier,
     # round-1 entries (never yet driver-checked) keep gate priority.
     from . import relational2  # noqa: F401
+    from . import pipeline_ops2  # noqa: F401
 
     frontier = {n: e for n, e in _REGISTRY.items() if n not in _PRIOR_VERIFIED}
     verified = {n: e for n, e in _REGISTRY.items() if n in _PRIOR_VERIFIED}

@@ -1602,7 +1602,11 @@ def subquery_correlated(spark: SparkSession, sf: str):
     tags=("udf", "agg"),
     doc="GROUPED_AGG pandas UDAF (second-largest distinct order value "
     "per customer) vs a dense_rank oracle — the custom-aggregate "
-    "extension surface.",
+    "extension surface, deliberately demonstrating the Python-UDAF "
+    "hop. For production scale the same semantics stay pure-JVM: "
+    "max_by over rows below the per-group max, or the dense_rank=2 "
+    "window the oracle itself uses — reach for GROUPED_AGG only when "
+    "no built-in aggregate composition expresses the state.",
 )
 def udaf_second_max(spark: SparkSession, sf: str):
     from ..functions.custom_fns import second_max_cents

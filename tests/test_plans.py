@@ -114,3 +114,61 @@ def test_window_plans_single_shuffle(spark):
         if "Arguments: hashpartitioning(o_custkey" in ln
     ]
     assert len(window_shuffles) == 1, plan
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    """The OR'd brand/size/quantity bands must split into single-side
+    conjuncts pushed into EACH parquet scan (the classic TPC-H Q19
+    optimization) — a plan that evaluates the whole disjunction only
+    after the join re-reads both tables in full at 100 TB."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = " ".join(pushed)
+    assert "l_quantity" in joined, joined  # lineitem-side residual pushed
+    assert "p_brand" in joined or "p_size" in joined, joined  # part side
+
+
+def test_q2_correlated_min_is_single_window_no_python(spark):
+    """The correlated-MIN subquery must plan as ONE window over the
+    partkey (no second aggregation-join re-scan of the part-supplier
+    relation) and stay JVM-side."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    window_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith(" Window")
+    ]
+    assert len(window_nodes) == 1, window_nodes
+    assert "BatchEvalPython" not in plan
+
+
+def test_q21_exists_shapes_are_semi_and_anti_joins(spark):
+    """EXISTS → left semi, NOT EXISTS → left anti, both as hash joins
+    on the order key (co-partitioned fact sides) — never a nested-loop
+    or cartesian re-scan."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_single_lineitem_scan(spark):
+    """The HAVING-subquery aggregate IS the output aggregate: lineitem
+    must be scanned once, not re-joined for a second aggregation."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_multimodal_frame_sample_no_fanout_shuffle(spark):
+    """The frame fan-out happens inside the Arrow batch: the ONLY
+    Exchange is the load-time keyed fan_out of the documents table
+    (a no-op at real scale) — the per-frame explosion itself never
+    shuffles and nothing follows the Python stage."""
+    plan = plan_of(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in plan
+    exchange_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith(" Exchange")
+    ]
+    assert len(exchange_nodes) <= 1, exchange_nodes
