@@ -406,13 +406,15 @@ def embedding_near_dup_pairs(
 N_IVF_CELLS = 16
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
-    """(vec_id, v, n2, cell): IVF coarse quantization. Centroids are the
-    first ``n_cells`` vectors (deterministic stand-in for k-means — the
-    assignment/search machinery is identical); each vector goes to the
-    centroid maximizing the exact-integer dot product (ties → smallest
-    centroid id). The centroid table is broadcast: assignment is a
-    narrow map over the corpus, no shuffle."""
+def ivf_ranked(
+    embeddings: DataFrame, n_cells: int = N_IVF_CELLS, max_rank: int = 1
+) -> DataFrame:
+    """(vec_id, embedding, cell, cell_rank): each vector's centroids
+    ranked by exact-integer dot product (ties → smallest centroid id),
+    kept up to ``max_rank``. Centroids are the first ``n_cells`` vectors
+    (deterministic stand-in for k-means — the assignment/search
+    machinery is identical). The centroid table is broadcast:
+    assignment is a narrow map over the corpus, no shuffle."""
     embeddings = fan_out(embeddings, key="vec_id")
     base = embeddings.select("vec_id", "embedding", quantized().alias("v"))
     cents = base.filter(F.col("vec_id") < n_cells).select(
@@ -423,9 +425,17 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= max_rank)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"), "cell_rank")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment
+    (``ivf_ranked`` at rank 1)."""
+    return ivf_ranked(embeddings, n_cells, 1).select(
+        "vec_id", "embedding", "cell"
     )
 
 
@@ -534,4 +544,43 @@ def embedding_near_dup_lsh(
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 5,
+    k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search probing the query's ``n_probe`` nearest cells — the
+    standard recall dial: candidates grow ~linearly in n_probe while
+    the corpus side stays single-cell-assigned, so each (query,
+    neighbor) pair still meets at most once (the neighbor's one cell
+    either is among the query's probes or isn't). n_probe = n_cells
+    degenerates to exact brute force; n_probe=1 is :func:`ivf_topk`."""
+    ranked = ivf_ranked(embeddings, n_cells, max_rank=n_probe)
+    q = ranked.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+    )
+    a = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ae"),
+        "cell",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(a, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell", "qe", "ae")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        arrow_cosine_topk(pairs, k, passthrough=("cell",))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )

@@ -67,3 +67,60 @@ def multimodal_resize_stub(spark: SparkSession, sf: str):
 )
 def multimodal_frame_sample(spark: SparkSession, sf: str):
     return M.frame_sample_pipeline(table(spark, sf, "documents"))
+
+
+def _sql_ivf_multiprobe(
+    n_cells: int = 16, query_max: int = 5, k: int = 5, n_probe: int = 2
+) -> str:
+    from . import pipeline_ops as P
+
+    return f"""
+    WITH base AS (SELECT vec_id, {P._SQL_QUANT_EMB} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_cells}),
+    scored AS (
+      SELECT b.vec_id, b.v, c.cid,
+             {P._sql_dot('b.v', 'c.cv')} AS cdot
+      FROM base b CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cdot DESC, cid) AS rn
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM ranked
+          WHERE vec_id < {query_max} AND rn <= {n_probe}),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+             {P._sql_cosine(P._sql_dot('q.qv', 'a.v'),
+                            P._sql_sqnorm('q.qv'), P._sql_sqnorm('a.v'))}
+                 AS cos_sim
+      FROM q JOIN assigned a
+        ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cell, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) t WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=_sql_ivf_multiprobe(),
+    tags=("similarity",),
+    doc="IVF top-5 probing the query's 2 nearest cells (n_probe=2) — "
+    "the recall dial over ann_ivf_topk: candidate count grows "
+    "~linearly in n_probe, the corpus side stays single-cell-assigned "
+    "(each pair meets at most once), and the shared Arrow scorer "
+    "reduces every probed cell's candidates per batch.",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf: str):
+    from ..operators import similarity as S
+
+    return S.ivf_multiprobe_topk(
+        table(spark, sf, "embeddings"), query_max_id=5, k=5, n_probe=2
+    )

@@ -73,3 +73,31 @@ def test_csv_schema_inference_matches_explicit(spark, tmp_path):
         "string",
         "int",
     ]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC round-trip (built-in columnar alternative to parquet): same
+    declarative reader surface, schema preserved without redeclaring."""
+    o = _orders_subset(spark)
+    path = str(tmp_path / "orders_orc")
+    o.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == o.schema
+    assert _rows(back) == _rows(o)
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """Filters reach the ORC scan (PushedFilters) just as with parquet —
+    format choice doesn't cost the pushdown optimization."""
+    import contextlib
+    import io
+
+    o = _orders_subset(spark)
+    path = str(tmp_path / "orders_orc_pd")
+    o.write.orc(path)
+    df = spark.read.orc(path).filter(F.col("o_orderkey") < 100)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters:" in plan and "o_orderkey" in plan
