@@ -243,3 +243,65 @@ def test_dedup_watermark_suppresses_cross_batch_duplicates(spark, tmp_path):
         (2, "view", "2024-01-01 00:10:00"),
         (3, "purchase", "2024-01-01 00:20:00"),
     ]
+
+
+def test_stream_stream_join_across_checkpoint_restart(spark, tmp_path):
+    """A click retained in join state must pair with a purchase arriving
+    in a LATER micro-batch (separate availableNow run over the same
+    checkpoint), and already-emitted pairs must not replay."""
+    import datetime as dt
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(rows, schema)
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        for f in (tmp_path / "tmp" / name).glob("*.parquet"):
+            _shutil.copy(f, src / f"{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        joined = SE.clicks_purchases_join(stream)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    write_batch(
+        "b1",
+        [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=10), 7, "purchase", 1.0, "{}"),
+        ],
+    )
+    run_once()
+    rows1 = sorted(
+        (r.click_id, r.purchase_id, r.lag_us)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows1 == [(1, 2, 600_000_000)]
+
+    # Batch 2: a purchase 30 min after the retained click (inside the
+    # 1 h lag bound and the watermark horizon) joins it; nothing
+    # replays.
+    write_batch(
+        "b2",
+        [(3, t0 + dt.timedelta(minutes=30), 7, "purchase", 1.0, "{}")],
+    )
+    run_once()
+    rows2 = sorted(
+        (r.click_id, r.purchase_id, r.lag_us)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows2 == [(1, 2, 600_000_000), (1, 3, 1_800_000_000)]
