@@ -32,7 +32,9 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     MapType,
@@ -111,8 +113,46 @@ class RedisStreamReader(DataSourceStreamReader):
         pass
 
 
+class RedisStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: every row of the micro-batch becomes one XADD
+    entry (auto id '*'), each column a stream field (nulls skipped),
+    pipelined one round trip per ``batch_size`` rows per partition —
+    the write-side mirror of the XRANGE COUNT paging on the read path.
+
+    Delivery is AT-LEAST-ONCE: auto-id XADD is not idempotent, so a
+    partition retried after a fault appends its rows again (the same
+    trade every non-transactional append sink makes). Downstream
+    consumers that need exactly-once dedup on a row key — e.g. the
+    engine's own ``dropDuplicatesWithinWatermark`` operator."""
+
+    def __init__(self, options: dict) -> None:
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 6379))
+        self.key = options.get("key", "events")
+        self.batch_size = int(options.get("batch_size", BATCH_COUNT))
+
+    def write(self, rows) -> WriterCommitMessage:
+        with RedisClient(self.host, self.port) as client:
+            batch: list[tuple] = []
+            for row in rows:
+                flat: list[str] = []
+                for col, val in row.asDict().items():
+                    if val is not None:
+                        flat += [col, str(val)]
+                if not flat:
+                    continue
+                batch.append(("XADD", self.key, "*", *flat))
+                if len(batch) >= self.batch_size:
+                    client.pipeline(batch)
+                    batch = []
+            if batch:
+                client.pipeline(batch)
+        return WriterCommitMessage()
+
+
 class RedisStreamDataSource(DataSource):
-    """``spark.readStream.format("redis_stream").option("key", k).load()``"""
+    """``spark.readStream.format("redis_stream").option("key", k).load()``
+    and ``df.writeStream.format("redis_stream").option("key", k)...``"""
 
     @classmethod
     def name(cls) -> str:
@@ -128,3 +168,8 @@ class RedisStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> RedisStreamReader:
         return RedisStreamReader(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> RedisStreamWriter:
+        return RedisStreamWriter(self.options)

@@ -182,3 +182,36 @@ def test_stream_windowed_agg_pipeline(engine, redis_server, tmp_path):
     }
     assert got == want
     assert len(got) == 5
+
+
+def test_stream_sink_roundtrip(engine, redis_server, tmp_path):
+    """redis_stream SOURCE → typed projection → redis_stream SINK: the
+    written stream must contain one entry per input row with the
+    projected columns as fields (auto-assigned increasing ids)."""
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(6):
+            c.xadd("sink_in", {"n": str(i)})
+
+    df = engine.redis_stream(key="sink_in").select(
+        F.col("fields")["n"].cast("long").alias("n"),
+        (F.col("fields")["n"].cast("long") * 2).alias("doubled"),
+    )
+    q = (
+        df.writeStream.format("redis_stream")
+        .option("host", redis_server.host)
+        .option("port", str(redis_server.port))
+        .option("key", "sink_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        entries = c.xrange("sink_out")
+    got = sorted((e[1]["n"], e[1]["doubled"]) for e in entries)
+    assert got == [(str(i), str(i * 2)) for i in range(6)]
+    # ids strictly increase (XADD auto-id contract)
+    ids = [tuple(map(int, e[0].split("-"))) for e in entries]
+    assert ids == sorted(set(ids))
