@@ -1,5 +1,6 @@
 """Round-2 pipeline additions: the remaining multimodal shapes
-(resize, frame-sample) from the training-data-pipeline surface.
+(resize, frame-sample), the SQL-string entry point, and
+driver-verifiable entries for the skew operators.
 
 Like ``relational2``, this module registers AFTER every round-1 module
 (see ``catalog.registry``) so the driver's 50-entry correctness gate
@@ -123,4 +124,111 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str):
 
     return S.ivf_multiprobe_topk(
         table(spark, sf, "embeddings"), query_max_id=5, k=5, n_probe=2
+    )
+
+
+_SQL_STRING_QUERY = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sql_string_surface",
+    oracle=_SQL_STRING_QUERY,
+    tags=("sql",),
+    doc="The textual SQL entry point: engine.load_tables registers the "
+    "parquet tables as views and spark.sql() runs the user's query "
+    "STRING — the oracle here is the identical string, executed "
+    "verbatim by both engines. This is the interface a user of the "
+    "reference actually has (all its queries are SQL through host "
+    "DuckDB, test/sql/scan.test), so string-level portability is "
+    "part of the capability bar.",
+)
+def sql_string_surface(spark: SparkSession, sf: str):
+    from ..engine import load_tables
+
+    load_tables(spark, sf)
+    return spark.sql(_SQL_STRING_QUERY)
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+    doc="Two-phase salted aggregation (operators/skew.py): 3 hot "
+    "l_returnflag keys spread over (key, salt-of-l_orderkey) reducers "
+    "in phase 1, merged per key in phase 2 — result-identical to the "
+    "plain GROUP BY oracle, by construction (exact integer partials "
+    "re-sum in any split).",
+)
+def skew_salted_agg(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_agg
+
+    l = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    return salted_agg(
+        l,
+        key="l_returnflag",
+        salt_from="l_orderkey",
+        sum_col="price_cents",
+        count_alias="n_rows",
+        sum_alias="total_cents",
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+    doc="Hot-key salted join (operators/skew.py): designated hot order "
+    "keys on the fact side get a salt, the dim side replicates hot "
+    "rows across all salts, the join runs on (key, salt) — "
+    "result-identical to the plain equi-join oracle. The explicit "
+    "form of what AQE's skew-join split does at runtime, for keys "
+    "known to be pathological up front.",
+)
+def skew_salted_join(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_join
+
+    l = table(spark, sf, "lineitem").select("l_orderkey")
+    o = (
+        table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    joined = salted_join(
+        l, o, key="l_orderkey", hot_keys=[1, 2, 3], salt_from="l_orderkey"
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("o_orderpriority")
     )
