@@ -99,7 +99,9 @@ def register(
 # entries first: each round the unverified frontier rotates into the
 # gate while previously-verified entries keep their local oracle-parity
 # test (tests/test_oracle_parity.py runs the identical check over ALL
-# entries). Append each round's newly-verified names here.
+# entries). ``_prior_verified()`` additionally reads every
+# CORRECTNESS_r*.json in the repo root, so the rotation advances each
+# round without editing this baseline set.
 _PRIOR_VERIFIED: frozenset[str] = frozenset({
     # --- round 1 (CORRECTNESS_r01.json, all hash_match=true) ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -119,12 +121,44 @@ _PRIOR_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+def _repo_root() -> str:
+    """Where the driver writes CORRECTNESS_r*.json (patchable in tests)."""
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def _prior_verified() -> frozenset[str]:
+    """The baseline set plus every entry a recorded driver round has
+    already verified: ``hash_match`` for oracled entries, error-free
+    ``rows_match`` for rows-only ones."""
+    import glob
+    import json
+
+    verified = set(_PRIOR_VERIFIED)
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("hash_match") or (
+                row.get("rows_match") and name in _REGISTRY
+                and _REGISTRY[name].oracle is None
+            ):
+                verified.add(name)
+    return frozenset(verified)
+
+
 def registry() -> dict[str, CatalogEntry]:
     """All catalog entries (imports the defining modules on first use).
 
     Iteration order is verification-priority order: entries without a
     prior driver CORRECTNESS row first (registration order within each
-    group), then prior-verified entries. See ``_PRIOR_VERIFIED``.
+    group), then prior-verified entries. See ``_prior_verified``.
     """
     # Local imports to avoid import cycles; each module registers on import.
     from . import relational  # noqa: F401
@@ -138,8 +172,9 @@ def registry() -> dict[str, CatalogEntry]:
     from . import relational2  # noqa: F401
     from . import pipeline_ops2  # noqa: F401
 
-    frontier = {n: e for n, e in _REGISTRY.items() if n not in _PRIOR_VERIFIED}
-    verified = {n: e for n, e in _REGISTRY.items() if n in _PRIOR_VERIFIED}
+    prior = _prior_verified()
+    frontier = {n: e for n, e in _REGISTRY.items() if n not in prior}
+    verified = {n: e for n, e in _REGISTRY.items() if n in prior}
     return {**frontier, **verified}
 
 
