@@ -46,3 +46,32 @@ def test_arrow_scorer_plan_has_no_pair_shuffle(spark):
     scorer_pos = plan.index("MapInArrow")
     below_scorer = plan[scorer_pos:]
     assert "Exchange" not in below_scorer
+
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_strategies_identical_on_adversarial_values(spark, seed):
+    """JVM and Arrow scoring must agree bit-for-bit on hostile inputs:
+    negatives, magnitudes straddling the floor(x*1000) quantization
+    boundary, near-duplicate vectors (tie-adjacent cosines)."""
+    rng = np.random.default_rng(seed)
+    n, dim = 40, 8
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[10] = vecs[3] * 0.999  # near-duplicate pair
+    vecs[11] = -vecs[4]  # exact negation
+    vecs[12] = rng.uniform(-0.002, 0.002, size=dim).astype(
+        np.float32
+    )  # quantization-boundary magnitudes
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    jvm = S.brute_force_topk(emb, query_max_id=4, k=7, use_arrow=False)
+    arrow = S.brute_force_topk(emb, query_max_id=4, k=7, use_arrow=True)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, repr(r.cos_sim), r.rank) for r in df.collect()
+    )
+    assert canon(jvm) == canon(arrow)
