@@ -117,3 +117,40 @@ def test_glob_escape_prefix_pattern(prefix, suffix):
         not_prefixed = "\x01" + prefix[1:] + suffix
         if not not_prefixed.startswith(prefix):
             assert not fnmatch.fnmatchcase(not_prefixed, pattern)
+
+
+def test_md5_hash64_matches_duckdb_on_random_strings(spark):
+    """The codegen'd md5-based 64-bit hash (text.md5_hash64) must equal
+    DuckDB's md5_number_lower(s) % p for arbitrary strings — the
+    bit-compat contract every minhash/simhash oracle rests on. One
+    batch of seeded-random strings (unicode, empties, long runs)
+    through BOTH engines in a single job each."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from duckdb_redis_olap_scanner_spark.operators.text import (
+        HASH_P,
+        md5_hash64,
+    )
+
+    rnd = random.Random(20260813)
+    alphabet = "abc XYZ0189 éüñ 中文🦆'\"\\,;\t"
+    strings = [""] + [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", md5_hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        s: con.execute(
+            f"SELECT CAST(md5_number_lower(?) % {HASH_P} AS BIGINT)", [s]
+        ).fetchone()[0]
+        for s in strings
+    }
+    assert got == want
