@@ -31,23 +31,19 @@ def _force(df) -> None:
 
 
 def _shuffle_partitions(sf_dir: str) -> int:
-    """Size the shuffle like a cluster operator would: partition count
-    proportional to input volume (one shuffle partition per ~2 MiB of
-    source data here), bounded below for parallelism and above by the
-    core count.  Map-side shuffle cost scales with mappers × shuffle
-    partitions, so a fixed partitions=cores setting over-pays by ~4× at
-    small SF while a volume-proportional one converges to the same wide
-    setting as the data grows."""
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
-    except OSError:
-        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    """Volume-proportional shuffle sizing, using THE SAME formula as the
+    keyed table loads (catalog.suggested_shuffle_partitions): when the
+    two counts diverge, every join between an aggregation output and a
+    co-partitioned scan pays an alignment Exchange. Map-side shuffle
+    cost scales with mappers × shuffle partitions, so a fixed
+    partitions=cores setting over-pays at small SF while the
+    volume-proportional one converges to full width as data grows."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        suggested_shuffle_partitions,
+    )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return max(8, min((total >> 21) + 1, cpus))
+    return suggested_shuffle_partitions(sf_dir, cpus)
 
 
 def main() -> None:

@@ -212,28 +212,31 @@ _TABLE_KEYS: dict[str, str] = {
 _PART_BYTES = 1 << 20
 
 
-def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
-    """Common partition count for the keyed TPC-H tables.
+def suggested_shuffle_partitions(sf_dir: str, cpus: int) -> int:
+    """ONE partition-count formula for keyed table loads AND the
+    session's ``spark.sql.shuffle.partitions``.
 
-    Sized from lineitem (the largest) so every co-partitioned join side
-    uses the SAME count — Spark only treats hash-partitioned sides as
-    co-partitioned when the counts match.  Clamped to [4, default
-    parallelism]: at test scale this keeps stages a few tasks wide (per-
-    task scheduler dispatch dominates tiny stages), at cluster scale the
-    cap is the full parallelism, i.e. the fan-out the cluster can use.
+    Sized from lineitem (the largest table) so every co-partitioned
+    join side uses the SAME count — Spark only treats hash-partitioned
+    sides as co-partitioned when the counts match, and an aggregation
+    output (shuffle-partition count) joined against a keyed scan
+    (keyed-parts count) pays an alignment Exchange whenever the two
+    formulas disagree. Clamped to [4, cpus]: at test scale this keeps
+    stages a few tasks wide (per-task dispatch dominates tiny stages),
+    at cluster scale the cap is the full parallelism.
     """
     import math
 
     try:
         size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
     except OSError:
-        return spark.sparkContext.defaultParallelism
-    return max(
-        4,
-        min(
-            math.ceil(size / _PART_BYTES),
-            spark.sparkContext.defaultParallelism,
-        ),
+        return cpus
+    return max(4, min(math.ceil(size / _PART_BYTES), cpus))
+
+
+def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
+    return suggested_shuffle_partitions(
+        sf_dir, spark.sparkContext.defaultParallelism
     )
 
 
