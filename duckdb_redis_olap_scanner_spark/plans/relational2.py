@@ -696,3 +696,39 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT (semi-structured) scalar family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           'OBJECT<k: BIGINT>' AS vschema,
+           CAST(NULL AS VARCHAR) AS missing_val
+    FROM events WHERE event_id < 300
+    """,
+    tags=("scalar", "variant"),
+    doc="Spark 4 VARIANT over the events.props JSON: parse_json → "
+    "binary variant, typed variant_get extraction, schema_of_variant "
+    "(asserts every row parses to OBJECT<k: BIGINT>), and "
+    "try_variant_get returning NULL on a missing path. The DuckDB "
+    "oracle re-derives the same typed values via its JSON functions — "
+    "VARIANT is the columnar-friendly upgrade of string-JSON "
+    "extraction (json_funcs is the string twin).",
+)
+def variant_funcs(spark: SparkSession, sf: str):
+    from .catalog import table as _table
+
+    e = _table(spark, sf, "events").filter(F.col("event_id") < 300)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
+    )
