@@ -732,3 +732,75 @@ def variant_funcs(spark: SparkSession, sf: str):
         F.schema_of_variant(v).alias("vschema"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
     )
+
+
+@register(
+    "try_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0)
+               AS safe_ratio,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_cast
+    FROM orders WHERE o_orderkey < 400
+    """,
+    tags=("scalar",),
+    doc="ANSI error-safe arithmetic: try_divide (NULL on division by "
+    "zero — DuckDB twin: NULLIF denominator) and try_cast (NULL on "
+    "malformed input instead of an error), the semantics batch "
+    "pipelines need to survive dirty rows without failing the job.",
+)
+def try_arith_funcs(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("safe_ratio"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").try_cast("int").alias("good_cast"),
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           LAG(v IGNORE NULLS) OVER w AS prev_val,
+           LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS last_seen
+    FROM (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS v
+        FROM events WHERE event_id < 2000
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    tags=("window",),
+    doc="IGNORE NULLS window navigation: lag and a running last_value "
+    "skip NULL observations (only purchases carry a value here) — the "
+    "gap-filling shape for sparse measurements: each row sees the most "
+    "recent non-null reading.",
+)
+def window_ignore_nulls(spark: SparkSession, sf: str):
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    v = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    keyed = e.select("event_id", "user_id", v.alias("v"))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return keyed.select(
+        "event_id",
+        # DataFrame lag() has no ignorenulls parameter — the SQL form does.
+        F.expr(
+            "lag(v) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY event_id)"
+        ).alias("prev_val"),
+        F.last("v", ignorenulls=True).over(run).alias("last_seen"),
+    )
