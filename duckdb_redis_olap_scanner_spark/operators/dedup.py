@@ -295,3 +295,64 @@ def ngram_jaccard_pairs(
     b = ids.select(F.col("doc_id").alias("doc_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     return verify_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = the minimum doc id reachable through the pair graph.
+
+    This is the step that turns PAIRS into DEDUP GROUPS (keep one doc
+    per cluster), and it is genuinely iterative: min-label propagation
+    runs one join+groupBy per round until labels stop changing, i.e.
+    O(component diameter) rounds — near-dup components are shallow
+    (pairs share content), so a handful of rounds in practice, with a
+    ``max_iter`` backstop. Per round the only wide ops are one
+    equi-join label lookup and one min-aggregation, both on uniformly
+    hashed ids; intermediates are cached and the previous round
+    unpersisted, so lineage stays O(1) instead of growing per round.
+
+    Convergence is detected with one scalar action per round (sum of
+    labels strictly decreases until fixpoint — min-label propagation
+    is monotone). A driver-side LOOP over scalar actions is the
+    sanctioned shape for iterative algorithms; no row data ever
+    reaches the driver.
+    """
+    a, b = F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .union(pairs.select(a, F.col(id_a).alias("dst")))
+        .union(pairs.select(F.col(id_b).alias("src"), b))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        new_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -232,3 +232,47 @@ def skew_salted_join(spark: SparkSession, sf: str):
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("o_orderpriority")
     )
+
+
+def _sql_minhash_clusters(threshold: float = 0.2) -> str:
+    from . import pipeline_ops as P
+
+    pairs_sql = P._sql_minhash_lsh(threshold)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pairs_sql}) t
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_sql_minhash_clusters(),
+    tags=("dedup", "iterative"),
+    doc="Connected components over the MinHash-LSH near-dup pairs: "
+    "(doc_id, cluster_id = min reachable doc id) — the step that turns "
+    "pairs into dedup GROUPS (keep one doc per cluster). Iterative "
+    "min-label propagation, one join+min-agg per round until a scalar "
+    "fixpoint (operators/dedup.py:cluster_pairs); the oracle computes "
+    "the same transitive closure with a recursive CTE — an exact "
+    "cross-engine check of a genuinely iterative distributed "
+    "algorithm.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf: str):
+    from ..operators import dedup as D
+
+    pairs = D.minhash_lsh_dedup(table(spark, sf, "documents"), threshold=0.2)
+    return D.cluster_pairs(pairs)

@@ -89,3 +89,21 @@ def test_lsh_recall_against_ground_truth(spark):
         recall = len(lsh) / len(truth)
         # 4 tables × 4 planes at cos≥0.45 → expected recall ≈ 0.55.
         assert recall >= 0.25, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_cluster_pairs_components(spark):
+    """Min-label propagation on a known graph: a 4-node chain (needs
+    >1 round — labels travel one hop per round), a 2-node pair, and a
+    self-pair singleton all collapse to their component minimum."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (30, 30)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in cluster_pairs(pairs).collect()}
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+        (30, 30),
+    }
