@@ -276,3 +276,61 @@ def dedup_minhash_clusters(spark: SparkSession, sf: str):
 
     pairs = D.minhash_lsh_dedup(table(spark, sf, "documents"), threshold=0.2)
     return D.cluster_pairs(pairs)
+
+
+def _sql_cluster_survivors(threshold: float = 0.2) -> str:
+    from . import pipeline_ops as P
+
+    pairs_sql = P._sql_minhash_lsh(threshold)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pairs_sql}) t
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=_sql_cluster_survivors(),
+    tags=("dedup", "iterative"),
+    doc="The deduplicated corpus: every document except non-minimum "
+    "members of a near-dup cluster (cluster representative = smallest "
+    "doc id; docs in no cluster survive untouched). pairs -> clusters "
+    "-> anti-join - the complete keep-one-per-group near-dedup "
+    "pipeline a training-data curation run executes.",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.2)
+    clusters = D.cluster_pairs(pairs)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
