@@ -804,3 +804,118 @@ def window_ignore_nulls(spark: SparkSession, sf: str):
         ).alias("prev_val"),
         F.last("v", ignorenulls=True).over(run).alias("last_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence analytics (funnel, time-weighted average)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.event_id) AS click_id
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.event_id > v.view_id
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.event_id) AS purchase_id
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.event_id > c.click_id
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.view_id, c.click_id, p.purchase_id
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+    """,
+    tags=("agg", "temporal", "funnel"),
+    doc="Ordered conversion funnel per user: first view → first click "
+    "AFTER it → first purchase AFTER that (event_id is the total "
+    "order). Spark expresses each stage as a conditional aggregate "
+    "gated on the previous stage's result — three groupBys all keyed "
+    "on user_id, so after the first shuffle the funnel builds "
+    "exchange-free; outer joins keep users who fell out mid-funnel.",
+)
+def events_funnel(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events").select("user_id", "event_id", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("event_id") > F.col("view_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("event_id") > F.col("click_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    return (
+        v.join(c, "user_id", "left_outer")
+        .join(p, "user_id", "left_outer")
+        .select("user_id", "view_id", "click_id", "purchase_id")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v_cents,
+               CAST(FLOOR(EXTRACT(EPOCH FROM ts) * 1000000) AS BIGINT) AS t_us,
+               CAST(FLOOR(EXTRACT(EPOCH FROM LEAD(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+                   * 1000000) AS BIGINT) AS t_next_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(v_cents * (t_next_us - t_us)) AS BIGINT)
+               AS weighted_area,
+           CAST(SUM(t_next_us - t_us) AS BIGINT) AS total_span_us
+    FROM seg WHERE t_next_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "agg", "temporal"),
+    doc="Time-weighted value integral per user (the hypertable "
+    "time_weight shape): each observation holds until the next one "
+    "(LOCF segments via lead-over-window), area = Σ value·Δt in exact "
+    "integer cents·µs, span = Σ Δt — the ratio is the time-weighted "
+    "average, returned as two exact integers to stay "
+    "engine-deterministic. One window shuffle on user_id, then an "
+    "exchange-free groupBy on the same key.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf: str):
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.lead("ts", 1).over(w)).alias("t_next_us"),
+    ).filter(F.col("t_next_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_cents") * (F.col("t_next_us") - F.col("t_us")))
+            .cast("long")
+            .alias("weighted_area"),
+            F.sum(F.col("t_next_us") - F.col("t_us"))
+            .cast("long")
+            .alias("total_span_us"),
+        )
+        .orderBy("user_id")
+    )
