@@ -833,10 +833,12 @@ def window_ignore_nulls(spark: SparkSession, sf: str):
     tags=("agg", "temporal", "funnel"),
     doc="Ordered conversion funnel per user: first view → first click "
     "AFTER it → first purchase AFTER that (event_id is the total "
-    "order). Spark expresses each stage as a conditional aggregate "
-    "gated on the previous stage's result — three groupBys all keyed "
-    "on user_id, so after the first shuffle the funnel builds "
-    "exchange-free; outer joins keep users who fell out mid-funnel.",
+    "order). Each stage is one partial-agg shuffle of ONLY its "
+    "event-type slice, with the previous stage's per-user result — "
+    "dim-sized by construction — broadcast back in as the gate, so no "
+    "full-fact re-shuffle ever happens; identical stage subtrees "
+    "dedupe at runtime via AQE exchange reuse. Outer joins keep users "
+    "who fell out mid-funnel.",
 )
 def events_funnel(spark: SparkSession, sf: str):
     e = table(spark, sf, "events").select("user_id", "event_id", "event_type")
