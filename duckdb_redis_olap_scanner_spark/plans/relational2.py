@@ -921,3 +921,35 @@ def events_time_weighted_avg(spark: SparkSession, sf: str):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "collation_funcs",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts
+    FROM part
+    WHERE lower(p_type) = 'economy'
+      AND lower(p_name) LIKE lower('%Widget%')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("scalar", "collation"),
+    doc="Spark 4 collation-aware comparison: UTF8_LCASE-collated "
+    "equality and ILIKE match rows regardless of case without "
+    "materializing lowercased copies (the collation rides the "
+    "comparison, so an index/statistics-aware engine can still use "
+    "the original column). DuckDB twin: explicit lower() on both "
+    "sides.",
+)
+def collation_funcs(spark: SparkSession, sf: str):
+    p = table(spark, sf, "part")
+    return (
+        p.filter(
+            (F.collate(F.col("p_type"), "UTF8_LCASE") == F.lit("economy"))
+            & F.col("p_name").ilike("%Widget%")
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_brand")
+    )

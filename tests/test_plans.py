@@ -172,3 +172,29 @@ def test_multimodal_frame_sample_no_fanout_shuffle(spark):
         if ln.strip().startswith("(") and ln.strip().endswith(" Exchange")
     ]
     assert len(exchange_nodes) <= 1, exchange_nodes
+
+
+def test_q7_q8_fact_never_shuffles_by_custkey(spark):
+    """The filtered customer slice broadcasts into the fact pipeline —
+    a regression here re-shuffles every surviving fact row by custkey
+    (the widest possible exchange in both queries)."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        for ln in plan.splitlines():
+            # Only planner-inserted join/agg shuffles count; the
+            # load-time keyed fan_out (REPARTITION_BY_NUM) is input
+            # layout, not query cost.
+            if "hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln:
+                assert "o_custkey" not in ln and "c_custkey" not in ln, (
+                    name,
+                    ln,
+                )
+
+
+def test_q9_all_dims_broadcast(spark):
+    """part/supplier/nation all broadcast; only the co-partitioned
+    order-key join and the final aggregation move fact rows."""
+    plan = plan_of(spark, "q9_product_type_profit")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
