@@ -334,3 +334,35 @@ def dedup_cluster_survivors(spark: SparkSession, sf: str):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=None,  # sketch estimates are engine-specific by design
+    tags=("agg", "approx", "sketch"),
+    doc="DataSketches HLL with MERGE: per-returnflag distinct-orderkey "
+    "sketches built in one pass, then unioned into a corpus-wide "
+    "estimate — the distributed pre-aggregation pattern (persist "
+    "per-partition/per-day sketches, merge at query time without "
+    "touching raw data; a re-aggregatable cube cell). Rows-only for "
+    "the cross-engine gate; tests/test_approx_tolerance.py bounds the "
+    "estimates against exact DuckDB counts.",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    l = table(spark, sf, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("est_distinct_orders"),
+    )
+    total = per_flag.agg(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "est_distinct_orders"
+        ),
+    )
+    return per.unionByName(total).orderBy("l_returnflag")

@@ -77,3 +77,33 @@ def test_approx_percentile_within_gk_rank_bound(spark):
                 [flag, lo_rank, hi_rank],
             ).fetchone()
             assert lo <= got <= hi, (flag, pct, got, lo, hi)
+
+
+def test_hll_sketch_union_within_bound(spark):
+    """Per-flag and merged HLL-sketch estimates within 5x the default
+    lgConfigK=12 relative error (~1.6%) of exact distinct counts —
+    and the merged estimate must act like a union, not a sum."""
+    rows = {
+        r.l_returnflag: r.est_distinct_orders
+        for r in registry()["agg_hll_sketch_union"]
+        .fn(spark, SF_DIR_ORACLE)
+        .collect()
+    }
+    con = _duck()
+    exact = dict(
+        con.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey)"
+            " FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    (exact_all,) = con.execute(
+        "SELECT COUNT(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    exact["ALL"] = exact_all
+    rel = 5 * 0.016
+    for flag, est in rows.items():
+        assert abs(est - exact[flag]) <= rel * exact[flag], (flag, est)
+    # Union semantics: orders appear under several flags, so the merged
+    # estimate must be far below the sum of the per-flag estimates.
+    per_sum = sum(v for k, v in rows.items() if k != "ALL")
+    assert rows["ALL"] < 0.7 * per_sum
