@@ -198,3 +198,16 @@ def test_q9_all_dims_broadcast(spark):
     plan = plan_of(spark, "q9_product_type_profit")
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_copartitioned_queries_add_no_planner_exchanges(spark):
+    """The co-location contract: with lineitem/orders hash-partitioned
+    on the order key at load (same count as the session's shuffle
+    partitions — catalog.suggested_shuffle_partitions), q3's per-order
+    aggregation, its order-key join, and q18's HAVING-aggregate join
+    all reuse the scan partitioning. ZERO ENSURE_REQUIREMENTS
+    exchanges: every byte moved is the one-time keyed load."""
+    for name in ("q3_shipping_priority", "q18_large_orders"):
+        plan = plan_of(spark, name)
+        ensure = [ln for ln in plan.splitlines() if "ENSURE_REQUIREMENTS" in ln]
+        assert not ensure, (name, ensure)
