@@ -953,3 +953,52 @@ def collation_funcs(spark: SparkSession, sf: str):
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.w) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "temporal", "cohort"),
+    doc="Cohort retention: users bucketed by first-activity week, "
+    "counted per week offset — the standard retention triangle "
+    "(weekly buckets: the synthetic events span one month). Two "
+    "aggregations keyed on user_id (first-seen, distinct active "
+    "weeks) joined user-to-user, then a tiny (cohort, offset) "
+    "rollup: after the first user_id shuffle both aggregations and "
+    "the join are co-partitioned, and the rollup output is bounded "
+    "by weeks², not users.",
+)
+def events_retention_cohorts(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
