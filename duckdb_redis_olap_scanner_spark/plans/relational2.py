@@ -1002,3 +1002,49 @@ def events_retention_cohorts(spark: SparkSession, sf: str):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "agg_percentile_standard",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(PERCENTILE_DISC(0.25) WITHIN GROUP
+                (ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS p25_cents,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP
+                (ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) AS median_cents,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP
+                (ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS p90_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+    doc="SQL-standard ordered-set aggregates: PERCENTILE_DISC (an "
+    "actual element, no interpolation) and PERCENTILE_CONT at the "
+    "median. Inputs are integer cents and the CONT point is dyadic "
+    "(0.5), so the interpolated value is exact in double on both "
+    "engines regardless of the interpolation formula's association.",
+)
+def agg_percentile_standard(spark: SparkSession, sf: str):
+    l = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p25_cents"),
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("double")
+            .alias("median_cents"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
