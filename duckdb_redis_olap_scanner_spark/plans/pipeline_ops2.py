@@ -366,3 +366,93 @@ def agg_hll_sketch_union(spark: SparkSession, sf: str):
         ),
     )
     return per.unionByName(total).orderBy("l_returnflag")
+
+
+def _sql_embedding_curation() -> str:
+    from ..operators import similarity as S
+    from ..operators import text as T
+    from . import pipeline_ops as P
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for j, w in enumerate(planes):
+            wl = "[" + ", ".join(str(x) for x in w) + "]"
+            dot = (
+                f"list_sum(list_transform(range(0, 64), "
+                f"i -> v[i+1] * ({wl})[i+1]))"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id, {P._SQL_TOKS} AS toks FROM documents
+    ),
+    kept AS (
+      SELECT doc_id FROM q
+      WHERE len(toks) >= 20 AND len(toks) <= 2000
+        AND CAST(len(list_filter(toks, x -> x IN {T.STOPWORDS!r})) AS DOUBLE)
+            / len(toks) >= 0.05
+    ),
+    emb AS (SELECT vec_id, {P._SQL_QUANT_EMB} AS v FROM embeddings),
+    bucketed AS (
+      SELECT k.doc_id,
+             CAST({bucket_expr(S.hyperplane_weights())} AS INT) AS bucket
+      FROM kept k JOIN emb e ON e.vec_id = k.doc_id
+    )
+    SELECT bucket, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_candidates
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register(
+    "pipeline_embedding_curation",
+    oracle=_sql_embedding_curation(),
+    tags=("pipeline", "dedup", "similarity"),
+    doc="Cross-modal curation: text quality gate (token length + "
+    "stopword ratio) → join each surviving doc to its embedding → "
+    "hyperplane-LSH bucket per vector → one representative (min doc "
+    "id) per bucket. The shape of an embedding-level near-dup prune "
+    "over a quality-filtered corpus: the gate runs scan-side, the "
+    "doc↔embedding join is keyed on the shared id, and the bucket "
+    "rollup output is bounded by 2^n_planes, not corpus size.",
+)
+def pipeline_embedding_curation(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as S
+    from ..operators import text as T
+
+    docs = table(spark, sf, "documents")
+    toks = T.tokens_col()
+    kept = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("token_cnt"),
+            (
+                F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS))).cast(
+                    "double"
+                )
+                / F.size(toks)
+            ).alias("stop_ratio"),
+        )
+        .filter(
+            (F.col("token_cnt") >= 20)
+            & (F.col("token_cnt") <= 2000)
+            & (F.col("stop_ratio") >= 0.05)
+        )
+        .select("doc_id")
+    )
+    emb = table(spark, sf, "embeddings")
+    bucketed = kept.join(emb, kept.doc_id == emb.vec_id).select(
+        "doc_id",
+        S.bucket_of(S.quantized(), S.hyperplane_weights()).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .orderBy("bucket")
+    )
