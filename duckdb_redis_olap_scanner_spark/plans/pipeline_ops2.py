@@ -456,3 +456,53 @@ def pipeline_embedding_curation(spark: SparkSession, sf: str):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "pipeline_train_val_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE
+                 WHEN CAST(md5_number_lower(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     % 1000000007 AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(md5_number_lower(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     % 1000000007 AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    tags=("pipeline", "text"),
+    doc="Deterministic train/val/test split (80/10/10) keyed on the "
+    "CONTENT hash, not the row id: the same document lands in the "
+    "same split in every run, on every engine, and across re-ingests "
+    "that renumber ids — the reproducibility property a training-data "
+    "pipeline needs to prevent test-set leakage through re-shuffled "
+    "corpora. Pure narrow map + tiny rollup, scan-speed at any scale; "
+    "bit-identical to the DuckDB oracle via the shared md5 hash.",
+)
+def pipeline_train_val_split(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators import text as T
+
+    docs = table(spark, sf, "documents")
+    bucket = T.md5_hash64(T.canonical_text()) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
