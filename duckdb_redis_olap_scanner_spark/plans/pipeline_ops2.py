@@ -329,8 +329,12 @@ def dedup_cluster_survivors(spark: SparkSession, sf: str):
     losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
         "doc_id"
     )
+    # No broadcast hint: the loser set scales with the corpus's
+    # duplicate fraction — tiny here, but potentially huge at 100 TB.
+    # AQE broadcast-converts when the runtime size permits and keeps a
+    # shuffled anti join when it doesn't.
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(losers, "doc_id", "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
     )
