@@ -88,16 +88,36 @@ def redis_get_over_scan(spark: SparkSession, sf: str):
 
 @register(
     "redis_hash_maptype",
-    oracle=None,  # MapType output — not hash-comparable via ANSI SQL
+    oracle="""
+    SELECT * FROM (VALUES
+        ('user:1001', 'ada',   'age=36,name=ada'),
+        ('user:1002', 'grace', 'city=nyc,name=grace')
+    ) t(key, name_field, fields)
+    """,
     tags=("redis",),
     doc="redis_hash('user:*') → (key, map<string,string>) — the documented "
-    "redis_hgetall STRUCT surface (reference README.md:36-38) as MapType.",
+    "redis_hgetall STRUCT surface (reference README.md:36-38) as MapType. "
+    "The MapType column itself is exercised by the name-field lookup and "
+    "the sorted-entries projection; the entry's OUTPUT flattens the map to "
+    "a deterministic 'k=v,...' string (sorted by key) because map cells "
+    "are not hash-comparable by the driver's canonicalizer.",
 )
 def redis_hash_maptype(spark: SparkSession, sf: str):
+    fields = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("value"))),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+        ",",
+    )
     return (
         _engine(spark)
         .redis_hash("user:*")
-        .select("key", F.col("value")["name"].alias("name_field"), "value")
+        .select(
+            "key",
+            F.col("value")["name"].alias("name_field"),
+            fields.alias("fields"),
+        )
     )
 
 
