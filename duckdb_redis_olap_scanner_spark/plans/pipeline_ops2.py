@@ -450,7 +450,7 @@ def pipeline_embedding_curation(spark: SparkSession, sf: str):
     emb = table(spark, sf, "embeddings")
     bucketed = kept.join(emb, kept.doc_id == emb.vec_id).select(
         "doc_id",
-        S.bucket_of(S.quantized(), S.hyperplane_weights()).alias("bucket"),
+        S.qbucket_of(F.col("embedding"), S.hyperplane_weights()).alias("bucket"),
     )
     return (
         bucketed.groupBy("bucket")
