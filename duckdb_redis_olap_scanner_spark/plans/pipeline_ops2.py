@@ -448,9 +448,13 @@ def pipeline_embedding_curation(spark: SparkSession, sf: str):
         .select("doc_id")
     )
     emb = table(spark, sf, "embeddings")
-    bucketed = kept.join(emb, kept.doc_id == emb.vec_id).select(
-        "doc_id",
-        S.qbucket_of(F.col("embedding"), S.hyperplane_weights()).alias("bucket"),
+    bucketed = (
+        kept.join(emb, kept.doc_id == emb.vec_id)
+        .select("doc_id", S.qarray(F.col("embedding")).alias("qv"))
+        .select(
+            "doc_id",
+            S.pbucket_of(F.col("qv"), S.hyperplane_weights()).alias("bucket"),
+        )
     )
     return (
         bucketed.groupBy("bucket")
