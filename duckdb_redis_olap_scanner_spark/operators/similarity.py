@@ -86,6 +86,31 @@ def _sqnorm(a: Column) -> Column:
 
 EMB_DIM = 64  # embeddings table dimension (TESTDATA.md; asserted in tests)
 
+# MODULE INVARIANT — pre-quantized inputs only.  :func:`pdot`,
+# :func:`psqnorm`, :func:`pbucket_of` and :func:`pcosine_with_norms`
+# consume the ``array<long>`` output of :func:`qarray` and perform NO
+# quantization of their own.  Feeding them a raw ``array<float>`` of the
+# right dimension silently computes float math and produces scores that
+# cannot hash-match the oracle.  Column expressions can't see their
+# input's resolved type, so call :func:`assert_quantized` on the
+# DataFrame wherever a quantized column crosses a function boundary.
+
+
+def assert_quantized(df: DataFrame, colname: str) -> None:
+    """Raise ``TypeError`` unless ``df[colname]`` is ``array<long>`` —
+    the :func:`qarray` output type the per-pair operators require."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    dt = df.schema[colname].dataType
+    if not (
+        isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType)
+    ):
+        raise TypeError(
+            f"column {colname!r} must be pre-quantized array<long> "
+            f"(qarray output), got {dt.simpleString()}; per-pair vector "
+            "ops do not quantize"
+        )
+
 
 def _qterm(c: Column, i: int) -> Column:
     """Element i of the milli-unit quantization of a raw float vector —
@@ -269,6 +294,14 @@ def arrow_cosine_topk(
 
 ARROW_SCORER_MIN_ROWS = 100_000
 
+# Hard bound on the query rows the Arrow scorer may materialize on the
+# driver.  The query set is collected and closed over (exactly like the
+# key argument of MLlib's approxNearestNeighbors), so its size is a
+# DRIVER-memory contract, not an executor one: 10k × 64 float64 ≈ 5 MiB,
+# comfortably bounded, while an unbounded query_max_id at 100 TB scale
+# would OOM the driver silently.  Exceeding it raises instead.
+MAX_DRIVER_QUERY_ROWS = 10_000
+
 
 def brute_force_topk(
     embeddings: DataFrame,
@@ -313,8 +346,22 @@ def brute_force_topk(
     fan-out exchange would buy nothing but a shuffle of the whole
     corpus.
     """
+    if query_max_id > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query_max_id={query_max_id} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}: the query set is materialized on "
+            "the driver (vec_id is unique, so the filter yields at most "
+            "query_max_id rows); for larger query sets use the "
+            "all-pairs/LSH operators, which never collect"
+        )
     if use_arrow is None:
-        use_arrow = embeddings.count() >= ARROW_SCORER_MIN_ROWS
+        # Bounded probe, not a full count: CollectLimit short-circuits
+        # once ARROW_SCORER_MIN_ROWS rows are seen, so the decision
+        # costs O(threshold) rows scanned even on a 1B-row corpus.
+        use_arrow = (
+            embeddings.limit(ARROW_SCORER_MIN_ROWS).count()
+            >= ARROW_SCORER_MIN_ROWS
+        )
     if not use_arrow:
         emb = fan_out(embeddings, key="vec_id")
         # Quantize once per row (codegen'd); the norm is computed from
@@ -323,6 +370,7 @@ def brute_force_topk(
         base = emb.select(
             "vec_id", qarray(F.col("embedding")).alias("v")
         ).select("vec_id", "v", psqnorm(F.col("v")).alias("n2"))
+        assert_quantized(base, "v")
         q = base.filter(F.col("vec_id") < query_max_id).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -491,6 +539,7 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         "vec_id", qarray(F.col("embedding")).alias("v")
     ).select("vec_id", "v", psqnorm(F.col("v")).alias("n2"))
+    assert_quantized(base, "v")
     if max_id is not None:
         base = base.filter(F.col("vec_id") < max_id)
     a = base.select(
@@ -523,6 +572,7 @@ def ivf_ranked(
     base = embeddings.select(
         "vec_id", "embedding", qarray(F.col("embedding")).alias("qv")
     )
+    assert_quantized(base, "qv")
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cq")
     )
@@ -611,6 +661,7 @@ def embedding_near_dup_lsh(
     base = embeddings.select(
         "vec_id", qarray(F.col("embedding")).alias("v")
     )
+    assert_quantized(base, "v")
     # (vec_id, table, bucket): one explode-free pass per table, unioned.
     bucket_cols = [
         pbucket_of(F.col("v"), table_planes(t, n_planes)).alias(f"b{t}")

@@ -244,11 +244,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (declarative scan → Catalyst
     gets column pruning + predicate pushdown into the file scan).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as raw nanos (legacy conf)
-    and integer-divide to microseconds — the same truncation DuckDB applies
-    when it surfaces the column as TIMESTAMP (µs), so both engines see
-    identical values.
+    The ``events`` table has shipped with two physical types for ``ts``
+    across sandbox generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader surfaces as raw ``bigint`` nanos under the legacy
+    conf) and native TIMESTAMP(MICROS) (which Spark 4 infers as
+    TIMESTAMP_NTZ when isAdjustedToUTC=false).  Branch on the dtype
+    actually loaded: ``bigint`` → integer-divide nanos to microseconds
+    (the same truncation DuckDB applies); ``timestamp_ntz`` → cast to
+    TIMESTAMP, value-preserving under the engine's fixed UTC session
+    timezone and required because downstream consumers (``unix_micros``,
+    streaming watermarks) reject NTZ; ``timestamp`` → use as-is.  Every
+    branch lands on the same TIMESTAMP µs values DuckDB surfaces.
     """
     key = (_session_key(spark), os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
@@ -259,7 +265,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     part_key = _TABLE_KEYS.get(name)

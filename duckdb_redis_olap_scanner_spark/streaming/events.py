@@ -43,25 +43,35 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (parquet TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_is_nanos: bool) -> StructType:
+    """File-source schema for events.parquet. The ``ts`` field depends on
+    the file's physical type (see ``plans.catalog.table``): TIMESTAMP(NANOS)
+    must be read as raw ``bigint`` nanos (Spark's reader rejects nanos as a
+    timestamp), TIMESTAMP(MICROS) directly as TIMESTAMP."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet. The file source needs an
-    explicit schema; ``ts`` arrives as raw nanos (Spark rejects
-    TIMESTAMP(NANOS) parquet) and is integer-divided to a µs timestamp —
-    the same truncation DuckDB applies (see ``plans.catalog.table``)."""
+    explicit schema, and the sandbox has shipped ``ts`` as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations — probe
+    the parquet footer (one metadata read, no data scan) and branch:
+    nanos arrive as raw ``bigint`` and are integer-divided to a µs
+    timestamp (the same truncation DuckDB applies, see
+    ``plans.catalog.table``); micros are read as TIMESTAMP as-is."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a DIRECTORY; the testdata tables are
     # single files (and read-only), so stage a symlink in a temp dir.
@@ -75,8 +85,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")
+    ).field("ts").type
+    ts_is_nanos = str(ts_type) == "timestamp[ns]"
+    raw = spark.readStream.schema(_events_raw_schema(ts_is_nanos)).parquet(stage)
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 # ---------------------------------------------------------------------------

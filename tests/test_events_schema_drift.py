@@ -1,0 +1,72 @@
+"""Schema-drift canary for the events table's ts column.
+
+The sandbox's ``events.parquet`` has shipped ``ts`` as BOTH parquet
+TIMESTAMP(NANOS) (surfaced as raw bigint nanos under
+``spark.sql.legacy.parquet.nanosAsLong``) and native TIMESTAMP(MICROS)
+across generations.  Round 4 broke every events consumer because
+``table()`` assumed nanos unconditionally.  This test writes a tiny
+events file in each physical encoding and asserts ``table()`` yields
+``ts: timestamp`` with identical values for both — so an environment
+flip is caught by CI, not by the driver.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+_TS_US = [1_700_000_000_000_000, 1_700_000_123_456_789]  # microseconds
+
+
+def _write_events(tmpdir: str, ts_array: pa.Array) -> str:
+    sf_dir = tmpdir
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"a":1}', '{"b":2}']),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "micros"])
+def test_events_ts_schema_adaptive(spark, tmp_path, encoding):
+    if encoding == "nanos":
+        ts = pa.array([v * 1000 for v in _TS_US], pa.timestamp("ns"))
+    else:
+        ts = pa.array(_TS_US, pa.timestamp("us"))
+    sf_dir = _write_events(str(tmp_path), ts)
+
+    df = table(spark, sf_dir, "events")
+    dtype = dict(df.dtypes)["ts"]
+    # Must be TIMESTAMP exactly — TIMESTAMP_NTZ (what Spark 4 infers for
+    # isAdjustedToUTC=false parquet) breaks unix_micros/watermark
+    # consumers, so the loader has to normalize it away.
+    assert dtype == "timestamp", dtype
+
+    got = sorted(
+        r["ts"] for r in df.select("ts").collect()
+    )
+    want = sorted(
+        datetime.datetime.fromtimestamp(v / 1e6, tz=datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+        for v in _TS_US
+    )
+    # Compare as epoch-µs to dodge tz-naive/aware representation drift.
+    def us(dt: datetime.datetime) -> int:
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    assert [us(g) for g in got] == [us(w) for w in want]

@@ -1,0 +1,66 @@
+"""Contract guards on the similarity operators.
+
+1. The per-pair vector ops (pdot/psqnorm/pcosine_with_norms) consume
+   PRE-QUANTIZED array<long> (qarray output) and never quantize —
+   feeding a raw array<float> of the right dimension would silently
+   compute float math and produce oracle-mismatching scores.
+   ``assert_quantized`` turns that silent wrongness into a TypeError,
+   and the dtype itself is the tripwire (long vs double result).
+2. The Arrow scorer materializes the query set on the driver;
+   ``MAX_DRIVER_QUERY_ROWS`` bounds that collect so the 100 TB misuse
+   path raises instead of OOMing the driver.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+
+def _float_emb(spark, n=3):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("float") / 10.0 for i in range(S.EMB_DIM)]).alias(
+            "embedding"
+        ),
+    )
+
+
+def test_assert_quantized_accepts_qarray_output(spark):
+    df = _float_emb(spark).select(
+        "vec_id", S.qarray(F.col("embedding")).alias("v")
+    )
+    S.assert_quantized(df, "v")  # must not raise
+
+
+def test_assert_quantized_rejects_raw_floats(spark):
+    df = _float_emb(spark)
+    with pytest.raises(TypeError, match="array<long>"):
+        S.assert_quantized(df, "embedding")
+
+
+def test_pdot_on_raw_floats_fails_loudly(spark):
+    """Feeding pdot a raw float/double array must NOT silently produce
+    unquantized scores: the HOF fallback branch demands a bigint
+    accumulator, so analysis rejects non-long element types outright,
+    while the quantized path stays bigint."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    df = _float_emb(spark)
+    quant = df.select(S.qarray(F.col("embedding")).alias("v")).select(
+        S.pdot(F.col("v"), F.col("v")).alias("d")
+    )
+    assert dict(quant.dtypes)["d"] == "bigint"
+    with pytest.raises(AnalysisException):
+        df.select(
+            S.pdot(F.col("embedding"), F.col("embedding")).alias("d")
+        ).schema
+
+
+def test_arrow_query_collect_guard(spark):
+    df = _float_emb(spark, n=4)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        S.brute_force_topk(
+            df, query_max_id=S.MAX_DRIVER_QUERY_ROWS + 1, k=2
+        )
