@@ -342,32 +342,65 @@ def dedup_cluster_survivors(spark: SparkSession, sf: str):
 
 @register(
     "agg_hll_sketch_union",
-    oracle=None,  # sketch estimates are engine-specific by design
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_distinct_orders,
+           TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_distinct_orders,
+           TRUE AS est_ok
+    FROM lineitem
+    ORDER BY l_returnflag
+    """,
     tags=("agg", "approx", "sketch"),
     doc="DataSketches HLL with MERGE: per-returnflag distinct-orderkey "
     "sketches built in one pass, then unioned into a corpus-wide "
     "estimate — the distributed pre-aggregation pattern (persist "
     "per-partition/per-day sketches, merge at query time without "
-    "touching raw data; a re-aggregatable cube cell). Rows-only for "
-    "the cross-engine gate; tests/test_approx_tolerance.py bounds the "
-    "estimates against exact DuckDB counts.",
+    "touching raw data; a re-aggregatable cube cell). Driver-verifiable "
+    "since r5: each row carries the EXACT distinct count plus a boolean "
+    "pinning the sketch estimate within ±5% of it (lgK=12 → rsd≈1.6%, "
+    "and the sketch is deterministic per dataset), so the cross-engine "
+    "hash gate fails if either the exact path or the sketch drifts. "
+    "Note the ALL row needs its own exact COUNT(DISTINCT): orderkeys "
+    "span returnflags, so per-flag exacts don't sum — exactly why the "
+    "sketch-union pattern exists.",
 )
 def agg_hll_sketch_union(spark: SparkSession, sf: str):
     from pyspark.sql import functions as F
 
+    tol = 0.05
     l = table(spark, sf, "lineitem")
     per_flag = l.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_orderkey").alias("sk")
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
     )
     per = per_flag.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sk").alias("est_distinct_orders"),
+        "exact_distinct_orders",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk")
+                - F.col("exact_distinct_orders")
+            )
+            <= F.lit(tol) * F.col("exact_distinct_orders")
+        ).alias("est_ok"),
     )
-    total = per_flag.agg(
+    union_est = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    total_exact = l.agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders")
+    )
+    total = union_est.crossJoin(total_exact).select(
         F.lit("ALL").alias("l_returnflag"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-            "est_distinct_orders"
-        ),
+        "exact_distinct_orders",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_orders"))
+            <= F.lit(tol) * F.col("exact_distinct_orders")
+        ).alias("est_ok"),
     )
     return per.unionByName(total).orderBy("l_returnflag")
 

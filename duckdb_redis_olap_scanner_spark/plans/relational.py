@@ -615,34 +615,87 @@ def agg_stats(spark: SparkSession, sf: str):
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate sketches differ across engines by design
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_est_ok,
+           TRUE AS orders_est_ok
+    FROM lineitem
+    """,
     tags=("agg", "approx"),
-    doc="approx_count_distinct (HLL++) — rows-only check; sketch estimates "
-    "are engine-specific.",
+    doc="approx_count_distinct (HLL++) made driver-verifiable: sketch "
+    "estimates are engine-specific, so the cross-engine contract is the "
+    "EXACT count plus a boolean pinning the estimate within ±15% of it "
+    "(default rsd=0.05; the sketch is deterministic for a fixed dataset, "
+    "so the boolean is stable). The oracle's TRUE literals make a drifted "
+    "estimate a hash MISMATCH, not an invisible rows-only pass.",
 )
 def agg_approx_distinct(spark: SparkSession, sf: str):
-    return table(spark, sf, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    est = table(spark, sf, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+    )
+    tol = 0.15
+    return est.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            <= F.lit(tol) * F.col("exact_parts")
+        ).alias("parts_est_ok"),
+        (
+            F.abs(F.col("ao") - F.col("exact_orders"))
+            <= F.lit(tol) * F.col("exact_orders")
+        ).alias("orders_est_ok"),
     )
 
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # quantile sketches differ across engines by design
+    oracle=f"""
+    SELECT l_returnflag,
+           quantile_cont({sql_cents('l_extendedprice')}, 0.5) AS exact_p50_cents,
+           quantile_cont({sql_cents('l_extendedprice')}, 0.95) AS exact_p95_cents,
+           TRUE AS p50_est_ok,
+           TRUE AS p95_est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
-    doc="percentile_approx (GK sketch) per returnflag — rows-only check; "
-    "the exact-percentile twin (agg_median_cents) is the oracle-checked "
-    "counterpart.",
+    doc="percentile_approx (GK sketch) per returnflag, made "
+    "driver-verifiable: quantile sketches differ across engines, so the "
+    "cross-engine contract is the EXACT continuous percentile over "
+    "integer cents (bitwise-equal across engines, as in "
+    "agg_median_cents) plus a boolean pinning the approx estimate "
+    "within ±5% of it. A drifted sketch flips the boolean → hash "
+    "mismatch in the driver gate.",
 )
 def agg_approx_percentile(spark: SparkSession, sf: str):
-    return (
+    cents = _cents("l_extendedprice")
+    est = (
         table(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-            F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+            F.percentile(cents, F.lit(0.5)).alias("exact_p50_cents"),
+            F.percentile(cents, F.lit(0.95)).alias("exact_p95_cents"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("ap50"),
+            F.percentile_approx("l_extendedprice", 0.95).alias("ap95"),
         )
+    )
+    tol = 0.05
+    return est.select(
+        "l_returnflag",
+        "exact_p50_cents",
+        "exact_p95_cents",
+        (
+            F.abs(F.col("ap50") * 100 - F.col("exact_p50_cents"))
+            <= F.lit(tol) * F.col("exact_p50_cents")
+        ).alias("p50_est_ok"),
+        (
+            F.abs(F.col("ap95") * 100 - F.col("exact_p95_cents"))
+            <= F.lit(tol) * F.col("exact_p95_cents")
+        ).alias("p95_est_ok"),
     )
 
 
