@@ -306,6 +306,7 @@ def brute_force_topk(
     query_max_id: int = 5,
     k: int = 10,
     use_arrow: bool | None = None,
+    scorer_parts: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query (vec_id < query_max_id),
     excluding self.
@@ -398,6 +399,13 @@ def brute_force_topk(
         )
 
     emb = embeddings
+    # Volume-sized task count (see catalog.scorer_width): each Arrow
+    # task costs a fixed worker round-trip, so a small corpus spread
+    # over a wide cache pays that fixed cost per partition for no
+    # throughput. coalesce is narrow (no shuffle) and a no-op once the
+    # requested width reaches the scan's own width at real scale.
+    if scorer_parts is not None and scorer_parts < emb.rdd.getNumPartitions():
+        emb = emb.coalesce(scorer_parts)
     qrows = sorted(
         embeddings.filter(F.col("vec_id") < query_max_id)
         .select("vec_id", "embedding")

@@ -240,6 +240,61 @@ def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+_SCORER_BYTES_PER_TASK = 4 << 20
+
+
+def scorer_width(sf_dir: str, name: str, cpus: int) -> int:
+    """Task count for a vectorized (Arrow) scorer over table ``name``:
+    one task per ~4 MiB of on-disk parquet, clamped to [1, cpus].
+
+    Each Arrow task pays a fixed worker round-trip (serialization +
+    Python dispatch, ~10-20 ms); spreading a small corpus over the full
+    cache width multiplies that fixed cost for no throughput (measured
+    at sf0.1, 10k vectors: 32 tasks 0.60 s → 1 task 0.27 s). Volume-
+    proportional sizing converges to the full scan width as data grows,
+    so the coalesce it feeds becomes a no-op at cluster scale."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return cpus
+    import math
+
+    return max(1, min(math.ceil(size / _SCORER_BYTES_PER_TASK), cpus))
+
+
+BROADCAST_CAP_BYTES = 64 << 20
+
+
+def maybe_broadcast(
+    df: DataFrame, sf_dir: str, name: str, cap_bytes: int = BROADCAST_CAP_BYTES
+) -> DataFrame:
+    """Cost-based broadcast hint from REAL table statistics: hint
+    broadcast iff ``name``'s on-disk parquet is under ``cap_bytes``.
+
+    Static planning can't be trusted either way here: with a hard
+    ``F.broadcast`` an SF-scaling table (customer, supplier, part)
+    becomes a driver-OOM at cluster volume, and with no hint the
+    planner's post-join size guesses shuffle the big intermediate
+    instead of broadcasting a genuinely small side (measured: q5
+    0.35→0.23 s at sf0.1). File size is ground truth: filters and
+    projections at the call site only shrink the true build side
+    below it, and compressed parquet understates memory by a bounded
+    2-4× that ``cap_bytes`` already budgets for. The SAME call site
+    broadcasts at test scale and falls back to the co-partitioned
+    shuffled join at 100 TB, with no code change — the table() scans
+    are hash-partitioned on their join keys exactly for that fallback.
+    """
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    if size < cap_bytes:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
+
+
 def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:
     """Cost-based AQE switch: adaptive execution materializes every
     shuffle stage and round-trips the driver (~20-50 ms each) before

@@ -349,7 +349,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str):
     "exact baseline).",
 )
 def ann_cosine_topk(spark: SparkSession, sf: str):
-    return S.brute_force_topk(table(spark, sf, "embeddings"), query_max_id=5, k=10)
+    from .catalog import scorer_width
+
+    return S.brute_force_topk(
+        table(spark, sf, "embeddings"),
+        query_max_id=5,
+        k=10,
+        scorer_parts=scorer_width(
+            sf, "embeddings", spark.sparkContext.defaultParallelism
+        ),
+    )
 
 
 def _sql_lsh_topk() -> str:

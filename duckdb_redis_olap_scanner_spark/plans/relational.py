@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import register, table
+from .catalog import maybe_broadcast, register, table
 
 # ---------------------------------------------------------------------------
 # helpers — deterministic money math (see module docstring)
@@ -168,11 +168,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # l⋈o merge: both hash-partitioned on the order key at the scan →
+    # exchange-free (the unhinted plan broadcast-builds the filtered
+    # orders fact on the driver). customer/supplier scale with SF, so
+    # they take the cost-based maybe_broadcast, not a hard hint.
+    # Measured 0.35→0.23 s at sf0.1.
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(s, sf, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(
-            c,
+            maybe_broadcast(c, sf, "customer"),
             (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -249,9 +254,15 @@ def q10_returned_items(spark: SparkSession, sf: str):
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents(disc)).alias("order_rev_cents")
     )
+    # per_order⋈o merge: the agg output keeps lineitem's orderkey hash
+    # partitioning and orders is scan-partitioned on the same key →
+    # exchange-free; customer is SF-scaling, so cost-based broadcast.
     return (
-        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        per_order.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            maybe_broadcast(c, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum("order_rev_cents").alias("revenue_cents"))
@@ -1891,7 +1902,14 @@ def q4_order_priority(spark: SparkSession, sf: str):
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # Merge hint: both sides are hash-partitioned on the order key at
+    # the scan, so the semi join is exchange-free — without it the
+    # planner broadcasts the 2-column lineitem projection (a fact-table
+    # broadcast: driver-side hash build at test scale, impossible at
+    # 100 TB). Measured 0.42→0.15 s at sf0.1.
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate").hint(
+        "merge"
+    )
     return (
         o.join(
             l,
@@ -1934,8 +1952,11 @@ def q12_shipmode(spark: SparkSession, sf: str):
     )
     o = table(spark, sf, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # Merge: both sides scan-partitioned on the order key → the join
+    # runs exchange-free instead of broadcast-building the filtered
+    # lineitem fact on the driver.
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import register, table
+from .catalog import maybe_broadcast, register, table
 from .relational import _cents, sql_cents, sql_sum_cents
 
 
@@ -151,10 +151,17 @@ def q7_volume_shipping(spark: SparkSession, sf: str):
         "c_custkey", "cust_nation"
     )
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # sup/cust are SF-scaling (8% of supplier/customer survives the
+    # nation filter) → cost-based broadcast keyed on the base table's
+    # real size; l⋈o merge runs exchange-free on the shared orderkey
+    # scan partitioning.
     return (
-        l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        l.join(maybe_broadcast(sup, sf, "supplier"), l.l_suppkey == sup.s_suppkey)
+        .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .join(
+            maybe_broadcast(cust, sf, "customer"),
+            o.o_custkey == cust.c_custkey,
+        )
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select(
             "supp_nation",
@@ -287,13 +294,16 @@ def q9_product_type_profit(spark: SparkSession, sf: str):
     amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    # part/supplier scale with SF → cost-based broadcast from real file
+    # sizes; l⋈o merge is exchange-free on the shared orderkey scan
+    # partitioning.
     return (
         l.join(
-            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            maybe_broadcast(p.select("p_partkey", "p_retailprice"), sf, "part"),
             l.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(sn, sf, "supplier"), l.l_suppkey == sn.s_suppkey)
+        .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
         .select(
             "nation",
             F.year("o_orderdate").alias("o_year"),
