@@ -72,6 +72,13 @@ def get_spark(
         # Enables pushFilters on Python DataSources (LIKE→glob pushdown
         # into the Redis SCAN; off by default in Spark 4.1).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # The generated-class cache defaults to 100 entries; a workload
+        # that cycles through a full query catalog (19+ plans × several
+        # codegen stages each) overflows it and recompiles ~1 s of Java
+        # per evicted stage on every revisit. Sized for the catalog; the
+        # cache is per-JVM, so on a cluster this applies to each
+        # executor once, not per task.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -295,6 +295,22 @@ def maybe_broadcast(
     return df
 
 
+def gather_sort(df: DataFrame, *cols) -> DataFrame:
+    """Totally-ordered final sort for a DIM-BOUNDED result (an
+    aggregation output whose row count is bounded by key cardinality,
+    not data volume): coalesce to one partition and sort locally.
+
+    ``orderBy`` plans a range-partitioning Exchange whose bounds come
+    from a SEPARATE sampling job — two driver round-trips to sort a few
+    hundred rows (~60-100 ms per query at test scale, and at cluster
+    scale still a full extra stage). A single-partition local sort is
+    the gather-merge every engine uses for small ordered results; the
+    coalesce is narrow (no shuffle). Only apply when the input is
+    provably small — for volume-sized outputs keep ``orderBy`` so the
+    sort distributes."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:
     """Cost-based AQE switch: adaptive execution materializes every
     shuffle stage and round-trips the driver (~20-50 ms each) before

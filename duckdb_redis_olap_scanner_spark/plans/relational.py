@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import maybe_broadcast, register, table
+from .catalog import gather_sort, maybe_broadcast, register, table
 
 # ---------------------------------------------------------------------------
 # helpers — deterministic money math (see module docstring)
@@ -2078,10 +2078,21 @@ def q13_customer_distribution(spark: SparkSession, sf: str):
     # hint: the aggregated side is dim-sized, so AQE broadcast-converts
     # when that wins and keeps the co-partitioned join when it doesn't.
     per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
-    return (
-        c.join(per_cust, c.c_custkey == F.col("o_custkey"), "left_outer")
+    # per_cust is one pre-counted row per ordering customer —
+    # dim-bounded, so cost-based broadcast (keyed on customer's real
+    # size, the bound on per_cust's cardinality) replaces the
+    # sort-merge the static planner picks with AQE off, and falls back
+    # to the co-partitioned join at cluster volume. The distribution
+    # output is bounded by the max per-customer order count →
+    # gather_sort.
+    dist = (
+        c.join(
+            maybe_broadcast(per_cust, sf, "customer"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_outer",
+        )
         .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+    return gather_sort(dist, F.desc("custdist"), F.desc("c_count"))

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import maybe_broadcast, register, table
+from .catalog import gather_sort, maybe_broadcast, register, table
 from .relational import _cents, sql_cents, sql_sum_cents
 
 
@@ -171,7 +171,8 @@ def q7_volume_shipping(spark: SparkSession, sf: str):
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("vol_cents").alias("revenue_cents"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        # nation²×year rows — dim-bounded, gather-merge sort.
+        .transform(gather_sort, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -311,7 +312,8 @@ def q9_product_type_profit(spark: SparkSession, sf: str):
         )
         .groupBy("nation", "o_year")
         .agg(F.sum("amount_cents").cast("long").alias("profit_cents"))
-        .orderBy("nation", F.desc("o_year"))
+        # nation×year rows — dim-bounded, gather-merge sort.
+        .transform(gather_sort, "nation", F.desc("o_year"))
     )
 
 
