@@ -211,3 +211,26 @@ def test_copartitioned_queries_add_no_planner_exchanges(spark):
         plan = plan_of(spark, name)
         ensure = [ln for ln in plan.splitlines() if "ENSURE_REQUIREMENTS" in ln]
         assert not ensure, (name, ensure)
+
+
+def test_cluster_survivors_anti_join_is_hint_free(spark):
+    """The dedup anti join must stay a LeftAnti hash/merge join whose
+    strategy is the PLANNER's size-based call, not a hard-coded
+    broadcast: the loser set scales with the corpus's duplicate
+    fraction, so a forced broadcast would driver-OOM at 100 TB while a
+    forced shuffle over-pays at test scale. Pin (a) the anti-join shape,
+    (b) no nested-loop/cartesian fallback, and (c) no ResolvedHint in
+    the optimized plan (nobody re-adds a hard hint upstream)."""
+    import inspect
+
+    from duckdb_redis_olap_scanner_spark.plans import pipeline_ops2
+
+    df = ENTRIES["dedup_cluster_survivors"].fn(spark, SF_DIR)
+    plan = plan_of(spark, "dedup_cluster_survivors")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    src = inspect.getsource(pipeline_ops2.dedup_cluster_survivors)
+    assert "broadcast(" not in src
