@@ -6,7 +6,10 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(
-    df: DataFrame, min_parts: int | None = None, key: str | None = None
+    df: DataFrame,
+    min_parts: int | None = None,
+    key: str | None = None,
+    sort_partitions: bool = False,
 ) -> DataFrame:
     """Ensure a per-row-heavy pipeline isn't bottlenecked by input file
     granularity.
@@ -26,11 +29,23 @@ def fan_out(
     hash partitioning is sort-free — and partitioning a table by its
     join key makes downstream equi-joins on that key shuffle-free on
     the pre-partitioned side, the same co-location bucketing buys.
+
+    ``sort_partitions`` additionally local-sorts each hash partition on
+    ``key`` — the in-memory analog of a ``bucketBy().sortBy()`` table
+    layout: downstream sort-merge joins on the key then sort
+    already-ordered runs (near-linear) instead of doing the full sort
+    per query. Only applied on the repartition path, where the one-time
+    shuffle already pays the data movement; a well-partitioned
+    cluster-scale scan is returned untouched, so this never adds
+    read-side work at volume.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         if key is not None:
-            return df.repartition(target, df[key])
+            out = df.repartition(target, df[key])
+            if sort_partitions:
+                out = out.sortWithinPartitions(key)
+            return out
         return df.repartition(target)
     return df

@@ -379,6 +379,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name in ("documents", "embeddings"):
             df = fan_out(df, key=part_key)
         else:
-            df = fan_out(df, min_parts=_keyed_parts(spark, sf_dir), key=part_key)
+            # sort_partitions: the relational tables feed sort-merge
+            # joins on part_key; a key-sorted cached partition makes
+            # each query's merge sort near-linear (bucketBy+sortBy
+            # layout, applied at the one-time keyed load).
+            df = fan_out(
+                df,
+                min_parts=_keyed_parts(spark, sf_dir),
+                key=part_key,
+                sort_partitions=True,
+            )
     _TABLE_CACHE[key] = df
     return df
