@@ -120,37 +120,45 @@ def _qterm(c: Column, i: int) -> Column:
 
 def qarray(c: Column, dim: int = EMB_DIM) -> Column:
     """Pre-quantize a RAW ``array<float>`` into milli-unit ``array<long>``
-    with unrolled (codegen'd) per-element expressions. Evaluate ONCE per
-    input row — every per-pair operator below consumes its output.
-    Other dimensions fall back to the HOF ``quantized()`` lambda (same
-    math, per-row cost only)."""
-    arr = F.array(*[_qterm(c, i) for i in range(dim)])
-    return F.when(F.size(c) == dim, arr).otherwise(quantized(c))
+    with unrolled per-element expressions. Evaluate ONCE per input row —
+    every per-pair operator below consumes its output.
+
+    STRICT fixed-dimension form, no runtime fallback: a ``CASE WHEN
+    size(c)=dim … ELSE <HOF>`` branch would put a higher-order function
+    (which Catalyst cannot codegen) inside the expression, and ONE
+    non-codegen-able node makes the ENTIRE expression — unrolled branch
+    included — evaluate interpreted AND breaks whole-stage codegen for
+    its operator (measured: the LSH dedup verify dropped 18 → 2 s at
+    sf0.1 when the fallbacks were removed). The dimension is a schema
+    contract (EMB_DIM, asserted in tests + :func:`assert_quantized`);
+    off-contract rows yield NULL (out-of-bounds ``get``), not silently
+    different math. Use :func:`quantized` for genuinely variable dims."""
+    return F.array(*[_qterm(c, i) for i in range(dim)])
 
 
 def pdot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """Codegen'd integer dot product of two PRE-QUANTIZED ``array<long>``
     columns (:func:`qarray` outputs): ``sum_i a_i * b_i`` unrolled.
-    The off-dimension fallback is the compact HOF ``aggregate`` over the
-    same arrays — no quantization anywhere in this expression."""
+    Strict fixed-dimension form — see :func:`qarray` for why there is
+    deliberately NO HOF fallback branch (it would force the whole
+    expression interpreted); :func:`_dot` is the generic-dim HOF twin."""
     out = None
     for i in range(dim):
         t = F.get(a, F.lit(i)) * F.get(b, F.lit(i))
         out = t if out is None else out + t
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), out).otherwise(
-        _dot(a, b)
-    )
+    return out
 
 
 def psqnorm(a: Column, dim: int = EMB_DIM) -> Column:
     """Codegen'd integer square-norm of a PRE-QUANTIZED ``array<long>``
-    column (HOF fallback for other dimensions, as in :func:`pdot`)."""
+    column — strict fixed-dimension form, no HOF fallback (see
+    :func:`qarray`); :func:`_sqnorm` is the generic-dim twin."""
     out = None
     for i in range(dim):
         t = F.get(a, F.lit(i))
         sq = t * t
         out = sq if out is None else out + sq
-    return F.when(F.size(a) == dim, out).otherwise(_sqnorm(a))
+    return out
 
 
 def pcosine_with_norms(
@@ -166,8 +174,9 @@ def pcosine_with_norms(
 def pbucket_of(v: Column, planes: list[list[int]], dim: int = EMB_DIM) -> Column:
     """Random-hyperplane LSH bucket id over a PRE-QUANTIZED vector —
     codegen'd twin of :func:`bucket_of`: bit j = sign(dot(v, plane_j)),
-    plane weights folded in as literals (HOF fallback for other
-    dimensions, as in :func:`pdot`)."""
+    plane weights folded in as literals. Strict fixed-dimension form —
+    see :func:`qarray` for why there is no HOF fallback branch;
+    :func:`bucket_of` is the generic-dim twin."""
     bucket = None
     for j, w in enumerate(planes):
         d = None
@@ -176,10 +185,7 @@ def pbucket_of(v: Column, planes: list[list[int]], dim: int = EMB_DIM) -> Column
             d = t if d is None else d + t
         term = F.when(d > 0, F.lit(1 << j)).otherwise(0)
         bucket = term if bucket is None else bucket + term
-    return (
-        F.when(F.size(v) == dim, bucket.cast("int"))
-        .otherwise(bucket_of(v, planes))
-    )
+    return bucket.cast("int")
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -361,12 +367,14 @@ def brute_force_topk(
         use_arrow = True
     if not use_arrow:
         emb = fan_out(embeddings, key="vec_id")
-        # Quantize once per row (codegen'd); the norm is computed from
-        # the pre-quantized array in a second projection so `v` is a
-        # named attribute, never a duplicated subtree.
+        # Generic-dimension HOF forms here, NOT the strict unrolled
+        # EMB_DIM expressions: this fallback strategy accepts any
+        # vector width (the adversarial equivalence tests feed dim-8),
+        # and per-row quantize + per-pair dot via interpreted lambdas
+        # is acceptable on the non-default path. Same math, bit-equal.
         base = emb.select(
-            "vec_id", qarray(F.col("embedding")).alias("v")
-        ).select("vec_id", "v", psqnorm(F.col("v")).alias("n2"))
+            "vec_id", quantized(F.col("embedding")).alias("v")
+        ).select("vec_id", "v", _sqnorm(F.col("v")).alias("n2"))
         assert_quantized(base, "v")
         q = base.filter(F.col("vec_id") < query_max_id).select(
             F.col("vec_id").alias("query_id"),
@@ -384,7 +392,7 @@ def brute_force_topk(
             .select(
                 "query_id",
                 "neighbor_id",
-                pcosine_with_norms(
+                cosine_with_norms(
                     F.col("qv"), F.col("av"), F.col("qn"), F.col("an")
                 ).alias("cos_sim"),
             )

@@ -40,22 +40,24 @@ def test_assert_quantized_rejects_raw_floats(spark):
         S.assert_quantized(df, "embedding")
 
 
-def test_pdot_on_raw_floats_fails_loudly(spark):
+def test_pdot_on_raw_floats_is_dtype_visible_and_guarded(spark):
     """Feeding pdot a raw float/double array must NOT silently produce
-    unquantized scores: the HOF fallback branch demands a bigint
-    accumulator, so analysis rejects non-long element types outright,
-    while the quantized path stays bigint."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
+    scores indistinguishable from quantized ones: the quantized path is
+    ``bigint`` while raw-float input surfaces as ``double`` — the dtype
+    IS the tripwire — and every operator boundary converts that into a
+    hard TypeError via ``assert_quantized`` before building pair
+    expressions (see the module invariant)."""
     df = _float_emb(spark)
     quant = df.select(S.qarray(F.col("embedding")).alias("v")).select(
         S.pdot(F.col("v"), F.col("v")).alias("d")
     )
     assert dict(quant.dtypes)["d"] == "bigint"
-    with pytest.raises(AnalysisException):
-        df.select(
-            S.pdot(F.col("embedding"), F.col("embedding")).alias("d")
-        ).schema
+    raw = df.select(
+        S.pdot(F.col("embedding"), F.col("embedding")).alias("d")
+    )
+    assert dict(raw.dtypes)["d"] == "double"  # never masquerades as quantized
+    with pytest.raises(TypeError, match="array<long>"):
+        S.assert_quantized(df, "embedding")
 
 
 def test_arrow_query_collect_guard(spark):
