@@ -234,3 +234,31 @@ def test_cluster_survivors_anti_join_is_hint_free(spark):
     assert "ResolvedHint" not in optimized
     src = inspect.getsource(pipeline_ops2.dedup_cluster_survivors)
     assert "broadcast(" not in src
+
+
+def test_session_codegen_cache_fits_catalog(spark):
+    """The generated-class cache must hold the whole catalog: at the
+    default 100 entries, cycling through the 19-query bench suite
+    (~5 codegen stages each) evicts and recompiles ~1 s of Java per
+    revisited stage — measured as a 1.3 s/pass inflation of the sf0.1
+    suite. get_spark pins it above the catalog's stage count."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 500
+
+
+def test_gather_sort_is_total_order_single_partition(spark):
+    """gather_sort must produce the same total order as orderBy while
+    planning NO range exchange (no sampling job) — one partition,
+    locally sorted."""
+    from pyspark.sql import functions as F
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import gather_sort
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    g = gather_sort(df, F.desc("k"), F.asc("v"))
+    assert g.rdd.getNumPartitions() == 1
+    expected = df.orderBy(F.desc("k"), F.asc("v")).collect()
+    assert g.collect() == expected
+    plan_g = g._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan_g.lower()
