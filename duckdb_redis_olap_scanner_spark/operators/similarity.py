@@ -483,6 +483,61 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    embeddings: DataFrame,
+    query_max_id: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All neighbors with cosine >= ``threshold`` per query (vec_id <
+    ``query_max_id``), excluding self — the range complement of top-k
+    (retrieval pipelines use it for "everything at least this
+    similar", e.g. near-dup blocklists and recall-bounded candidate
+    generation).
+
+    Shape at scale: the bounded query set broadcasts, the corpus is
+    scanned ONCE with a narrow codegen'd projection (quantize + norm
+    once per row, strict fixed-dim expressions), and the only wide
+    output is the matches themselves — unlike top-k there is no rank
+    window, so the plan is join → filter, one stage over the scan.
+    Output volume is data-dependent (threshold chooses it); for
+    corpus-scale query sets use the LSH bucket join
+    (:func:`embedding_near_dup_lsh`) which never broadcasts.
+    """
+    if query_max_id > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query_max_id={query_max_id} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}: use the LSH/all-pairs operators "
+            "for corpus-scale query sets"
+        )
+    emb = fan_out(embeddings, key="vec_id")
+    base = emb.select(
+        "vec_id", qarray(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", psqnorm(F.col("v")).alias("n2"))
+    assert_quantized(base, "v")
+    q = base.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("av"),
+        F.col("n2").alias("an"),
+    )
+    return (
+        F.broadcast(q)
+        .join(a, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pcosine_with_norms(
+                F.col("qv"), F.col("av"), F.col("qn"), F.col("an")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def bucket_of(v: Column, planes: list[list[int]]) -> Column:
     """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j))."""
     bucket = None

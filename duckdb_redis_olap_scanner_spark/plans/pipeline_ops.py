@@ -361,6 +361,29 @@ def ann_cosine_topk(spark: SparkSession, sf: str):
     )
 
 
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5)
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           {_sql_cosine(_sql_dot('q.qv', 'a.v'), _sql_sqnorm('q.qv'), _sql_sqnorm('a.v'))}
+               AS cos_sim
+    FROM q JOIN base a ON a.vec_id <> q.query_id
+    WHERE {_sql_cosine(_sql_dot('q.qv', 'a.v'), _sql_sqnorm('q.qv'), _sql_sqnorm('a.v'))}
+          >= 0.3
+    """,
+    tags=("similarity",),
+    doc="Range similarity search: every neighbor with cosine >= 0.3 for "
+    "5 query vectors — the threshold complement of top-k (no rank "
+    "window: broadcast queries, one narrow pass over the corpus).",
+)
+def ann_range_search(spark: SparkSession, sf: str):
+    return S.range_search(
+        table(spark, sf, "embeddings"), query_max_id=5, threshold=0.3
+    )
+
+
 def _sql_lsh_topk() -> str:
     planes = S.hyperplane_weights()
     bucket_terms = []
