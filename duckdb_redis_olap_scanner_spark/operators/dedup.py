@@ -361,3 +361,45 @@ def cluster_pairs(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Benchmark-decontamination check: train-split documents sharing
+    any word-3-gram shingle with the held-out (val) split.
+
+    Splits are the same content-hash buckets as the train/val/test
+    operator (md5(canonical) % 100: <80 train, 80-89 val), so the
+    check is reproducible across runs/engines/id-renumbering. Returns
+    (doc_id, shared_shingles): one row per CONTAMINATED train doc with
+    the count of distinct held-out shingles it contains — the rows a
+    curation pipeline drops (or audits) before training.
+
+    Scale shape: shingles join on their 64-bit content hash, not the
+    raw string — the shuffle carries one long per shingle (the
+    standard hashed-n-gram decontamination layout). The held-out side
+    is deduplicated to distinct shingle hashes BEFORE the join, so the
+    matcher's build side is bounded by held-out vocabulary, not
+    held-out volume; no driver materialization anywhere. Hash
+    collisions (mod-1e9+7 space) can only over-flag — conservative in
+    the direction decontamination wants — and the count uses
+    COUNT(DISTINCT h) so duplicate shingle positions never inflate it.
+    """
+    from .text import canonical_text, md5_hash64
+
+    bucket = md5_hash64(canonical_text()) % 100
+    tagged = docs.withColumn("bucket", bucket)
+    train = tagged.filter(F.col("bucket") < 80)
+    val = tagged.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+    tr_h = shingles(train).select(
+        "doc_id", md5_hash64(F.col("shingle")).alias("h")
+    )
+    val_h = (
+        shingles(val)
+        .select(md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    return (
+        tr_h.join(val_h, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("h")).alias("shared_shingles"))
+    )

@@ -547,3 +547,50 @@ def pipeline_train_val_split(spark: SparkSession, sf: str):
         )
         .orderBy("split")
     )
+
+
+def _sql_decontaminate() -> str:
+    from ..operators import text as T
+    from .pipeline_ops import _SQL_CANON, _SQL_TOKS
+
+    sh = (
+        "unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 2, 0)), "
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))"
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CAST(md5_number_lower({_SQL_CANON}) % {T.HASH_P} AS BIGINT) % 100
+                 AS bucket
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, text FROM tagged WHERE bucket < 80),
+    va AS (SELECT doc_id, text FROM tagged WHERE bucket >= 80 AND bucket < 90),
+    ttoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM tr),
+    tsh AS (SELECT doc_id, {sh} AS shingle FROM ttoks),
+    vtoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM va),
+    vsh AS (SELECT doc_id, {sh} AS shingle FROM vtoks),
+    vh AS (SELECT DISTINCT {T.sql_md5_hash64('shingle')} AS h FROM vsh),
+    th AS (SELECT doc_id, {T.sql_md5_hash64('shingle')} AS h FROM tsh)
+    SELECT t.doc_id, COUNT(DISTINCT t.h) AS shared_shingles
+    FROM th t JOIN vh v ON v.h = t.h
+    GROUP BY t.doc_id
+    """
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=_sql_decontaminate(),
+    tags=("pipeline", "dedup", "text"),
+    doc="Benchmark decontamination: train-split docs sharing any "
+    "word-3-gram with the held-out (val) split, by hashed-shingle "
+    "equi-join (held-out side deduplicated to distinct shingle hashes "
+    "before the join — build side bounded by held-out vocabulary). "
+    "Same content-hash splits as pipeline_train_val_split, so the "
+    "flag set is reproducible across runs/engines/id-renumbering.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf: str):
+    from ..operators import dedup as D
+
+    return D.decontaminate(table(spark, sf, "documents"))
