@@ -222,3 +222,45 @@ def with_lang_ngram(docs: DataFrame) -> DataFrame:
         "lang",
         (guess == F.col("lang")).alias("label_match"),
     )
+
+
+# Default per-language sampling rates (percent kept) for the stratified
+# sampler: downsample the dominant language, keep the tail. Fixed and
+# shared with the SQL oracle.
+SAMPLE_RATES: dict[str, int] = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 80}
+SAMPLE_RATE_DEFAULT = 100
+SAMPLE_SALT = "sample:"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = SAMPLE_RATE_DEFAULT,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction
+    of documents, keyed on a SALTED content hash.
+
+    Language-rebalancing is a standard curation step (downsample the
+    dominant language, keep the tail). Hash-based rather than random:
+    the same document is kept in every run, on every engine, and
+    across re-ingests that renumber ids — and the salt decorrelates
+    the sampling decision from the train/val/test split buckets (same
+    hash family, different domain), so sampling does not skew splits.
+    Narrow map + filter, scan-speed at any scale; no shuffle at all.
+
+    Returns the kept rows (doc_id, lang, sample_bucket).
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = (
+        md5_hash64(F.concat(F.lit(SAMPLE_SALT), canonical_text())) % 100
+    )
+    rate = None
+    for lang, r in sorted(rates.items()):
+        cond = F.col("lang") == lang
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default_rate) if rate is not None else F.lit(default_rate)
+    return (
+        fan_out(docs, key="doc_id")
+        .select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < rate)
+    )

@@ -594,3 +594,38 @@ def pipeline_decontaminate(spark: SparkSession, sf: str):
     from ..operators import dedup as D
 
     return D.decontaminate(table(spark, sf, "documents"))
+
+
+def _sql_stratified_sample() -> str:
+    from ..operators import text as T
+    from .pipeline_ops import _SQL_CANON
+
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(T.SAMPLE_RATES.items())
+    )
+    bucket = (
+        f"CAST(md5_number_lower('{T.SAMPLE_SALT}' || {_SQL_CANON}) "
+        f"% {T.HASH_P} AS BIGINT) % 100"
+    )
+    return f"""
+    SELECT doc_id, lang, {bucket} AS sample_bucket
+    FROM documents
+    WHERE {bucket} <
+          (CASE lang {rate_cases} ELSE {T.SAMPLE_RATE_DEFAULT} END)
+    """
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=_sql_stratified_sample(),
+    tags=("pipeline", "text"),
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "(en downsampled to 40%, tail languages 80%) keyed on a SALTED "
+    "content hash — same doc kept in every run/engine/re-ingest, and "
+    "the salt decorrelates sampling from the train/val/test split "
+    "buckets. Narrow map + filter, no shuffle.",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf: str):
+    from ..operators import text as T
+
+    return T.stratified_sample(table(spark, sf, "documents"))
