@@ -481,14 +481,17 @@ def pipeline_embedding_curation(spark: SparkSession, sf: str):
         .select("doc_id")
     )
     emb = table(spark, sf, "embeddings")
-    bucketed = (
-        kept.join(emb, kept.doc_id == emb.vec_id)
-        .select("doc_id", S.qarray(F.col("embedding")).alias("qv"))
-        .select(
-            "doc_id",
-            S.pbucket_of(F.col("qv"), S.hyperplane_weights()).alias("bucket"),
-        )
-    )
+    # Bucket ids via the vectorized Arrow bucketizer (the unrolled JVM
+    # single-table projection already exceeds the JIT method limit —
+    # see similarity.arrow_lsh_buckets), joined to the quality gate on
+    # the shared id.
+    buckets = S.arrow_lsh_buckets(
+        emb.select(F.col("vec_id"), "embedding"),
+        [S.hyperplane_weights()],
+    ).withColumnRenamed("b0", "bucket")
+    bucketed = kept.join(
+        buckets, kept.doc_id == buckets.vec_id
+    ).select("doc_id", "bucket")
     return (
         bucketed.groupBy("bucket")
         .agg(
