@@ -87,7 +87,7 @@ def _sqnorm(a: Column) -> Column:
 EMB_DIM = 64  # embeddings table dimension (TESTDATA.md; asserted in tests)
 
 # MODULE INVARIANT — pre-quantized inputs only.  :func:`pdot`,
-# :func:`psqnorm`, :func:`pbucket_of` and :func:`pcosine_with_norms`
+# :func:`psqnorm` and :func:`pcosine_with_norms`
 # consume the ``array<long>`` output of :func:`qarray` and perform NO
 # quantization of their own.  Feeding them a raw ``array<float>`` of the
 # right dimension silently computes float math and produces scores that
@@ -168,30 +168,6 @@ def pcosine_with_norms(
     (same final double expression as :func:`cosine_with_norms`)."""
     return pdot(a, b, dim).cast("double") / (
         F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
-
-
-def pbucket_of(v: Column, planes: list[list[int]], dim: int = EMB_DIM) -> Column:
-    """Random-hyperplane LSH bucket id over a PRE-QUANTIZED vector —
-    codegen'd twin of :func:`bucket_of`: bit j = sign(dot(v, plane_j)),
-    plane weights folded in as literals. Strict fixed-dimension form —
-    see :func:`qarray` for why there is no HOF fallback branch;
-    :func:`bucket_of` is the generic-dim twin."""
-    bucket = None
-    for j, w in enumerate(planes):
-        d = None
-        for i in range(dim):
-            t = F.get(v, F.lit(i)) * F.lit(int(w[i]))
-            d = t if d is None else d + t
-        term = F.when(d > 0, F.lit(1 << j)).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Exact-integer cosine of two quantized vectors (double at the end)."""
-    return _dot(a, b).cast("double") / (
-        F.sqrt(_sqnorm(a).cast("double")) * F.sqrt(_sqnorm(b).cast("double"))
     )
 
 
@@ -562,7 +538,7 @@ def arrow_lsh_buckets(
     narrow map at any scale. Bit-determinism: quantization is
     ``floor(float64(x)*1000)`` (same IEEE op as :func:`qarray`), dots
     are exact int64, bucket bit j = sign(dot(v, plane_j)) — identical
-    to :func:`pbucket_of` and the SQL oracle.
+    to the SQL oracle's bucket expression.
     """
     n_tables = len(tables)
     keep = bool(keep_embedding)
@@ -663,16 +639,6 @@ def range_search(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-
-
-def bucket_of(v: Column, planes: list[list[int]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j))."""
-    bucket = None
-    for j, w in enumerate(planes):
-        wl = F.array(*[F.lit(x).cast("long") for x in w])
-        term = F.when(_dot(v, wl) > 0, F.lit(1 << j)).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
 
 
 def lsh_bucketed_topk(
