@@ -75,3 +75,48 @@ def test_strategies_identical_on_adversarial_values(spark, seed):
         (r.query_id, r.neighbor_id, repr(r.cos_sim), r.rank) for r in df.collect()
     )
     assert canon(jvm) == canon(arrow)
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_arrow_pair_scorer_matches_jvm_math(spark, seed):
+    """arrow_pair_cosine (the production verify path) must agree
+    bit-for-bit with the JVM quantized-cosine expressions on hostile
+    inputs — negatives, quantization-boundary magnitudes, near-ties."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    n, dim = 30, 64
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[5] = vecs[2] * 0.999
+    vecs[6] = -vecs[3]
+    vecs[7] = rng.uniform(-0.002, 0.002, size=dim).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    arrow = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in S.arrow_pair_cosine(pairs).collect()
+    }
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"), S.qarray(F.col("embedding")).alias("va")
+    ).select("vec_a", "va", S.psqnorm(F.col("va")).alias("na"))
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"), S.qarray(F.col("embedding")).alias("vb")
+    ).select("vec_b", "vb", S.psqnorm(F.col("vb")).alias("nb"))
+    jvm = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in qa.join(qb, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            S.pcosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
+        .collect()
+    }
+    assert set(arrow) == set(jvm)
+    for k in jvm:
+        assert repr(arrow[k]) == repr(jvm[k]), (k, arrow[k], jvm[k])
