@@ -722,27 +722,85 @@ def ivf_ranked(
     ranked by exact-integer dot product (ties → smallest centroid id),
     kept up to ``max_rank``. Centroids are the first ``n_cells`` vectors
     (deterministic stand-in for k-means — the assignment/search
-    machinery is identical). The centroid table is broadcast:
-    assignment is a narrow map over the corpus, no shuffle."""
+    machinery is identical).
+
+    Assignment runs in one vectorized Arrow pass: the bounded centroid
+    table (``n_cells`` rows, guarded like the ANN query set) is closed
+    over, and each corpus batch ranks its rows' cells with a single
+    int64 matmul + argsort — a narrow map with NO 16× row fan-out and
+    no rank window, where the join+window form materialized
+    ``n_cells`` copies of every corpus row before discarding all but
+    ``max_rank``. Bit-determinism: floor(float64*1000) quantization,
+    int64 dots, ties to the smallest centroid id — identical to the
+    SQL oracle's ranked join."""
+    if n_cells > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}: the centroid table is "
+            "materialized on the driver (vec_id is unique, so the "
+            "filter yields at most n_cells rows)"
+        )
     embeddings = fan_out(embeddings, key="vec_id")
-    base = embeddings.select(
-        "vec_id", "embedding", qarray(F.col("embedding")).alias("qv")
+    crows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    assert_quantized(base, "qv")
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cq")
-    )
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        pdot(F.col("qv"), F.col("cq")).alias("cdot"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= max_rank)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"), "cell_rank")
+    cent_ids = [int(r.vec_id) for r in crows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in crows]
+    mr = int(max_rank)
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.floor(
+            np.array(cent_vecs, dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        cids = np.array(cent_ids, dtype=np.int64)
+        target = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("cell", pa.int64()),
+                ("cell_rank", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            pdf = batch.to_pandas()
+            if not len(pdf):
+                continue
+            qm = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1000.0
+            ).astype(np.int64)
+            dots = qm @ cm.T  # (rows, n_cells) exact int64
+            # Rank cells: dot desc, centroid id asc — lexsort keys are
+            # applied last-key-primary, mirroring the window's ORDER BY.
+            order = np.lexsort((cids[None, :].repeat(len(qm), 0), -dots), axis=1)
+            top = order[:, :mr]
+            rows = np.repeat(np.arange(len(qm)), top.shape[1])
+            out = pa.table(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "cell": cids[top.ravel()],
+                    "cell_rank": np.tile(
+                        np.arange(1, top.shape[1] + 1, dtype=np.int32),
+                        len(qm),
+                    ),
+                }
+            ).append_column(
+                "embedding",
+                pa.Array.from_pandas(pdf["embedding"].iloc[rows]),
+            )
+            yield from out.select(
+                ["vec_id", "embedding", "cell", "cell_rank"]
+            ).cast(target).to_batches()
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        _assign,
+        "vec_id bigint, embedding array<float>, cell bigint, cell_rank int",
     )
 
 
