@@ -38,19 +38,22 @@ SIMHASH_BITS = 16
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Group by MD5 of the canonical text; keep the smallest doc_id.
+    """Group by SHA-256 of the canonical text; keep the smallest doc_id.
 
     Returns (content_fp, keep_id, dup_cnt). At scale this is one hash
-    aggregation — the canonical exact-dedup plan. MD5 over SHA-256 is
-    a deliberate trade: ~16% less per-row hashing cost (measured at
-    sf0.1), the same digest family the MinHash path already uses
-    (text.md5_hash64), and a 128-bit space where accidental collision
-    stays negligible past 10^18 documents; this is a dedup
-    fingerprint, not a security boundary.
+    aggregation — the canonical exact-dedup plan. The fingerprint IS
+    a security boundary here: exact dedup runs over untrusted
+    web-scale text, where an adversary who can construct two distinct
+    documents with the same fingerprint gets one of them silently
+    dropped (keep_id = min doc_id) — dedup poisoning. MD5 collisions
+    are practically constructible, so despite its ~16% lower per-row
+    hash cost the fingerprint is SHA-256 (collision-resistant); the
+    non-adversarial 64-bit md5-fold stays confined to the MinHash /
+    split-bucket paths where a collision only perturbs a sketch.
     """
     return (
         fan_out(docs, key="doc_id")
-        .select("doc_id", F.md5(canonical_text()).alias("content_fp"))
+        .select("doc_id", F.sha2(canonical_text(), 256).alias("content_fp"))
         .groupBy("content_fp")
         .agg(
             F.min("doc_id").alias("keep_id"),

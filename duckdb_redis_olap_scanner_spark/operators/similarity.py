@@ -541,6 +541,15 @@ def arrow_lsh_buckets(
     to the SQL oracle's bucket expression.
     """
     n_tables = len(tables)
+    # Bucket ids are int32 and weights are 1 << plane_index: 31+ planes
+    # would wrap the id silently (wrong-but-plausible buckets). Fail at
+    # plan time, driver-side, not per-batch in the worker.
+    for t, tbl in enumerate(tables):
+        if len(tbl) > 30:
+            raise ValueError(
+                f"table {t} has {len(tbl)} hyperplanes; int32 bucket ids "
+                "support at most 30 (raise the output type to widen)"
+            )
     keep = bool(keep_embedding)
     out_schema = "vec_id bigint, " + ", ".join(
         f"b{t} int" for t in range(n_tables)
@@ -571,9 +580,11 @@ def arrow_lsh_buckets(
             cols = {"vec_id": pdf["vec_id"].to_numpy()}
             for t, mat in enumerate(mats):
                 dots = qm @ mat.T  # (rows, n_planes) exact int64
-                bits = (dots > 0).astype(np.int32)
-                weights = (1 << np.arange(mat.shape[0])).astype(np.int32)
-                cols[f"b{t}"] = bits @ weights
+                bits = (dots > 0).astype(np.int64)
+                # Accumulate in int64; the ≤30-plane guard above makes the
+                # final int32 cast provably lossless.
+                weights = 1 << np.arange(mat.shape[0], dtype=np.int64)
+                cols[f"b{t}"] = (bits @ weights).astype(np.int32)
             out = pa.table(cols)
             if keep:
                 out = out.append_column(

@@ -355,6 +355,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_dtype == "timestamp_ntz":
+            # NTZ→TIMESTAMP reinterprets the wall-clock value in the
+            # session timezone; that is value-preserving ONLY under UTC
+            # (engine.get_spark pins it). A caller-built non-UTC session
+            # would silently shift every event timestamp — fail loudly.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+                raise ValueError(
+                    f"events.ts is TIMESTAMP_NTZ and the session timezone "
+                    f"is {tz!r}; the NTZ→TIMESTAMP cast is only "
+                    "value-preserving under UTC. Use engine.get_spark() "
+                    "or set spark.sql.session.timeZone=UTC."
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -180,11 +180,11 @@ def text_fingerprints(spark: SparkSession, sf: str):
 @register(
     "dedup_exact",
     oracle=f"""
-    SELECT md5({_SQL_CANON}) AS content_fp,
+    SELECT sha256({_SQL_CANON}) AS content_fp,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS dup_cnt
     FROM documents
-    GROUP BY md5({_SQL_CANON})
+    GROUP BY sha256({_SQL_CANON})
     """,
     tags=("dedup", "bench"),
     doc="Exact dedup: one hash-aggregate on the content fingerprint.",

@@ -70,3 +70,19 @@ def test_events_ts_schema_adaptive(spark, tmp_path, encoding):
         return int(dt.timestamp() * 1_000_000)
 
     assert [us(g) for g in got] == [us(w) for w in want]
+
+
+def test_ntz_cast_requires_utc_session(spark, tmp_path):
+    """The NTZ→TIMESTAMP normalization reinterprets wall-clock values in
+    the session timezone — only value-preserving under UTC.  A non-UTC
+    session must fail loudly instead of silently shifting every event
+    timestamp (ADVICE r5)."""
+    ts = pa.array(_TS_US, pa.timestamp("us"))  # infers TIMESTAMP_NTZ
+    sf_dir = _write_events(str(tmp_path), ts)
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -66,3 +66,12 @@ def test_arrow_query_collect_guard(spark):
         S.brute_force_topk(
             df, query_max_id=S.MAX_DRIVER_QUERY_ROWS + 1, k=2
         )
+
+
+def test_lsh_bucket_plane_count_guard(spark):
+    """31+ hyperplanes would wrap the int32 bucket id (weights are
+    1 << plane_index); the guard fails at plan time, driver-side."""
+    df = _float_emb(spark)
+    too_many = [[[1] * S.EMB_DIM for _ in range(31)]]
+    with pytest.raises(ValueError, match="at most 30"):
+        S.arrow_lsh_buckets(df, too_many)
