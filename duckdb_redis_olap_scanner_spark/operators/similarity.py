@@ -402,7 +402,6 @@ def brute_force_topk(
 
     def _score(batches):
         import numpy as np
-        import pandas as pd
         import pyarrow as pa
 
         Qm = np.floor(np.asarray(qvecs, dtype=np.float64) * 1000.0).astype(
@@ -411,40 +410,70 @@ def brute_force_topk(
         qn = np.einsum("ij,ij->i", Qm, Qm).astype(np.float64)
         qid_arr = np.asarray(qids, dtype=np.int64)
         nq = len(qid_arr)
+
+        def _embedding_matrix(col, n):
+            """list<float> column → (n, dim) float64, zero-copy when the
+            lists are dense and uniform (the Arrow layout Spark emits
+            for a non-null fixed-dim embedding column); per-row fallback
+            otherwise. np.stack over 10k object rows costs ~10× the
+            flat-buffer reshape."""
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    # flatten() honors any slice offset, so the values
+                    # buffer is exactly n·dim elements in row order.
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
+        # Per-batch candidate top-k, merged ONCE at generator end: the
+        # task emits ≤ Q·k rows total instead of Q·k per batch, and the
+        # downstream rank window merges tasks, not batches.
+        cand_q, cand_n, cand_c = [], [], []
         for batch in batches:
-            pdf = batch.to_pandas()
-            if not len(pdf):
+            n = batch.num_rows
+            if not n:
                 continue
+            nid = np.asarray(batch.column(0)).astype(np.int64)
             A = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+                _embedding_matrix(batch.column(1), n) * 1000.0
             ).astype(np.int64)
             an = np.einsum("ij,ij->i", A, A).astype(np.float64)
             cos = (A @ Qm.T).astype(np.float64) / (
                 np.sqrt(qn)[None, :] * np.sqrt(an)[:, None]
             )
-            n = len(pdf)
-            nid = pdf["vec_id"].to_numpy().astype(np.int64)
-            out = pd.DataFrame(
-                {
-                    "query_id": np.tile(qid_arr, n),
-                    "neighbor_id": np.repeat(nid, nq),
-                    "cos_sim": cos.ravel(),
-                }
-            )
-            out = (
-                out[out["query_id"] != out["neighbor_id"]]
-                .sort_values(
-                    ["query_id", "cos_sim", "neighbor_id"],
-                    ascending=[True, False, True],
-                    kind="mergesort",
-                )
-                .groupby("query_id", sort=False)
-                .head(k_)
-                .reset_index(drop=True)
-            )
-            yield from pa.Table.from_pandas(
-                out, preserve_index=False
-            ).to_batches()
+            for j in range(nq):
+                col = cos[:, j]
+                valid = nid != qid_arr[j]
+                vn, vc = nid[valid], col[valid]
+                # Total order identical to the final rank window:
+                # cos desc, neighbor_id asc (lexsort: last key primary).
+                order = np.lexsort((vn, -vc))[:k_]
+                cand_q.append(np.full(len(order), qid_arr[j], np.int64))
+                cand_n.append(vn[order])
+                cand_c.append(vc[order])
+        if not cand_q:
+            return
+        q_all = np.concatenate(cand_q)
+        n_all = np.concatenate(cand_n)
+        c_all = np.concatenate(cand_c)
+        out_q, out_n, out_c = [], [], []
+        for j in range(nq):
+            m = q_all == qid_arr[j]
+            order = np.lexsort((n_all[m], -c_all[m]))[:k_]
+            out_q.append(q_all[m][order])
+            out_n.append(n_all[m][order])
+            out_c.append(c_all[m][order])
+        yield pa.RecordBatch.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
 
     scored = emb.select("vec_id", "embedding").mapInArrow(
         _score, "query_id bigint, neighbor_id bigint, cos_sim double"

@@ -128,15 +128,18 @@ def _repo_root() -> str:
     )
 
 
-def _prior_verified() -> frozenset[str]:
-    """The baseline set plus every entry a recorded driver round has
-    already verified: ``hash_match`` for oracled entries, error-free
-    ``rows_match`` for rows-only ones."""
+def _verified_rounds() -> dict[str, int]:
+    """name → the NEWEST driver round with a green CORRECTNESS row for
+    it (``hash_match`` for oracled entries, error-free ``rows_match``
+    for rows-only ones). Baseline entries count as round 1."""
     import glob
     import json
+    import re
 
-    verified = set(_PRIOR_VERIFIED)
+    rounds: dict[str, int] = {n: 1 for n in _PRIOR_VERIFIED}
     for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rno = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -149,16 +152,28 @@ def _prior_verified() -> frozenset[str]:
                 row.get("rows_match") and name in _REGISTRY
                 and _REGISTRY[name].oracle is None
             ):
-                verified.add(name)
-    return frozenset(verified)
+                rounds[name] = max(rounds.get(name, 0), rno)
+    return rounds
+
+
+def _prior_verified() -> frozenset[str]:
+    """The baseline set plus every entry a recorded driver round has
+    already verified."""
+    return frozenset(_verified_rounds())
 
 
 def registry() -> dict[str, CatalogEntry]:
     """All catalog entries (imports the defining modules on first use).
 
     Iteration order is verification-priority order: entries without a
-    prior driver CORRECTNESS row first (registration order within each
-    group), then prior-verified entries. See ``_prior_verified``.
+    prior driver CORRECTNESS row first (registration order within the
+    frontier), then prior-verified entries LEAST-recently-verified
+    first (registration order within a round). The driver's gate
+    checks the first 50 entries, so once the frontier is empty every
+    entry cycles back through the gate every ~ceil(N/50) rounds —
+    a regression in a long-verified entry becomes driver-visible again
+    instead of only failing the local parity tests. See
+    ``_verified_rounds``.
     """
     # Local imports to avoid import cycles; each module registers on import.
     from . import relational  # noqa: F401
@@ -172,9 +187,16 @@ def registry() -> dict[str, CatalogEntry]:
     from . import relational2  # noqa: F401
     from . import pipeline_ops2  # noqa: F401
 
-    prior = _prior_verified()
-    frontier = {n: e for n, e in _REGISTRY.items() if n not in prior}
-    verified = {n: e for n, e in _REGISTRY.items() if n in prior}
+    rounds = _verified_rounds()
+    frontier = {n: e for n, e in _REGISTRY.items() if n not in rounds}
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    verified = {
+        n: _REGISTRY[n]
+        for n in sorted(
+            (n for n in _REGISTRY if n in rounds),
+            key=lambda n: (rounds[n], reg_pos[n]),
+        )
+    }
     return {**frontier, **verified}
 
 
