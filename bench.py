@@ -86,6 +86,11 @@ def main() -> None:
         df = table(spark, sf_dir, t)
         df.cache()
         df.count()
+    # Secondary keyed layouts (bucketed-by-alternate-key copies; see
+    # catalog.table_keyed) — q13 reads orders bucketed by custkey.
+    from duckdb_redis_olap_scanner_spark.plans.catalog import table_keyed
+
+    table_keyed(spark, sf_dir, "orders", "o_custkey").count()
     _force(entries["q1_pricing_summary"].fn(spark, sf_dir))
 
     # Sampling shape: PASSES over the suite × consecutive REPS per

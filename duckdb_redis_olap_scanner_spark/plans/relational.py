@@ -2063,31 +2063,28 @@ def q18_large_orders(spark: SparkSession, sf: str):
     "reuses the key-partitioned table load.",
 )
 def q13_customer_distribution(spark: SparkSession, sf: str):
+    from .catalog import table_keyed
+
     c = table(spark, sf, "customer").select("c_custkey")
+    # Orders read from the SECONDARY custkey layout (table_keyed):
+    # the per-customer pre-count then aggregates with NO exchange (the
+    # scan is already hash-partitioned on o_custkey), and the left
+    # outer join against customer — keyed on c_custkey with the same
+    # partition count — is co-partitioned, so the whole plan has ONE
+    # data-dependent exchange left (the tiny distribution shuffle on
+    # c_count). COUNT(o_orderkey) over the left join ≡ COALESCE of the
+    # pre-counted value with 0 for order-less customers. The merge
+    # hint pins the exchange-free sort-merge join; at cluster volume
+    # the same layout is a bucketed-by-custkey table on storage.
     o = (
-        table(spark, sf, "orders")
+        table_keyed(spark, sf, "orders", "o_custkey")
         .filter(F.col("o_orderpriority") != "1-URGENT")
         .select("o_custkey")
     )
-    # Aggregate orders to one (custkey, count) row per customer BEFORE
-    # the outer join: the map-side partial count collapses the shuffled
-    # volume from one row per ORDER to one row per distinct custkey,
-    # and customer (hash-partitioned on c_custkey at the scan) joins
-    # exchange-free. COUNT(o_orderkey) over the left join ≡ COALESCE of
-    # the pre-counted value with 0 for order-less customers. No join
-    # hint: the aggregated side is dim-sized, so AQE broadcast-converts
-    # when that wins and keeps the co-partitioned join when it doesn't.
     per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
-    # per_cust is one pre-counted row per ordering customer —
-    # dim-bounded, so cost-based broadcast (keyed on customer's real
-    # size, the bound on per_cust's cardinality) replaces the
-    # sort-merge the static planner picks with AQE off, and falls back
-    # to the co-partitioned join at cluster volume. The distribution
-    # output is bounded by the max per-customer order count →
-    # gather_sort.
     dist = (
         c.join(
-            maybe_broadcast(per_cust, sf, "customer"),
+            per_cust.hint("merge"),
             c.c_custkey == F.col("o_custkey"),
             "left_outer",
         )
@@ -2095,4 +2092,6 @@ def q13_customer_distribution(spark: SparkSession, sf: str):
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+    # Distribution output is bounded by the max per-customer order
+    # count → gather_sort.
     return gather_sort(dist, F.desc("custdist"), F.desc("c_count"))
