@@ -861,7 +861,17 @@ def ivf_topk(
     """Approximate top-k via IVF: candidates restricted to the query's
     cell (n_probe=1). The cell equi-join replaces the cross product —
     same scale shape as the hyperplane-LSH path, but with data-adaptive
-    partitioning of the vector space."""
+    partitioning of the vector space.
+
+    Carry-width trade (measured, n_cells=64 @ sf0.1, best-of-6): the
+    pairs carry RAW float32 embeddings and the Arrow scorer re-floors
+    per pair (1.148 s); carrying pre-quantized int64 arrays instead —
+    2× the join width, no per-pair re-floor — measured 1.099 s with
+    bit-identical results. A wash against this host's ±25% noise, so
+    the NARROWER float32 carry stays: the re-floor is one vectorized
+    pass per Arrow batch (cheap, constant per row), while carry width
+    is paid per pair through the bucket join — the side that grows
+    with candidate volume at scale."""
     assigned = ivf_assign(embeddings, n_cells)
     q = assigned.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
