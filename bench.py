@@ -111,11 +111,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Volume-adaptive AQE (runtime conf, same formula as partition
-    # sizing): below the parallelism cap, AQE's per-stage driver
-    # round-trips cost more than runtime re-planning saves — measured
-    # ~15-20% of suite wall at sf0.1; at cap (cluster-scale volume)
-    # skew-join splitting and coalescing must be on.
+    # Volume-adaptive AQE (runtime conf, per-core-bytes threshold —
+    # see catalog.runtime_replan_worth_it): while stages are
+    # sub-second, AQE's per-stage driver round-trips cost more than
+    # runtime re-planning saves — measured ~15-20% of suite wall at
+    # sf0.1 and 15-40% per query at a 10× sf1-equivalent; at
+    # cluster-scale per-core volume, skew-join splitting and
+    # coalescing must be on.
     from duckdb_redis_olap_scanner_spark.plans.catalog import (
         runtime_replan_worth_it,
     )

@@ -333,19 +333,32 @@ def gather_sort(df: DataFrame, *cols) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+# AQE pays once each core chews this many bytes per stage — the regime
+# where stages run multiple seconds and one saved skew/shuffle re-plan
+# dwarfs the per-stage materialization + driver round-trip cost.
+_AQE_BYTES_PER_CORE = 256 << 20
+
+
 def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:
     """Cost-based AQE switch: adaptive execution materializes every
     shuffle stage and round-trips the driver (~20-50 ms each) before
-    re-planning — pure overhead when stages run in tens of
-    milliseconds, which is exactly the regime where the volume
-    formula above stays BELOW the parallelism cap (measured at sf0.1:
-    the 19-query bench drops ~15-20% wall with AQE off). Once volume
-    saturates the cap — the cluster-scale regime — runtime re-planning
-    (skew-join splitting, partition coalescing, broadcast conversion)
-    pays for itself many times over and must be on. Same
-    lineitem-volume formula as the partition sizing, so the two
-    decisions flip together."""
-    return suggested_shuffle_partitions(sf_dir, cpus) >= cpus
+    re-planning — pure overhead while stages are sub-second. Measured
+    at sf0.1 the 19-query bench drops ~15-20% wall with AQE off, and
+    at a 10× sf1-equivalent (140 MB lineitem, 32 cores) AQE STILL
+    costs 15-40% (q7 0.583 s off vs 0.829 s on, q5 0.771 vs 0.866,
+    q9 0.671 vs 0.814 — r6 measurement), so partition-count
+    saturation is the wrong trigger: the switch is PER-CORE VOLUME.
+    Once each core's share of the largest table reaches hundreds of
+    MiB — multi-second stages, the cluster-scale regime — runtime
+    re-planning (skew-join splitting, partition coalescing, broadcast
+    conversion) pays for itself many times over and must be on; when
+    the volume is unknown, default on (the safe cluster assumption).
+    """
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        return True
+    return size >= cpus * _AQE_BYTES_PER_CORE
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
