@@ -227,49 +227,65 @@ def arrow_cosine_topk(
 
     def _score_topk(batches):
         import numpy as np
-        import pandas as pd
         import pyarrow as pa
+
+        def _mat(col, n):
+            # list<float> → (n, dim) float64: zero-copy reshape of the
+            # flat values buffer when lists are dense and uniform (the
+            # layout Spark emits for fixed-dim embeddings).
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
 
         target = pa.schema([(n, getattr(pa, t)()) for n, t in arrow_fields])
         for batch in batches:
-            pdf = batch.to_pandas()
-            if not len(pdf):
+            n = batch.num_rows
+            if not n:
                 continue
-            qm = np.floor(
-                np.stack(pdf["qe"].to_numpy()).astype(np.float64) * 1000.0
-            ).astype(np.int64)
-            am = np.floor(
-                np.stack(pdf["ae"].to_numpy()).astype(np.float64) * 1000.0
-            ).astype(np.int64)
+            qm = np.floor(_mat(batch.column("qe"), n) * 1000.0).astype(
+                np.int64
+            )
+            am = np.floor(_mat(batch.column("ae"), n) * 1000.0).astype(
+                np.int64
+            )
             dot = np.einsum("ij,ij->i", qm, am)
             qn = np.einsum("ij,ij->i", qm, qm)
             an = np.einsum("ij,ij->i", am, am)
             cos = dot.astype(np.float64) / (
                 np.sqrt(qn.astype(np.float64)) * np.sqrt(an.astype(np.float64))
             )
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    **{c: pdf[c].to_numpy() for c in pass_cols},
-                    "cos_sim": cos,
-                }
+            qid = np.asarray(batch.column("query_id")).astype(np.int64)
+            nid = np.asarray(batch.column("neighbor_id")).astype(np.int64)
+            # Per-query top-k without pandas: one lexsort in the final
+            # rank window's total order (query asc, cos desc, nid asc —
+            # last key primary), then rank-within-group by cumulative
+            # group starts.
+            order = np.lexsort((nid, -cos, qid))
+            qs_ = qid[order]
+            idx = np.arange(n)
+            starts = np.maximum.accumulate(
+                np.where(np.r_[True, qs_[1:] != qs_[:-1]], idx, 0)
             )
-            out = (
-                out.sort_values(
-                    ["query_id", "cos_sim", "neighbor_id"],
-                    ascending=[True, False, True],
-                    kind="mergesort",
-                )
-                .groupby("query_id", sort=False)
-                .head(k_)
-                .reset_index(drop=True)
-            )
-            yield from (
-                pa.Table.from_pandas(out, preserve_index=False)
-                .cast(target)
-                .to_batches()
-            )
+            keep = order[(idx - starts) < k_]
+            cols = {
+                "query_id": pa.array(qid[keep], pa.int64()),
+                "neighbor_id": pa.array(nid[keep], pa.int64()),
+                **{
+                    c: pa.array(
+                        np.asarray(batch.column(c))[keep],
+                        target.field(c).type,
+                    )
+                    for c in pass_cols
+                },
+                "cos_sim": pa.array(cos[keep], pa.float64()),
+            }
+            yield pa.RecordBatch.from_pydict(cols, schema=target)
 
     return pairs.mapInArrow(_score_topk, out_schema)
 
@@ -518,16 +534,29 @@ def arrow_pair_cosine(
                 ("cos_sim", pa.float64()),
             ]
         )
+        def _mat(col, n):
+            # Zero-copy flat-buffer reshape for dense uniform lists
+            # (see arrow_cosine_topk._mat).
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
         for batch in batches:
-            pdf = batch.to_pandas()
-            if not len(pdf):
+            n = batch.num_rows
+            if not n:
                 continue
-            am = np.floor(
-                np.stack(pdf["ea"].to_numpy()).astype(np.float64) * 1000.0
-            ).astype(np.int64)
-            bm = np.floor(
-                np.stack(pdf["eb"].to_numpy()).astype(np.float64) * 1000.0
-            ).astype(np.int64)
+            am = np.floor(_mat(batch.column("ea"), n) * 1000.0).astype(
+                np.int64
+            )
+            bm = np.floor(_mat(batch.column("eb"), n) * 1000.0).astype(
+                np.int64
+            )
             dot = np.einsum("ij,ij->i", am, bm)
             na = np.einsum("ij,ij->i", am, am)
             nb = np.einsum("ij,ij->i", bm, bm)
@@ -537,8 +566,12 @@ def arrow_pair_cosine(
             keep = slice(None) if thr is None else cos >= thr
             out = pa.table(
                 {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "vec_a": np.asarray(batch.column("vec_a")).astype(
+                        np.int64
+                    )[keep],
+                    "vec_b": np.asarray(batch.column("vec_b")).astype(
+                        np.int64
+                    )[keep],
                     "cos_sim": cos[keep],
                 }
             )
@@ -598,15 +631,27 @@ def arrow_lsh_buckets(
         if keep:
             fields.append(("embedding", pa.list_(pa.float32())))
         target = pa.schema(fields)
+
+        def _mat(col, n):
+            # Zero-copy flat-buffer reshape for dense uniform lists
+            # (see arrow_cosine_topk._mat).
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
         for batch in batches:
-            pdf = batch.to_pandas()
-            if not len(pdf):
+            n = batch.num_rows
+            if not n:
                 continue
-            qm = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                * 1000.0
-            ).astype(np.int64)
-            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            emb = batch.column("embedding")
+            qm = np.floor(_mat(emb, n) * 1000.0).astype(np.int64)
+            cols = {"vec_id": np.asarray(batch.column("vec_id"))}
             for t, mat in enumerate(mats):
                 dots = qm @ mat.T  # (rows, n_planes) exact int64
                 bits = (dots > 0).astype(np.int64)
@@ -616,9 +661,9 @@ def arrow_lsh_buckets(
                 cols[f"b{t}"] = (bits @ weights).astype(np.int32)
             out = pa.table(cols)
             if keep:
-                out = out.append_column(
-                    "embedding", pa.Array.from_pandas(pdf["embedding"])
-                )
+                # Pass the original Arrow column through unchanged — no
+                # python-object round trip.
+                out = out.append_column("embedding", emb)
             yield from out.cast(target).to_batches()
 
     return embeddings.select("vec_id", "embedding").mapInArrow(
@@ -807,14 +852,25 @@ def ivf_ranked(
                 ("cell_rank", pa.int32()),
             ]
         )
+        def _mat(col, n):
+            # Zero-copy flat-buffer reshape for dense uniform lists
+            # (see arrow_cosine_topk._mat).
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
         for batch in batches:
-            pdf = batch.to_pandas()
-            if not len(pdf):
+            n = batch.num_rows
+            if not n:
                 continue
-            qm = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                * 1000.0
-            ).astype(np.int64)
+            emb = batch.column("embedding")
+            qm = np.floor(_mat(emb, n) * 1000.0).astype(np.int64)
             dots = qm @ cm.T  # (rows, n_cells) exact int64
             # Rank cells: dot desc, centroid id asc — lexsort keys are
             # applied last-key-primary, mirroring the window's ORDER BY.
@@ -823,7 +879,7 @@ def ivf_ranked(
             rows = np.repeat(np.arange(len(qm)), top.shape[1])
             out = pa.table(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "vec_id": np.asarray(batch.column("vec_id"))[rows],
                     "cell": cids[top.ravel()],
                     "cell_rank": np.tile(
                         np.arange(1, top.shape[1] + 1, dtype=np.int32),
@@ -831,8 +887,11 @@ def ivf_ranked(
                     ),
                 }
             ).append_column(
+                # Arrow-native row fan-out of the original column (at
+                # max_rank=1 `rows` is the identity and take() is a
+                # no-op view).
                 "embedding",
-                pa.Array.from_pandas(pdf["embedding"].iloc[rows]),
+                emb.take(pa.array(rows, pa.int64())),
             )
             yield from out.select(
                 ["vec_id", "embedding", "cell", "cell_rank"]
