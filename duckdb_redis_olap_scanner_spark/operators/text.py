@@ -264,3 +264,123 @@ def stratified_sample(
         .select("doc_id", "lang", bucket.alias("sample_bucket"))
         .filter(F.col("sample_bucket") < rate)
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use a family of
+# duplicate-line / repeated-n-gram filters; these two are the
+# SQL-expressible core). Fixed and shared with the SQL oracle.
+MAX_DUP_TOKEN_FRAC = 0.8
+MAX_TOP_BIGRAM_FRAC = 0.15
+
+
+def with_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality stats per document: token duplication
+    fraction and the most-frequent-bigram fraction, plus the combined
+    keep/drop flag (Gopher-style repeated-n-gram filter).
+
+    (doc_id, n_tok, n_distinct, top_bigram_cnt, dup_token_frac,
+    top_bigram_frac, rep_ok).
+
+    Shape at scale: ``array_distinct`` runs inside the row (no
+    shuffle); the bigram mode needs one shuffle keyed on
+    (doc_id, bigram) — cardinality is bounded by corpus token count
+    and the heavy agg is partial (map-side combine collapses each
+    document's repeats before the exchange). All fractions are a
+    single exact double division of integer counts, so the oracle
+    matches bit-for-bit."""
+    docs = fan_out(docs, key="doc_id")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n = F.size("toks")
+    base = t.select(
+        "doc_id",
+        n.alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+    # Adjacent-pair bigrams built inside the row: zip(toks[:-1], toks[1:]).
+    bigrams = F.when(
+        F.col("n_tok") >= 2,
+        F.zip_with(
+            F.slice("toks", 1, F.col("n_tok") - 1),
+            F.slice("toks", 2, F.col("n_tok") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    joined = base.drop("toks").join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+    )
+    dup_frac = (
+        (F.col("n_tok") - F.col("n_distinct")).cast("double") / F.col("n_tok")
+    )
+    top_frac = F.when(
+        F.col("n_tok") >= 2,
+        F.col("top_bigram_cnt").cast("double") / (F.col("n_tok") - 1),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        "top_bigram_cnt",
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= F.lit(MAX_DUP_TOKEN_FRAC))
+            & (
+                (F.col("n_tok") < 2)
+                | (top_frac <= F.lit(MAX_TOP_BIGRAM_FRAC))
+            )
+        ).alias("rep_ok"),
+    )
+
+
+# Context-window chunking constants — fixed and shared with the oracle.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the sequence-prep
+    step that turns variable-length documents into training/RAG
+    context windows: (doc_id, chunk_idx, start_tok, chunk_len,
+    chunk_hash).
+
+    One row fans out to ceil(n_tok/stride) chunk rows INSIDE the
+    stage (generator explode, no shuffle, nothing on the driver); the
+    chunk text itself is reduced to the codegen'd 64-bit md5 content
+    hash so the output stays narrow — downstream exact-dedup of
+    chunks joins on that hash directly."""
+    t = fan_out(docs, key="doc_id").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ch = t.select(
+        "doc_id",
+        n.alias("n_tok"),
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk_text = F.array_join(
+        F.slice("toks", F.col("start_tok") + 1, F.lit(size)), " "
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(size), F.col("n_tok") - F.col("start_tok")).alias(
+            "chunk_len"
+        ),
+        md5_hash64(chunk_text).alias("chunk_hash"),
+    )

@@ -186,6 +186,7 @@ def registry() -> dict[str, CatalogEntry]:
     # round-1 entries (never yet driver-checked) keep gate priority.
     from . import relational2  # noqa: F401
     from . import pipeline_ops2  # noqa: F401
+    from . import pipeline_ops3  # noqa: F401
 
     rounds = _verified_rounds()
     frontier = {n: e for n, e in _REGISTRY.items() if n not in rounds}

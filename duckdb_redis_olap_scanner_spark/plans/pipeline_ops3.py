@@ -1,0 +1,199 @@
+"""Round-6 pipeline additions: keyword retrieval (BM25, vocabulary),
+Gopher-style repetition filtering, context-window chunking, and int8
+embedding quantization.
+
+Registers AFTER ``pipeline_ops2`` (see ``catalog.registry``) so these
+new entries form the round-6 unverified frontier and get driver-gate
+priority, while every previously-verified entry keeps cycling through
+the gate least-recently-verified first.
+
+Determinism contract (same as the rest of the catalog): integer
+counts, rational idf instead of ``ln`` (libm ulp drift), fixed-order
+column addition instead of row SUMs for float accumulation, explicit
+left folds for array sums — every value bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators import quantize as Q
+from ..operators import retrieval as R
+from ..operators import text as T
+from .catalog import register, table
+from .pipeline_ops import _SQL_TOKS
+
+_TERMS = R.QUERY_TERMS
+_K1, _B = R.BM25_K1, R.BM25_B
+
+
+def _sql_bm25(terms: tuple[str, ...] = _TERMS, k: int = 10) -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n           ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms
+    )
+    # Mirrors operators/retrieval.term_score exactly: same association,
+    # same literal arithmetic, fixed-order column addition.
+    term_scores = " + ".join(
+        f"(((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * ({_K1} + 1.0)))"
+        f" / (CAST(tf_{t} AS DOUBLE) + {_K1} * ((1.0 - {_B})"
+        f" + ({_B} * CAST(dl AS DOUBLE))"
+        f" / (CAST(total_dl AS DOUBLE) / n_docs)))"
+        for t in terms
+    )
+    sel_tf = ", ".join(f"CAST(tf_{t} AS INT) AS tf_{t}" for t in terms)
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, len(toks) AS dl,
+           {tf_cols}
+          FROM t),
+    s AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+           {df_cols}
+          FROM c),
+    scored AS (
+      SELECT doc_id, CAST(dl AS INT) AS dl, {sel_tf},
+             {term_scores} AS score
+      FROM c, s)
+    SELECT * FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_sql_bm25(),
+    tags=("text", "topk"),
+    doc="BM25-style ranked retrieval (rational-idf variant; see "
+    "operators/retrieval.py) for a fixed multi-term query: narrow tf "
+    "map + broadcast corpus-stats scalar + TakeOrderedAndProject "
+    "top-10. The libm-free score is bit-exact across engines.",
+)
+def text_bm25_topk(spark: SparkSession, sf: str):
+    return R.bm25_topk(table(spark, sf, "documents"))
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+      FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok, count(*) AS df_docs,
+           CAST(count(*) AS DOUBLE) / any_value(n_docs) AS coverage
+    FROM p, n
+    GROUP BY tok
+    ORDER BY df_docs DESC, tok ASC LIMIT 50
+    """,
+    tags=("text", "topk", "agg"),
+    doc="Tokenizer-vocab induction seed: top-50 tokens by document "
+    "frequency with coverage fraction; array_distinct inside the row "
+    "bounds the shuffle by vocabulary, not token count "
+    "(operators/retrieval.vocabulary_topk).",
+)
+def text_vocabulary(spark: SparkSession, sf: str):
+    return R.vocabulary_topk(table(spark, sf, "documents"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, len(toks) AS n_tok,
+                 len(list_distinct(toks)) AS n_distinct, toks
+          FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t WHERE len(toks) >= 2),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM bgc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(n_tok AS INT) AS n_tok,
+           CAST(n_distinct AS INT) AS n_distinct,
+           CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           CAST(n_tok - n_distinct AS DOUBLE) / n_tok AS dup_token_frac,
+           CASE WHEN n_tok >= 2
+                THEN CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) / (n_tok - 1)
+           END AS top_bigram_frac,
+           (CAST(n_tok - n_distinct AS DOUBLE) / n_tok
+                <= {T.MAX_DUP_TOKEN_FRAC})
+           AND (n_tok < 2 OR
+                CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE) / (n_tok - 1)
+                    <= {T.MAX_TOP_BIGRAM_FRAC}) AS rep_ok
+    FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+    tags=("text", "pipeline"),
+    doc="Gopher-style repetition filter: token-duplication fraction + "
+    "most-frequent-bigram fraction per doc with a combined keep flag; "
+    "the bigram mode is the only shuffle, keyed (doc_id, bigram) with "
+    "map-side combine (operators/text.with_repetition_stats).",
+)
+def text_repetition_stats(spark: SparkSession, sf: str):
+    return T.with_repetition_stats(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, len(toks), {T.CHUNK_STRIDE})) AS start_tok
+          FROM t)
+    SELECT doc_id,
+           CAST(start_tok // {T.CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(LEAST({T.CHUNK_TOKENS}, n - start_tok) AS INT) AS chunk_len,
+           {T.sql_md5_hash64(
+               "array_to_string(list_slice(toks, start_tok + 1, "
+               f"start_tok + {T.CHUNK_TOKENS}), ' ')"
+           )} AS chunk_hash
+    FROM c
+    """,
+    tags=("text", "pipeline", "lateral"),
+    doc="Context-window chunking (64-token windows, 16-token overlap) "
+    "for sequence prep: generator explode fans each doc into its "
+    "chunks in-stage (no shuffle, no driver), chunk text reduced to "
+    "the codegen'd md5-64 hash (operators/text.chunk_documents).",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf: str):
+    return T.chunk_documents(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0)
+                     AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT))
+                     AS qv
+          FROM m)
+    SELECT vec_id, scale,
+           array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+               AS qvec,
+           list_reduce(
+             list_prepend(0.0, list_transform(range(1, len(v) + 1),
+               i -> (v[i] - CAST(qv[i] AS DOUBLE) / scale)
+                  * (v[i] - CAST(qv[i] AS DOUBLE) / scale))),
+             (acc, x) -> acc + x) AS sq_err
+    FROM q
+    """,
+    tags=("similarity", "pipeline"),
+    doc="Per-vector symmetric int8 embedding quantization (4x storage "
+    "cut, int8-dot-ready codes) with exact left-fold reconstruction "
+    "error; pure narrow map, scan-bandwidth at any scale "
+    "(operators/quantize.quantize_int8).",
+)
+def pipeline_quantize_int8(spark: SparkSession, sf: str):
+    return Q.quantize_int8(table(spark, sf, "embeddings"))
