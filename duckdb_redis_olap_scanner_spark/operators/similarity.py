@@ -1064,3 +1064,110 @@ def ivf_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
+
+
+def ivf_prototypes(
+    embeddings: DataFrame, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    """SemDeDup-style cluster prototypes: (cell, n_members,
+    proto_vec_id, proto_dot) — per IVF cell, its member count and the
+    member with the highest exact-integer dot product to the cell's
+    centroid (ties -> smallest vec_id).
+
+    This is the representative-selection half of semantic dedup
+    (Abbas et al. 2023 keep one exemplar per semantic cluster and drop
+    or downweight the rest); downstream, joining the corpus against
+    the prototype set on ``cell`` implements the drop.
+
+    Scale shape: one vectorized Arrow pass assigns each vector's best
+    cell AND emits the winning dot (a (rows, n_cells) int64 matmul +
+    argmax per batch — no row fan-out, no embedding carry on the
+    output), then a partial-aggregated groupBy(cell) reduces to
+    ``n_cells`` rows. The arg-max is a ``max(struct(dot, -vec_id))``
+    so it map-side combines instead of windowing over skewed
+    cell-count partitions. Centroids are the first ``n_cells``
+    vectors, guarded like every bounded driver collect."""
+    if n_cells > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}: the centroid table is "
+            "materialized on the driver"
+        )
+    embeddings = fan_out(embeddings, key="vec_id")
+    crows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_ids = [int(r.vec_id) for r in crows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in crows]
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.floor(
+            np.array(cent_vecs, dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        cids = np.array(cent_ids, dtype=np.int64)
+        target = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("cell", pa.int64()),
+                ("dot", pa.int64()),
+            ]
+        )
+
+        def _mat(col, n):
+            # Zero-copy flat-buffer reshape (see arrow_cosine_topk._mat).
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            qm = np.floor(
+                _mat(batch.column("embedding"), n) * 1000.0
+            ).astype(np.int64)
+            dots = qm @ cm.T  # (rows, n_cells) exact int64
+            # Best cell: dot desc, centroid id asc — argmax over
+            # lexsort keys, mirroring ivf_ranked's tie-break.
+            order = np.lexsort(
+                (cids[None, :].repeat(len(qm), 0), -dots), axis=1
+            )
+            best = order[:, 0]
+            rows = np.arange(len(qm))
+            yield from pa.table(
+                {
+                    "vec_id": np.asarray(batch.column("vec_id")),
+                    "cell": cids[best],
+                    "dot": dots[rows, best],
+                }
+            ).cast(target).to_batches()
+
+    assigned = embeddings.select("vec_id", "embedding").mapInArrow(
+        _assign, "vec_id bigint, cell bigint, dot bigint"
+    )
+    agg = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("dot").alias("d"), (-F.col("vec_id")).alias("nv")
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "cell",
+        "n_members",
+        (-F.col("best.nv")).alias("proto_vec_id"),
+        F.col("best.d").alias("proto_dot"),
+    )

@@ -197,3 +197,146 @@ def pipeline_chunk_documents(spark: SparkSession, sf: str):
 )
 def pipeline_quantize_int8(spark: SparkSession, sf: str):
     return Q.quantize_int8(table(spark, sf, "embeddings"))
+
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..operators import packing as PK  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+from .pipeline_ops import _SQL_CANON, _SQL_QUANT_EMB, _sql_dot  # noqa: E402
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tok,
+                      {T.sql_md5_hash64(_SQL_CANON)} AS h
+               FROM documents),
+    b AS (SELECT doc_id, n_tok, h, h % {PK.N_PACK_BUCKETS} AS bucket FROM t),
+    c AS (SELECT doc_id, bucket, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY bucket
+                                       ORDER BY h, doc_id) AS BIGINT)
+                     AS cum
+          FROM b)
+    SELECT doc_id, bucket, CAST(n_tok AS INT) AS n_tok,
+           cum - n_tok AS start_tok,
+           (cum - n_tok) // {PK.PACK_SEQ_LEN} AS first_seq,
+           ((cum - 1) // {PK.PACK_SEQ_LEN})
+               - ((cum - n_tok) // {PK.PACK_SEQ_LEN}) + 1 AS n_seqs
+    FROM c
+    """,
+    tags=("text", "pipeline", "window"),
+    doc="Sequence packing for training batches: content-hash-bucketed "
+    "concat-and-chunk layout; each doc reports its running token "
+    "offset and the range of fixed-length sequences it occupies "
+    "(operators/packing.pack_sequences). Buckets are the parallelism "
+    "unit — raise n_buckets with corpus size.",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf: str):
+    return PK.pack_sequences(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_semantic_prototypes",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base
+              WHERE vec_id < {S.N_IVF_CELLS}),
+    dots AS (SELECT b.vec_id, c.cid,
+                    CAST({_sql_dot('b.v', 'c.cv')} AS BIGINT) AS d
+             FROM base b CROSS JOIN cents c),
+    best AS (SELECT vec_id, cid AS cell, d,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d DESC, cid ASC) AS rn
+             FROM dots),
+    r AS (SELECT vec_id, cell, d FROM best WHERE rn = 1),
+    p AS (SELECT cell, vec_id AS proto_vec_id, d AS proto_dot,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY d DESC, vec_id ASC) AS pr
+          FROM r),
+    m AS (SELECT cell, count(*) AS n_members FROM r GROUP BY cell)
+    SELECT m.cell, n_members, proto_vec_id, proto_dot
+    FROM m JOIN p ON m.cell = p.cell WHERE pr = 1
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+    doc="SemDeDup-style cluster prototypes: per IVF cell, the member "
+    "count and the exemplar nearest its centroid by exact-integer dot "
+    "(operators/similarity.ivf_prototypes); one Arrow assignment pass "
+    "+ a map-side-combining arg-max agg, no window over skewed cells.",
+)
+def pipeline_semantic_prototypes(spark: SparkSession, sf: str):
+    return S.ivf_prototypes(table(spark, sf, "embeddings"))
+
+
+# Rolling z-score anomaly constants — fixed and shared with the oracle.
+ANOMALY_WINDOW = 20  # trailing rows per user (inclusive of current)
+ANOMALY_MIN_N = 5
+ANOMALY_K = 2  # flag when |x - mean| > K * stddev
+
+
+@register(
+    "events_rolling_anomaly",
+    oracle=f"""
+    WITH b AS (SELECT event_id, user_id, ts,
+                      CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+               FROM events),
+    w AS (SELECT event_id, user_id, x,
+                 COUNT(x) OVER win AS n,
+                 CAST(SUM(x) OVER win AS BIGINT) AS s,
+                 CAST(SUM(x * x) OVER win AS BIGINT) AS q
+          FROM b
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOMALY_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW))
+    SELECT event_id, user_id, x AS x_cents,
+           CAST(n AS INT) AS win_n, s AS win_sum, q AS win_sumsq,
+           (n >= {ANOMALY_MIN_N} AND
+            (n * x - s) * (n * x - s)
+                > {ANOMALY_K * ANOMALY_K} * (n * q - s * s)) AS is_anomaly
+    FROM w
+    """,
+    tags=("temporal", "window", "pipeline"),
+    doc="Rolling z-score outlier detection over each user's event "
+    "stream, in pure int64 arithmetic: |x-mean| > K*stddev is tested "
+    "as (n*x-s)^2 > K^2*(n*q-s^2) over cents, so no sqrt/libm and the "
+    "oracle matches bit-for-bit; one window pass, partitioned by "
+    "user — the natural key at scale.",
+)
+def events_rolling_anomaly(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    x = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    b = e.select("event_id", "user_id", "ts", x.alias("x"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ANOMALY_WINDOW - 1), 0)
+    )
+    n = F.count("x").over(win)
+    s = F.sum("x").over(win)
+    q = F.sum(F.col("x") * F.col("x")).over(win)
+    w = b.select(
+        "event_id",
+        "user_id",
+        F.col("x").alias("x_cents"),
+        n.cast("int").alias("win_n"),
+        s.alias("win_sum"),
+        q.alias("win_sumsq"),
+    )
+    nx = F.col("win_n").cast("long") * F.col("x_cents")
+    dev2 = (nx - F.col("win_sum")) * (nx - F.col("win_sum"))
+    var_n2 = F.col("win_n").cast("long") * F.col("win_sumsq") - F.col(
+        "win_sum"
+    ) * F.col("win_sum")
+    return w.select(
+        "event_id",
+        "user_id",
+        "x_cents",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        (
+            (F.col("win_n") >= ANOMALY_MIN_N)
+            & (dev2 > F.lit(ANOMALY_K * ANOMALY_K) * var_n2)
+        ).alias("is_anomaly"),
+    )
