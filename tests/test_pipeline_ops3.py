@@ -1,0 +1,159 @@
+"""Plan-shape and edge-case tests for the round-6 pipeline operators
+(retrieval, repetition, chunking, quantization, packing, prototypes,
+rolling anomaly).
+
+Plan assertions follow tests/test_plans.py: the physical plan must be
+the plan we'd want at 100 TB — broadcast scalars (never shuffled
+joins against 1-row stats), TakeOrderedAndProject for top-k, narrow
+maps with no shuffle beyond the small-file fan_out, a single window
+pass for the rolling detector."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.operators import packing as PK
+from duckdb_redis_olap_scanner_spark.operators import quantize as QZ
+from duckdb_redis_olap_scanner_spark.operators import similarity as S
+from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+from .conftest import SF_DIR
+
+ENTRIES = registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = ENTRIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    return plan.count("+- Exchange") + plan.count(":- Exchange")
+
+
+def test_bm25_is_topk_with_broadcast_stats(spark):
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # The 1-row corpus-stats side joins via broadcast, never a shuffle
+    # join: at 100 TB the stats row is the only thing that moves.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_vocabulary_is_topk(spark):
+    plan = plan_of(spark, "text_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Generator explode fans out in-stage: no aggregate, no join, and
+    the only exchange is the small-file fan_out repartition."""
+    plan = plan_of(spark, "pipeline_chunk_documents")
+    assert "Generate" in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1
+
+
+def test_quantize_is_narrow_jvm_map(spark):
+    plan = plan_of(spark, "pipeline_quantize_int8")
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1
+    # Pure column expressions — no Python/Arrow worker in this path.
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def _n_window_ops(plan: str) -> int:
+    # Count operator-detail headers "(N) Window" — the operator appears
+    # once in the tree and once in the details, so count details only.
+    import re
+
+    return len(re.findall(r"\(\d+\) Window\b", plan))
+
+
+def test_rolling_anomaly_single_window_pass(spark):
+    plan = plan_of(spark, "events_rolling_anomaly")
+    assert _n_window_ops(plan) == 1
+    # One exchange partitions by user_id for the window; nothing else.
+    assert n_shuffles(plan) <= 1
+
+
+def test_pack_sequences_single_window_pass(spark):
+    plan = plan_of(spark, "pipeline_pack_sequences")
+    assert _n_window_ops(plan) == 1
+
+
+def test_pack_sequences_rejects_non_power_of_two(spark, tables):
+    with pytest.raises(ValueError, match="power of two"):
+        PK.pack_sequences(tables["documents"], seq_len=100)
+
+
+def test_prototypes_guard_driver_collect(spark, tables):
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        S.ivf_prototypes(tables["embeddings"], n_cells=1_000_000)
+
+
+def test_quantize_zero_vector_yields_null_scale(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in QZ.quantize_int8(df).collect()}
+    assert rows[0].scale is None and rows[0].sq_err is None
+    assert rows[1].scale == 63.5
+    assert rows[1].qvec == "64,-127"
+
+
+def test_chunk_windows_tile_with_overlap(spark, tables):
+    """Chunk geometry: consecutive windows advance by stride, overlap
+    by size-stride, and the last window covers the tail."""
+    from duckdb_redis_olap_scanner_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    out = chunk_documents(tables["documents"]).filter(F.col("doc_id") == 0)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_idx)
+    n_tok = rows[0].chunk_len if len(rows) == 1 else None
+    for i, r in enumerate(rows):
+        assert r.start_tok == i * CHUNK_STRIDE
+        assert r.chunk_len <= CHUNK_TOKENS
+    if len(rows) > 1:
+        assert all(r.chunk_len == CHUNK_TOKENS for r in rows[:-1])
+
+
+def test_pack_offsets_are_contiguous_per_bucket(spark, tables):
+    """Within a bucket the packed stream has no gaps: offsets sorted by
+    start_tok tile exactly (next start = prev start + prev n_tok)."""
+    out = PK.pack_sequences(tables["documents"]).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.start_tok)
+        off = 0
+        for r in rows:
+            assert r.start_tok == off
+            off += r.n_tok
+
+
+def test_bm25_scores_monotone_in_tf(spark, tables):
+    """Sanity: the top-ranked doc must contain at least one query term
+    (score > 0 filter) and scores are non-increasing down the list."""
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import bm25_topk
+
+    rows = bm25_topk(tables["documents"]).collect()
+    assert rows, "no document matched any query term?"
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
