@@ -406,3 +406,55 @@ def decontaminate(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct(F.col("h")).alias("shared_shingles"))
     )
+
+
+# Cross-document repetition (C4/Gopher-style): a document whose
+# n-grams largely also appear in OTHER documents is boilerplate or
+# near-duplicate content even when no single pair crosses a Jaccard
+# threshold. Fixed and shared with the SQL oracle.
+DUP_NGRAM_N = 8
+MAX_CROSS_DOC_DUP_FRAC = 0.3
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame, n: int = DUP_NGRAM_N
+) -> DataFrame:
+    """Per-document cross-corpus duplicate n-gram fraction: (doc_id,
+    n_grams, n_dup_grams, dup_frac, dup_ok) where a gram is "dup" if
+    it appears in at least one OTHER document.
+
+    Shape at scale: shingles are distinct per document before the
+    explode, so the gram-frequency aggregation and the join back are
+    both keyed on the 64-bit gram hash — uniform crypto-hash keys, no
+    planned skew, and the heavy agg map-side combines. Documents
+    shorter than ``n`` tokens have no grams and pass the filter
+    (n_grams = 0)."""
+    docs = fan_out(docs, key="doc_id")
+    sh = shingles(docs, n)
+    hashed = sh.select(
+        "doc_id", md5_hash64(F.col("shingle")).alias("h")
+    )
+    gram_df = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        hashed.join(gram_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n_grams = F.coalesce("n_grams", F.lit(0))
+    n_dup = F.coalesce("n_dup_grams", F.lit(0))
+    frac = F.when(
+        n_grams > 0, n_dup.cast("double") / n_grams
+    )
+    return out.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        frac.alias("dup_frac"),
+        ((n_grams == 0) | (frac <= F.lit(MAX_CROSS_DOC_DUP_FRAC))).alias(
+            "dup_ok"
+        ),
+    )

@@ -384,3 +384,36 @@ def chunk_documents(
         ),
         md5_hash64(chunk_text).alias("chunk_hash"),
     )
+
+
+# PII scrubbing patterns — deliberately restricted to syntax shared
+# verbatim by Java regex (Spark) and RE2 (DuckDB) so the scrubbed
+# output is engine-identical: char classes, +/{m,}, \d, \b.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and phone numbers: (doc_id, n_emails, n_phones,
+    clean_md5, len_delta). The scrubbed text itself is reduced to its
+    md5 so the output stays narrow; ``len_delta`` (chars removed net
+    of the placeholder) makes truncation bugs visible.
+
+    Pure narrow map — two codegen'd regexp passes, no shuffle, no
+    Python. At 100 TB this is scan-speed; the patterns are the
+    deliberately-simple shared-dialect core, swap in stricter ones
+    per deployment."""
+    docs = fan_out(docs, key="doc_id")
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("clean_md5"),
+        (F.length(t) - F.length(scrubbed)).alias("len_delta"),
+    )

@@ -340,3 +340,105 @@ def events_rolling_anomaly(spark: SparkSession, sf: str):
             & (dev2 > F.lit(ANOMALY_K * ANOMALY_K) * var_n2)
         ).alias("is_anomaly"),
     )
+
+
+from ..operators import dedup as D  # noqa: E402
+
+
+@register(
+    "text_duplicate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, greatest(len(t) - {D.DUP_NGRAM_N - 1}, 0)),
+          i -> array_to_string(list_slice(t, i + 1, i + {D.DUP_NGRAM_N}),
+                               ' ')))) AS shingle
+      FROM toks),
+    hh AS (SELECT doc_id, {T.sql_md5_hash64('shingle')} AS h FROM sh),
+    dfc AS (SELECT h, count(*) AS df FROM hh GROUP BY h),
+    per AS (SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup
+            FROM hh JOIN dfc USING (h) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(n_dup, 0) AS n_dup_grams,
+           CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams
+           END AS dup_frac,
+           (COALESCE(n_grams, 0) = 0 OR
+            CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams
+                <= {D.MAX_CROSS_DOC_DUP_FRAC}) AS dup_ok
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+    doc="Cross-document repetition filter: fraction of each doc's "
+    "distinct word-8-grams that also appear in another document "
+    "(catches boilerplate no pairwise Jaccard threshold sees); both "
+    "shuffles keyed on the uniform 64-bit gram hash "
+    "(operators/dedup.duplicate_ngram_stats).",
+)
+def text_duplicate_ngrams(spark: SparkSession, sf: str):
+    return D.duplicate_ngram_stats(table(spark, sf, "documents"))
+
+
+def _inject_pii_col():
+    # Deterministic synthetic PII so the redaction paths are actually
+    # exercised on this corpus (the generated text contains none):
+    # every 5th doc gets an email, every 7th a phone number.
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567"))
+        .otherwise(F.lit("")),
+    )
+
+
+_SQL_INJECT_PII = """
+    text || CASE
+      WHEN doc_id % 5 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com now'
+      WHEN doc_id % 7 = 0 THEN ' call 555-123-4567'
+      ELSE '' END
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_INJECT_PII} AS text FROM documents),
+    s AS (SELECT doc_id, text,
+                 regexp_replace(regexp_replace(text,
+                     '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{T.PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+          FROM d)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{T.PII_PHONE_RE}')) AS INT)
+               AS n_phones,
+           md5(clean) AS clean_md5,
+           CAST(LENGTH(text) - LENGTH(clean) AS INT) AS len_delta
+    FROM s
+    """,
+    tags=("text", "pipeline"),
+    doc="PII redaction (emails + phone numbers) over a corpus with "
+    "deterministically injected synthetic PII; counts, the scrubbed "
+    "text's md5, and the net length delta are all engine-exact. Two "
+    "codegen'd regexp passes, no shuffle "
+    "(operators/text.scrub_pii).",
+)
+def text_pii_scrub(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents").withColumn(
+        "text", _inject_pii_col()
+    )
+    return T.scrub_pii(docs)
