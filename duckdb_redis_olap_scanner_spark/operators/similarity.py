@@ -1171,3 +1171,116 @@ def ivf_prototypes(
         (-F.col("best.nv")).alias("proto_vec_id"),
         F.col("best.d").alias("proto_dot"),
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    """One Lloyd's iteration refining the IVF centroids: (vec_id,
+    cell0, cell1, moved) — each vector's assignment under the seed
+    centroids (first ``n_cells`` vectors) and under the recomputed
+    per-cell mean centroids, with the movement flag.
+
+    This upgrades the "first-N stand-in" centroid story to real
+    k-means training while keeping every value engine-exact: the new
+    centroid is the per-cell per-dimension INTEGER mean of the
+    quantized vectors — sums are exact int64 (order-free), and the
+    mean uses TRUNCATING division to match SQL ``//`` semantics. More
+    iterations = more calls (each a full pass, like any Lloyd's step).
+
+    Scale shape: assignment passes are the one-Arrow-matmul maps of
+    :func:`ivf_ranked`; the centroid update is a posexplode over
+    dimensions whose shuffle is map-side combined down to
+    ``n_cells * dim`` rows per partition, then a bounded driver
+    collect (guarded) — the same partial-aggregation shape a
+    cluster-scale k-means uses, with the driver as the (tiny)
+    reducer of cells x dims."""
+    if n_cells * 64 > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells}: centroid-sum collect would exceed "
+            f"MAX_DRIVER_QUERY_ROWS={MAX_DRIVER_QUERY_ROWS}"
+        )
+    assigned = ivf_ranked(embeddings, n_cells, 1).select(
+        "vec_id", "embedding", F.col("cell").alias("cell0")
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    dims = assigned.select(
+        "cell0", F.posexplode(q).alias("pos", "val")
+    )
+    sums = (
+        dims.groupBy("cell0", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    import numpy as np
+
+    cells = sorted({int(r.cell0) for r in sums})
+    dim = max(int(r.pos) for r in sums) + 1
+    cidx = {c: i for i, c in enumerate(cells)}
+    S = np.zeros((len(cells), dim), dtype=np.int64)
+    C = np.zeros(len(cells), dtype=np.int64)
+    for r in sums:
+        S[cidx[int(r.cell0)], int(r.pos)] = int(r.s)
+        C[cidx[int(r.cell0)]] = int(r.cnt)
+    # Truncating integer division (matches SQL // — numpy // floors).
+    M = (np.sign(S) * (np.abs(S) // C[:, None])).astype(np.int64)
+    new_ids = np.array(cells, dtype=np.int64)
+    mvecs = M.tolist()
+    mids = new_ids.tolist()
+
+    def _reassign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        mm = np.array(mvecs, dtype=np.int64)
+        ids = np.array(mids, dtype=np.int64)
+        target = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("cell0", pa.int64()),
+                ("cell1", pa.int64()),
+            ]
+        )
+
+        def _mat(col, n):
+            if col.null_count == 0 and n:
+                widths = np.diff(np.asarray(col.offsets))
+                if (widths == widths[0]).all():
+                    return (
+                        np.asarray(col.flatten())
+                        .astype(np.float64)
+                        .reshape(n, int(widths[0]))
+                    )
+            return np.stack(col.to_pylist()).astype(np.float64)
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            qm = np.floor(
+                _mat(batch.column("embedding"), n) * 1000.0
+            ).astype(np.int64)
+            dots = qm @ mm.T
+            order = np.lexsort(
+                (ids[None, :].repeat(len(qm), 0), -dots), axis=1
+            )
+            yield from pa.table(
+                {
+                    "vec_id": np.asarray(batch.column("vec_id")),
+                    "cell0": np.asarray(batch.column("cell0")),
+                    "cell1": ids[order[:, 0]],
+                }
+            ).cast(target).to_batches()
+
+    out = assigned.mapInArrow(
+        _reassign, "vec_id bigint, cell0 bigint, cell1 bigint"
+    )
+    return out.select(
+        "vec_id",
+        "cell0",
+        "cell1",
+        (F.col("cell0") != F.col("cell1")).alias("moved"),
+    )

@@ -442,3 +442,52 @@ def text_pii_scrub(spark: SparkSession, sf: str):
         "text", _inject_pii_col()
     )
     return T.scrub_pii(docs)
+
+
+@register(
+    "pipeline_kmeans_refine",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM base
+              WHERE vec_id < {S.N_IVF_CELLS}),
+    d0 AS (SELECT b.vec_id, c.cid,
+                  CAST({_sql_dot('b.v', 'c.cv')} AS BIGINT) AS d
+           FROM base b CROSS JOIN cents c),
+    a0 AS (SELECT vec_id, cid AS cell0
+           FROM (SELECT vec_id, cid, d,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d DESC, cid ASC) AS rn
+                 FROM d0)
+           WHERE rn = 1),
+    j AS (SELECT a0.vec_id, a0.cell0, b.v
+          FROM a0 JOIN base b ON a0.vec_id = b.vec_id),
+    ex AS (SELECT cell0 AS cell, r.pos, v[r.pos + 1] AS val
+           FROM j CROSS JOIN
+                (SELECT unnest(range(0, 64)) AS pos) r),
+    sv AS (SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s
+           FROM ex GROUP BY cell, pos),
+    cnts AS (SELECT cell0 AS cell, COUNT(*) AS cnt FROM a0 GROUP BY cell0),
+    m AS (SELECT sv.cell,
+                 list(sv.s // cnts.cnt ORDER BY sv.pos) AS mv
+          FROM sv JOIN cnts ON sv.cell = cnts.cell GROUP BY sv.cell),
+    d1 AS (SELECT b.vec_id, m.cell AS cid,
+                  CAST({_sql_dot('b.v', 'm.mv')} AS BIGINT) AS d
+           FROM base b CROSS JOIN m),
+    a1 AS (SELECT vec_id, cid AS cell1
+           FROM (SELECT vec_id, cid, d,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d DESC, cid ASC) AS rn
+                 FROM d1)
+           WHERE rn = 1)
+    SELECT a0.vec_id, a0.cell0, a1.cell1, a0.cell0 <> a1.cell1 AS moved
+    FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+    """,
+    tags=("similarity", "iterative", "pipeline"),
+    doc="One Lloyd's k-means iteration over the IVF cells: re-assign "
+    "against per-cell integer-mean centroids (exact int64 sums, "
+    "truncating division to match SQL //); assignment is the Arrow "
+    "matmul map, the centroid update a map-side-combined posexplode "
+    "reduced to cells x dims rows (operators/similarity.kmeans_refine).",
+)
+def pipeline_kmeans_refine(spark: SparkSession, sf: str):
+    return S.kmeans_refine(table(spark, sf, "embeddings"))
