@@ -1,0 +1,224 @@
+"""Reference-implementation checks for the round-6 pipeline operators
+on RANDOMIZED corpora (seeded): the oracle-parity suite pins each
+operator against DuckDB on the fixed test tables; these tests pin the
+same semantics against independent pure-Python implementations on
+data the fixed tables can't represent (adversarial doc lengths, empty
+docs, negative embeddings, ties), so a bug that happens to cancel on
+the synthetic corpus still gets caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from duckdb_redis_olap_scanner_spark.operators import packing as PK
+from duckdb_redis_olap_scanner_spark.operators import quantize as QZ
+from duckdb_redis_olap_scanner_spark.operators import retrieval as R
+from duckdb_redis_olap_scanner_spark.operators import text as T
+from duckdb_redis_olap_scanner_spark.operators.dedup import (
+    duplicate_ngram_stats,
+)
+
+P = 1_000_000_007
+VOCAB = ["alpha", "beta", "gamma", "delta", "spark", "window", "merge", "x1"]
+
+
+def md5_hash64_ref(s: str) -> int:
+    """Pure-Python twin of text.md5_hash64 (little-endian u64 of the
+    LAST 8 md5 digest bytes, mod 1e9+7) — validated against DuckDB
+    md5_number_lower."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little") % P
+
+
+def _random_docs(seed: int, n_docs: int = 40):
+    rng = np.random.RandomState(seed)
+    docs = []
+    for i in range(n_docs):
+        n = int(rng.randint(0, 30))  # includes empty docs
+        docs.append((i, " ".join(rng.choice(VOCAB, n)) if n else ""))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def rand_docs_df(spark):
+    return spark.createDataFrame(
+        _random_docs(7), "doc_id long, text string"
+    )
+
+
+def _toks(text: str) -> list[str]:
+    # tokens_col twin: split lower(trim(text)) on \s+ — Java split of
+    # "" yields [""], one empty token.
+    return text.strip().lower().split() or [""]
+
+
+def test_bm25_matches_python_reference(spark, rand_docs_df):
+    terms = ("spark", "window", "merge")
+    docs = _random_docs(7)
+    tf = {i: {t: _toks(s).count(t) for t in terms} for i, s in docs}
+    dl = {i: len(_toks(s)) for i, s in docs}
+    n = len(docs)
+    total = sum(dl.values())
+    df_ = {t: sum(1 for i, _ in docs if tf[i][t] > 0) for t in terms}
+    avgdl = float(total) / n
+    k1, b = R.BM25_K1, R.BM25_B
+
+    def score(i):
+        s = 0.0
+        for t in terms:
+            idf = (float(n - df_[t]) + 0.5) / (float(df_[t]) + 0.5)
+            tfd = float(tf[i][t])
+            s += (idf * (tfd * (k1 + 1.0))) / (
+                tfd + k1 * ((1.0 - b) + (b * float(dl[i])) / avgdl)
+            )
+        return s
+
+    expect = sorted(
+        ((i, score(i)) for i, _ in docs if score(i) > 0),
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+    got = [
+        (r.doc_id, r.score)
+        for r in R.bm25_topk(rand_docs_df, terms=terms).collect()
+    ]
+    assert got == expect  # bit-exact: same IEEE ops in the same order
+
+
+def test_repetition_stats_match_python_reference(spark, rand_docs_df):
+    from collections import Counter
+
+    got = {
+        r.doc_id: r
+        for r in T.with_repetition_stats(rand_docs_df).collect()
+    }
+    for i, s in _random_docs(7):
+        toks = _toks(s)
+        bigrams = [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        top = max(Counter(bigrams).values()) if bigrams else 0
+        r = got[i]
+        assert r.n_tok == len(toks)
+        assert r.n_distinct == len(set(toks))
+        assert r.top_bigram_cnt == top
+        assert r.dup_token_frac == (len(toks) - len(set(toks))) / len(toks)
+
+
+def test_chunk_documents_match_python_reference(spark, rand_docs_df):
+    got: dict = {}
+    for r in T.chunk_documents(rand_docs_df).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for i, s in _random_docs(7):
+        toks = _toks(s)
+        rows = sorted(got[i], key=lambda r: r.chunk_idx)
+        starts = list(range(0, len(toks), T.CHUNK_STRIDE))
+        assert [r.start_tok for r in rows] == starts
+        for r in rows:
+            chunk = toks[r.start_tok : r.start_tok + T.CHUNK_TOKENS]
+            assert r.chunk_len == len(chunk)
+            assert r.chunk_hash == md5_hash64_ref(" ".join(chunk))
+
+
+def test_pack_sequences_match_python_reference(spark, rand_docs_df):
+    def canon(s: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", s.strip()).lower()
+
+    docs = _random_docs(7)
+    rows = [
+        (i, len(_toks(s)), md5_hash64_ref(canon(s))) for i, s in docs
+    ]
+    expect = {}
+    by_bucket: dict = {}
+    for i, n, h in rows:
+        by_bucket.setdefault(h % PK.N_PACK_BUCKETS, []).append((h, i, n))
+    for bucket, members in by_bucket.items():
+        off = 0
+        for h, i, n in sorted(members):
+            first = off // PK.PACK_SEQ_LEN
+            last = (off + n - 1) // PK.PACK_SEQ_LEN
+            expect[i] = (bucket, n, off, first, last - first + 1)
+            off += n
+    got = {
+        r.doc_id: (r.bucket, r.n_tok, r.start_tok, r.first_seq, r.n_seqs)
+        for r in PK.pack_sequences(rand_docs_df).collect()
+    }
+    assert got == expect
+
+
+def test_duplicate_ngrams_match_python_reference(spark, rand_docs_df):
+    n = 8
+    docs = _random_docs(7)
+    grams = {
+        i: {
+            " ".join(_toks(s)[j : j + n])
+            for j in range(len(_toks(s)) - n + 1)
+        }
+        for i, s in docs
+    }
+    from collections import Counter
+
+    freq = Counter(g for gs in grams.values() for g in gs)
+    got = {
+        r.doc_id: r for r in duplicate_ngram_stats(rand_docs_df).collect()
+    }
+    for i, _ in docs:
+        r = got[i]
+        assert r.n_grams == len(grams[i])
+        assert r.n_dup_grams == sum(1 for g in grams[i] if freq[g] >= 2)
+
+
+def test_quantize_matches_numpy_reference(spark):
+    rng = np.random.RandomState(11)
+    vecs = [
+        (i, [float(np.float32(x)) for x in rng.randn(16)]) for i in range(25)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in QZ.quantize_int8(df).collect()}
+    for i, v in vecs:
+        r = got[i]
+        maxabs = max(abs(x) for x in v)
+        scale = 127.0 / maxabs
+        q = [int(np.floor(x * scale + 0.5)) for x in v]
+        assert r.scale == scale
+        assert r.qvec == ",".join(str(x) for x in q)
+        assert all(abs(x) <= 127 for x in q)
+        # Left-fold reconstruction error, same op order as the engine.
+        err = 0.0
+        for x, qi in zip(v, q):
+            err = err + (x - qi / scale) * (x - qi / scale)
+        assert r.sq_err == err
+
+
+def test_kmeans_refine_is_argmax_of_integer_means(spark, tables):
+    """Self-consistency at the semantic level: recompute the integer-
+    mean centroids from the operator's own cell0 output and check each
+    cell1 is the (dot desc, cell asc) argmax against them."""
+    from duckdb_redis_olap_scanner_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    emb = {
+        int(r.vec_id): np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        for r in tables["embeddings"].select("vec_id", "embedding").collect()
+    }
+    out = kmeans_refine(tables["embeddings"]).collect()
+    sums: dict = {}
+    cnts: dict = {}
+    for r in out:
+        sums[r.cell0] = sums.get(r.cell0, 0) + emb[r.vec_id]
+        cnts[r.cell0] = cnts.get(r.cell0, 0) + 1
+    cells = sorted(sums)
+    M = {
+        c: np.sign(sums[c]) * (np.abs(sums[c]) // cnts[c]) for c in cells
+    }
+    for r in out:
+        dots = {c: int(emb[r.vec_id] @ M[c]) for c in cells}
+        best = min(cells, key=lambda c: (-dots[c], c))
+        assert r.cell1 == best, (r.vec_id, r.cell1, best)
