@@ -56,11 +56,17 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         * (a - b.cast("double") / F.col("scale")),
     )
     sq_err = F.aggregate(recon_err, F.lit(0.0), lambda acc, x: acc + x)
+    # An all-zero vector has NULL scale; make qvec explicitly NULL too
+    # rather than relying on either engine's null-element array_join
+    # behavior (Spark skips nulls, producing "" — a silently-wrong
+    # "quantized" row).
+    qvec = F.when(
+        F.col("scale").isNotNull(),
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ","),
+    )
     return qd.select(
         "vec_id",
         "scale",
-        F.array_join(
-            F.transform("qv", lambda x: x.cast("string")), ","
-        ).alias("qvec"),
+        qvec.alias("qvec"),
         sq_err.alias("sq_err"),
     )

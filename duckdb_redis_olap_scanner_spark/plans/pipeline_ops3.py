@@ -180,8 +180,9 @@ def pipeline_chunk_documents(spark: SparkSession, sf: str):
                      AS qv
           FROM m)
     SELECT vec_id, scale,
-           array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
-               AS qvec,
+           CASE WHEN scale IS NOT NULL THEN
+             array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+           END AS qvec,
            list_reduce(
              list_prepend(0.0, list_transform(range(1, len(v) + 1),
                i -> (v[i] - CAST(qv[i] AS DOUBLE) / scale)

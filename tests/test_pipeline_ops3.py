@@ -109,6 +109,7 @@ def test_quantize_zero_vector_yields_null_scale(spark):
     )
     rows = {r.vec_id: r for r in QZ.quantize_int8(df).collect()}
     assert rows[0].scale is None and rows[0].sq_err is None
+    assert rows[0].qvec is None  # not "" — no silently-wrong codes
     assert rows[1].scale == 63.5
     assert rows[1].qvec == "64,-127"
 
