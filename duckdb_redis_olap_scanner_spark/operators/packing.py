@@ -41,7 +41,9 @@ def pack_sequences(
     document's position in its bucket's packed token stream —
     ``start_tok`` the running offset, ``first_seq``/``n_seqs`` the
     range of ``seq_len``-token training sequences it occupies."""
-    if seq_len & (seq_len - 1):
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    if seq_len < 1 or seq_len & (seq_len - 1):
         raise ValueError(
             f"seq_len={seq_len} must be a power of two: the "
             "start/seq_len division is only engine-exact for "

@@ -60,6 +60,14 @@ def bm25_topk(
     but never shuffled — at scale pass 1's output can be cached or the
     stats maintained incrementally.
     """
+    import re
+
+    for t in terms:
+        if not re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(
+                f"query term {t!r}: terms become tf_/df_ column names "
+                "and oracle SQL literals — restrict to [a-z0-9_]+"
+            )
     docs = fan_out(docs, key="doc_id")
     per_doc = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",

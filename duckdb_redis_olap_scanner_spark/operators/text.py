@@ -361,6 +361,12 @@ def chunk_documents(
     chunk text itself is reduced to the codegen'd 64-bit md5 content
     hash so the output stays narrow — downstream exact-dedup of
     chunks joins on that hash directly."""
+    if stride < 1 or size < stride:
+        raise ValueError(
+            f"chunking needs 1 <= stride <= size (got size={size}, "
+            f"stride={stride}): stride 0 never advances and stride > "
+            "size would skip tokens between windows"
+        )
     t = fan_out(docs, key="doc_id").select(
         "doc_id", tokens_col().alias("toks")
     )

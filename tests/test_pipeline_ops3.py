@@ -158,3 +158,17 @@ def test_bm25_scores_monotone_in_tf(spark, tables):
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_parameter_guards_reject_nonsense(spark, tables):
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import bm25_topk
+    from duckdb_redis_olap_scanner_spark.operators.text import chunk_documents
+
+    with pytest.raises(ValueError, match="a-z0-9_"):
+        bm25_topk(tables["documents"], terms=("ok", "bad term"))
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(tables["documents"], size=8, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(tables["documents"], size=8, stride=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        PK.pack_sequences(tables["documents"], n_buckets=0)
