@@ -317,3 +317,87 @@ def run_stream_to_memory(
     q = writer.start()
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming rolling anomaly (stateful twin of events_rolling_anomaly)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_OUT_SCHEMA = (
+    "event_id long, user_id long, x_cents long, win_n int, "
+    "win_sum long, win_sumsq long, is_anomaly boolean"
+)
+_ANOMALY_STATE_SCHEMA = "xs array<long>"
+
+
+def _update_rolling_anomaly(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Trailing-window z-score per event, with the window carried
+    across micro-batches in GroupState. Same int64 cross-multiplied
+    test as the batch/window twin ((n*x-s)^2 > k^2*(n*q-s^2)), so the
+    two paths are value-identical. Rows are processed in (ts,
+    event_id) order within each batch; cross-batch order relies on
+    the source delivering event time monotonically per user (the
+    standard contract for per-event stateful ops — sort-or-watermark
+    upstream if the source can't guarantee it)."""
+    import numpy as np
+
+    from ..plans.pipeline_ops3 import (
+        ANOMALY_K,
+        ANOMALY_MIN_N,
+        ANOMALY_WINDOW,
+    )
+
+    xs = list(state.get[0]) if state.exists else []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        for ev, v in zip(pdf["event_id"], pdf["value"]):
+            x = int(np.floor(v * 100.0))
+            xs.append(x)
+            if len(xs) > ANOMALY_WINDOW:
+                xs.pop(0)
+            n = len(xs)
+            s = sum(xs)
+            q = sum(y * y for y in xs)
+            dev = n * x - s
+            anom = n >= ANOMALY_MIN_N and dev * dev > (
+                ANOMALY_K * ANOMALY_K
+            ) * (n * q - s * s)
+            out.append((int(ev), int(key[0]), x, n, s, q, bool(anom)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id",
+                "user_id",
+                "x_cents",
+                "win_n",
+                "win_sum",
+                "win_sumsq",
+                "is_anomaly",
+            ],
+        )
+    state.update((xs,))
+
+
+def rolling_anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``events_rolling_anomaly`` catalog entry:
+    per-user trailing-window outlier flags emitted per event, window
+    state surviving micro-batch boundaries — the shape a live
+    metrics/abuse pipeline needs, where the batch entry is the
+    backfill path. Equivalence to the batch window plan is asserted
+    in tests/test_streaming.py."""
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_rolling_anomaly,
+            outputStructType=_ANOMALY_OUT_SCHEMA,
+            stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

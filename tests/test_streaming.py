@@ -305,3 +305,28 @@ def test_stream_stream_join_across_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert rows2 == [(1, 2, 600_000_000), (1, 3, 1_800_000_000)]
+
+
+def test_rolling_anomaly_stream_equals_batch(spark, events_stream, tmp_path):
+    """The stateful streaming detector must emit exactly the rows the
+    batch window plan produces (same int64 math, same trailing
+    window), state surviving micro-batch boundaries."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    got = SE.run_stream_to_memory(
+        SE.rolling_anomaly_stream(events_stream),
+        "t_roll_anom",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_anom"),
+    )
+    want = registry()["events_rolling_anomaly"].fn(spark, SF_DIR)
+    cols = [
+        "event_id",
+        "user_id",
+        "x_cents",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        "is_anomaly",
+    ]
+    assert _canon(got, cols) == _canon(want, cols)
