@@ -144,3 +144,40 @@ def vocabulary_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("df_docs").desc(), F.col("tok").asc())
         .limit(k)
     )
+
+
+OOV_VOCAB_SIZE = 30
+
+
+def oov_stats(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """Vocabulary application: per-document in-vocabulary/OOV token
+    counts against the corpus's own top-``vocab_size`` document-
+    frequency vocabulary — the coverage check run before committing to
+    a tokenizer vocab. (doc_id, n_tok, n_invocab, oov_rate).
+
+    The vocabulary is a bounded aggregate (``vocab_size`` rows)
+    broadcast against the exploded token stream; the per-doc count
+    agg map-side combines, so the only full-corpus exchange carries
+    (doc_id) partial counts. At 100 TB the vocab side stays a
+    broadcast no matter the corpus size."""
+    docs = fan_out(docs, key="doc_id")
+    vocab = vocabulary_topk(docs, k=vocab_size).select("tok")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_invocab"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_invocab",
+        (
+            (F.col("n_tok") - F.col("n_invocab")).cast("double")
+            / F.col("n_tok")
+        ).alias("oov_rate"),
+    )

@@ -492,3 +492,33 @@ def text_pii_scrub(spark: SparkSession, sf: str):
 )
 def pipeline_kmeans_refine(spark: SparkSession, sf: str):
     return S.kmeans_refine(table(spark, sf, "embeddings"))
+
+
+@register(
+    "pipeline_oov_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM p GROUP BY tok
+      ORDER BY count(*) DESC, tok ASC LIMIT {R.OOV_VOCAB_SIZE}),
+    alltoks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    f AS (SELECT a.doc_id, a.tok,
+                 CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_vocab
+          FROM alltoks a LEFT JOIN vocab v ON a.tok = v.tok)
+    SELECT doc_id,
+           count(*) AS n_tok,
+           CAST(sum(in_vocab) AS BIGINT) AS n_invocab,
+           CAST(count(*) - sum(in_vocab) AS DOUBLE) / count(*) AS oov_rate
+    FROM f GROUP BY doc_id
+    """,
+    tags=("text", "pipeline", "agg"),
+    doc="Vocabulary application / OOV audit: per-doc coverage against "
+    "the corpus's top-30 document-frequency vocabulary; bounded vocab "
+    "broadcast against the token stream, per-doc agg map-side "
+    "combined (operators/retrieval.oov_stats).",
+)
+def pipeline_oov_stats(spark: SparkSession, sf: str):
+    return R.oov_stats(table(spark, sf, "documents"))
