@@ -522,3 +522,108 @@ def pipeline_kmeans_refine(spark: SparkSession, sf: str):
 )
 def pipeline_oov_stats(spark: SparkSession, sf: str):
     return R.oov_stats(table(spark, sf, "documents"))
+
+
+def _sql_shingle3(src: str) -> str:
+    # Distinct word-3-gram shingles of CTE `src` (same construction as
+    # pipeline_ops._sql_shingles_cte, parameterized by source).
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, greatest(len({_SQL_TOKS}) - 2, 0)),
+          i -> {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]
+               || ' ' || {_SQL_TOKS}[i+3]))) AS shingle
+      FROM {src}
+    """
+
+
+_SQL_BUCKET = (
+    f"CAST(md5_number_lower({_SQL_CANON}) % 1000000007 AS BIGINT) % 100"
+)
+
+
+@register(
+    "pipeline_full_curation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    b0 AS (SELECT doc_id, len(toks) AS n_tok,
+                  len(list_distinct(toks)) AS n_distinct, toks
+           FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t WHERE len(toks) >= 2),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    topb AS (SELECT doc_id, max(c) AS top_cnt FROM bgc GROUP BY 1),
+    repok AS (
+      SELECT b0.doc_id FROM b0 LEFT JOIN topb ON b0.doc_id = topb.doc_id
+      WHERE CAST(n_tok - n_distinct AS DOUBLE) / n_tok
+                <= {T.MAX_DUP_TOKEN_FRAC}
+        AND (n_tok < 2 OR
+             CAST(COALESCE(top_cnt, 0) AS DOUBLE) / (n_tok - 1)
+                 <= {T.MAX_TOP_BIGRAM_FRAC})),
+    gated AS (SELECT d.* FROM documents d JOIN repok USING (doc_id)),
+    fp AS (SELECT doc_id, sha256({_SQL_CANON}) AS f FROM gated),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    surv AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+    tr AS (SELECT * FROM surv WHERE {_SQL_BUCKET} < 80),
+    valdocs AS (SELECT * FROM documents
+                WHERE {_SQL_BUCKET} >= 80 AND {_SQL_BUCKET} < 90),
+    vsh AS ({_sql_shingle3('valdocs')}),
+    vh AS (SELECT DISTINCT {T.sql_md5_hash64('shingle')} AS h FROM vsh),
+    tsh AS ({_sql_shingle3('tr')}),
+    th AS (SELECT doc_id, {T.sql_md5_hash64('shingle')} AS h FROM tsh),
+    cont AS (SELECT DISTINCT th.doc_id FROM th JOIN vh USING (h))
+    SELECT tr.doc_id, tr.lang,
+           CAST(len({_SQL_TOKS}) AS INT) AS n_tok
+    FROM tr LEFT JOIN cont ON tr.doc_id = cont.doc_id
+    WHERE cont.doc_id IS NULL
+    """,
+    tags=("pipeline", "dedup", "text"),
+    doc="The flagship end-to-end curation DAG as ONE declarative plan: "
+    "Gopher repetition gate -> exact dedup survivors -> content-hash "
+    "train bucket -> hashed-shingle decontamination against the "
+    "held-out split -> surviving train corpus (doc_id, lang, n_tok). "
+    "Every stage is the already-verified operator; composing them in "
+    "one DataFrame lets Catalyst pipeline the narrow stages and share "
+    "the tokenization scan. Each shuffle is keyed on a uniform hash "
+    "(bigram, fingerprint, shingle) — the whole DAG inherits the "
+    "per-stage 100 TB arguments.",
+)
+def pipeline_full_curation(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_dedup, shingles
+
+    docs = table(spark, sf, "documents")
+    # 1) repetition quality gate
+    ok = (
+        T.with_repetition_stats(docs)
+        .filter(F.col("rep_ok"))
+        .select("doc_id")
+    )
+    gated = docs.join(ok, "doc_id")
+    # 2) exact-dedup survivors (keep_id = min doc per fingerprint)
+    keep = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    surv = gated.join(keep, "doc_id")
+    # 3) content-hash train bucket
+    bucket = T.md5_hash64(T.canonical_text()) % 100
+    tr = surv.withColumn("bucket", bucket).filter(F.col("bucket") < 80)
+    # 4) decontaminate against the held-out (val) split of the FULL
+    #    corpus — contamination comes from what's held out, regardless
+    #    of what the quality gate dropped from train.
+    val = docs.withColumn("bucket", bucket).filter(
+        (F.col("bucket") >= 80) & (F.col("bucket") < 90)
+    )
+    vh = (
+        shingles(val)
+        .select(T.md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    th = shingles(tr).select(
+        "doc_id", T.md5_hash64(F.col("shingle")).alias("h")
+    )
+    contaminated = th.join(vh, "h").select("doc_id").distinct()
+    clean = tr.join(contaminated, "doc_id", "left_anti")
+    return clean.select(
+        "doc_id", "lang", F.size(T.tokens_col()).alias("n_tok")
+    )
