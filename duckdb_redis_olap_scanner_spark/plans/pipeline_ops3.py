@@ -1,6 +1,8 @@
-"""Round-6 pipeline additions: keyword retrieval (BM25, vocabulary),
-Gopher-style repetition filtering, context-window chunking, and int8
-embedding quantization.
+"""Round-6 pipeline additions: keyword retrieval (BM25, vocabulary,
+OOV audit), repetition and duplicate-n-gram filtering, PII scrubbing,
+context-window chunking, sequence packing, int8 embedding
+quantization, semantic prototypes + k-means refinement, rolling
+anomaly detection, and the end-to-end curation DAG flagship.
 
 Registers AFTER ``pipeline_ops2`` (see ``catalog.registry``) so these
 new entries form the round-6 unverified frontier and get driver-gate
@@ -15,13 +17,17 @@ left folds for array sums — every value bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
 
+from ..operators import dedup as D
+from ..operators import packing as PK
 from ..operators import quantize as Q
 from ..operators import retrieval as R
+from ..operators import similarity as S
 from ..operators import text as T
 from .catalog import register, table
-from .pipeline_ops import _SQL_TOKS
+from .pipeline_ops import _SQL_CANON, _SQL_QUANT_EMB, _SQL_TOKS, _sql_dot
 
 _TERMS = R.QUERY_TERMS
 _K1, _B = R.BM25_K1, R.BM25_B
@@ -200,14 +206,6 @@ def pipeline_quantize_int8(spark: SparkSession, sf: str):
     return Q.quantize_int8(table(spark, sf, "embeddings"))
 
 
-from pyspark.sql import Window  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
-from ..operators import packing as PK  # noqa: E402
-from ..operators import similarity as S  # noqa: E402
-from .pipeline_ops import _SQL_CANON, _SQL_QUANT_EMB, _sql_dot  # noqa: E402
-
-
 @register(
     "pipeline_pack_sequences",
     oracle=f"""
@@ -341,9 +339,6 @@ def events_rolling_anomaly(spark: SparkSession, sf: str):
             & (dev2 > F.lit(ANOMALY_K * ANOMALY_K) * var_n2)
         ).alias("is_anomaly"),
     )
-
-
-from ..operators import dedup as D  # noqa: E402
 
 
 @register(
