@@ -622,3 +622,80 @@ def pipeline_full_curation(spark: SparkSession, sf: str):
     return clean.select(
         "doc_id", "lang", F.size(T.tokens_col()).alias("n_tok")
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
+                      event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+               FROM events WHERE user_id < 10),
+    hourly AS (
+      SELECT user_id, hour, x AS hx FROM (
+        SELECT user_id, hour, x,
+               row_number() OVER (PARTITION BY user_id, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+             FROM b GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                         AS hour
+              FROM span),
+    j AS (SELECT s.user_id, s.hour, h.hx
+          FROM spine s LEFT JOIN hourly h
+            ON s.user_id = h.user_id AND s.hour = h.hour)
+    SELECT user_id, strftime(hour, '%Y-%m-%d %H') AS hour,
+           last_value(hx IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_cents,
+           hx IS NULL AS is_gap
+    FROM j
+    """,
+    tags=("temporal", "window", "pipeline"),
+    doc="Hourly gap-fill with last-observation-carried-forward (the "
+    "hypertable time_bucket_gapfill shape): per-user hour spine from "
+    "min to max, missing hours filled by an IGNORE NULLS running "
+    "last_value; one window pass per stage, partitioned on the user "
+    "key, spine generated in-stage (sequence + explode, no driver).",
+)
+def events_gapfill_locf(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events").filter(F.col("user_id") < 10)
+    x = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    b = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        x.alias("x"),
+    )
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        b.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("x").alias("hx"))
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+            "hour"
+        ),
+    )
+    j = spine.join(hourly, ["user_id", "hour"], "left")
+    w_locf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
+        F.last("hx", ignorenulls=True).over(w_locf).alias("value_cents"),
+        F.col("hx").isNull().alias("is_gap"),
+    )
