@@ -127,3 +127,32 @@ def test_entry_smoke(spark):
     qs, os_ = se.queries(), se.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 40
+
+
+# Cross-scale parity: the driver gate runs at sf0.01; re-run the
+# pipeline/temporal entries (the families with empty groups, ties, and
+# spine generation that can behave scale-dependently) at sf0.001 too,
+# so a bug that cancels at one scale still surfaces.
+from .conftest import SF_DIR as SF_DIR_SMALL  # noqa: E402
+
+CROSS_SCALE_ENTRIES = sorted(
+    n
+    for n, e in ENTRIES.items()
+    if e.oracle is not None
+    and {"pipeline", "temporal", "dedup", "text"} & set(e.tags)
+)
+
+
+@pytest.mark.parametrize("name", CROSS_SCALE_ENTRIES)
+def test_oracle_hash_match_small_sf(name, spark):
+    e = ENTRIES[name]
+    sdf = e.fn(spark, SF_DIR_SMALL).toPandas()
+    con = _duck_con(SF_DIR_SMALL)
+    odf = con.execute(e.oracle).fetchdf()
+    con.close()
+    assert len(sdf) == len(odf), (
+        f"{name}@{SF_DIR_SMALL}: rows {len(sdf)} vs {len(odf)}"
+    )
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    srows, orows = _canon_rows(sdf), _canon_rows(odf)
+    assert srows == orows, f"{name}@{SF_DIR_SMALL}: value mismatch"
