@@ -31,7 +31,11 @@ def plan_of(spark, name: str) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    plan = buf.getvalue()
+    # Entries memoize their DataFrame; if another test already executed
+    # it, AQE's explain carries BOTH the final and the initial plan —
+    # keep only the final so operator counts aren't doubled.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def n_shuffles(plan: str) -> int:
@@ -73,11 +77,11 @@ def test_quantize_is_narrow_jvm_map(spark):
 
 
 def _n_window_ops(plan: str) -> int:
-    # Count operator-detail headers "(N) Window" — the operator appears
-    # once in the tree and once in the details, so count details only.
+    # Count tree nodes "Window (N)" — plan_of keeps only the final
+    # plan's tree, so each operator appears exactly once there.
     import re
 
-    return len(re.findall(r"\(\d+\) Window\b", plan))
+    return len(re.findall(r"\bWindow \(\d+\)", plan))
 
 
 def test_rolling_anomaly_single_window_pass(spark):
