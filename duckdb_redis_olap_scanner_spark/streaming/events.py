@@ -401,3 +401,104 @@ def rolling_anomaly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling anomaly on the Spark 4 transformWithStateInPandas API
+# ---------------------------------------------------------------------------
+
+
+def rolling_anomaly_tws(events: DataFrame) -> DataFrame:
+    """The rolling anomaly detector on Spark 4's arbitrary-stateful
+    API (``transformWithStateInPandas`` + ``ListState``) — same
+    semantics and int64 math as :func:`rolling_anomaly_stream`
+    (applyInPandasWithState) and the batch window entry; all three are
+    asserted row-identical in tests/test_streaming.py.
+
+    Why both streaming APIs: transformWithState is the
+    current-generation surface (typed state handles, timers, state
+    TTL, RocksDB-backed at scale) and the one new pipelines should
+    target; the applyInPandasWithState twin stays as the
+    widely-deployed compatibility shape. The trailing window lives in
+    a ListState capped at ANOMALY_WINDOW values per user.
+
+    Environment gate: the transformWithState state protocol speaks
+    protobuf (pyspark.sql.streaming.proto), so running the query
+    needs ``google.protobuf`` installed and the RocksDB state store
+    provider configured; this container ships neither, so the
+    equivalence test skips here and the applyInPandasWithState twin
+    carries the verified-streaming guarantee. Import-gated loudly at
+    build time rather than failing deep inside the stream runner."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf for "
+            "its state-server protocol (absent in this environment); "
+            "use rolling_anomaly_stream (applyInPandasWithState) — "
+            "same semantics, verified against the batch plan"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..plans.pipeline_ops3 import (
+        ANOMALY_K,
+        ANOMALY_MIN_N,
+        ANOMALY_WINDOW,
+    )
+
+    class RollingAnomalyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._xs = handle.getListState("xs", "x LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            xs = [int(r[0]) for r in self._xs.get()]
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                out = []
+                for ev, v in zip(pdf["event_id"], pdf["value"]):
+                    x = int(np.floor(v * 100.0))
+                    xs.append(x)
+                    if len(xs) > ANOMALY_WINDOW:
+                        xs.pop(0)
+                    n = len(xs)
+                    s = sum(xs)
+                    q = sum(y * y for y in xs)
+                    dev = n * x - s
+                    anom = n >= ANOMALY_MIN_N and dev * dev > (
+                        ANOMALY_K * ANOMALY_K
+                    ) * (n * q - s * s)
+                    out.append(
+                        (int(ev), int(key[0]), x, n, s, q, bool(anom))
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "event_id",
+                        "user_id",
+                        "x_cents",
+                        "win_n",
+                        "win_sum",
+                        "win_sumsq",
+                        "is_anomaly",
+                    ],
+                )
+            self._xs.put([(x,) for x in xs])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RollingAnomalyProcessor(),
+            outputStructType=_ANOMALY_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -330,3 +330,63 @@ def test_rolling_anomaly_stream_equals_batch(spark, events_stream, tmp_path):
         "is_anomaly",
     ]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_rolling_anomaly_tws_equals_batch(spark, events_stream, tmp_path):
+    """Same detector on the Spark 4 transformWithStateInPandas API:
+    typed ListState, same int64 math — must match the batch window
+    plan row-for-row (and therefore the applyInPandasWithState twin).
+    Skips where the protobuf state protocol isn't installed (this
+    container); the applyInPandasWithState twin carries the verified
+    guarantee there."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf",
+    )
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = SE.run_stream_to_memory(
+            SE.rolling_anomaly_tws(events_stream),
+            "t_roll_anom_tws",
+            output_mode="append",
+            checkpoint_dir=str(tmp_path / "ckpt_tws"),
+        )
+        got = got.sparkSession.createDataFrame(got.collect(), got.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    want = registry()["events_rolling_anomaly"].fn(spark, SF_DIR)
+    cols = [
+        "event_id",
+        "user_id",
+        "x_cents",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        "is_anomaly",
+    ]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_rolling_anomaly_tws_import_gate(spark, events_stream):
+    """Without protobuf the builder must fail loudly at build time
+    with a pointer to the verified twin, not deep in the stream."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — gate inactive")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="rolling_anomaly_stream"):
+        SE.rolling_anomaly_tws(events_stream)
