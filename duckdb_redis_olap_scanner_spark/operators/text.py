@@ -423,3 +423,41 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(scrubbed).alias("clean_md5"),
         (F.length(t) - F.length(scrubbed)).alias("len_delta"),
     )
+
+
+def with_char_diversity(docs: DataFrame) -> DataFrame:
+    """Character-diversity quality signal per document: the Simpson
+    concentration index sum(n_c^2)/n^2 over character frequencies of
+    the canonical text — an entropy proxy computed WITHOUT log (libm
+    would break engine-exactness): near 1/alphabet for diverse text,
+    near 1.0 for degenerate repeated-character content.
+
+    (doc_id, n_chars_canon, distinct_chars, simpson_x1e9, diverse_ok).
+    The index is emitted as floor(x * 1e9) so the comparison key is an
+    integer; the raw double division would also be exact but the
+    integer form survives any downstream engine's float formatting.
+
+    Shape: explode canonical chars -> count per (doc, char) -> sum of
+    squares per doc; both aggs map-side combine and key on
+    (doc_id[, char]) — scan-proportional, no skew."""
+    docs = fan_out(docs, key="doc_id")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(canonical_text(), "")).alias("c")
+    )
+    per_char = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    agg = per_char.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars_canon"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    simpson = F.floor(
+        (F.col("sum_sq").cast("double") * F.lit(1e9))
+        / (F.col("n_chars_canon") * F.col("n_chars_canon")).cast("double")
+    ).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_chars_canon",
+        F.col("distinct_chars").cast("int").alias("distinct_chars"),
+        simpson.alias("simpson_x1e9"),
+        (simpson < F.lit(200_000_000)).alias("diverse_ok"),
+    )

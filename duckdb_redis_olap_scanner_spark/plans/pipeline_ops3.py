@@ -699,3 +699,35 @@ def events_gapfill_locf(spark: SparkSession, sf: str):
         F.last("hx", ignorenulls=True).over(w_locf).alias("value_cents"),
         F.col("hx").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "text_char_diversity",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split({_SQL_CANON}, '')) AS c
+      FROM documents),
+    pc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+    a AS (SELECT doc_id,
+                 CAST(SUM(n) AS BIGINT) AS n_chars_canon,
+                 CAST(count(*) AS INT) AS distinct_chars,
+                 CAST(SUM(n * n) AS BIGINT) AS sum_sq
+          FROM pc GROUP BY doc_id)
+    SELECT doc_id, n_chars_canon, distinct_chars,
+           CAST(FLOOR((CAST(sum_sq AS DOUBLE) * 1e9)
+                / CAST(n_chars_canon * n_chars_canon AS DOUBLE)) AS BIGINT)
+               AS simpson_x1e9,
+           CAST(FLOOR((CAST(sum_sq AS DOUBLE) * 1e9)
+                / CAST(n_chars_canon * n_chars_canon AS DOUBLE)) AS BIGINT)
+               < 200000000 AS diverse_ok
+    FROM a
+    """,
+    tags=("text", "pipeline"),
+    doc="Character-diversity quality signal: Simpson concentration "
+    "index over canonical-text character frequencies — the libm-free "
+    "entropy proxy (flags degenerate repeated-character content); "
+    "two map-side-combined aggs, integer-exact output "
+    "(operators/text.with_char_diversity).",
+)
+def text_char_diversity(spark: SparkSession, sf: str):
+    return T.with_char_diversity(table(spark, sf, "documents"))
