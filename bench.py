@@ -157,9 +157,12 @@ def main() -> None:
     # (round-robin over 19 queries overflows the bounded generated-
     # class cache, and every sample pays recompilation — measured ~2×
     # inflation), while this host's ±25% bursty neighbor noise can
-    # poison all consecutive samples of one query. 2 passes × 2 reps
-    # takes one warm sample per pass AND separates passes in time.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # poison all consecutive samples of one query. Passes × reps takes
+    # one warm sample per pass AND separates passes in time; 3 passes
+    # (6 samples/query, ~+40 s wall) because round-6 back-to-back runs
+    # measured 2.67 s and 3.36 s for identical code — the extra pass
+    # buys the min a third independent time window.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     best: dict[str, float] = {n: float("inf") for n in bench_names}
     for _ in range(passes):
