@@ -705,6 +705,9 @@ def events_gapfill_locf(spark: SparkSession, sf: str):
     "text_char_diversity",
     oracle=f"""
     WITH ch AS (
+      -- Empty canonical text yields one empty-string "char" in BOTH
+      -- engines (split('','') = [''], verified either side), so the
+      -- degenerate doc gets simpson = 1.0 rather than vanishing.
       SELECT doc_id, unnest(string_split({_SQL_CANON}, '')) AS c
       FROM documents),
     pc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),

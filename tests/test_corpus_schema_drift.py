@@ -63,6 +63,11 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "pipeline_chunk_documents",
         "pipeline_pack_sequences",
         "text_duplicate_ngrams",
+        "text_char_diversity",
+        "text_pii_scrub",
+        "text_vocabulary",
+        "text_bm25_topk",
+        "pipeline_oov_stats",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
