@@ -95,3 +95,32 @@ def test_embeddings_as_float64_lists(spark, tmp_path):
         "pipeline_kmeans_refine",
     ):
         _compare(spark, str(tmp_path), entry, "embeddings")
+
+
+def test_documents_empty_table(spark, tmp_path):
+    """Zero-row corpus: every document entry must run on both engines
+    and agree (typically zero rows) — no div-by-zero in corpus-stats
+    scalars, no window/explode crashes on empty input."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    for entry in (
+        "text_token_stats",
+        "text_repetition_stats",
+        "pipeline_chunk_documents",
+        "pipeline_pack_sequences",
+        "text_duplicate_ngrams",
+        "text_char_diversity",
+        "text_pii_scrub",
+        "text_vocabulary",
+        "text_bm25_topk",
+        "pipeline_oov_stats",
+    ):
+        _compare(spark, str(tmp_path), entry, "documents")
