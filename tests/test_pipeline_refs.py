@@ -222,3 +222,74 @@ def test_kmeans_refine_is_argmax_of_integer_means(spark, tables):
         dots = {c: int(emb[r.vec_id] @ M[c]) for c in cells}
         best = min(cells, key=lambda c: (-dots[c], c))
         assert r.cell1 == best, (r.vec_id, r.cell1, best)
+
+
+def test_vocabulary_and_oov_match_python_reference(spark, rand_docs_df):
+    from collections import Counter
+
+    docs = _random_docs(7)
+    df_counts = Counter(
+        t for _, s in docs for t in set(_toks(s))
+    )
+    order = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r.tok, r.df_docs)
+        for r in R.vocabulary_topk(rand_docs_df, k=5).collect()
+    ]
+    assert got == order[:5]
+
+    vocab = {t for t, _ in order[: R.OOV_VOCAB_SIZE]}
+    got_oov = {r.doc_id: r for r in R.oov_stats(rand_docs_df).collect()}
+    for i, s in docs:
+        toks = _toks(s)
+        inv = sum(1 for t in toks if t in vocab)
+        r = got_oov[i]
+        assert (r.n_tok, r.n_invocab) == (len(toks), inv)
+        assert r.oov_rate == (len(toks) - inv) / len(toks)
+
+
+def test_pii_scrub_matches_python_reference(spark):
+    import re
+
+    rows = [
+        (0, "reach me at jane.doe@example.com or 555-123-4567 now"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.io c.d@e.org and 123-456-7890"),
+        (3, "not-a-phone 12-345-6789 not-an-email a@@b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.scrub_pii(df).collect()}
+    for i, s in rows:
+        emails = re.findall(T.PII_EMAIL_RE, s)
+        phones = re.findall(T.PII_PHONE_RE, s)
+        clean = re.sub(
+            T.PII_PHONE_RE, "<PHONE>", re.sub(T.PII_EMAIL_RE, "<EMAIL>", s)
+        )
+        r = got[i]
+        assert (r.n_emails, r.n_phones) == (len(emails), len(phones)), s
+        assert r.len_delta == len(s) - len(clean)
+        import hashlib as h
+
+        assert r.clean_md5 == h.md5(clean.encode()).hexdigest()
+
+
+def test_char_diversity_matches_python_reference(spark, rand_docs_df):
+    import re
+    from collections import Counter
+
+    got = {
+        r.doc_id: r for r in T.with_char_diversity(rand_docs_df).collect()
+    }
+    for i, s in _random_docs(7):
+        canon = re.sub(r"\s+", " ", s.strip()).lower()
+        chars = list(canon) if canon else [""]
+        c = Counter(chars)
+        n = len(chars)
+        sq = sum(v * v for v in c.values())
+        import math
+
+        r = got[i]
+        assert (r.n_chars_canon, r.distinct_chars) == (n, len(c))
+        # Same op order as the engines: double multiply, double divide,
+        # then floor (NOT integer //, which would skip the float round).
+        assert r.simpson_x1e9 == math.floor((sq * 1e9) / (n * n))
