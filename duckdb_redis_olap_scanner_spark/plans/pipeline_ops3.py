@@ -734,3 +734,65 @@ def events_gapfill_locf(spark: SparkSession, sf: str):
 )
 def text_char_diversity(spark: SparkSession, sf: str):
     return T.with_char_diversity(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_source_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   count(*) AS n_sources
+            FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(FLOOR((CAST(n_tokens AS DOUBLE) * 1e9)
+                / CAST(total_tokens AS DOUBLE)) AS BIGINT)
+               AS token_share_x1e9,
+           CAST(FLOOR(LEAST(1.0,
+                CAST(total_tokens AS DOUBLE)
+                    / CAST(n_sources * n_tokens AS DOUBLE)) * 1e6)
+               AS BIGINT) AS keep_rate_x1e6
+    FROM per, tot
+    ORDER BY source
+    """,
+    tags=("text", "pipeline", "agg"),
+    doc="Dataset mixture analysis / source reweighting (the Pile/Dolma "
+    "balancing step): per-source doc and token counts, token share, "
+    "and the deterministic keep-rate that downsamples over-represented "
+    "sources toward a uniform token mixture. One partial-combined agg "
+    "+ a broadcast totals scalar; the keep rate feeds the salted-hash "
+    "sampler (pipeline_stratified_sample's mechanism) unchanged at "
+    "any scale.",
+)
+def pipeline_source_mix(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens_col())).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.floor(
+        (F.col("n_tokens").cast("double") * F.lit(1e9))
+        / F.col("total_tokens").cast("double")
+    ).cast("long")
+    keep = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")).cast("double"),
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share_x1e9"),
+        keep.alias("keep_rate_x1e6"),
+    ).orderBy("source")
