@@ -1,0 +1,67 @@
+"""Partition-count invariance: the classic distributed-engine bug is
+output that depends on parallelism (sum order, unstable tie-breaks,
+per-partition state leaking into results). Every operator here is
+designed to be partitioning-invariant — integer/fixed-order math and
+total-order tie-breaks — and this suite pins that by running each
+operator on the SAME data repartitioned two different ways and
+asserting bit-identical outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_redis_olap_scanner_spark.operators import packing as PK
+from duckdb_redis_olap_scanner_spark.operators import quantize as QZ
+from duckdb_redis_olap_scanner_spark.operators import retrieval as R
+from duckdb_redis_olap_scanner_spark.operators import similarity as S
+from duckdb_redis_olap_scanner_spark.operators import text as T
+from duckdb_redis_olap_scanner_spark.operators.dedup import (
+    duplicate_ngram_stats,
+    exact_dedup,
+    minhash_lsh_dedup,
+)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def _invariant(op, src, parts_a=3, parts_b=17):
+    a = _canon(op(src.repartition(parts_a)))
+    b = _canon(op(src.repartition(parts_b)))
+    assert a == b, "output depends on input partitioning"
+    assert a, "empty output makes the invariance check vacuous"
+
+
+DOC_OPS = [
+    pytest.param(R.bm25_topk, id="bm25_topk"),
+    pytest.param(R.vocabulary_topk, id="vocabulary_topk"),
+    pytest.param(R.oov_stats, id="oov_stats"),
+    pytest.param(T.with_repetition_stats, id="repetition_stats"),
+    pytest.param(T.chunk_documents, id="chunk_documents"),
+    pytest.param(T.with_char_diversity, id="char_diversity"),
+    pytest.param(PK.pack_sequences, id="pack_sequences"),
+    pytest.param(exact_dedup, id="exact_dedup"),
+    pytest.param(duplicate_ngram_stats, id="duplicate_ngrams"),
+    pytest.param(minhash_lsh_dedup, id="minhash_lsh_dedup"),
+]
+
+
+@pytest.mark.parametrize("op", DOC_OPS)
+def test_document_ops_partition_invariant(spark, tables, op):
+    _invariant(op, tables["documents"])
+
+
+EMB_OPS = [
+    pytest.param(QZ.quantize_int8, id="quantize_int8"),
+    pytest.param(S.ivf_prototypes, id="ivf_prototypes"),
+    pytest.param(S.kmeans_refine, id="kmeans_refine"),
+    pytest.param(S.brute_force_topk, id="brute_force_topk"),
+]
+
+
+@pytest.mark.parametrize("op", EMB_OPS)
+def test_embedding_ops_partition_invariant(spark, tables, op):
+    _invariant(op, tables["embeddings"])
