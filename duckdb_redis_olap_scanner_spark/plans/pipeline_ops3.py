@@ -796,3 +796,47 @@ def pipeline_source_mix(spark: SparkSession, sf: str):
         share.alias("token_share_x1e9"),
         keep.alias("keep_rate_x1e6"),
     ).orderBy("source")
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY prev_type) AS p_next
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("temporal", "window", "agg", "pipeline"),
+    doc="Event-type transition matrix (Markov bigrams over each "
+    "user's stream): lag over (ts, event_id) order, pair counts, and "
+    "per-prev-type transition probabilities — the sequence-statistics "
+    "prep for next-event modeling. One window pass partitioned by "
+    "user + one bounded (type x type) aggregate; p_next is an exact "
+    "int/int division (the window SUM over counts is integer).",
+)
+def events_type_transitions(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
