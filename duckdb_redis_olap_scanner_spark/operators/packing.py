@@ -71,3 +71,51 @@ def pack_sequences(
         first_seq.alias("first_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+def pack_manifest(
+    docs: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    n_buckets: int = N_PACK_BUCKETS,
+) -> DataFrame:
+    """Sequence-level packing manifest: (bucket, seq, n_docs,
+    n_tokens, fill_frac) — how many documents contribute to each
+    fixed-length training sequence and how full it is. ``fill_frac``
+    is the padding-waste metric packing exists to maximize; every
+    sequence except each bucket's last should be exactly full.
+
+    Derived from :func:`pack_sequences` by fanning each doc out to the
+    sequences it spans (generator explode, n_seqs rows per doc) and
+    clipping its token interval to each sequence window — integer
+    interval arithmetic, then one (bucket, seq)-keyed partial-combined
+    aggregation. fill = tokens/seq_len stays IEEE-exact because
+    ``seq_len`` is a power of two."""
+    p = pack_sequences(docs, seq_len, n_buckets)
+    seqs = p.select(
+        "bucket",
+        "n_tok",
+        "start_tok",
+        F.explode(
+            F.sequence(
+                F.col("first_seq"),
+                F.col("first_seq") + F.col("n_seqs") - 1,
+            )
+        ).alias("seq"),
+    )
+    tok = F.least(
+        F.col("start_tok") + F.col("n_tok"), (F.col("seq") + 1) * seq_len
+    ) - F.greatest(F.col("start_tok"), F.col("seq") * seq_len)
+    return (
+        seqs.groupBy("bucket", "seq")
+        .agg(F.count("*").alias("n_docs"), F.sum(tok).alias("n_tokens"))
+        .select(
+            "bucket",
+            "seq",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.lit(float(seq_len))).alias(
+                "fill_frac"
+            ),
+        )
+        .orderBy("bucket", "seq")
+    )

@@ -840,3 +840,46 @@ def events_type_transitions(spark: SparkSession, sf: str):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "pipeline_pack_manifest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tok,
+                      {T.sql_md5_hash64(_SQL_CANON)} AS h
+               FROM documents),
+    b AS (SELECT doc_id, n_tok, h, h % {PK.N_PACK_BUCKETS} AS bucket FROM t),
+    c AS (SELECT doc_id, bucket, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY bucket
+                                       ORDER BY h, doc_id) AS BIGINT)
+                     AS cum
+          FROM b),
+    packed AS (
+      SELECT doc_id, bucket, n_tok,
+             cum - n_tok AS start_tok,
+             (cum - n_tok) // {PK.PACK_SEQ_LEN} AS first_seq,
+             ((cum - 1) // {PK.PACK_SEQ_LEN})
+                 - ((cum - n_tok) // {PK.PACK_SEQ_LEN}) + 1 AS n_seqs
+      FROM c),
+    e AS (SELECT bucket, n_tok, start_tok,
+                 unnest(range(first_seq, first_seq + n_seqs)) AS seq
+          FROM packed)
+    SELECT bucket, seq, count(*) AS n_docs,
+           CAST(SUM(LEAST(start_tok + n_tok, (seq + 1) * {PK.PACK_SEQ_LEN})
+                    - GREATEST(start_tok, seq * {PK.PACK_SEQ_LEN}))
+               AS BIGINT) AS n_tokens,
+           CAST(SUM(LEAST(start_tok + n_tok, (seq + 1) * {PK.PACK_SEQ_LEN})
+                    - GREATEST(start_tok, seq * {PK.PACK_SEQ_LEN}))
+               AS DOUBLE) / {PK.PACK_SEQ_LEN}.0 AS fill_frac
+    FROM e GROUP BY bucket, seq
+    ORDER BY bucket, seq
+    """,
+    tags=("text", "pipeline", "window", "agg"),
+    doc="Sequence-level packing manifest: per training sequence, the "
+    "contributing-doc count, filled tokens, and fill fraction (the "
+    "padding-waste metric packing maximizes). Doc intervals clipped "
+    "to sequence windows in integer arithmetic; exact because seq_len "
+    "is a power of two (operators/packing.pack_manifest).",
+)
+def pipeline_pack_manifest(spark: SparkSession, sf: str):
+    return PK.pack_manifest(table(spark, sf, "documents"))

@@ -176,3 +176,25 @@ def test_parameter_guards_reject_nonsense(spark, tables):
         chunk_documents(tables["documents"], size=8, stride=16)
     with pytest.raises(ValueError, match="n_buckets"):
         PK.pack_sequences(tables["documents"], n_buckets=0)
+
+
+def test_pack_manifest_sequences_full_except_bucket_tail(spark, tables):
+    """Packing correctness at the sequence level: every sequence
+    except each bucket's LAST is exactly full, and fill fractions
+    never exceed 1."""
+    from pyspark.sql import Window
+
+    from duckdb_redis_olap_scanner_spark.operators.packing import (
+        PACK_SEQ_LEN,
+        pack_manifest,
+    )
+
+    m = pack_manifest(tables["documents"])
+    w = Window.partitionBy("bucket")
+    bad = (
+        m.withColumn("mx", F.max("seq").over(w))
+        .filter(F.col("seq") < F.col("mx"))
+        .filter(F.col("n_tokens") != PACK_SEQ_LEN)
+    )
+    assert bad.count() == 0
+    assert m.filter(F.col("fill_frac") > 1.0).count() == 0
