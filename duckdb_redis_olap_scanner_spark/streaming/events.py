@@ -327,7 +327,55 @@ _ANOMALY_OUT_SCHEMA = (
     "event_id long, user_id long, x_cents long, win_n int, "
     "win_sum long, win_sumsq long, is_anomaly boolean"
 )
-_ANOMALY_STATE_SCHEMA = "xs array<long>"
+_ANOMALY_STATE_SCHEMA = (
+    "xs array<long>, last_ts long, last_event long, regressions long"
+)
+
+
+def _anomaly_fold(
+    key: tuple[Any, ...],
+    pdf: pd.DataFrame,
+    xs: list[int],
+) -> pd.DataFrame:
+    """Fold one (already fully sorted) micro-batch of a single user's
+    events into the trailing window ``xs`` (mutated in place) and
+    return the per-event output rows. Shared by the
+    applyInPandasWithState and transformWithStateInPandas twins so
+    their math cannot drift apart."""
+    import numpy as np
+
+    from ..plans.pipeline_ops3 import (
+        ANOMALY_K,
+        ANOMALY_MIN_N,
+        ANOMALY_WINDOW,
+    )
+
+    out = []
+    for ev, v in zip(pdf["event_id"], pdf["value"]):
+        x = int(np.floor(v * 100.0))
+        xs.append(x)
+        if len(xs) > ANOMALY_WINDOW:
+            xs.pop(0)
+        n = len(xs)
+        s = sum(xs)
+        q = sum(y * y for y in xs)
+        dev = n * x - s
+        anom = n >= ANOMALY_MIN_N and dev * dev > (
+            ANOMALY_K * ANOMALY_K
+        ) * (n * q - s * s)
+        out.append((int(ev), int(key[0]), x, n, s, q, bool(anom)))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "event_id",
+            "user_id",
+            "x_cents",
+            "win_n",
+            "win_sum",
+            "win_sumsq",
+            "is_anomaly",
+        ],
+    )
 
 
 def _update_rolling_anomaly(
@@ -338,49 +386,46 @@ def _update_rolling_anomaly(
     """Trailing-window z-score per event, with the window carried
     across micro-batches in GroupState. Same int64 cross-multiplied
     test as the batch/window twin ((n*x-s)^2 > k^2*(n*q-s^2)), so the
-    two paths are value-identical. Rows are processed in (ts,
-    event_id) order within each batch; cross-batch order relies on
-    the source delivering event time monotonically per user (the
-    standard contract for per-event stateful ops — sort-or-watermark
-    upstream if the source can't guarantee it)."""
-    import numpy as np
+    two paths are value-identical.
 
-    from ..plans.pipeline_ops3 import (
-        ANOMALY_K,
-        ANOMALY_MIN_N,
-        ANOMALY_WINDOW,
-    )
+    Ordering: ``batches`` can deliver one key's micro-batch rows as
+    SEVERAL pandas chunks (Arrow ``maxRecordsPerBatch``) with no
+    cross-chunk ordering guarantee after the shuffle, so the chunks
+    are materialized and sorted ONCE per key per micro-batch before
+    folding — sorting each chunk independently would silently process
+    events out of (ts, event_id) order whenever a key spans chunks.
+    Cross-micro-batch order still relies on the source delivering
+    event time monotonically per user; the state tracks the last
+    (ts, event_id) seen and counts regressions so a violated contract
+    is observable (see :func:`rolling_anomaly_stream`)."""
+    if state.exists:
+        st = state.get
+        xs = list(st[0])
+        last_ts = int(st[1])
+        last_event = int(st[2])
+        regressions = int(st[3])
+    else:
+        xs = []
+        last_ts = -(2**62)
+        last_event = -(2**62)
+        regressions = 0
 
-    xs = list(state.get[0]) if state.exists else []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        out = []
-        for ev, v in zip(pdf["event_id"], pdf["value"]):
-            x = int(np.floor(v * 100.0))
-            xs.append(x)
-            if len(xs) > ANOMALY_WINDOW:
-                xs.pop(0)
-            n = len(xs)
-            s = sum(xs)
-            q = sum(y * y for y in xs)
-            dev = n * x - s
-            anom = n >= ANOMALY_MIN_N and dev * dev > (
-                ANOMALY_K * ANOMALY_K
-            ) * (n * q - s * s)
-            out.append((int(ev), int(key[0]), x, n, s, q, bool(anom)))
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "event_id",
-                "user_id",
-                "x_cents",
-                "win_n",
-                "win_sum",
-                "win_sumsq",
-                "is_anomaly",
-            ],
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
         )
-    state.update((xs,))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_ns = pdf["ts"].astype("int64")
+        first = (int(ts_ns.iloc[0]), int(pdf["event_id"].iloc[0]))
+        if first < (last_ts, last_event):
+            regressions += 1
+        last_ts = int(ts_ns.iloc[-1])
+        last_event = int(pdf["event_id"].iloc[-1])
+        yield _anomaly_fold(key, pdf, xs)
+    state.update((xs, last_ts, last_event, regressions))
 
 
 def rolling_anomaly_stream(events: DataFrame) -> DataFrame:
@@ -389,7 +434,25 @@ def rolling_anomaly_stream(events: DataFrame) -> DataFrame:
     state surviving micro-batch boundaries — the shape a live
     metrics/abuse pipeline needs, where the batch entry is the
     backfill path. Equivalence to the batch window plan is asserted
-    in tests/test_streaming.py."""
+    in tests/test_streaming.py.
+
+    Ordering contract: within one micro-batch each user's rows are
+    globally sorted by (ts, event_id) before folding (all Arrow
+    chunks are materialized first, so a key spanning chunks is safe).
+    ACROSS micro-batches the operator requires the source to deliver
+    each user's events in non-decreasing (ts, event_id) order — the
+    standard contract for per-event stateful ops. If the source can't
+    guarantee it (replays, multi-partition Kafka without keyed
+    ordering), pre-sort per trigger or buffer behind a watermark
+    upstream::
+
+        events.withWatermark("ts", "10 minutes")  # bound lateness
+        # then a foreachBatch that sorts by (user_id, ts, event_id)
+
+    Violations are OBSERVABLE, not silent: the group state tracks the
+    last (ts, event_id) seen per user and increments a ``regressions``
+    counter whenever a micro-batch starts before it; operators can
+    alert on that state via the state-store reader."""
     return (
         events.select("event_id", "ts", "user_id", "value")
         .groupBy("user_id")
@@ -443,50 +506,25 @@ def rolling_anomaly_tws(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    from ..plans.pipeline_ops3 import (
-        ANOMALY_K,
-        ANOMALY_MIN_N,
-        ANOMALY_WINDOW,
-    )
-
     class RollingAnomalyProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._xs = handle.getListState("xs", "x LONG")
 
         def handleInputRows(self, key, rows, timerValues):
-            import numpy as np
-
+            # Same chunk-materialize-then-sort discipline as the
+            # applyInPandasWithState twin: one key's micro-batch may
+            # arrive as several Arrow chunks with no cross-chunk
+            # ordering, so sort once over the concatenation.
             xs = [int(r[0]) for r in self._xs.get()]
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                out = []
-                for ev, v in zip(pdf["event_id"], pdf["value"]):
-                    x = int(np.floor(v * 100.0))
-                    xs.append(x)
-                    if len(xs) > ANOMALY_WINDOW:
-                        xs.pop(0)
-                    n = len(xs)
-                    s = sum(xs)
-                    q = sum(y * y for y in xs)
-                    dev = n * x - s
-                    anom = n >= ANOMALY_MIN_N and dev * dev > (
-                        ANOMALY_K * ANOMALY_K
-                    ) * (n * q - s * s)
-                    out.append(
-                        (int(ev), int(key[0]), x, n, s, q, bool(anom))
-                    )
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "event_id",
-                        "user_id",
-                        "x_cents",
-                        "win_n",
-                        "win_sum",
-                        "win_sumsq",
-                        "is_anomaly",
-                    ],
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1
+                    else chunks[0]
                 )
+                pdf = pdf.sort_values(["ts", "event_id"])
+                yield _anomaly_fold(key, pdf, xs)
             self._xs.put([(x,) for x in xs])
 
         def close(self) -> None:

@@ -390,3 +390,56 @@ def test_rolling_anomaly_tws_import_gate(spark, events_stream):
         pass
     with pytest.raises(ImportError, match="rolling_anomaly_stream"):
         SE.rolling_anomaly_tws(events_stream)
+
+
+def test_rolling_anomaly_stream_multichunk_key(
+    spark, events_stream, tmp_path
+):
+    """One key's rows can arrive as SEVERAL Arrow chunks per
+    micro-batch (arrow maxRecordsPerBatch), with no cross-chunk
+    ordering after the shuffle. The operator must materialize and
+    sort once per key, not per chunk. The testdata file is already
+    globally ts-sorted (chunks would coincidentally arrive in order),
+    so stream a deterministically SHUFFLED copy — one micro-batch,
+    7-row chunks: per-chunk sorting would fold events out of order
+    and diverge from the batch window plan."""
+    import pandas as _pd
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    src = _pd.read_parquet(f"{SF_DIR}/events.parquet")
+    shuffled = src.sample(frac=1.0, random_state=1234).reset_index(
+        drop=True
+    )
+    sdir = tmp_path / "shuffled_sf"
+    sdir.mkdir()
+    shuffled.to_parquet(sdir / "events.parquet", index=False)
+    stream = SE.read_events_stream(spark, str(sdir))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        got = SE.run_stream_to_memory(
+            SE.rolling_anomaly_stream(stream),
+            "t_roll_anom_chunked",
+            output_mode="append",
+            checkpoint_dir=str(tmp_path / "ckpt_anom_chunked"),
+        )
+        got = got.sparkSession.createDataFrame(got.collect(), got.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = registry()["events_rolling_anomaly"].fn(spark, SF_DIR)
+    cols = [
+        "event_id",
+        "user_id",
+        "x_cents",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        "is_anomaly",
+    ]
+    assert _canon(got, cols) == _canon(want, cols)
