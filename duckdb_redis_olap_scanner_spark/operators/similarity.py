@@ -1217,6 +1217,12 @@ def kmeans_refine(
     )
     import numpy as np
 
+    if not sums:
+        # Empty/centroid-less embeddings table: no cells to refine —
+        # an empty result with the output schema, not a max() crash.
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id bigint, cell0 bigint, cell1 bigint, moved boolean"
+        )
     cells = sorted({int(r.cell0) for r in sums})
     dim = max(int(r.pos) for r in sums) + 1
     cidx = {c: i for i, c in enumerate(cells)}

@@ -459,7 +459,13 @@ def text_pii_scrub(spark: SparkSession, sf: str):
           FROM a0 JOIN base b ON a0.vec_id = b.vec_id),
     ex AS (SELECT cell0 AS cell, r.pos, v[r.pos + 1] AS val
            FROM j CROSS JOIN
-                (SELECT unnest(range(0, 64)) AS pos) r),
+                -- dim derived from the data (the Spark side infers
+                -- max(pos)+1 the same way): a regenerated corpus with
+                -- a different embedding width stays correct instead
+                -- of silently truncating at a hardcoded 64.
+                (SELECT unnest(range(0, CAST(coalesce(
+                     (SELECT max(len(v)) FROM base), 0) AS BIGINT)))
+                 AS pos) r),
     sv AS (SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s
            FROM ex GROUP BY cell, pos),
     cnts AS (SELECT cell0 AS cell, COUNT(*) AS cnt FROM a0 GROUP BY cell0),

@@ -97,6 +97,27 @@ def test_embeddings_as_float64_lists(spark, tmp_path):
         _compare(spark, str(tmp_path), entry, "embeddings")
 
 
+def test_embeddings_empty_table(spark, tmp_path):
+    """Zero-row embeddings: the similarity/quantization entries must
+    run on both engines and agree on zero rows — in particular
+    kmeans_refine's driver-side centroid reduce must return an empty
+    frame, not crash on max() of an empty sequence."""
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    for entry in (
+        "pipeline_quantize_int8",
+        "pipeline_semantic_prototypes",
+        "pipeline_kmeans_refine",
+    ):
+        _compare(spark, str(tmp_path), entry, "embeddings")
+
+
 def test_documents_empty_table(spark, tmp_path):
     """Zero-row corpus: every document entry must run on both engines
     and agree (typically zero rows) — no div-by-zero in corpus-stats
