@@ -68,6 +68,9 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "text_vocabulary",
         "text_bm25_topk",
         "pipeline_oov_stats",
+        "multimodal_decode_bmp",
+        "multimodal_decode_ppm",
+        "multimodal_decode_wav",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -143,5 +146,8 @@ def test_documents_empty_table(spark, tmp_path):
         "text_vocabulary",
         "text_bm25_topk",
         "pipeline_oov_stats",
+        "multimodal_decode_bmp",
+        "multimodal_decode_ppm",
+        "multimodal_decode_wav",
     ):
         _compare(spark, str(tmp_path), entry, "documents")

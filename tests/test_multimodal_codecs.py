@@ -1,0 +1,152 @@
+"""Unit tests for the dependency-free media codecs
+(operators/multimodal.py): BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16).
+
+The end-to-end decode entries are hash-gated against closed-form
+DuckDB oracles (test_oracle_parity / the driver gate); these tests pin
+the parser edge cases the oracle can't reach — top-down BMPs, comment
+handling, chunk walking, and the loud rejection of unsupported
+variants.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 5, 12, 13, 51, 123, 4999])
+def test_bmp_ppm_round_trip(doc_id):
+    px = M._image_pixels(doc_id)
+    assert (M.decode_bmp(M.encode_bmp_payload(doc_id)) == px).all()
+    assert (M.decode_ppm(M.encode_ppm_payload(doc_id)) == px).all()
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 50, 123])
+def test_wav_round_trip(doc_id):
+    ch, sr, f = M._audio_params(doc_id)
+    got_ch, got_sr, bits, samples = M.decode_wav(M.encode_wav_payload(doc_id))
+    assert (got_ch, got_sr, bits) == (ch, sr, 16)
+    assert len(samples) == f * ch
+    assert (samples == M._audio_samples(doc_id)).all()
+
+
+def test_bmp_top_down_negative_height():
+    """BMPs with negative biHeight store rows top-down; the decoder
+    must not flip them."""
+    doc_id = 7
+    buf = bytearray(M.encode_bmp_payload(doc_id))
+    w, h = struct.unpack_from("<ii", buf, 18)
+    stride = (w * 3 + 3) // 4 * 4
+    body = (
+        np.frombuffer(bytes(buf[54:]), np.uint8)
+        .reshape(h, stride)[::-1]
+        .tobytes()
+    )
+    top_down = (
+        bytes(buf[:22]) + struct.pack("<i", -h) + bytes(buf[26:54]) + body
+    )
+    assert (M.decode_bmp(top_down) == M._image_pixels(doc_id)).all()
+
+
+def test_bmp_row_padding_varies():
+    """Widths 4..16 cover every stride-mod-4 case; each must decode
+    (padding bytes skipped, not read as pixels)."""
+    for doc_id in range(13):
+        w, _h = M._image_dims(doc_id)
+        assert (w * 3) % 4 == (doc_id % 13 * 3) % 4  # all residues hit
+        px = M.decode_bmp(M.encode_bmp_payload(doc_id))
+        assert (px == M._image_pixels(doc_id)).all()
+
+
+def test_bmp_rejects_unsupported():
+    buf = bytearray(M.encode_bmp_payload(3))
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_bmp(b"PNG" + bytes(buf[2:]))
+    bad_bpp = bytearray(buf)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8-bit palette
+    with pytest.raises(ValueError, match="bpp=8"):
+        M.decode_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(buf)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression=1"):
+        M.decode_bmp(bytes(bad_comp))
+
+
+def test_ppm_header_variants():
+    """The netpbm header allows arbitrary whitespace and '#' comments
+    anywhere between fields."""
+    px = M._image_pixels(5)
+    h, w, _ = px.shape
+    raw = px.tobytes()
+    hdr = f"P6 # inline\n # another\n  {w}\n#x\n {h}  \n255\n".encode()
+    assert (M.decode_ppm(hdr + raw) == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        M.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(f"P6\n{w} {h}\n65535\n".encode() + raw * 2)
+
+
+def test_wav_chunk_walk():
+    """The parser must skip unknown chunks (with the even-padding
+    rule) and find fmt/data wherever they sit."""
+    doc_id = 4
+    ch, sr, f = M._audio_params(doc_id)
+    data = M._audio_samples(doc_id).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+    odd = b"xyz"  # 3 bytes -> 1 pad byte
+    chunks = (
+        struct.pack("<4sI", b"junk", len(odd)) + odd + b"\x00"
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + struct.pack("<I", f)
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+    got_ch, got_sr, bits, samples = M.decode_wav(payload)
+    assert (got_ch, got_sr, bits) == (ch, sr, 16)
+    assert (samples == M._audio_samples(doc_id)).all()
+
+
+def test_wav_rejects_unsupported():
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"OggS" + b"\x00" * 40)
+    buf = bytearray(M.encode_wav_payload(2))
+    # fmt chunk payload starts at 12 (RIFF hdr) + 8 (chunk hdr)
+    struct.pack_into("<H", buf, 20, 3)  # IEEE float format
+    with pytest.raises(ValueError, match="format=3"):
+        M.decode_wav(bytes(buf))
+
+
+def test_decode_image_dispatch():
+    """The public decode_image routes BMP/PPM to the native decoders
+    with NO import gate; only compressed formats still require
+    Pillow."""
+    assert (M.decode_image(M.encode_bmp_payload(9)) == M._image_pixels(9)).all()
+    assert (M.decode_image(M.encode_ppm_payload(9)) == M._image_pixels(9)).all()
+    if M._try_import_pillow() is None:
+        with pytest.raises(NotImplementedError, match="compressed-image"):
+            M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_decode_audio_dispatch():
+    ch, sr, bits, samples = M.decode_audio(M.encode_wav_payload(11))
+    assert bits == 16 and (samples == M._audio_samples(11)).all()
+    with pytest.raises(NotImplementedError, match="compressed-audio"):
+        M.decode_audio(b"fLaC" + b"\x00" * 16)
+
+
+def test_checksum_pins_order():
+    """The position-weighted checksum must distinguish the decoded
+    array from its channel-swapped and row-flipped variants — the
+    property that makes the oracle catch stride/flip/BGR bugs."""
+    px = M._image_pixels(8).astype(np.int64)
+
+    def chk(a):
+        flat = a.reshape(-1)
+        return int(((np.arange(flat.size) + 1) * flat).sum())
+
+    assert chk(px) != chk(px[:, :, ::-1])  # BGR left unswapped
+    assert chk(px) != chk(px[::-1])  # rows left bottom-up
