@@ -181,3 +181,153 @@ def oov_stats(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
             / F.col("n_tok")
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wordpiece tokenizer application: greedy longest-match encode to ids
+# ---------------------------------------------------------------------------
+
+WP_HASH_MOD = 1_000_000_007
+WP_HASH_BASE = 131
+WP_UNK_ID = 0
+
+
+def wordpiece_vocab(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE):
+    """Induce the deterministic wordpiece vocabulary from the corpus:
+
+    * id 0 — ``[UNK]``;
+    * ids 1..W — the top-``vocab_size`` whole-word tokens by document
+      frequency (df desc, token asc — the :func:`vocabulary_topk`
+      order), usable only word-initially;
+    * for the ``i``-th (1-based, sorted ascending) distinct character
+      drawn from those words: id ``W + 2i - 1`` — the word-initial
+      single-char piece, and id ``W + 2i`` — its ``##`` continuation
+      piece.
+
+    Returns (words, chars): the ordered word list and sorted char
+    list. Both are bounded (≤ vocab_size words, ≤ alphabet chars), so
+    collecting them to the driver and embedding them as plan literals
+    is the broadcast-a-tiny-dim pattern, not a driver loop — the same
+    sanctioned shape as the IVF centroid table
+    (similarity.ivf_ranked).
+
+    The empty token (what a blank document tokenizes to — Java and
+    DuckDB both split '' to ['']) is excluded: an empty-string piece
+    would vacuously prefix every word."""
+    rows = (
+        vocabulary_topk(docs, k=vocab_size + 1)
+        .filter(F.col("tok") != "")
+        .orderBy(F.col("df_docs").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+        .collect()
+    )
+    words = [r.tok for r in rows]
+    chars = sorted({c for w in words for c in w})
+    return words, chars
+
+
+def wordpiece_encode_stats(
+    docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE
+) -> DataFrame:
+    """Greedy longest-match wordpiece encode of every document against
+    the induced vocabulary (:func:`wordpiece_vocab`) — the step every
+    training pipeline runs after vocab induction, emitting actual
+    token ids. Output per doc: (doc_id, n_ids, n_unk, ids_hash) where
+    ``ids_hash`` is the order-pinning polynomial fold
+    ``h -> (h*131 + id + 1) % 1e9+7`` over the id sequence in document
+    order, so the oracle checks the exact ids AND their order without
+    shipping the sequences.
+
+    Algorithm (standard wordpiece, no backtracking): per word, the
+    longest vocabulary piece matching at the current position is
+    emitted; with this vocabulary class the word-initial match ranges
+    over whole words and single chars (word id preferred on equal
+    length) and every subsequent position matches single-char ``##``
+    continuations; a word containing any character outside the
+    vocabulary alphabet encodes as ``[UNK]`` (id 0), whole-word.
+    Empty tokens (from blank docs) contribute no ids.
+
+    Scale shape: the vocabulary is a plan literal (bounded by
+    ``vocab_size``), so the encode is a pure NARROW map of codegen'd
+    higher-order functions — filter/aggregate/transform/flatten over
+    the token array, zero shuffles, zero Python workers; the per-doc
+    stats row is computed inside the same stage as the scan."""
+    docs = fan_out(docs, key="doc_id")
+    words, chars = wordpiece_vocab(docs, vocab_size)
+    W = len(words)
+
+    if words:
+        words_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(w).alias("p"), F.lit(i + 1).alias("id")
+                )
+                for i, w in enumerate(words)
+            ]
+        )
+    else:
+        words_lit = F.expr("CAST(array() AS array<struct<p:string,id:int>>)")
+    if chars:
+        chars_lit = F.array(*[F.lit(c) for c in chars])
+    else:
+        chars_lit = F.expr("CAST(array() AS array<string>)")
+
+    def char_id(ch: Column, cont: bool) -> Column:
+        pos = F.array_position(chars_lit, ch)  # 0 when absent
+        base = W + 2 * pos - (0 if cont else 1)
+        return F.when(pos > 0, base.cast("int"))
+
+    def word_ids(w: Column) -> Column:
+        matches = F.filter(words_lit, lambda s: w.startswith(s["p"]))
+        zero = F.struct(F.lit(0).alias("l"), F.lit(0).alias("id"))
+        best = F.aggregate(
+            matches,
+            zero,
+            lambda acc, s: F.when(
+                F.length(s["p"]) > acc["l"],
+                F.struct(
+                    F.length(s["p"]).alias("l"), s["id"].alias("id")
+                ),
+            ).otherwise(acc),
+        )
+        first_id = F.when(best["l"] > 0, best["id"]).otherwise(
+            char_id(w.substr(F.lit(1), F.lit(1)), cont=False)
+        )
+        skip = F.when(best["l"] > 0, best["l"]).otherwise(F.lit(1))
+        rest_len = F.length(w) - skip
+        cont_ids = F.when(
+            rest_len > 0,
+            F.transform(
+                F.sequence(F.lit(1), rest_len),
+                lambda i: char_id(
+                    w.substr(skip + i, F.lit(1)), cont=True
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ok = first_id.isNotNull() & ~F.exists(
+            cont_ids, lambda x: x.isNull()
+        )
+        return F.when(
+            w == "", F.expr("CAST(array() AS array<int>)")
+        ).otherwise(
+            F.when(
+                ok, F.concat(F.array(first_id), cont_ids)
+            ).otherwise(F.array(F.lit(WP_UNK_ID)))
+        )
+
+    toks = F.coalesce(
+        tokens_col(), F.expr("CAST(array() AS array<string>)")
+    )
+    ids = F.flatten(F.transform(toks, word_ids))
+    ids_hash = F.aggregate(
+        ids,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * WP_HASH_BASE + x + 1) % WP_HASH_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).alias("n_ids"),
+        F.size(F.filter(ids, lambda x: x == WP_UNK_ID)).alias("n_unk"),
+        ids_hash.alias("ids_hash"),
+    )

@@ -145,3 +145,108 @@ def multimodal_decode_ppm(spark: SparkSession, sf: str):
 )
 def multimodal_decode_wav(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "wav")
+
+
+# ---------------------------------------------------------------------------
+# Wordpiece tokenize-to-ids
+# ---------------------------------------------------------------------------
+
+from ..operators import retrieval as R  # noqa: E402
+from .pipeline_ops import _SQL_TOKS  # noqa: E402
+
+
+@register(
+    "pipeline_tokenize_ids",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, coalesce({_SQL_TOKS}, CAST([] AS VARCHAR[])) AS toks
+      FROM documents),
+    p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+    vr AS (
+      SELECT tok, count(*) AS df FROM p WHERE tok <> ''
+      GROUP BY tok ORDER BY df DESC, tok ASC LIMIT {R.OOV_VOCAB_SIZE}),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY df DESC, tok ASC)
+                       AS INT) AS id
+      FROM vr),
+    vw AS (SELECT CAST(count(*) AS INT) AS w FROM vocab),
+    ch AS (
+      SELECT DISTINCT unnest(list_transform(
+          range(1, len(tok) + 1),
+          i -> substr(tok, CAST(i AS INT), 1))) AS c
+      FROM vocab),
+    cl AS (SELECT coalesce(list(c ORDER BY c), CAST([] AS VARCHAR[]))
+               AS cl FROM ch),
+    wrd AS (
+      SELECT doc_id, u.wp, u.w FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) + 1),
+            i -> {{'wp': i, 'w': toks[CAST(i AS INT)]}})) AS u
+        FROM t)
+      WHERE u.w <> ''),
+    pm AS (
+      SELECT wrd.doc_id, wrd.wp, v.id AS bid,
+             CAST(len(v.tok) AS INT) AS blen,
+             row_number() OVER (PARTITION BY wrd.doc_id, wrd.wp
+                                ORDER BY len(v.tok) DESC, v.id ASC) AS rn
+      FROM wrd JOIN vocab v ON starts_with(wrd.w, v.tok)),
+    best AS (SELECT doc_id, wp, bid, blen FROM pm WHERE rn = 1),
+    wb AS (
+      SELECT wrd.doc_id, wrd.wp, wrd.w, best.bid,
+             coalesce(best.blen, 1) AS skip
+      FROM wrd
+      LEFT JOIN best ON wrd.doc_id = best.doc_id AND wrd.wp = best.wp),
+    px AS (
+      -- first_id: the longest word-piece match if any (word id wins
+      -- length-1 ties, mirroring the Spark side), else the
+      -- word-initial single-char piece, else NULL (-> [UNK]);
+      -- cpos: 1-based alphabet positions of the remaining chars,
+      -- 0 marking a char outside the vocabulary alphabet.
+      SELECT wb.doc_id, wb.wp, vw.w AS vsz,
+        CASE WHEN wb.bid IS NOT NULL THEN wb.bid
+             WHEN list_position(cl.cl, substr(wb.w, 1, 1)) > 0
+             THEN vw.w + 2 * CAST(list_position(
+                    cl.cl, substr(wb.w, 1, 1)) AS INT) - 1
+        END AS first_id,
+        list_transform(
+          range(1, len(wb.w) - wb.skip + 1),
+          i -> CAST(list_position(cl.cl, substr(
+                 wb.w, wb.skip + CAST(i AS INT), 1)) AS INT)) AS cpos
+      FROM wb CROSS JOIN vw CROSS JOIN cl),
+    pw AS (
+      SELECT doc_id, wp,
+        CASE WHEN first_id IS NULL
+               OR len(list_filter(cpos, x -> x = 0)) > 0
+             THEN [0]
+             ELSE list_prepend(
+               CAST(first_id AS INT),
+               list_transform(cpos, pos -> vsz + 2 * pos))
+        END AS word_ids
+      FROM px),
+    seq AS (
+      SELECT doc_id, flatten(list(word_ids ORDER BY wp)) AS ids
+      FROM pw GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(len(coalesce(seq.ids, CAST([] AS INT[]))) AS INT) AS n_ids,
+      CAST(len(list_filter(coalesce(seq.ids, CAST([] AS INT[])),
+               x -> x = 0)) AS INT) AS n_unk,
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(coalesce(seq.ids, CAST([] AS INT[])),
+                         x -> CAST(x AS BIGINT))),
+        (h, x) -> (h * {R.WP_HASH_BASE} + x + 1) % {R.WP_HASH_MOD})
+        AS BIGINT) AS ids_hash
+    FROM documents d LEFT JOIN seq ON d.doc_id = seq.doc_id
+    """,
+    tags=("text", "pipeline", "tokenizer"),
+    doc="Greedy longest-match wordpiece encode against the corpus's "
+    "own induced vocabulary (top-30 df words + char start/## pieces, "
+    "[UNK]=0): per-doc id count, UNK count, and an order-pinning "
+    "polynomial hash of the exact id sequence. The vocab is a plan "
+    "literal, so the Spark side is one narrow codegen stage of "
+    "higher-order functions — no shuffle, no Python "
+    "(operators/retrieval.wordpiece_encode_stats).",
+)
+def pipeline_tokenize_ids(spark: SparkSession, sf: str):
+    return R.wordpiece_encode_stats(table(spark, sf, "documents"))

@@ -71,6 +71,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_decode_bmp",
         "multimodal_decode_ppm",
         "multimodal_decode_wav",
+        "pipeline_tokenize_ids",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -149,5 +150,6 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_decode_bmp",
         "multimodal_decode_ppm",
         "multimodal_decode_wav",
+        "pipeline_tokenize_ids",
     ):
         _compare(spark, str(tmp_path), entry, "documents")

@@ -293,3 +293,80 @@ def test_char_diversity_matches_python_reference(spark, rand_docs_df):
         # Same op order as the engines: double multiply, double divide,
         # then floor (NOT integer //, which would skip the float round).
         assert r.simpson_x1e9 == math.floor((sq * 1e9) / (n * n))
+
+
+def _wordpiece_ref(docs, vocab_size=30):
+    """Pure-Python twin of retrieval.wordpiece_encode_stats: induce
+    the df-top-k + char-piece vocabulary, then greedy longest-match
+    encode (word id preferred on length ties, whole-word [UNK] on any
+    out-of-alphabet char)."""
+    from collections import Counter
+
+    df = Counter()
+    for _did, text in docs:
+        for t in set(_toks(text)):
+            if t != "":
+                df[t] += 1
+    words = sorted(df, key=lambda t: (-df[t], t))[:vocab_size]
+    chars = sorted({c for w in words for c in w})
+    W = len(words)
+    wid = {w: i + 1 for i, w in enumerate(words)}
+    start = {c: W + 2 * i + 1 for i, c in enumerate(chars)}
+    cont = {c: W + 2 * i + 2 for i, c in enumerate(chars)}
+    out = {}
+    for did, text in docs:
+        ids = []
+        for w in _toks(text):
+            if w == "":
+                continue
+            best = max(
+                (x for x in words if w.startswith(x)), key=len, default=None
+            )
+            if best is not None:
+                first, rest = wid[best], w[len(best):]
+            elif w[0] in start:
+                first, rest = start[w[0]], w[1:]
+            else:
+                ids.append(0)
+                continue
+            cs = [cont.get(c) for c in rest]
+            if any(c is None for c in cs):
+                ids.append(0)
+            else:
+                ids.extend([first] + cs)
+        h = 0
+        for x in ids:
+            h = (h * R.WP_HASH_BASE + x + 1) % R.WP_HASH_MOD
+        out[did] = (len(ids), sum(1 for x in ids if x == 0), h)
+    return out
+
+
+def test_wordpiece_matches_python_reference(spark):
+    """Adversarial corpus the fixed tables can't represent: >30
+    distinct tokens (so some fall out of vocab and char-segment),
+    words formed by concatenating vocab words (greedy longest-match
+    prefix territory), out-of-alphabet chars (UNK), empty and NULL
+    docs."""
+    rng = np.random.RandomState(11)
+    pool = (
+        [f"w{i:02d}" for i in range(45)]
+        + ["alphabeta", "betagamma", "sparkwindow"]  # vocab-word prefixes
+        + ["x¿9", "ümlaut", "☃snow"]  # chars outside the alphabet
+        + VOCAB
+    )
+    docs = []
+    for i in range(60):
+        n = int(rng.randint(0, 25))
+        docs.append((i, " ".join(rng.choice(pool, n)) if n else ""))
+    docs.append((60, None))
+    docs.append((61, "   "))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ids, r.n_unk, r.ids_hash)
+        for r in R.wordpiece_encode_stats(sdf).collect()
+    }
+    want = _wordpiece_ref([(d, t or "") for d, t in docs])
+    assert got == want
+    # the adversarial pool must actually exercise both rare paths
+    assert sum(u for _n, u, _h in want.values()) > 0  # UNKs present
+    assert any(n > 0 for n, _u, _h in want.values())
