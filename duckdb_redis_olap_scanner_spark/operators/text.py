@@ -461,3 +461,92 @@ def with_char_diversity(docs: DataFrame) -> DataFrame:
         simpson.alias("simpson_x1e9"),
         (simpson < F.lit(200_000_000)).alias("diverse_ok"),
     )
+
+
+# Extended PII classes — same shared Java/RE2 dialect discipline.
+# SSN: the fixed 3-2-4 dashed form.
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+# IPv4 with octet-range validation IN the pattern (0-255), so no
+# post-filtering is needed; non-capturing groups are shared syntax.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+PII_IP_RE = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
+# Credit-card CANDIDATE: 4x4 digit groups, optionally dash/space
+# separated (no backreference tying the separators together — \1 is
+# not RE2 syntax, and the Luhn gate rejects junk anyway). Candidates
+# are then validated with the Luhn checksum — only Luhn-valid numbers
+# are redacted (the validating-redactor pattern:
+# "4539-1488-0343-6468" with a wrong check digit is left alone but
+# still counted as a candidate).
+PII_CC_RE = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a 16-digit candidate (separators stripped):
+    doubling every second digit from the right (= odd 1-based
+    positions for 16 digits), subtracting 9 from two-digit doubles;
+    valid iff the sum is divisible by 10. Pure integer higher-order
+    expressions — codegen'd, engine-exact, and expressible as the
+    same fold in DuckDB (``list_sum`` over ``list_transform``)."""
+    digits = F.regexp_replace(cand, r"[^0-9]", "")
+
+    def term(i: Column) -> Column:
+        d = digits.substr(i, F.lit(1)).cast("int")
+        dd = d * 2
+        return F.when(
+            i % 2 == 1, F.when(dd > 9, dd - 9).otherwise(dd)
+        ).otherwise(d)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(digits)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return total % 10 == 0
+
+
+def scrub_pii_full(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction across the standard classes: emails, phone
+    numbers, SSNs, range-validated IPv4 addresses, and credit-card
+    numbers gated on the Luhn checksum. Output per doc:
+    (doc_id, n_emails, n_phones, n_ssn, n_ip, n_cc_candidates,
+    n_cc_valid, clean_md5, len_delta) — counts per class on the
+    ORIGINAL text, the scrubbed text reduced to its md5, and the net
+    length delta.
+
+    Redaction order is fixed (email → phone → SSN → IP → valid CCs)
+    and CC replacement folds over the candidates in extraction order,
+    so the scrubbed bytes are engine-identical. Everything is a pure
+    narrow map of codegen'd regexp/HOF expressions — no shuffle, no
+    Python; at 100 TB this runs at scan speed like
+    :func:`scrub_pii`."""
+    docs = fan_out(docs, key="doc_id")
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(PII_CC_RE), F.lit(0))
+    valid = F.filter(cands, luhn_valid)
+    base = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+            PII_SSN_RE,
+            "<SSN>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    scrubbed = F.aggregate(
+        valid, base, lambda acc, c: F.replace(acc, c, F.lit("<CC>"))
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_SSN_RE)).alias("n_ssn"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).alias("n_ip"),
+        F.size(cands).alias("n_cc_candidates"),
+        F.size(valid).alias("n_cc_valid"),
+        F.md5(scrubbed).alias("clean_md5"),
+        (F.length(t) - F.length(scrubbed)).alias("len_delta"),
+    )

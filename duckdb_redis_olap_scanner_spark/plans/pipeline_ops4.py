@@ -250,3 +250,138 @@ from .pipeline_ops import _SQL_TOKS  # noqa: E402
 )
 def pipeline_tokenize_ids(spark: SparkSession, sf: str):
     return R.wordpiece_encode_stats(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extended PII scrub (emails/phones/SSN/IPv4/Luhn-validated CC)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..operators import text as T  # noqa: E402
+
+
+def _inject_pii_full_col():
+    """Deterministic synthetic PII across every class (the generated
+    corpus contains none): the r6 email/phone chain, plus independent
+    credit-card (one Luhn-VALID dashed, one Luhn-INVALID spaced, one
+    valid unseparated), SSN, and IPv4 (one valid, one with an
+    out-of-range octet that must NOT match) segments, on coprime
+    moduli so docs carry class combinations."""
+    base = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now"),
+        ),
+    ).when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+        F.lit("")
+    )
+    cc = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" card 4539-1488-0343-6467 ok"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" card 4539 1488 0343 6468 bad"))
+        .when(F.col("doc_id") % 23 == 0, F.lit(" acct 4111111111111111"))
+        .otherwise(F.lit(""))
+    )
+    ssn = F.when(
+        F.col("doc_id") % 17 == 0, F.lit(" ssn 123-45-6789 here")
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 19 == 0, F.lit(" ip 192.168.10.254 not 999.77.1.1")
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), base, cc, ssn, ip)
+
+
+_SQL_INJECT_PII_FULL = """
+    text
+    || CASE
+         WHEN doc_id % 5 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com now'
+         WHEN doc_id % 7 = 0 THEN ' call 555-123-4567'
+         ELSE '' END
+    || CASE
+         WHEN doc_id % 11 = 0 THEN ' card 4539-1488-0343-6467 ok'
+         WHEN doc_id % 13 = 0 THEN ' card 4539 1488 0343 6468 bad'
+         WHEN doc_id % 23 = 0 THEN ' acct 4111111111111111'
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789 here'
+            ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN ' ip 192.168.10.254 not 999.77.1.1'
+            ELSE '' END
+"""
+
+
+def _sql_luhn_valid(x: str) -> str:
+    """The same Luhn fold as operators/text.luhn_valid, in DuckDB SQL:
+    doubling odd 1-based positions of the separator-stripped digits,
+    subtracting 9 from two-digit doubles, sum % 10 = 0."""
+    dg = f"regexp_replace({x}, '[^0-9]', '', 'g')"
+    d = f"CAST(substr({dg}, CAST(i AS INT), 1) AS INT)"
+    term = (
+        f"CASE WHEN i % 2 = 1 THEN "
+        f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+        f"ELSE {d} END"
+    )
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({dg}) + 1), "
+        f"i -> {term})) AS BIGINT) % 10 = 0"
+    )
+
+
+@register(
+    "text_pii_scrub_full",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_INJECT_PII_FULL} AS text FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '{T.PII_CC_RE}') AS cands
+      FROM d),
+    v AS (
+      SELECT doc_id, text, cands,
+             list_filter(cands, x -> {_sql_luhn_valid('x')}) AS valid
+      FROM c),
+    s AS (
+      SELECT doc_id, text, cands, valid,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(text,
+                     '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{T.PII_PHONE_RE}', '<PHONE>', 'g'),
+                     '{T.PII_SSN_RE}', '<SSN>', 'g'),
+                     '{T.PII_IP_RE}', '<IP>', 'g'),
+                 valid),
+               (acc, cc) -> replace(acc, cc, '<CC>')) AS clean
+      FROM v)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{T.PII_PHONE_RE}')) AS INT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{T.PII_SSN_RE}')) AS INT)
+               AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{T.PII_IP_RE}')) AS INT)
+               AS n_ip,
+           CAST(len(cands) AS INT) AS n_cc_candidates,
+           CAST(len(valid) AS INT) AS n_cc_valid,
+           md5(clean) AS clean_md5,
+           CAST(LENGTH(text) - LENGTH(clean) AS INT) AS len_delta
+    FROM s
+    """,
+    tags=("text", "pipeline"),
+    doc="PII redaction across the standard classes: emails, phones, "
+    "SSNs, range-validated IPv4, and credit-card numbers gated on a "
+    "Luhn integer fold (only valid numbers redacted; candidates "
+    "counted separately). Injected fixtures exercise every class "
+    "incl. a Luhn-invalid CC and an out-of-range IP octet. Pure "
+    "codegen'd regexp + HOF passes, no shuffle "
+    "(operators/text.scrub_pii_full).",
+)
+def text_pii_scrub_full(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents").withColumn(
+        "text", _inject_pii_full_col()
+    )
+    return T.scrub_pii_full(docs)

@@ -72,6 +72,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_decode_ppm",
         "multimodal_decode_wav",
         "pipeline_tokenize_ids",
+        "text_pii_scrub_full",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -151,5 +152,6 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_decode_ppm",
         "multimodal_decode_wav",
         "pipeline_tokenize_ids",
+        "text_pii_scrub_full",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
