@@ -630,12 +630,21 @@ def pipeline_full_curation(spark: SparkSession, sf: str):
     )
 
 
+# Gap-fill spine guard: the per-user hourly spine is h1-h0+1 rows per
+# user REGARDLESS of how many events the user has, so one corrupt
+# timestamp (epoch-zero row, year-9999 sentinel) silently turns a
+# 30-day spine into a multi-million-row one. Cap the allowable span at
+# one (leap) year and fail loudly past it — the r6
+# parameter-validation pattern, applied to a data property.
+GAPFILL_MAX_SPAN_HOURS = 24 * 366
+
+
 @register(
     "events_gapfill_locf",
     oracle="""
     WITH b AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
                       event_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS x
-               FROM events WHERE user_id < 10),
+               FROM events),
     hourly AS (
       SELECT user_id, hour, x AS hx FROM (
         SELECT user_id, hour, x,
@@ -664,10 +673,17 @@ def pipeline_full_curation(spark: SparkSession, sf: str):
     "hypertable time_bucket_gapfill shape): per-user hour spine from "
     "min to max, missing hours filled by an IGNORE NULLS running "
     "last_value; one window pass per stage, partitioned on the user "
-    "key, spine generated in-stage (sequence + explode, no driver).",
+    "key, spine generated in-stage (sequence + explode, no driver). "
+    "Runs UNBOUNDED over all users; a span guard raises at plan time "
+    "if any user's spine would exceed GAPFILL_MAX_SPAN_HOURS (one "
+    "corrupt epoch row would otherwise explode the spine silently).",
 )
-def events_gapfill_locf(spark: SparkSession, sf: str):
-    e = table(spark, sf, "events").filter(F.col("user_id") < 10)
+def events_gapfill_locf(
+    spark: SparkSession, sf: str, max_span_hours: int = GAPFILL_MAX_SPAN_HOURS
+):
+    if max_span_hours <= 0:
+        raise ValueError(f"max_span_hours={max_span_hours}: must be positive")
+    e = table(spark, sf, "events")
     x = F.floor(F.col("value") * F.lit(100.0)).cast("long")
     b = e.select(
         "user_id",
@@ -676,6 +692,26 @@ def events_gapfill_locf(spark: SparkSession, sf: str):
         "event_id",
         x.alias("x"),
     )
+    # Span guard: one scalar partial-agg job at plan build (a single
+    # row reaches the driver). A corrupt timestamp makes this raise
+    # with the offending magnitude instead of silently generating a
+    # multi-million-row spine per user.
+    worst = b.groupBy("user_id").agg(
+        (
+            (
+                F.unix_timestamp(F.max("hour"))
+                - F.unix_timestamp(F.min("hour"))
+            )
+            / 3600
+        ).alias("span_h")
+    ).agg(F.max("span_h")).collect()[0][0]
+    if worst is not None and worst > max_span_hours:
+        raise ValueError(
+            f"events_gapfill_locf: a user's hour span is {int(worst)} h, "
+            f"over max_span_hours={max_span_hours} — the spine would "
+            "materialize span+1 rows per user; check for corrupt "
+            "timestamps or raise the limit explicitly"
+        )
     w_last = Window.partitionBy("user_id", "hour").orderBy(
         F.desc("ts"), F.desc("event_id")
     )

@@ -86,3 +86,39 @@ def test_ntz_cast_requires_utc_session(spark, tmp_path):
             table(spark, sf_dir, "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_gapfill_span_guard_trips_on_corrupt_epoch(spark, tmp_path):
+    """One corrupt timestamp (epoch zero) would silently blow the
+    hourly gap-fill spine up to span+1 rows per user; the plan-time
+    span guard must raise loudly instead."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+    from duckdb_redis_olap_scanner_spark.plans.pipeline_ops3 import (
+        GAPFILL_MAX_SPAN_HOURS,
+        events_gapfill_locf,
+    )
+
+    base = 1_700_000_000_000_000
+    ts = pa.array([0, base, base + 3_600_000_000], pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    with pytest.raises(ValueError, match="max_span_hours"):
+        events_gapfill_locf(spark, str(tmp_path))
+    # healthy spans (and the real test tables) stay under the cap and
+    # plan fine — the guard is an invariant, not a behavior change
+    assert GAPFILL_MAX_SPAN_HOURS >= 24 * 366
+    df = registry()["events_gapfill_locf"].fn(
+        spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    assert df.columns == ["user_id", "hour", "value_cents", "is_gap"]
+    with pytest.raises(ValueError, match="positive"):
+        events_gapfill_locf(spark, str(tmp_path), max_span_hours=0)
