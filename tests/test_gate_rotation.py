@@ -107,3 +107,51 @@ def test_gate_window_covers_everything_within_three_rounds(
             json.dumps(_green(window))
         )
     assert seen == set(all_names)
+
+
+def test_real_repo_r7_gate_window_is_lru():
+    """Pin the ACTUAL repo state for the round-7 gate (no synthetic
+    CORRECTNESS files): the window must open with the round-7 frontier
+    (never-driver-verified new entries), followed immediately by the
+    least-recently-verified entries — the r1/r2-era redis/baseline
+    entries such as redis_scan_golden — with the r6-verified entries
+    at the very back."""
+    rounds = catalog._verified_rounds()
+    names = list(catalog.registry())
+    frontier = [n for n in names if n not in rounds]
+    r7_new = {
+        "multimodal_decode_bmp",
+        "multimodal_decode_ppm",
+        "multimodal_decode_wav",
+        "pipeline_tokenize_ids",
+        "text_pii_scrub_full",
+    }
+    latest = max(rounds.values())
+    if latest <= 6:
+        # Pre-r7-gate state: the round-7 additions ARE the frontier
+        # and lead the window.
+        assert set(frontier) >= r7_new
+        assert names[: len(frontier)] == frontier
+    else:
+        # The r7 (or later) gate already ran: the new entries must
+        # have been verified by it, not still be pending.
+        assert not (r7_new & set(frontier))
+    # The verified tail is sorted by (last-verified round,
+    # registration position): round numbers must be non-decreasing.
+    tail_rounds = [rounds[n] for n in names[len(frontier):]]
+    assert tail_rounds == sorted(tail_rounds)
+    # LRU property of the driver window: every verified entry INSIDE
+    # the 50-entry window is at most as recently verified as every
+    # verified entry outside it — and with ≥100 older-than-newest
+    # entries the window never wastes a slot on the newest round.
+    window = names[:50]
+    in_rounds = [rounds[n] for n in window if n in rounds]
+    out_rounds = [rounds[n] for n in names[50:] if n in rounds]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds)
+    if latest <= 6:
+        # Concretely for the r7 gate: the window's verified slots are
+        # the r1/r2 era (redis_scan_golden among them), strictly
+        # older than anything r6 touched.
+        assert "redis_scan_golden" in window
+        assert all(r < latest for r in in_rounds)
