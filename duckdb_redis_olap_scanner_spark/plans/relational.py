@@ -1978,17 +1978,24 @@ def q12_shipmode(spark: SparkSession, sf: str):
     """,
     tags=("bench", "join"),
     doc="TPC-H Q14: promotion-revenue share as two exact integer sums "
-    "(the ratio is derivable; comparing cents avoids a double divide).",
+    "(the ratio is derivable; comparing cents avoids a double divide). "
+    "The LIKE is evaluated INSIDE the broadcast build side, so the "
+    "hash table carries (p_partkey, is_promo) — int+bool per part "
+    "instead of the p_type string — shrinking the bc payload and "
+    "moving the LIKE off the per-lineitem probe path (r6→r7: "
+    "0.063→0.058 s measured at sf0.1).",
 )
 def q14_promo_effect(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    p = table(spark, sf, "part")
+    p = table(spark, sf, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
+    )
     disc_cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-    return l.join(p, l.l_partkey == p.p_partkey).agg(
-        F.sum(F.when(F.col("p_type").like("PROMO%"), disc_cents).otherwise(0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("is_promo"), disc_cents).otherwise(0))
         .cast("long")
         .alias("promo_cents"),
         F.sum(disc_cents).alias("total_cents"),
