@@ -572,3 +572,145 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     if kind == "wav":
         return decode_audio_features(media)
     return decode_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction ON the decoded arrays (real media math)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, pooled_w int, pooled_h int, "
+    "gray_sum long, pooled_sum long, pooled_checksum long"
+)
+
+# Audio framing parameters (sized so every synthesized clip, 16..32
+# channel-0 samples, yields >= 3 full windows).
+AUDIO_FRAME_WIN = 8
+AUDIO_FRAME_HOP = 4
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_ch0 int, n_win int, "
+    "total_abs long, energy_checksum long"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Classic integer image features computed ON the decoded pixel
+    array: BT.601 grayscale ((299·R + 587·G + 114·B) // 1000,
+    truncating) and 2×2 average pooling (sum of the four grays // 4,
+    odd edges dropped) — the downsample step of any vision-model
+    preprocessing pipeline, done in real pixel math rather than a
+    stand-in. Emits the grayscale total, the pooled total, and a
+    position-weighted pooled checksum that pins the pooling geometry
+    (a transposed or mis-strided pool cannot hash-match).
+
+    Same scale shape as the decode: one more numpy step inside the
+    same Arrow-batched narrow map."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                px = (
+                    decode_bmp(payload)
+                    if payload[:2] == b"BM"
+                    else decode_ppm(payload)
+                ).astype(np.int64)
+                h, w, _ = px.shape
+                gray = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                ph, pw = h // 2, w // 2
+                g = gray[: ph * 2, : pw * 2]
+                pooled = (
+                    g[0::2, 0::2] + g[0::2, 1::2]
+                    + g[1::2, 0::2] + g[1::2, 1::2]
+                ) // 4
+                flat = pooled.reshape(-1)
+                rows.append(
+                    (
+                        int(did), pw, ph,
+                        int(gray.sum()),
+                        int(flat.sum()),
+                        int(((np.arange(flat.size) + 1) * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "pooled_w", "pooled_h",
+                    "gray_sum", "pooled_sum", "pooled_checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("pooled_w", "int32"),
+                         ("pooled_h", "int32"), ("gray_sum", "int64"),
+                         ("pooled_sum", "int64"),
+                         ("pooled_checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_frame_energy(media: DataFrame) -> DataFrame:
+    """Short-time energy over the decoded PCM stream: channel 0 is
+    framed (window AUDIO_FRAME_WIN, hop AUDIO_FRAME_HOP, full windows
+    only) and each frame's sum of |sample| is computed — the framing
+    primitive under every audio feature (RMS/VAD/fbank). Emits the
+    channel-0 sample count, window count, total |sample| mass, and a
+    frame-order-weighted checksum pinning the hop geometry."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, _sr, _bits, samples = decode_wav(bytes(payload))
+                s0 = np.abs(samples.astype(np.int64))[0::ch]
+                n0 = len(s0)
+                nw = (
+                    (n0 - AUDIO_FRAME_WIN) // AUDIO_FRAME_HOP + 1
+                    if n0 >= AUDIO_FRAME_WIN
+                    else 0
+                )
+                energies = np.array(
+                    [
+                        int(
+                            s0[
+                                j * AUDIO_FRAME_HOP : j * AUDIO_FRAME_HOP
+                                + AUDIO_FRAME_WIN
+                            ].sum()
+                        )
+                        for j in range(nw)
+                    ],
+                    dtype=np.int64,
+                )
+                rows.append(
+                    (
+                        int(did), n0, nw,
+                        int(s0.sum()),
+                        int(((np.arange(nw) + 1) * energies).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_ch0", "n_win",
+                    "total_abs", "energy_checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("n_ch0", "int32"),
+                         ("n_win", "int32"), ("total_abs", "int64"),
+                         ("energy_checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=AUDIO_FEATURES_SCHEMA)

@@ -385,3 +385,129 @@ def text_pii_scrub_full(spark: SparkSession, sf: str):
         "text", _inject_pii_full_col()
     )
     return T.scrub_pii_full(docs)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction on decoded media (real pixel/sample math)
+# ---------------------------------------------------------------------------
+
+
+def _sql_gray(xe: str, ye: str) -> str:
+    """BT.601 integer grayscale of the synthesized pixel at (x, y):
+    same (doc_id*7 + k) % 256 closed form the decode oracles use,
+    with k = 3*(y*w + x) + channel."""
+    base = f"(doc_id * 7 + 3 * (({ye}) * width + ({xe})))"
+    return (
+        f"((299 * ({base} % 256) + 587 * (({base} + 1) % 256) "
+        f"+ 114 * (({base} + 2) % 256)) // 1000)"
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height,
+             CAST((4 + doc_id % 13) // 2 AS INT) AS pw,
+             CAST((2 + doc_id % 7) // 2 AS INT) AS ph
+      FROM documents),
+    gs AS (
+      SELECT doc_id,
+             CAST(SUM({_sql_gray('k % width', 'k // width')}) AS BIGINT)
+                 AS gray_sum
+      FROM (SELECT doc_id, width,
+                   unnest(range(0, CAST(width AS BIGINT) * height)) AS k
+            FROM dims)
+      GROUP BY doc_id),
+    pv AS (
+      SELECT doc_id, q,
+             ({_sql_gray('2 * (q % pw)', '2 * (q // pw)')}
+              + {_sql_gray('2 * (q % pw) + 1', '2 * (q // pw)')}
+              + {_sql_gray('2 * (q % pw)', '2 * (q // pw) + 1')}
+              + {_sql_gray('2 * (q % pw) + 1', '2 * (q // pw) + 1')}
+             ) // 4 AS pooled
+      FROM (SELECT doc_id, width, pw,
+                   unnest(range(0, CAST(pw AS BIGINT) * ph)) AS q
+            FROM dims)),
+    ps AS (
+      SELECT doc_id,
+             CAST(SUM(pooled) AS BIGINT) AS pooled_sum,
+             CAST(SUM((q + 1) * pooled) AS BIGINT) AS pooled_checksum
+      FROM pv GROUP BY doc_id)
+    SELECT d.doc_id, d.pw AS pooled_w, d.ph AS pooled_h,
+           gs.gray_sum, ps.pooled_sum, ps.pooled_checksum
+    FROM dims d
+    JOIN gs ON d.doc_id = gs.doc_id
+    JOIN ps ON d.doc_id = ps.doc_id
+    """,
+    tags=("multimodal",),
+    doc="Real pixel math ON the decoded image: BT.601 integer "
+    "grayscale and 2x2 truncating average pool over the recovered "
+    "RGB array (vision-preprocessing downsample), with a "
+    "position-weighted pooled checksum pinning the pooling geometry. "
+    "One more numpy step in the same narrow Arrow map as the decode "
+    "(operators/multimodal.image_features).",
+)
+def multimodal_image_features(spark: SparkSession, sf: str):
+    return M.image_features(
+        M.synthesize_media(table(spark, sf, "documents"), "bmp")
+    )
+
+
+def _sql_abs_s(je: str) -> str:
+    """|sample| of channel-0 sample j: interleaved index i = j*ch."""
+    return (
+        f"abs(((doc_id * 11 + (({je}) * n_channels) * 97) % 65536) - 32768)"
+    )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(16 + doc_id % 17 AS INT) AS f,
+             CAST(CASE WHEN 16 + doc_id % 17 >= {M.AUDIO_FRAME_WIN}
+                  THEN (16 + doc_id % 17 - {M.AUDIO_FRAME_WIN})
+                       // {M.AUDIO_FRAME_HOP} + 1
+                  ELSE 0 END AS INT) AS nw
+      FROM documents),
+    ta AS (
+      SELECT doc_id, CAST(SUM({_sql_abs_s('j')}) AS BIGINT) AS total_abs
+      FROM (SELECT doc_id, n_channels,
+                   unnest(range(0, CAST(f AS BIGINT))) AS j
+            FROM prm)
+      GROUP BY doc_id),
+    en AS (
+      SELECT doc_id, jw,
+             SUM({_sql_abs_s(f'jw * {M.AUDIO_FRAME_HOP} + t')}) AS energy
+      FROM (SELECT doc_id, n_channels, jw,
+                   unnest(range(0, {M.AUDIO_FRAME_WIN})) AS t
+            FROM (SELECT doc_id, n_channels,
+                         unnest(range(0, CAST(nw AS BIGINT))) AS jw
+                  FROM prm))
+      GROUP BY doc_id, jw),
+    ec AS (
+      SELECT doc_id,
+             CAST(SUM((jw + 1) * energy) AS BIGINT) AS energy_checksum
+      FROM en GROUP BY doc_id)
+    SELECT p.doc_id, p.f AS n_ch0, p.nw AS n_win, ta.total_abs,
+           coalesce(ec.energy_checksum, 0) AS energy_checksum
+    FROM prm p
+    JOIN ta ON p.doc_id = ta.doc_id
+    LEFT JOIN ec ON p.doc_id = ec.doc_id
+    """,
+    tags=("multimodal",),
+    doc="Real sample math ON the decoded PCM: short-time energy — "
+    "channel 0 framed (win 8, hop 4, full windows), per-frame "
+    "sum of |sample|, frame-order-weighted checksum pinning the hop "
+    "geometry — the framing primitive under RMS/VAD/fbank features "
+    "(operators/multimodal.audio_frame_energy).",
+)
+def multimodal_audio_energy(spark: SparkSession, sf: str):
+    return M.audio_frame_energy(
+        M.synthesize_media(table(spark, sf, "documents"), "wav")
+    )

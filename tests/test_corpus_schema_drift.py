@@ -73,6 +73,8 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_decode_wav",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
+        "multimodal_image_features",
+        "multimodal_audio_energy",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -153,5 +155,7 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_decode_wav",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
+        "multimodal_image_features",
+        "multimodal_audio_energy",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
