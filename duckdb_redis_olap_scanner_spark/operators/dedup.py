@@ -458,3 +458,72 @@ def duplicate_ngram_stats(
             "dup_ok"
         ),
     )
+
+
+SEG_WORDS = 8  # words per non-overlapping dedup segment
+
+
+def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS) -> DataFrame:
+    """C4/RefinedWeb-style SEGMENT-level dedup: split each document into
+    non-overlapping ``seg_words``-word segments, drop every segment whose
+    content occurs more than once ANYWHERE in the corpus (including its
+    other copies — removal is symmetric and deterministic, no arbitrary
+    keep-one winner), and reassemble the survivors in original order.
+
+    Returns one row per input document:
+    ``doc_id, n_segs, n_kept, kept_md5`` where ``kept_md5`` is the md5 of
+    the space-rejoined surviving segments ('' when nothing survives) —
+    pinning both membership AND order of the reassembled text.
+
+    100 TB shape: segments shuffle on their uniform md5-64 content hash
+    (one count agg + one equi-join), then one agg back on doc_id; no
+    pairwise candidate set exists at any point, so cost is linear in
+    corpus token count. Boilerplate lines shared by millions of pages are
+    single hot KEYS in the count agg (map-side combined) but never hot
+    JOIN rows beyond their true occurrence count.
+
+    Beyond-reference (the C++ connector has no text path); the segment
+    granularity complements :func:`duplicate_ngram_stats`, which only
+    SCORES overlap — this operator performs the actual removal.
+    """
+    docs = fan_out(docs, key="doc_id")
+    # NULL text → empty token list (not NULL): a NULL-text row must
+    # still produce its (doc_id, 0 segments, md5('')) output row, and
+    # sequence(0, NULL) / sequence(0, -1) are traps (the latter yields
+    # [0, -1], not []).
+    toks = F.coalesce(tokens_col(), F.array().cast("array<string>"))
+    n_segs = F.floor(
+        (F.size(toks) + (seg_words - 1)) / F.lit(seg_words)
+    ).cast("int")
+    segs = F.when(
+        n_segs >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_words + 1, seg_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", n_segs.alias("n_segs"), segs.alias("segs"))
+    exploded = base.select(
+        "doc_id", F.posexplode("segs").alias("idx", "seg")
+    ).withColumn("h", md5_hash64(F.col("seg")))
+    counts = exploded.groupBy("h").agg(F.count("*").alias("cnt"))
+    kept = exploded.join(counts, "h").where(F.col("cnt") == 1)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    out = base.select("doc_id", "n_segs").join(reassembled, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+    )

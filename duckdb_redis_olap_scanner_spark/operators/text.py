@@ -550,3 +550,117 @@ def scrub_pii_full(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(scrubbed).alias("clean_md5"),
         (F.length(t) - F.length(scrubbed)).alias("len_delta"),
     )
+
+
+# Fixed classifier weights (plan literals; shared with the SQL oracle).
+# Calibrated on the synthetic corpus to a ~43% keep rate so both branches
+# of the decision are exercised at every scale factor.
+CLS_STOP_W = 3
+CLS_UNIQ_W = 2
+CLS_CPT_CENTER = 5500
+CLS_CPT_W_DIV = 2
+CLS_BIAS = -1100
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Model-based quality filtering (the fastText/DSIR-classifier shape)
+    as pure codegen inference: a fixed-weight linear scorer over exact
+    integer text features, emitting the margin and a keep decision.
+
+    Features (all integer-exact, truncating division of positive ints so
+    Spark ``floor(a/b)`` == SQL ``a // b`` bit-for-bit):
+
+    * ``stop_milli`` — stopword hits per 1000 tokens (fluency proxy),
+    * ``uniq_milli`` — distinct tokens per 1000 tokens (repetition proxy),
+    * ``cpt_milli``  — chars per token x1000 (gibberish/length proxy,
+      penalized by distance from the corpus-typical 5.5 chars/token).
+
+    ``margin = 3*stop_milli + 2*uniq_milli - |cpt_milli - 5500|//2 - 1100``;
+    ``keep = margin > 0``. The weights are plan literals, so inference is
+    one narrow whole-stage-codegen map — no shuffle, no Python, no model
+    file; at 100 TB this is a free rider on any scan that already reads
+    ``text``. Swapping in real trained weights (or a per-class weight
+    table joined in broadcast) preserves the shape.
+    """
+    docs = fan_out(docs, key="doc_id")
+    toks = tokens_col()
+    t = F.size(toks)
+    s = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    d = F.size(F.array_distinct(toks))
+    c = F.length("text")
+    stop_milli = F.floor((s * 1000) / t).cast("long")
+    uniq_milli = F.floor((d * 1000) / t).cast("long")
+    cpt_milli = F.floor((c * 1000) / t).cast("long")
+    margin = (
+        F.lit(CLS_STOP_W) * stop_milli
+        + F.lit(CLS_UNIQ_W) * uniq_milli
+        - F.floor(F.abs(cpt_milli - CLS_CPT_CENTER) / CLS_CPT_W_DIV).cast(
+            "long"
+        )
+        + F.lit(CLS_BIAS)
+    )
+    return docs.select(
+        "doc_id",
+        stop_milli.alias("stop_milli"),
+        uniq_milli.alias("uniq_milli"),
+        cpt_milli.alias("cpt_milli"),
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+def bigram_familiarity(docs: DataFrame) -> DataFrame:
+    """Corpus-level bigram language-model familiarity (the KenLM
+    perplexity-filter shape with exact integer math): score each document
+    by how common its word bigrams are in the corpus itself.
+
+    Two passes over the exploded bigram stream — WITH multiplicity, since
+    a doc repeating a common bigram should score it repeatedly:
+
+    1. corpus model: ``count(*)`` per bigram hash (map-side combined),
+    2. per-doc score: join each occurrence back to its corpus count and
+       sum — ``familiarity = sum(count)``, ``avg_milli =
+       1000*familiarity // n_bigrams`` (truncating, engine-exact).
+
+    Docs with <2 tokens have no bigrams and score 0. Both shuffles key on
+    the uniform md5-64 bigram hash, so the 100 TB cost is linear with no
+    skew beyond true bigram frequency (hot bigrams are hot AGG keys —
+    absorbed map-side — and their join fan-out equals their true
+    occurrence count, same as :func:`~..operators.dedup.segment_dedup`).
+    """
+    docs = fan_out(docs, key="doc_id")
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.get(toks, i), F.lit(" "), F.get(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", bigrams.alias("bg"))
+    occ = base.select(
+        "doc_id", F.explode("bg").alias("bigram")
+    ).withColumn("h", md5_hash64(F.col("bigram")))
+    model = occ.groupBy("h").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        occ.join(model, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").alias("familiarity"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    n_bg = F.coalesce("n_bigrams", F.lit(0).cast("long"))
+    fam = F.coalesce("familiarity", F.lit(0).cast("long"))
+    return out.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        fam.alias("familiarity"),
+        F.when(n_bg > 0, F.floor((fam * 1000) / n_bg).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("avg_milli"),
+    )

@@ -188,6 +188,7 @@ def registry() -> dict[str, CatalogEntry]:
     from . import pipeline_ops2  # noqa: F401
     from . import pipeline_ops3  # noqa: F401
     from . import pipeline_ops4  # noqa: F401
+    from . import pipeline_ops5  # noqa: F401
 
     rounds = _verified_rounds()
     frontier = {n: e for n, e in _REGISTRY.items() if n not in rounds}

@@ -1,0 +1,422 @@
+"""Round-7 pipeline additions, part 2: corpus curation beyond the r6
+surface — segment-level dedup with reassembly, model-based quality
+classification, corpus bigram-LM familiarity scoring, token-budget
+mixture selection, scale-safe curriculum sharding, JL-style integer
+random projection, and the OLAP value-histogram primitive.
+
+Shared discipline (plans/catalog.py): every computed value is integer-
+exact on both engines (truncating division of positive ints, md5-64
+content hashes, cents arithmetic) so the driver's value-hash gate pins
+each entry bit-for-bit.
+
+Like ``pipeline_ops4``, this module registers last so the driver's
+least-recently-verified-first gate rotation keeps its ordering
+invariants (see ``catalog.registry``).
+
+Reference parity note: the reference engine (C++ DuckDB↔Redis
+connector, src/redis_scanner.cpp) has no text/curation path — this
+module is part of the beyond-reference LLM-pipeline surface the build
+brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.text import sql_md5_hash64
+from .catalog import register, table
+from .pipeline_ops import _SQL_QUANT_EMB, _SQL_TOKS
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (C4/RefinedWeb line-dedup shape, with reassembly)
+# ---------------------------------------------------------------------------
+
+_SEG = D.SEG_WORDS
+
+
+@register(
+    "pipeline_segment_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce({_SQL_TOKS}, CAST([] AS VARCHAR[])) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST((len(toks) + {_SEG - 1}) // {_SEG} AS INT) AS n_segs,
+             list_transform(
+               range(0, (len(toks) + {_SEG - 1}) // {_SEG}),
+               i -> array_to_string(
+                 list_slice(toks, CAST(i * {_SEG} + 1 AS INT),
+                            CAST(i * {_SEG} + {_SEG} AS INT)), ' ')) AS segs
+      FROM t),
+    e AS (
+      SELECT doc_id, u.i AS idx, u.s AS seg FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(segs) + 1),
+            i -> {{'i': i, 's': segs[CAST(i AS INT)]}})) AS u
+        FROM s)),
+    h AS (
+      SELECT doc_id, idx, seg, {sql_md5_hash64('seg')} AS hh FROM e),
+    c AS (SELECT hh, count(*) AS cnt FROM h GROUP BY hh),
+    k AS (
+      SELECT h.doc_id, h.idx, h.seg
+      FROM h JOIN c ON h.hh = c.hh WHERE c.cnt = 1),
+    r AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(seg ORDER BY idx), ' ') AS kept
+      FROM k GROUP BY doc_id)
+    SELECT s.doc_id, s.n_segs,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(r.kept, '')) AS kept_md5
+    FROM s LEFT JOIN r ON s.doc_id = r.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+    doc="C4-style SEGMENT-level dedup with reassembly: 8-word "
+    "non-overlapping segments, drop every segment occurring more than "
+    "once corpus-wide (symmetric removal, no arbitrary winner), rejoin "
+    "the survivors in original order — kept_md5 pins membership AND "
+    "order. Linear cost: segments shuffle on their uniform content "
+    "hash, then one agg back on doc_id; no pairwise candidate set "
+    "(operators/dedup.segment_dedup).",
+)
+def pipeline_segment_dedup(spark: SparkSession, sf: str):
+    return D.segment_dedup(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classification (fixed-weight linear inference)
+# ---------------------------------------------------------------------------
+
+_SQL_CLS_FEATURES = f"""
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks,
+                 CAST(length(text) AS BIGINT) AS c
+          FROM documents),
+    f AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS t,
+                 CAST(len(list_filter(toks, x -> x IN ({_SQL_STOPS})))
+                      AS BIGINT) AS s,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS d, c
+          FROM t),
+    m AS (SELECT doc_id,
+                 1000 * s // t AS stop_milli,
+                 1000 * d // t AS uniq_milli,
+                 1000 * c // t AS cpt_milli
+          FROM f),
+    g AS (SELECT doc_id, stop_milli, uniq_milli, cpt_milli,
+                 CAST({T.CLS_STOP_W} * stop_milli
+                      + {T.CLS_UNIQ_W} * uniq_milli
+                      - abs(cpt_milli - {T.CLS_CPT_CENTER})
+                        // {T.CLS_CPT_W_DIV}
+                      + {T.CLS_BIAS} AS BIGINT) AS margin
+          FROM m)
+"""
+
+
+@register(
+    "pipeline_quality_classifier",
+    oracle=f"""
+    WITH {_SQL_CLS_FEATURES}
+    SELECT doc_id, stop_milli, uniq_milli, cpt_milli, margin,
+           margin > 0 AS keep
+    FROM g
+    """,
+    tags=("text", "pipeline"),
+    doc="Model-based quality filtering (fastText/DSIR-classifier "
+    "shape) as pure codegen inference: fixed-weight linear scorer over "
+    "exact integer features (stopword rate, distinct-token rate, "
+    "chars-per-token distance from corpus-typical), emitting margin + "
+    "keep (~43% keep rate). One narrow map, no shuffle, no Python "
+    "(operators/text.quality_classifier).",
+)
+def pipeline_quality_classifier(spark: SparkSession, sf: str):
+    return T.quality_classifier(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-LM familiarity (KenLM perplexity-filter shape, exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(0, len(toks) - 1),
+                         i -> toks[CAST(i + 1 AS INT)] || ' '
+                              || toks[CAST(i + 2 AS INT)])
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM t),
+    o AS (
+      SELECT doc_id, {sql_md5_hash64('u')} AS h
+      FROM (SELECT doc_id, unnest(bg) AS u FROM b)),
+    m AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY h),
+    p AS (
+      SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(m.cnt) AS BIGINT) AS familiarity
+      FROM o JOIN m ON o.h = m.h GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.familiarity, 0) AS BIGINT) AS familiarity,
+           CAST(CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                     THEN 1000 * p.familiarity // p.n_bigrams
+                     ELSE 0 END AS BIGINT) AS avg_milli
+    FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+    """,
+    tags=("text", "pipeline"),
+    doc="Corpus-level bigram language-model familiarity (the KenLM "
+    "perplexity-filter shape, exact integer math): per-doc sum and "
+    "per-1000 average of each bigram occurrence's corpus-wide count, "
+    "WITH multiplicity. Two uniform-hash-keyed shuffles (model agg + "
+    "score join), linear at 100 TB "
+    "(operators/text.bigram_familiarity).",
+)
+def pipeline_bigram_lm(spark: SparkSession, sf: str):
+    return T.bigram_familiarity(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture selection
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 80  # per-source token budget; sized so BOTH keep branches
+# are exercised at every test scale factor (sf0.001 sources hold ~130
+# tokens, sf0.01 ~1400).
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(coalesce(len({_SQL_TOKS}), 0) AS INT) AS n_toks,
+             coalesce({sql_md5_hash64("'budget|' || text")},
+                      CAST(-1 AS BIGINT)) AS ok
+      FROM documents),
+    w AS (
+      SELECT source, doc_id, n_toks,
+             CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_toks
+      FROM t)
+    SELECT source, doc_id, n_toks, cum_toks,
+           cum_toks <= {TOKEN_BUDGET} AS kept
+    FROM w
+    """,
+    tags=("pipeline",),
+    doc="Token-budget mixture selection: fill each source's quota in "
+    "salted-content-hash order (reproducible across runs/engines/id "
+    "renumbering, decorrelated from the split/sample hashes) via a "
+    "per-source running token sum; kept = cumulative total within "
+    "budget. One window pass on the natural source key — the exact-"
+    "budget sampler that pairs with pipeline_source_mix's keep RATES "
+    "when a hard token ceiling per source is required.",
+)
+def pipeline_token_budget(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    # NULL text → (0 tokens, sentinel order key): engines disagree on
+    # NULL sort position (Spark NULLS FIRST vs DuckDB NULLS LAST), so
+    # the key must never be NULL.
+    n_toks = F.coalesce(F.size(T.tokens_col()), F.lit(0)).alias("n_toks")
+    ok = F.coalesce(
+        T.md5_hash64(F.concat(F.lit("budget|"), F.col("text"))),
+        F.lit(-1).cast("long"),
+    ).alias("ok")
+    t = docs.select("doc_id", "source", n_toks, ok)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_toks").over(w).alias("cum_toks")
+    out = t.select("source", "doc_id", "n_toks", cum)
+    return out.withColumn("kept", F.col("cum_toks") <= TOKEN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sharding (scale-safe: window only over DISTINCT margins)
+# ---------------------------------------------------------------------------
+
+NUM_SHARDS = 8
+
+
+@register(
+    "pipeline_curriculum_shards",
+    oracle=f"""
+    WITH {_SQL_CLS_FEATURES},
+    mc AS (SELECT margin, CAST(count(*) AS BIGINT) AS n
+           FROM g GROUP BY margin),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mc),
+    bounds AS (
+      SELECT margin,
+             CAST(coalesce(SUM(n) OVER (
+               ORDER BY margin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM mc),
+    sh AS (
+      SELECT b.margin,
+             CAST(least({NUM_SHARDS} * b.cum_before // t.total,
+                        {NUM_SHARDS - 1}) AS INT) AS shard
+      FROM bounds b CROSS JOIN tot t),
+    j AS (
+      SELECT sh.shard, g.doc_id, g.margin, f2.t AS n_toks
+      FROM g JOIN sh ON g.margin = sh.margin
+      JOIN (SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS t
+            FROM documents) f2 ON g.doc_id = f2.doc_id)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(min(margin) AS BIGINT) AS min_margin,
+           CAST(max(margin) AS BIGINT) AS max_margin
+    FROM j GROUP BY shard
+    """,
+    tags=("pipeline", "window"),
+    doc="Curriculum sharding by classifier margin, scale-safe: instead "
+    "of ntile over a GLOBAL row sort (one-partition window — the "
+    "anti-pattern), the shard boundaries come from a running count "
+    "over the DISTINCT margin values (bounded by the margin range, "
+    "not the corpus), then broadcast-join back; docs sharing a margin "
+    "land in the same shard, so the plan is engine-order-independent "
+    "and exactly oracle-checkable. Emits per-shard doc/token counts "
+    "and margin ranges — the easy/hard training-order split.",
+)
+def pipeline_curriculum_shards(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    g = T.quality_classifier(docs).select("doc_id", "margin")
+    mc = g.groupBy("margin").agg(F.count("*").alias("n"))
+    wb = (
+        Window.orderBy(F.desc("margin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = mc.select(
+        "margin",
+        F.coalesce(F.sum("n").over(wb), F.lit(0).cast("long")).alias(
+            "cum_before"
+        ),
+    )
+    tot = mc.agg(F.sum("n").alias("total"))
+    sh = bounds.crossJoin(F.broadcast(tot)).select(
+        "margin",
+        F.least(
+            F.floor((F.lit(NUM_SHARDS) * F.col("cum_before")) / F.col("total"))
+            .cast("int"),
+            F.lit(NUM_SHARDS - 1),
+        ).alias("shard"),
+    )
+    toks = docs.select(
+        "doc_id", F.size(T.tokens_col()).cast("long").alias("n_toks")
+    )
+    j = (
+        g.join(F.broadcast(sh), "margin")
+        .join(toks, "doc_id")
+    )
+    return j.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+        F.min("margin").alias("min_margin"),
+        F.max("margin").alias("max_margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL-style integer random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def _sql_proj(j: int) -> str:
+    jc = j * 2654435761  # same closed form as similarity.hyperplane_weights
+    return (
+        f"CAST(list_sum(list_transform(range(0, {S.EMB_DIM}), "
+        f"i -> v[CAST(i + 1 AS INT)] * ((({jc} + i * 40503) % 2001) - 1000)"
+        f")) AS BIGINT) AS p{j}"
+    )
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings)
+    SELECT vec_id,
+           {", ".join(_sql_proj(j) for j in range(S.RP_OUT_DIM))}
+    FROM base
+    """,
+    tags=("similarity", "pipeline"),
+    doc="Johnson-Lindenstrauss-style dimensionality reduction with "
+    "exact integer math: project each milli-quantized embedding onto "
+    f"{S.RP_OUT_DIM} deterministic integer hyperplanes (the LSH plane "
+    "family, full projection values kept — not just sign bits) — the "
+    "prep step before cheap downstream ANN/clustering on the reduced "
+    "space. One narrow codegen'd map: quantize once, unrolled dots, "
+    "no HOF/Python/shuffle (operators/similarity.random_projection).",
+)
+def embedding_random_projection(spark: SparkSession, sf: str):
+    return S.random_projection(table(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Value histogram (the OLAP equi-width histogram primitive)
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH_CENTS = 2500
+HIST_MAX_BUCKET = 19
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+      FROM events),
+    h AS (
+      SELECT event_type, cents,
+             greatest(least(CAST(cents // {HIST_WIDTH_CENTS} AS INT),
+                            {HIST_MAX_BUCKET}), 0) AS bucket
+      FROM b)
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM h GROUP BY event_type, bucket
+    """,
+    tags=("agg",),
+    doc="Equi-width value histogram per event type (25-unit buckets "
+    "in cents, top bucket open-ended): the OLAP distribution primitive "
+    "behind dashboards and skew diagnosis. One map-side-combined "
+    "hash agg on (event_type, bucket) — output cardinality is bounded "
+    "by types x buckets regardless of input volume.",
+)
+def events_value_histogram(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    b = e.select("event_type", cents.alias("cents"))
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col("cents") / F.lit(HIST_WIDTH_CENTS)).cast("int"),
+            F.lit(HIST_MAX_BUCKET),
+        ),
+        F.lit(0),
+    )
+    return (
+        b.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -75,6 +75,11 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "text_pii_scrub_full",
         "multimodal_image_features",
         "multimodal_audio_energy",
+        "pipeline_segment_dedup",
+        "pipeline_quality_classifier",
+        "pipeline_bigram_lm",
+        "pipeline_token_budget",
+        "pipeline_curriculum_shards",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -100,6 +105,7 @@ def test_embeddings_as_float64_lists(spark, tmp_path):
         "pipeline_quantize_int8",
         "pipeline_semantic_prototypes",
         "pipeline_kmeans_refine",
+        "embedding_random_projection",
     ):
         _compare(spark, str(tmp_path), entry, "embeddings")
 
@@ -121,6 +127,7 @@ def test_embeddings_empty_table(spark, tmp_path):
         "pipeline_quantize_int8",
         "pipeline_semantic_prototypes",
         "pipeline_kmeans_refine",
+        "embedding_random_projection",
     ):
         _compare(spark, str(tmp_path), entry, "embeddings")
 
@@ -157,5 +164,10 @@ def test_documents_empty_table(spark, tmp_path):
         "text_pii_scrub_full",
         "multimodal_image_features",
         "multimodal_audio_energy",
+        "pipeline_segment_dedup",
+        "pipeline_quality_classifier",
+        "pipeline_bigram_lm",
+        "pipeline_token_budget",
+        "pipeline_curriculum_shards",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
