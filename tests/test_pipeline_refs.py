@@ -370,3 +370,112 @@ def test_wordpiece_matches_python_reference(spark):
     # the adversarial pool must actually exercise both rare paths
     assert sum(u for _n, u, _h in want.values()) > 0  # UNKs present
     assert any(n > 0 for n, _u, _h in want.values())
+
+
+def test_segment_dedup_matches_python_reference(spark, rand_docs_df):
+    from collections import Counter
+
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        SEG_WORDS,
+        segment_dedup,
+    )
+
+    docs = _random_docs(7)
+    segs_per_doc: dict = {}
+    cnt: Counter = Counter()
+    for i, s in docs:
+        toks = _toks(s)
+        segs = [
+            " ".join(toks[k : k + SEG_WORDS])
+            for k in range(0, len(toks), SEG_WORDS)
+        ]
+        segs_per_doc[i] = segs
+        cnt.update(md5_hash64_ref(x) for x in segs)
+    got = {r.doc_id: r for r in segment_dedup(rand_docs_df).collect()}
+    for i, _s in docs:
+        segs = segs_per_doc[i]
+        kept = [x for x in segs if cnt[md5_hash64_ref(x)] == 1]
+        r = got[i]
+        assert r.n_segs == len(segs)
+        assert r.n_kept == len(kept)
+        assert (
+            r.kept_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        )
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    # rand_docs_df's vocabulary contains no stopwords, which would leave
+    # stop_milli identically zero — build a corpus that exercises every
+    # feature, including ties at the cpt center and heavy repetition.
+    rows = [
+        (0, "the spark of the window is the merge to go"),
+        (1, "alpha alpha alpha alpha alpha"),
+        (2, "a b c d e f g h i j k l"),
+        (3, "supercalifragilistic expialidocious pneumonoultramicroscopic"),
+        (4, "the the the the the the"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.quality_classifier(df).collect()}
+    for i, s in rows:
+        toks = _toks(s)
+        t = len(toks)
+        sc = sum(1 for x in toks if x in T.STOPWORDS)
+        d = len(set(toks))
+        c = len(s)
+        stop, uniq, cpt = 1000 * sc // t, 1000 * d // t, 1000 * c // t
+        margin = (
+            T.CLS_STOP_W * stop
+            + T.CLS_UNIQ_W * uniq
+            - abs(cpt - T.CLS_CPT_CENTER) // T.CLS_CPT_W_DIV
+            + T.CLS_BIAS
+        )
+        r = got[i]
+        assert (
+            r.stop_milli,
+            r.uniq_milli,
+            r.cpt_milli,
+            r.margin,
+            r.keep,
+        ) == (stop, uniq, cpt, margin, margin > 0)
+
+
+def test_bigram_familiarity_matches_python_reference(spark, rand_docs_df):
+    from collections import Counter
+
+    docs = _random_docs(7)
+    cnt: Counter = Counter()
+    per_doc: dict = {}
+    for i, s in docs:
+        toks = _toks(s)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        per_doc[i] = bgs
+        cnt.update(md5_hash64_ref(b) for b in bgs)
+    got = {r.doc_id: r for r in T.bigram_familiarity(rand_docs_df).collect()}
+    for i, _s in docs:
+        bgs = per_doc[i]
+        fam = sum(cnt[md5_hash64_ref(b)] for b in bgs)
+        r = got[i]
+        assert r.n_bigrams == len(bgs)
+        assert r.familiarity == fam
+        assert r.avg_milli == (1000 * fam // len(bgs) if bgs else 0)
+
+
+def test_random_projection_matches_numpy_reference(spark):
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(S.RP_OUT_DIM)]
+        for r in S.random_projection(df).collect()
+    }
+    W = np.array(S.hyperplane_weights(S.RP_OUT_DIM, 64), dtype=np.int64)
+    q = np.floor(vecs.astype(np.float64) * 1000.0).astype(np.int64)
+    exp = q @ W.T
+    for i in range(20):
+        assert got[i] == list(exp[i])
