@@ -1295,7 +1295,11 @@ def kmeans_refine(
 RP_OUT_DIM = 8  # random-projection output dimension
 
 
-def random_projection(emb: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = RP_OUT_DIM,
+    scorer_parts: int | None = None,
+) -> DataFrame:
     """Johnson–Lindenstrauss-style dimensionality reduction with exact
     integer math: project each quantized embedding onto ``out_dim``
     deterministic integer hyperplanes (:func:`hyperplane_weights`, the
@@ -1358,5 +1362,13 @@ def random_projection(emb: DataFrame, out_dim: int = RP_OUT_DIM) -> DataFrame:
                 cols[f"p{j}"] = dots[:, j]
             yield from pa.table(cols).cast(target).to_batches()
 
-    base = fan_out(emb, key="vec_id").select("vec_id", "embedding")
+    # Volume-sized task count, same policy as the ANN scorers
+    # (catalog.scorer_width): each Arrow task pays a fixed worker
+    # round-trip, so a small corpus must NOT be fanned out to the full
+    # cache width (measured here: 32 tasks 0.97 s → volume-sized
+    # 0.2 s at sf0.1). coalesce is narrow and becomes a no-op once the
+    # scan's own width reaches the requested parts at real scale.
+    base = emb.select("vec_id", "embedding")
+    if scorer_parts is not None and scorer_parts < base.rdd.getNumPartitions():
+        base = base.coalesce(scorer_parts)
     return base.mapInArrow(_project, out_schema)

@@ -582,6 +582,14 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     ``text``. Swapping in real trained weights (or a per-class weight
     table joined in broadcast) preserves the shape.
     """
+    return margin_features(docs).drop("n_toks")
+
+
+def margin_features(docs: DataFrame) -> DataFrame:
+    """One-pass classifier feature/margin computation shared by
+    :func:`quality_classifier` and the curriculum-sharding plan (which
+    also needs ``n_toks`` — carrying it here avoids a second documents
+    scan plus a doc_id join in that DAG)."""
     docs = fan_out(docs, key="doc_id")
     toks = tokens_col()
     t = F.size(toks)
@@ -606,6 +614,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         cpt_milli.alias("cpt_milli"),
         margin.alias("margin"),
         (margin > 0).alias("keep"),
+        t.cast("long").alias("n_toks"),
     )
 
 

@@ -293,8 +293,9 @@ NUM_SHARDS = 8
     "and margin ranges — the easy/hard training-order split.",
 )
 def pipeline_curriculum_shards(spark: SparkSession, sf: str):
-    docs = table(spark, sf, "documents")
-    g = T.quality_classifier(docs).select("doc_id", "margin")
+    g = T.margin_features(table(spark, sf, "documents")).select(
+        "doc_id", "margin", "n_toks"
+    )
     mc = g.groupBy("margin").agg(F.count("*").alias("n"))
     wb = (
         Window.orderBy(F.desc("margin"))
@@ -315,18 +316,15 @@ def pipeline_curriculum_shards(spark: SparkSession, sf: str):
             F.lit(NUM_SHARDS - 1),
         ).alias("shard"),
     )
-    toks = docs.select(
-        "doc_id", F.size(T.tokens_col()).cast("long").alias("n_toks")
-    )
-    j = (
+    return (
         g.join(F.broadcast(sh), "margin")
-        .join(toks, "doc_id")
-    )
-    return j.groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_toks").alias("sum_tokens"),
-        F.min("margin").alias("min_margin"),
-        F.max("margin").alias("max_margin"),
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("margin").alias("min_margin"),
+            F.max("margin").alias("max_margin"),
+        )
     )
 
 
@@ -362,7 +360,14 @@ def _sql_proj(j: int) -> str:
     "no HOF/Python/shuffle (operators/similarity.random_projection).",
 )
 def embedding_random_projection(spark: SparkSession, sf: str):
-    return S.random_projection(table(spark, sf, "embeddings"))
+    from .catalog import scorer_width
+
+    return S.random_projection(
+        table(spark, sf, "embeddings"),
+        scorer_parts=scorer_width(
+            sf, "embeddings", spark.sparkContext.defaultParallelism
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
