@@ -20,6 +20,7 @@ from duckdb_redis_olap_scanner_spark.operators.dedup import (
     duplicate_ngram_stats,
     exact_dedup,
     minhash_lsh_dedup,
+    segment_dedup,
 )
 
 
@@ -46,6 +47,9 @@ DOC_OPS = [
     pytest.param(exact_dedup, id="exact_dedup"),
     pytest.param(duplicate_ngram_stats, id="duplicate_ngrams"),
     pytest.param(minhash_lsh_dedup, id="minhash_lsh_dedup"),
+    pytest.param(segment_dedup, id="segment_dedup"),
+    pytest.param(T.quality_classifier, id="quality_classifier"),
+    pytest.param(T.bigram_familiarity, id="bigram_familiarity"),
 ]
 
 
@@ -59,6 +63,7 @@ EMB_OPS = [
     pytest.param(S.ivf_prototypes, id="ivf_prototypes"),
     pytest.param(S.kmeans_refine, id="kmeans_refine"),
     pytest.param(S.brute_force_topk, id="brute_force_topk"),
+    pytest.param(S.random_projection, id="random_projection"),
 ]
 
 

@@ -262,3 +262,45 @@ def test_gather_sort_is_total_order_single_partition(spark):
     assert g.collect() == expected
     plan_g = g._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan_g.lower()
+
+
+def test_round7_curation_plans_are_clean(spark):
+    """The seven round-7 entries: no Python row UDFs anywhere, scans
+    pruned to referenced columns, and the intended operator shapes
+    (single agg for the histogram, Arrow map for the projection,
+    join-free narrow map for the classifier)."""
+    # Histogram: one aggregation, no join, pruned events scan.
+    plan = plan_of(spark, "events_value_histogram")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" in read and "value" in read
+    for col in ("props", "user_id", "ts"):
+        assert col not in read
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+    # Classifier: narrow map — no join, no Python, text+doc_id scan only.
+    plan = plan_of(spark, "pipeline_quality_classifier")
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "source" not in read
+
+    # Random projection: the Arrow matmul map, no Python ROW udf, no
+    # label column read.
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "label" not in read
+
+    # Segment dedup / bigram LM: shuffle-based, but zero Python and no
+    # cartesian products.
+    for name in ("pipeline_segment_dedup", "pipeline_bigram_lm"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    # Curriculum shards: the join back to per-doc rows must be a
+    # broadcast (the distinct-margin table is bounded), never a
+    # sort-merge shuffle of the corpus.
+    plan = plan_of(spark, "pipeline_curriculum_shards")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
