@@ -2,7 +2,8 @@
 surface — segment-level dedup with reassembly, model-based quality
 classification, corpus bigram-LM familiarity scoring, token-budget
 mixture selection, scale-safe curriculum sharding, JL-style integer
-random projection, and the OLAP value-histogram primitive.
+random projection, equi-width and equi-depth value histograms, and
+per-source heavy hitters.
 
 Shared discipline (plans/catalog.py): every computed value is integer-
 exact on both engines (truncating division of positive ints, md5-64
@@ -424,4 +425,129 @@ def events_value_histogram(spark: SparkSession, sf: str):
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the optimizer-statistics histogram primitive)
+# ---------------------------------------------------------------------------
+
+EQD_BUCKETS = 8
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events),
+    vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY cents),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vc),
+    cum AS (
+      SELECT cents, n,
+             CAST(coalesce(SUM(n) OVER (
+               ORDER BY cents ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM vc),
+    sh AS (
+      SELECT c.cents, c.n,
+             CAST(least({EQD_BUCKETS} * c.cum_before // t.total,
+                        {EQD_BUCKETS - 1}) AS INT) AS bucket
+      FROM cum c CROSS JOIN tot t)
+    SELECT bucket,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM sh GROUP BY bucket
+    """,
+    tags=("agg", "window"),
+    doc="EQUI-DEPTH value histogram (the optimizer-statistics "
+    "primitive equi-width can't provide on skewed data): bucket "
+    "boundaries from a running count over the DISTINCT cent values — "
+    "bounded by the value domain, never a global row sort — then one "
+    "re-aggregation; ties share a bucket, so the result is "
+    "engine-order-independent and exactly oracle-checkable. Same "
+    "scale-safe shape as pipeline_curriculum_shards.",
+)
+def events_equidepth_histogram(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    vc = e.select(cents.alias("cents")).groupBy("cents").agg(
+        F.count("*").alias("n")
+    )
+    wb = Window.orderBy(F.asc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vc.select(
+        "cents",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0).cast("long")).alias(
+            "cum_before"
+        ),
+    )
+    tot = vc.agg(F.sum("n").alias("total"))
+    sh = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n",
+        F.least(
+            F.floor(
+                (F.lit(EQD_BUCKETS) * F.col("cum_before")) / F.col("total")
+            ).cast("int"),
+            F.lit(EQD_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    return sh.groupBy("bucket").agg(
+        F.sum("n").alias("n_events"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.count("*").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source heavy hitters (group-wise top-k after aggregation)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+
+
+@register(
+    "text_top_terms_per_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             unnest(coalesce({_SQL_TOKS}, CAST([] AS VARCHAR[]))) AS tok
+      FROM documents),
+    c AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE tok <> '' GROUP BY source, tok),
+    r AS (
+      SELECT source, tok, n,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, tok ASC) AS INT) AS rnk
+      FROM c)
+    SELECT source, tok, n, rnk FROM r WHERE rnk <= {TOP_TERMS_K}
+    """,
+    tags=("text", "window"),
+    doc="Per-source heavy hitters: top-3 tokens per source by exact "
+    "count with a total-order tie-break (count desc, token asc). "
+    "Group-wise top-k AFTER aggregation — the shuffle carries one row "
+    "per (source, token), the rank window partitions on the natural "
+    "source key, and the output is k rows per group regardless of "
+    "input volume (the per-dimension drill-down primitive).",
+)
+def text_top_terms_per_source(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    toks = F.coalesce(T.tokens_col(), F.array().cast("array<string>"))
+    t = docs.select("source", F.explode(toks).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    c = t.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= TOP_TERMS_K)
+        .select("source", "tok", "n", "rnk")
     )

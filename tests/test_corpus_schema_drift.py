@@ -80,6 +80,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "pipeline_bigram_lm",
         "pipeline_token_budget",
         "pipeline_curriculum_shards",
+        "text_top_terms_per_source",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
 
@@ -169,5 +170,6 @@ def test_documents_empty_table(spark, tmp_path):
         "pipeline_bigram_lm",
         "pipeline_token_budget",
         "pipeline_curriculum_shards",
+        "text_top_terms_per_source",
     ):
         _compare(spark, str(tmp_path), entry, "documents")
