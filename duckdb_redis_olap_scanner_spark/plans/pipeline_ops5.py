@@ -258,19 +258,22 @@ NUM_SHARDS = 8
     WITH {_SQL_CLS_FEATURES},
     mc AS (SELECT margin, CAST(count(*) AS BIGINT) AS n
            FROM g GROUP BY margin),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mc),
     bounds AS (
       SELECT margin,
              CAST(coalesce(SUM(n) OVER (
                ORDER BY margin DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS cum_before
+             AS BIGINT) AS cum_before,
+             CAST(SUM(n) OVER (
+               ORDER BY margin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS total
       FROM mc),
     sh AS (
-      SELECT b.margin,
-             CAST(least({NUM_SHARDS} * b.cum_before // t.total,
+      SELECT margin,
+             CAST(least({NUM_SHARDS} * cum_before // total,
                         {NUM_SHARDS - 1}) AS INT) AS shard
-      FROM bounds b CROSS JOIN tot t),
+      FROM bounds),
     j AS (
       SELECT sh.shard, g.doc_id, g.margin, f2.t AS n_toks
       FROM g JOIN sh ON g.margin = sh.margin
@@ -298,18 +301,23 @@ def pipeline_curriculum_shards(spark: SparkSession, sf: str):
         "doc_id", "margin", "n_toks"
     )
     mc = g.groupBy("margin").agg(F.count("*").alias("n"))
+    # cum_before and the grand total share one ordered window pass
+    # (full frame for the total) — same stage-count saving as
+    # events_equidepth_histogram.
     wb = (
         Window.orderBy(F.desc("margin"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bounds = mc.select(
+    wt = Window.orderBy(F.desc("margin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sh = mc.select(
         "margin",
         F.coalesce(F.sum("n").over(wb), F.lit(0).cast("long")).alias(
             "cum_before"
         ),
-    )
-    tot = mc.agg(F.sum("n").alias("total"))
-    sh = bounds.crossJoin(F.broadcast(tot)).select(
+        F.sum("n").over(wt).alias("total"),
+    ).select(
         "margin",
         F.least(
             F.floor((F.lit(NUM_SHARDS) * F.col("cum_before")) / F.col("total"))
@@ -442,19 +450,22 @@ EQD_BUCKETS = 8
       SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS cents FROM events),
     vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS n
            FROM b GROUP BY cents),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vc),
     cum AS (
       SELECT cents, n,
              CAST(coalesce(SUM(n) OVER (
                ORDER BY cents ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS cum_before
+             AS BIGINT) AS cum_before,
+             CAST(SUM(n) OVER (
+               ORDER BY cents ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS total
       FROM vc),
     sh AS (
-      SELECT c.cents, c.n,
-             CAST(least({EQD_BUCKETS} * c.cum_before // t.total,
+      SELECT cents, n,
+             CAST(least({EQD_BUCKETS} * cum_before // total,
                         {EQD_BUCKETS - 1}) AS INT) AS bucket
-      FROM cum c CROSS JOIN tot t)
+      FROM cum)
     SELECT bucket,
            CAST(sum(n) AS BIGINT) AS n_events,
            CAST(min(cents) AS BIGINT) AS lo_cents,
@@ -477,8 +488,15 @@ def events_equidepth_histogram(spark: SparkSession, sf: str):
     vc = e.select(cents.alias("cents")).groupBy("cents").agg(
         F.count("*").alias("n")
     )
+    # cum_before AND the grand total come from the SAME ordered window
+    # pass (full frame for the total) — one stage, no separate
+    # total-aggregate job + broadcast round trip (measured: the
+    # agg+crossJoin form cost two extra stage dispatches per run).
     wb = Window.orderBy(F.asc("cents")).rowsBetween(
         Window.unboundedPreceding, -1
+    )
+    wt = Window.orderBy(F.asc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = vc.select(
         "cents",
@@ -486,9 +504,9 @@ def events_equidepth_histogram(spark: SparkSession, sf: str):
         F.coalesce(F.sum("n").over(wb), F.lit(0).cast("long")).alias(
             "cum_before"
         ),
+        F.sum("n").over(wt).alias("total"),
     )
-    tot = vc.agg(F.sum("n").alias("total"))
-    sh = cum.crossJoin(F.broadcast(tot)).select(
+    sh = cum.select(
         "cents",
         "n",
         F.least(
