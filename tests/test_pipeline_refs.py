@@ -479,3 +479,30 @@ def test_random_projection_matches_numpy_reference(spark):
     exp = q @ W.T
     for i in range(20):
         assert got[i] == list(exp[i])
+
+
+def test_segment_dedup_identity_and_annihilation(spark):
+    """Two algebraic properties that pin the reassembly semantics:
+    (a) identity — with globally unique words every segment is
+    corpus-unique, so the rejoined text must equal the canonical
+    input exactly; (b) annihilation — an exact duplicate pair loses
+    ALL its segments on both copies (symmetric removal)."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    uniq = [
+        (i, " ".join(f"w{i}x{j}" for j in range(5 + 3 * i)))
+        for i in range(6)
+    ]
+    dup = [(100, "copy copy copy me now"), (101, "copy copy copy me now")]
+    df = spark.createDataFrame(uniq + dup, "doc_id long, text string")
+    got = {r.doc_id: r for r in segment_dedup(df).collect()}
+    for i, s in uniq:
+        r = got[i]
+        assert r.n_kept == r.n_segs
+        assert r.kept_md5 == hashlib.md5(s.encode()).hexdigest()
+    for i, _s in dup:
+        r = got[i]
+        assert r.n_kept == 0
+        assert r.kept_md5 == hashlib.md5(b"").hexdigest()
