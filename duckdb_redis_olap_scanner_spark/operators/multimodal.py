@@ -443,9 +443,10 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "bmp": encode_bmp_payload,
         "ppm": encode_ppm_payload,
         "wav": encode_wav_payload,
+        "png": lambda did: encode_png_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
-            "wav": "audio/wav"}[kind]
+            "wav": "audio/wav", "png": "image/png"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -571,6 +572,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     media = synthesize_media(docs, kind)
     if kind == "wav":
         return decode_audio_features(media)
+    if kind == "png":
+        return decode_png_features(media)
     return decode_image_features(media)
 
 
@@ -714,3 +717,213 @@ def audio_frame_energy(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real COMPRESSED-format decode (zlib is stdlib — no codec library)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_raw int, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_payload(doc_id: int) -> bytes:
+    """A real PNG file (8-bit truecolor RGB, non-interlaced): zlib-
+    compressed scanlines where row y uses filter type ``y % 5`` — all
+    five PNG filters (None/Sub/Up/Average/Paeth) appear across the
+    corpus, so a decoder that fakes any unfilter path cannot
+    hash-match. The IDAT stream is split into TWO chunks (decoders
+    must concatenate before inflating) and every chunk carries its
+    real CRC-32."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = _image_pixels(doc_id)
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int64)
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        upleft = np.concatenate(
+            [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
+        )
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - upleft
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = row - pred
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    comp = zlib.compress(bytes(out), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:17])
+        + _png_chunk(b"IDAT", comp[17:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse a PNG (8-bit truecolor RGB, non-interlaced) into a
+    top-down RGB uint8 array (h, w, 3) — dependency-free (stdlib zlib
+    + numpy). A full container parse: signature, chunk walk with
+    CRC-32 verification, multi-IDAT concatenation, zlib inflate, and
+    sequential row UNFILTERING for all five PNG filter types. Returns
+    (array, n_raw) where n_raw is the decompressed scanline byte
+    count, proving decompression actually ran. Anything interlaced,
+    paletted, or non-8-bit raises loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp_m, filt_m, interlace = ihdr
+    if (depth, color, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}): only 8-bit truecolor "
+            "non-interlaced is decodable here"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = 1 + w * bpp
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"PNG scanline stream is {len(raw)} bytes, want {h * stride}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.int64)
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int64)
+        if f == 0:
+            row = cur
+        elif f == 2:
+            row = (cur + prior) % 256
+        elif f in (1, 3, 4):
+            # Left-referencing filters are inherently sequential per
+            # pixel; widths here are tiny, and a real-scale decoder
+            # would vectorize per color plane.
+            row = np.zeros(w * bpp, dtype=np.int64)
+            for x in range(w * bpp):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                upleft = prior[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (
+                        up if pb <= pc else upleft
+                    )
+                row[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = row
+        prior = row
+    return out.astype(np.uint8).reshape(h, w, bpp), len(raw)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode over a binary column: full PNG
+    container parse (CRC walk, multi-IDAT inflate, five-filter
+    unfiltering) and the same integer pixel statistics as the
+    BMP/PPM twins, plus n_raw — the decompressed byte count the
+    oracle can compute in closed form (h*(1+3w)) while the
+    compressed payload size cannot be."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, n_raw = decode_png(bytes(payload))
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h, n_raw,
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_raw",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("n_raw", "int32"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64"), ("checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=PNG_DECODED_SCHEMA)

@@ -569,3 +569,55 @@ def text_top_terms_per_source(spark: SparkSession, sf: str):
         .where(F.col("rnk") <= TOP_TERMS_K)
         .select("source", "tok", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: real COMPRESSED-format decode (stdlib zlib, no codec library)
+# ---------------------------------------------------------------------------
+
+from ..operators import multimodal as M  # noqa: E402
+
+
+@register(
+    "multimodal_decode_png",
+    # Same closed-form pixel synthesis as the BMP/PPM oracles
+    # (pipeline_ops4); n_raw = decompressed scanline bytes h*(1+3w) —
+    # the compressed payload size has no closed form, so the oracle
+    # pins the INFLATED stream length instead, which only a decoder
+    # that actually ran zlib can report.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(height * (1 + 3 * width) AS INT) AS n_raw,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of a COMPRESSED image format, no codec library: "
+    "synthesize a true PNG per doc (8-bit RGB, row filter y%5 so all "
+    "five PNG filters appear, TWO IDAT chunks, real CRC-32s), then "
+    "fully parse it back — signature, CRC-verified chunk walk, "
+    "multi-IDAT zlib inflate, sequential five-filter unfiltering — "
+    "in stdlib zlib + numpy inside the same narrow Arrow maps as the "
+    "BMP/PPM twins. n_raw pins that decompression actually ran "
+    "(operators/multimodal.decode_png).",
+)
+def multimodal_decode_png(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "png")

@@ -150,3 +150,47 @@ def test_checksum_pins_order():
 
     assert chk(px) != chk(px[:, :, ::-1])  # BGR left unswapped
     assert chk(px) != chk(px[::-1])  # rows left bottom-up
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 4, 9, 17, 64, 123])
+def test_png_round_trip(doc_id):
+    px, n_raw = M.decode_png(M.encode_png_payload(doc_id))
+    assert (px == M._image_pixels(doc_id)).all()
+    w, h = M._image_dims(doc_id)
+    assert n_raw == h * (1 + 3 * w)
+
+
+def test_png_exercises_all_five_filters():
+    # Row y uses filter y % 5, so any image with height >= 5 carries
+    # every PNG filter type; doc_id=3 has height 2+3%7 = 5.
+    import struct
+    import zlib
+
+    payload = M.encode_png_payload(3)
+    pos = len(M.PNG_SIG)
+    idat = bytearray()
+    n_idat = 0
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if ctype == b"IDAT":
+            idat.extend(payload[pos + 8 : pos + 8 + length])
+            n_idat += 1
+        pos += 12 + length
+    assert n_idat == 2  # the multi-IDAT split is real
+    raw = zlib.decompress(bytes(idat))
+    w, h = M._image_dims(3)
+    stride = 1 + 3 * w
+    filters = {raw[y * stride] for y in range(h)}
+    assert filters == {0, 1, 2, 3, 4}
+
+
+def test_png_rejects_corruption_and_imposters():
+    payload = bytearray(M.encode_png_payload(7))
+    payload[-5] ^= 0xFF  # flip a CRC byte
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"NOTAPNG" + bytes(payload))
+    # Truncated IDAT stream: zlib must fail loudly, not return junk.
+    with pytest.raises(Exception):
+        M.decode_png(bytes(M.encode_png_payload(7))[:40])
