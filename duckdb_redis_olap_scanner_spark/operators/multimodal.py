@@ -3,23 +3,25 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Two tiers of decoding:
 
-* REAL, dependency-free decoders for the uncompressed formats whose
-  byte math is deterministic: 24-bit BI_RGB **BMP** and binary **PPM
-  (P6)** images, and 16-bit PCM **WAV** audio — implemented here in
-  pure numpy (header parse + integer pixel/sample extraction), no
-  Pillow/soundfile needed. These power the ``multimodal_decode_bmp`` /
-  ``_ppm`` / ``_wav`` catalog entries, which are exactly
-  oracle-checked: the fixture payloads are synthesized from closed-form
-  functions of ``doc_id``, so DuckDB can compute the expected pixel /
-  sample statistics arithmetically while Spark recovers them by
-  genuinely parsing the bytes (row padding, bottom-up flip, BGR→RGB,
-  RIFF chunk walk). A decoder bug — wrong stride, missed padding,
-  swapped channels — breaks the weighted checksum and fails the hash
-  gate.
-* Compressed formats (JPEG/PNG/FLAC/…) still require a codec library
-  and stay import-gated behind Pillow in :func:`decode_image`;
-  ``fake_decode_features`` remains as the length-arithmetic stand-in
-  exercising the plumbing alone.
+* REAL, dependency-free decoders for the formats whose byte math is
+  deterministic: 24-bit BI_RGB **BMP**, binary **PPM (P6)**, and
+  **PNG** (8-bit truecolor — CRC-verified chunk walk, multi-IDAT
+  stdlib-zlib inflate, all five row filters unfiltered) images, plus
+  16-bit PCM and **G.711 mu-law WAV** audio — implemented here in
+  pure numpy (+stdlib zlib), no Pillow/soundfile needed. These power
+  the ``multimodal_decode_bmp`` / ``_ppm`` / ``_png`` / ``_wav`` /
+  ``_wav_mulaw`` catalog entries, which are exactly oracle-checked:
+  the fixture payloads are synthesized from closed-form functions of
+  ``doc_id``, so DuckDB can compute the expected pixel / sample
+  statistics arithmetically while Spark recovers them by genuinely
+  parsing the bytes (row padding, bottom-up flip, BGR→RGB, RIFF chunk
+  walk, zlib inflate + unfilter, mu-law companding). A decoder bug —
+  wrong stride, missed padding, swapped channels, faked inflate —
+  breaks the weighted checksum and fails the hash gate.
+* Codec-library formats (JPEG/WebP/FLAC/MP3/…) stay import-gated
+  behind Pillow in :func:`decode_image`; ``fake_decode_features``
+  remains as the length-arithmetic stand-in exercising the plumbing
+  alone.
 
 At scale: ``mapInPandas`` streams Arrow batches through the Python
 worker — payload bytes never materialize on the driver, and the
@@ -49,21 +51,25 @@ def _try_import_pillow():
 
 
 def decode_image(payload: bytes):
-    """Image decode. Uncompressed BMP (24-bit BI_RGB) and binary PPM
-    (P6) are decoded HERE, dependency-free, to a top-down RGB uint8
-    numpy array — no import gate (see :func:`decode_bmp` /
-    :func:`decode_ppm`). Compressed formats (JPEG/PNG/…) need a codec
-    library and fall through to Pillow, import-gated."""
+    """Image decode. Uncompressed BMP (24-bit BI_RGB), binary PPM
+    (P6), and PNG (8-bit truecolor, zlib is stdlib) are decoded HERE,
+    dependency-free, to a top-down RGB uint8 numpy array — no import
+    gate (see :func:`decode_bmp` / :func:`decode_ppm` /
+    :func:`decode_png`). Codec-library formats (JPEG/WebP/…) fall
+    through to Pillow, import-gated."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)[0]
     image_mod = _try_import_pillow()
     if image_mod is None:
         raise NotImplementedError(
-            "compressed-image decoding requires Pillow, which is not "
-            "installed in this container; uncompressed BMP/PPM decode "
-            "natively (decode_bmp/decode_ppm)"
+            "codec-library image decoding (JPEG/WebP/...) requires "
+            "Pillow, which is not installed in this container; "
+            "BMP/PPM/PNG decode natively (decode_bmp/decode_ppm/"
+            "decode_png)"
         )
     import io
 
@@ -424,10 +430,16 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, ch, sr, _byte_rate, _block_align, bits = fmt
+    if audio_format == 7 and bits == 8:
+        # G.711 mu-law: expand each byte to its linear 16-bit sample
+        # with the standard integer formula (see mulaw_expand).
+        enc = np.frombuffer(data, dtype=np.uint8)
+        return ch, sr, bits, mulaw_expand(enc).astype(np.int16)
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): "
-            "only 16-bit PCM is decodable without a codec library"
+            "only 16-bit PCM and 8-bit mu-law are decodable without "
+            "a codec library"
         )
     return ch, sr, bits, np.frombuffer(data, dtype="<i2")
 
@@ -444,9 +456,11 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "ppm": encode_ppm_payload,
         "wav": encode_wav_payload,
         "png": lambda did: encode_png_payload(did),
+        "wav_mulaw": lambda did: encode_wav_mulaw_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
-            "wav": "audio/wav", "png": "image/png"}[kind]
+            "wav": "audio/wav", "png": "image/png",
+            "wav_mulaw": "audio/wav"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -570,7 +584,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     driver materialization — the 100 TB shape for media feature
     extraction."""
     media = synthesize_media(docs, kind)
-    if kind == "wav":
+    if kind in ("wav", "wav_mulaw"):
         return decode_audio_features(media)
     if kind == "png":
         return decode_png_features(media)
@@ -927,3 +941,50 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=PNG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: real COMPRESSED-audio decode (pure integer expansion)
+# ---------------------------------------------------------------------------
+
+
+def _mulaw_samples(doc_id: int):
+    """Encoded mu-law BYTES per the synthesis contract: b_i =
+    (doc_id*13 + i*31) % 256 — the payload is the ground truth, so no
+    (lossy) encoder is needed; the oracle expands the same closed form
+    with the same integer formula the decoder uses."""
+    import numpy as np
+
+    ch, _sr, f = _audio_params(doc_id)
+    i = np.arange(f * ch, dtype=np.int64)
+    return ((doc_id * 13 + i * 31) % 256).astype(np.uint8)
+
+
+def encode_wav_mulaw_payload(doc_id: int) -> bytes:
+    """A real RIFF/WAVE G.711 mu-law file: fmt chunk with
+    audio_format=7, 8 bits/sample, then the encoded byte stream."""
+    import struct
+
+    ch, sr, _f = _audio_params(doc_id)
+    data = _mulaw_samples(doc_id).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, ch, sr, sr * ch, ch, 8)
+    chunks = (
+        struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def mulaw_expand(enc):
+    """G.711 mu-law byte → linear 16-bit sample, the standard integer
+    expansion (complement, 4-bit mantissa, 3-bit exponent, bias 0x84):
+    t = ((u & 0x0F) << 3 | 0x84) << exp; sample = ±(t - 0x84). Pure
+    integer — the oracle evaluates the identical formula in SQL."""
+    import numpy as np
+
+    u = (~enc.astype(np.int64)) & 0xFF
+    t = np.left_shift((u & 0x0F) * 8 + 0x84, (u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)

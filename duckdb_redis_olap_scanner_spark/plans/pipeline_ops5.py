@@ -621,3 +621,54 @@ from ..operators import multimodal as M  # noqa: E402
 )
 def multimodal_decode_png(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "png")
+
+
+@register(
+    "multimodal_decode_wav_mulaw",
+    # The payload bytes ARE the closed form (b_i = (doc_id*13+i*31)%256);
+    # the oracle expands them with the same standard G.711 integer
+    # formula the decoder applies: u = ~b; t = ((u&15)*8+132) << exp;
+    # sample = +-(t-132).
+    oracle="""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS INT) AS n_frames
+      FROM documents),
+    sm AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT) * n_channels)) AS i
+      FROM prm),
+    u AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             255 - ((doc_id * 13 + i * 31) % 256) AS uu
+      FROM sm),
+    v AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             CASE WHEN uu >= 128
+                  THEN 132 - ((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8))
+                  ELSE ((uu % 16) * 8 + 132) * (1 << ((uu // 16) % 8)) - 132
+             END AS s
+      FROM u)
+    SELECT doc_id, n_channels, sample_rate,
+           CAST(8 AS INT) AS bits, n_frames,
+           CAST(SUM(CASE WHEN i % n_channels = 0 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN i % n_channels = 1 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch1,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of a COMPRESSED audio format, no codec library: "
+    "synthesize a G.711 mu-law RIFF/WAVE file per doc (audio_format=7, "
+    "8 bits/sample), walk the chunks and EXPAND each byte to its "
+    "linear 16-bit sample with the standard integer formula "
+    "(complement, 4-bit mantissa, 3-bit exponent, bias 0x84) — the "
+    "oracle evaluates the identical expansion in SQL, so a decoder "
+    "that skips the companding math cannot hash-match "
+    "(operators/multimodal.mulaw_expand).",
+)
+def multimodal_decode_wav_mulaw(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "wav_mulaw")

@@ -1,5 +1,6 @@
 """Unit tests for the dependency-free media codecs
-(operators/multimodal.py): BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16).
+(operators/multimodal.py): BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit
+truecolor, stdlib zlib), WAV (PCM16), and G.711 mu-law WAV.
 
 The end-to-end decode entries are hash-gated against closed-form
 DuckDB oracles (test_oracle_parity / the driver gate); these tests pin
@@ -126,9 +127,11 @@ def test_decode_image_dispatch():
     Pillow."""
     assert (M.decode_image(M.encode_bmp_payload(9)) == M._image_pixels(9)).all()
     assert (M.decode_image(M.encode_ppm_payload(9)) == M._image_pixels(9)).all()
+    assert (M.decode_image(M.encode_png_payload(9)) == M._image_pixels(9)).all()
     if M._try_import_pillow() is None:
-        with pytest.raises(NotImplementedError, match="compressed-image"):
-            M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        # JPEG (codec-library formats) still import-gate on Pillow.
+        with pytest.raises(NotImplementedError, match="codec-library"):
+            M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_decode_audio_dispatch():
@@ -194,3 +197,26 @@ def test_png_rejects_corruption_and_imposters():
     # Truncated IDAT stream: zlib must fail loudly, not return junk.
     with pytest.raises(Exception):
         M.decode_png(bytes(M.encode_png_payload(7))[:40])
+
+
+def test_mulaw_expansion_reference_values():
+    """Known G.711 mu-law landmarks: 0xFF/0x7F are plus/minus zero,
+    0x80 is full-scale positive, 0x00 full-scale negative (+-32124)."""
+    import numpy as np
+
+    enc = np.array([0xFF, 0x7F, 0x80, 0x00, 0xF0, 0x70], dtype=np.uint8)
+    got = M.mulaw_expand(enc)
+    assert list(got[:4]) == [0, 0, 32124, -32124]
+    # Symmetric magnitudes for complementary sign pairs.
+    assert got[4] == -got[5]
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 33])
+def test_wav_mulaw_round_trip(doc_id):
+    ch, sr, f = M._audio_params(doc_id)
+    got_ch, got_sr, bits, samples = M.decode_wav(
+        M.encode_wav_mulaw_payload(doc_id)
+    )
+    assert (got_ch, got_sr, bits) == (ch, sr, 8)
+    assert len(samples) == f * ch
+    assert (samples == M.mulaw_expand(M._mulaw_samples(doc_id))).all()
