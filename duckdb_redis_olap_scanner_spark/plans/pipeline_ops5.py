@@ -672,3 +672,47 @@ def multimodal_decode_png(spark: SparkSession, sf: str):
 )
 def multimodal_decode_wav_mulaw(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "wav_mulaw")
+
+
+@register(
+    "multimodal_resize_nearest",
+    # Resized pixel at (x, y, c) samples source (x*w//3, y*h//2):
+    # val = (doc_id*7 + 3*((y*h//2)*w + (x*w//3)) + c) % 256.
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    cell AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, {M.RESIZE_TW * M.RESIZE_TH * 3})) AS q
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, q,
+             (doc_id * 7
+              + 3 * ((((q // 3) // {M.RESIZE_TW}) * height
+                      // {M.RESIZE_TH}) * width
+                     + (((q // 3) % {M.RESIZE_TW}) * width
+                        // {M.RESIZE_TW}))
+              + q % 3) % 256 AS val
+      FROM cell)
+    SELECT doc_id, width AS src_w, height AS src_h,
+           CAST({M.RESIZE_TW} AS INT) AS dst_w,
+           CAST({M.RESIZE_TH} AS INT) AS dst_h,
+           CAST(SUM(val) AS BIGINT) AS resized_sum,
+           CAST(SUM((q + 1) * val) AS BIGINT) AS resized_checksum
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="REAL resize on decoded pixels (upgrading the resize "
+    "stand-in): nearest-neighbor downscale to 3x2 with pure integer "
+    "index math (src = dst*src_size // dst_size), statistics "
+    "position-weighted so the sampling geometry is pinned. Decode + "
+    "resize run in ONE narrow Arrow map "
+    "(operators/multimodal.image_resize_nearest).",
+)
+def multimodal_resize_nearest(spark: SparkSession, sf: str):
+    return M.image_resize_nearest(
+        M.synthesize_media(table(spark, sf, "documents"), "bmp")
+    )

@@ -73,6 +73,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_decode_wav",
         "multimodal_decode_png",
         "multimodal_decode_wav_mulaw",
+        "multimodal_resize_nearest",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -165,6 +166,7 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_decode_wav",
         "multimodal_decode_png",
         "multimodal_decode_wav_mulaw",
+        "multimodal_resize_nearest",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
