@@ -716,3 +716,50 @@ def multimodal_resize_nearest(spark: SparkSession, sf: str):
     return M.image_resize_nearest(
         M.synthesize_media(table(spark, sf, "documents"), "bmp")
     )
+
+
+@register(
+    "multimodal_decode_avi",
+    # Frame f pixel k (top-down RGB flat order): (doc_id*7+f*131+k)%256;
+    # global flat index g = f*w*h*3 + k pins frame ORDER in the
+    # checksum; sampled_sum covers every 2nd frame (the frame-sampling
+    # primitive, now on real decoded frames).
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height,
+             CAST(2 + doc_id % 4 AS INT) AS nf
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, nf,
+             unnest(range(0, CAST(nf AS BIGINT) * width * height * 3))
+                 AS g
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, nf, g,
+             g // (width * height * 3) AS f,
+             (doc_id * 7 + (g // (width * height * 3)) * 131
+              + g % (width * height * 3)) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height, nf AS n_frames,
+           CAST((nf + {M.AVI_SAMPLE_EVERY - 1}) // {M.AVI_SAMPLE_EVERY}
+                AS INT) AS n_sampled,
+           CAST(SUM(val) AS BIGINT) AS sum_all,
+           CAST(SUM(CASE WHEN f % {M.AVI_SAMPLE_EVERY} = 0
+                         THEN val ELSE 0 END) AS BIGINT) AS sampled_sum,
+           CAST(SUM((g + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height, nf
+    """,
+    tags=("multimodal",),
+    doc="REAL video decode, no codec library: synthesize an "
+    "uncompressed AVI per doc (RIFF with hdrl/avih + strl headers and "
+    "a movi LIST of raw DIB '00db' frames — bottom-up padded BGR, the "
+    "BMP body convention), then fully parse it back: recursive LIST "
+    "walk, avih geometry, per-frame DIB unflip/unswap. Emits total "
+    "and every-2nd-frame sampled sums plus a (frame, pixel)-flat "
+    "checksum pinning frame order — frame sampling on REAL frames "
+    "(operators/multimodal.decode_avi).",
+)
+def multimodal_decode_avi(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "avi")

@@ -220,3 +220,23 @@ def test_wav_mulaw_round_trip(doc_id):
     assert (got_ch, got_sr, bits) == (ch, sr, 8)
     assert len(samples) == f * ch
     assert (samples == M.mulaw_expand(M._mulaw_samples(doc_id))).all()
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 3, 7, 12, 99])
+def test_avi_round_trip(doc_id):
+    fr = M.decode_avi(M.encode_avi_payload(doc_id))
+    assert (fr == M._video_pixels(doc_id)).all()
+    w, h, nf = M._video_params(doc_id)
+    assert fr.shape == (nf, h, w, 3)
+
+
+def test_avi_rejects_unsupported():
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    buf = bytearray(M.encode_avi_payload(2))
+    # strh's fccHandler sits 4 bytes into the strh payload; patch the
+    # codec fourcc to a compressed one — the decoder must refuse.
+    i = buf.find(b"strh") + 8 + 4
+    buf[i : i + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="MJPG"):
+        M.decode_avi(bytes(buf))
