@@ -1,6 +1,7 @@
 """Unit tests for the dependency-free media codecs
 (operators/multimodal.py): BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit
-truecolor, stdlib zlib), WAV (PCM16), and G.711 mu-law WAV.
+truecolor, stdlib zlib), WAV (PCM16), G.711 mu-law WAV, and
+uncompressed AVI video.
 
 The end-to-end decode entries are hash-gated against closed-form
 DuckDB oracles (test_oracle_parity / the driver gate); these tests pin
