@@ -761,19 +761,25 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png_payload(doc_id: int) -> bytes:
-    """A real PNG file (8-bit truecolor RGB, non-interlaced): zlib-
-    compressed scanlines where row y uses filter type ``y % 5`` — all
-    five PNG filters (None/Sub/Up/Average/Paeth) appear across the
-    corpus, so a decoder that fakes any unfilter path cannot
-    hash-match. The IDAT stream is split into TWO chunks (decoders
-    must concatenate before inflating) and every chunk carries its
-    real CRC-32."""
+    """A real PNG file (8-bit truecolor RGB, non-interlaced) for the
+    synthesis-contract pixels of ``doc_id`` — see
+    :func:`png_from_array` for the container/filter layout."""
+    return png_from_array(_image_pixels(doc_id))
+
+
+def png_from_array(px) -> bytes:
+    """Encode ANY top-down RGB uint8 array (h, w, 3) as a real PNG:
+    zlib-compressed scanlines where row y uses filter type ``y % 5``
+    — all five PNG filters (None/Sub/Up/Average/Paeth) appear on any
+    image with >= 5 rows, so a decoder that fakes an unfilter path
+    cannot round-trip. The IDAT stream is split into TWO chunks
+    (decoders must concatenate before inflating) and every chunk
+    carries its real CRC-32."""
     import struct
     import zlib
 
     import numpy as np
 
-    px = _image_pixels(doc_id)
     h, w, _ = px.shape
     bpp = 3
     raw = px.reshape(h, w * bpp).astype(np.int64)

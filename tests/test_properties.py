@@ -154,3 +154,27 @@ def test_md5_hash64_matches_duckdb_on_random_strings(spark):
         for s in strings
     }
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_arbitrary_images(w, h, seed):
+    """PNG encode→decode is the identity for ARBITRARY pixel content
+    and dimensions — far beyond the synthesis contract the oracle
+    pins: every width/height combination re-partitions bytes across
+    scanlines and IDAT splits, and random pixels exercise the filter
+    arithmetic (incl. Paeth tie-breaks) on uncontrived values."""
+    import numpy as np
+
+    from duckdb_redis_olap_scanner_spark.operators import multimodal as M
+
+    px = np.random.RandomState(seed % 2**31).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    got, n_raw = M.decode_png(M.png_from_array(px))
+    assert n_raw == h * (1 + 3 * w)
+    assert (got == px).all()
