@@ -331,3 +331,96 @@ def wordpiece_encode_stats(
         F.size(F.filter(ids, lambda x: x == WP_UNK_ID)).alias("n_unk"),
         ids_hash.alias("ids_hash"),
     )
+
+
+BPE_N_MERGES = 8
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """BPE tokenizer TRAINING on-engine: induce the first ``n_merges``
+    byte-pair merges from the corpus word-frequency table (Sennrich et
+    al.'s algorithm, characters as initial symbols, no end-of-word
+    marker — documented simplification).
+
+    Symbol sequences are encoded as ``||``-separated strings bracketed
+    by ``||`` (``cat`` → ``||c||a||t||``), so applying merge (a, b) is
+    ONE literal ``replace`` of ``|a||b|`` with ``|ab|`` — the
+    single-pipe pattern leaves each neighbor's boundary intact, which
+    makes plain left-to-right non-overlapping replace EXACTLY the
+    greedy BPE application, including back-to-back repeats
+    (``||a||a||a||`` → ``||aa||a||``). Training words are restricted
+    to ``[a-z0-9]+`` so the separator cannot collide with content.
+
+    Per iteration: explode adjacent symbol pairs weighted by word
+    frequency, one map-side-combined count agg, argmax with a total
+    tie-break (count DESC, pair ASC), then one narrow replace over the
+    word table. The argmax row — ONE pair per round — is collected on
+    the driver (the sanctioned bounded-fixpoint pattern, same as
+    connected components in operators/dedup.py); the word-frequency
+    table itself never leaves the executors and is re-persisted each
+    round to keep lineage shallow.
+
+    100 TB shape: the word-frequency table is bounded by the
+    VOCABULARY, not the corpus (the initial groupBy(token) collapses
+    volume), so every iteration is a small agg — exactly how
+    production BPE trainers operate on frequency tables.
+
+    Returns (merge_rank, lhs, rhs, merged, pair_freq) — ``n_merges``
+    rows (fewer if the pair stream runs dry).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        )
+    ).where(F.col("tok").rlike("^[a-z0-9]+$"))
+    base = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    chars = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
+    words = base.select(
+        F.concat(
+            F.lit("||"), F.array_join(chars, "||"), F.lit("||")
+        ).alias("s"),
+        "freq",
+    ).persist()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.filter(F.split(F.col("s"), r"\|\|"), lambda x: x != "")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda j: F.concat(
+                    F.get(arr, j), F.lit(" "), F.get(arr, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            words.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merged = a + b
+        merges.append((rank, a, b, merged, int(top[0]["cnt"])))
+        nxt = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"|{a}||{b}|"),
+                F.lit(f"|{merged}|"),
+            ).alias("s"),
+            "freq",
+        ).persist()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_freq long",
+    )

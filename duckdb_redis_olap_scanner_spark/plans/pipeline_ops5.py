@@ -763,3 +763,73 @@ def multimodal_resize_nearest(spark: SparkSession, sf: str):
 )
 def multimodal_decode_avi(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "avi")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge induction) — chained-CTE oracle
+# ---------------------------------------------------------------------------
+
+from ..operators import retrieval as R  # noqa: E402
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """The DuckDB mirror of operators/retrieval.bpe_train_merges: the
+    same per-iteration CTE triple (pair counts → tie-broken argmax →
+    one boundary-preserving replace), unrolled ``n_merges`` times by
+    this generator — iteration logic identical to the Spark loop, so
+    the hash gate pins every merge decision AND its frequency."""
+    ctes = [
+        f"""w0 AS (
+      SELECT '||' || array_to_string(
+               list_filter(string_split(tok, ''), c -> c <> ''), '||')
+             || '||' AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      WHERE regexp_full_match(tok, '[a-z0-9]+')
+      GROUP BY tok)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(arr)),
+                 j -> arr[CAST(j AS INT)] || ' '
+                      || arr[CAST(j + 1 AS INT)])) AS pair
+        FROM (SELECT freq,
+                     list_filter(string_split_regex(s, '\\|\\|'),
+                                 x -> x <> '') AS arr
+              FROM w{i - 1}))
+      GROUP BY pair)""")
+        ctes.append(f"""m{i} AS (
+      SELECT pair, cnt,
+             string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        ctes.append(f"""w{i} AS (
+      SELECT replace(w.s, '|' || m.a || '||' || m.b || '|',
+                     '|' || m.a || m.b || '|') AS s, w.freq
+      FROM w{i - 1} w CROSS JOIN m{i} m)""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, cnt AS pair_freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register(
+    "pipeline_bpe_train",
+    oracle=_bpe_oracle(R.BPE_N_MERGES),
+    tags=("text", "pipeline", "tokenizer"),
+    doc="BPE tokenizer TRAINING on-engine: induce the first "
+    f"{R.BPE_N_MERGES} merges from the corpus word-frequency table "
+    "(chars as initial symbols). Merge application is ONE literal "
+    "replace over a boundary-preserving '||' symbol encoding, so "
+    "greedy left-to-right semantics (incl. back-to-back repeats) are "
+    "bit-identical across engines; per round, one pair-count agg + a "
+    "tie-broken argmax (the bounded driver fixpoint, as in connected "
+    "components). The word table is vocabulary-bounded, never "
+    "corpus-sized (operators/retrieval.bpe_train_merges).",
+)
+def pipeline_bpe_train(spark: SparkSession, sf: str):
+    return R.bpe_train_merges(table(spark, sf, "documents"))

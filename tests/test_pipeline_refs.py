@@ -506,3 +506,60 @@ def test_segment_dedup_identity_and_annihilation(spark):
         r = got[i]
         assert r.n_kept == 0
         assert r.kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Independent textbook BPE (dict-of-tuples, greedy merge) on a
+    corpus engineered with repeats, ties, and back-to-back pairs —
+    including the 'aaa' case where greedy left-to-right application
+    must produce ('aa', 'a')."""
+    from collections import Counter
+
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import (
+        bpe_train_merges,
+    )
+
+    rows = [
+        (0, "banana bandana banana"),
+        (1, "aaa aaaa banana"),
+        (2, "cat catalog cataract"),
+        (3, "na na na banana"),
+        (4, "x1 x1 x1 x1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Reference implementation.
+    freq: Counter = Counter()
+    for _i, s in rows:
+        for w in s.strip().lower().split():
+            freq[tuple(w)] += 1
+    ref = []
+    for rank in range(1, 9):
+        pc: Counter = Counter()
+        for sym, f in freq.items():
+            for j in range(len(sym) - 1):
+                pc[(sym[j], sym[j + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        ref.append((rank, a, b, a + b, cnt))
+        out: Counter = Counter()
+        for sym, f in freq.items():
+            merged, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(sym[j])
+                    j += 1
+            out[tuple(merged)] += f
+        freq = out
+
+    got = sorted(
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_freq)
+        for r in bpe_train_merges(df).collect()
+    )
+    assert got == ref
