@@ -424,3 +424,63 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
         "merge_rank int, lhs string, rhs string, merged string, "
         "pair_freq long",
     )
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """Apply the corpus-trained BPE merges (:func:`bpe_train_merges`)
+    back to every document — the train→encode loop of a real
+    tokenizer. The collected merge table (≤ ``n_merges`` rows, the
+    bounded fixpoint output) parameterizes ``n_merges`` literal
+    boundary-preserving replaces over each word's symbol string, in
+    training order; emits per-doc encodeable-word count, total BPE
+    token count, and the md5 of the position-ordered token stream
+    (pinning every segmentation decision).
+
+    One shuffle (the per-doc re-aggregation on doc_id) beyond the
+    training rounds; the applies themselves are narrow codegen'd
+    string ops.
+    """
+    trained = bpe_train_merges(docs, n_merges).collect()
+    merges = [(r["lhs"], r["rhs"], r["merged"]) for r in trained]
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("wp", "tok"),
+    ).where(F.col("tok").rlike("^[a-z0-9]+$"))
+    chars = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
+    s = F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||"))
+    for a, b, m in merges:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{m}|"))
+    syms = F.filter(F.split(s, r"\|\|"), lambda x: x != "")
+    per_word = words.select(
+        "doc_id",
+        "wp",
+        F.size(syms).alias("n_sym"),
+        F.array_join(syms, " ").alias("stream"),
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wp", "stream"))
+                    ),
+                    lambda x: x["stream"],
+                ),
+                " ",
+            )
+        ).alias("tokens_md5"),
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias(
+            "n_bpe_tokens"
+        ),
+        F.coalesce("tokens_md5", F.md5(F.lit(""))).alias("tokens_md5"),
+    )

@@ -772,12 +772,12 @@ def multimodal_decode_avi(spark: SparkSession, sf: str):
 from ..operators import retrieval as R  # noqa: E402
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """The DuckDB mirror of operators/retrieval.bpe_train_merges: the
-    same per-iteration CTE triple (pair counts → tie-broken argmax →
-    one boundary-preserving replace), unrolled ``n_merges`` times by
-    this generator — iteration logic identical to the Spark loop, so
-    the hash gate pins every merge decision AND its frequency."""
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """The shared CTE chain mirroring operators/retrieval
+    .bpe_train_merges: per iteration a pair-count agg, the tie-broken
+    argmax, and one boundary-preserving replace — reused by both the
+    training oracle (selects the m{i} rows) and the encode oracle
+    (applies the m{i} patterns to the documents)."""
     ctes = [
         f"""w0 AS (
       SELECT '||' || array_to_string(
@@ -809,12 +809,16 @@ def _bpe_oracle(n_merges: int) -> str:
       SELECT replace(w.s, '|' || m.a || '||' || m.b || '|',
                      '|' || m.a || m.b || '|') AS s, w.freq
       FROM w{i - 1} w CROSS JOIN m{i} m)""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
     finals = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, a AS lhs, b AS rhs, "
         f"a || b AS merged, cnt AS pair_freq FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+    return "WITH " + ",\n    ".join(_bpe_ctes(n_merges)) + "\n    " + finals
 
 
 @register(
@@ -833,3 +837,81 @@ def _bpe_oracle(n_merges: int) -> str:
 )
 def pipeline_bpe_train(spark: SparkSession, sf: str):
     return R.bpe_train_merges(table(spark, sf, "documents"))
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode oracle: the training CTE chain, each m{i} padded with an
+    impossible '~' pattern when empty (so a dry pair stream makes the
+    replace a no-op instead of killing the cross join — mirroring the
+    Spark side's 'apply only the collected merges'), then the same
+    nested replaces over every document word and a per-doc
+    re-aggregation of the position-ordered token stream."""
+    ctes = _bpe_ctes(n_merges)
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""mp{i} AS (
+      SELECT a, b FROM m{i}
+      UNION ALL SELECT '~', '~'
+      WHERE NOT EXISTS (SELECT 1 FROM m{i}))"""
+        )
+    expr = (
+        "'||' || array_to_string(list_filter(string_split(tok, ''), "
+        "c -> c <> ''), '||') || '||'"
+    )
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, '|' || mp{i}.a || '||' || mp{i}.b || '|', "
+            f"'|' || mp{i}.a || mp{i}.b || '|')"
+        )
+    crosses = " ".join(f"CROSS JOIN mp{i}" for i in range(1, n_merges + 1))
+    ctes.append(f"""dwords AS (
+      SELECT doc_id, u.wp, u.w AS tok FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) + 1),
+            i -> {{'wp': i, 'w': toks[CAST(i AS INT)]}})) AS u
+        FROM (SELECT doc_id,
+                     coalesce({_SQL_TOKS}, CAST([] AS VARCHAR[])) AS toks
+              FROM documents))
+      WHERE regexp_full_match(u.w, '[a-z0-9]+'))""")
+    ctes.append(f"""enc AS (
+      SELECT doc_id, wp, {expr} AS s
+      FROM dwords {crosses})""")
+    ctes.append("""pw AS (
+      SELECT doc_id, wp,
+             len(list_filter(string_split_regex(s, '\\|\\|'),
+                             x -> x <> '')) AS n_sym,
+             array_to_string(list_filter(string_split_regex(s, '\\|\\|'),
+                             x -> x <> ''), ' ') AS stream
+      FROM enc)""")
+    ctes.append("""pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+             md5(string_agg(stream, ' ' ORDER BY wp)) AS tokens_md5
+      FROM pw GROUP BY doc_id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           coalesce(pd.tokens_md5, md5('')) AS tokens_md5
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
+    )
+
+
+@register(
+    "pipeline_bpe_encode",
+    oracle=_bpe_encode_oracle(R.BPE_N_MERGES),
+    tags=("text", "pipeline", "tokenizer"),
+    doc="The train->encode loop of a real tokenizer: apply the "
+    "corpus-trained BPE merges (pipeline_bpe_train) back to every "
+    "document's words in training order — per-doc encodeable-word "
+    "count, total BPE token count, and the md5 of the "
+    "position-ordered token stream pinning every segmentation "
+    "decision. The merge table is the bounded fixpoint output "
+    "parameterizing narrow literal replaces; one doc_id re-agg "
+    "beyond training (operators/retrieval.bpe_encode_stats).",
+)
+def pipeline_bpe_encode(spark: SparkSession, sf: str):
+    return R.bpe_encode_stats(table(spark, sf, "documents"))

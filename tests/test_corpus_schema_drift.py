@@ -76,6 +76,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_resize_nearest",
         "multimodal_decode_avi",
         "pipeline_bpe_train",
+        "pipeline_bpe_encode",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -171,6 +172,7 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_resize_nearest",
         "multimodal_decode_avi",
         "pipeline_bpe_train",
+        "pipeline_bpe_encode",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
