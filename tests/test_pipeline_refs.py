@@ -563,3 +563,55 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train_merges(df).collect()
     )
     assert got == ref
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Train + apply on the same adversarial corpus: the encoded
+    stream must equal the reference segmentation word by word."""
+    import hashlib as _hl
+    from collections import Counter
+
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    rows = [
+        (0, "banana bandana banana"),
+        (1, "aaa aaaa banana"),
+        (2, "cat catalog cataract"),
+        (3, "na na na banana"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_train_merges(df).collect()
+    ]
+
+    def encode(word):
+        sym = list(word)
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            sym = out
+        return sym
+
+    got = {r.doc_id: r for r in bpe_encode_stats(df).collect()}
+    import re
+
+    for i, s in rows:
+        words = [
+            w for w in s.strip().lower().split()
+            if re.fullmatch("[a-z0-9]+", w)
+        ]
+        streams = [" ".join(encode(w)) for w in words]
+        r = got[i]
+        assert r.n_words == len(words)
+        assert r.n_bpe_tokens == sum(len(encode(w)) for w in words)
+        assert r.tokens_md5 == _hl.md5(" ".join(streams).encode()).hexdigest()
