@@ -915,3 +915,25 @@ def _bpe_encode_oracle(n_merges: int) -> str:
 )
 def pipeline_bpe_encode(spark: SparkSession, sf: str):
     return R.bpe_encode_stats(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_gzip_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(coalesce(octet_length(encode(text)), 0) AS INT) AS n_raw,
+           TRUE AS is_gzip,
+           md5(coalesce(text, '')) AS raw_md5
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="Compressed-text ingestion: gzip each doc in the worker "
+    "(stdlib zlib, real 10-byte header + CRC32 trailer), decompress "
+    "it back, and verify — n_raw and the md5 of the RECOVERED bytes "
+    "must equal what the oracle computes from the source column, so "
+    "a corrupting codec hop cannot hash-match. One narrow Arrow "
+    "stage, payloads never on the driver "
+    "(operators/multimodal.gzip_ingest).",
+)
+def pipeline_gzip_ingest(spark: SparkSession, sf: str):
+    return M.gzip_ingest(table(spark, sf, "documents"))

@@ -77,6 +77,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_decode_avi",
         "pipeline_bpe_train",
         "pipeline_bpe_encode",
+        "pipeline_gzip_ingest",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -173,6 +174,7 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_decode_avi",
         "pipeline_bpe_train",
         "pipeline_bpe_encode",
+        "pipeline_gzip_ingest",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
