@@ -540,3 +540,83 @@ def rolling_anomaly_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming running histogram (stateful twin of events_value_histogram)
+# ---------------------------------------------------------------------------
+
+_HIST_OUT_SCHEMA = (
+    "event_type string, bucket int, n_events long, sum_cents long, "
+    "min_cents long, max_cents long"
+)
+_HIST_STATE_SCHEMA = (
+    "cnts array<long>, sums array<long>, mins array<long>, "
+    "maxs array<long>"
+)
+_HIST_SENTINEL = 1 << 62
+
+
+def _update_type_histogram(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch of one event type into the running
+    20-bucket histogram state (same cents quantization, bucket width,
+    and clamp as the batch entry — constants imported from the plan
+    module so the twins cannot drift)."""
+    import numpy as np
+
+    from ..plans.pipeline_ops5 import HIST_MAX_BUCKET, HIST_WIDTH_CENTS
+
+    nb = HIST_MAX_BUCKET + 1
+    if state.exists:
+        cnts, sums, mins, maxs = (list(x) for x in state.get)
+    else:
+        cnts, sums = [0] * nb, [0] * nb
+        mins, maxs = [_HIST_SENTINEL] * nb, [-_HIST_SENTINEL] * nb
+    for pdf in batches:
+        cents = np.floor(pdf["value"].to_numpy() * 100).astype(np.int64)
+        buckets = np.clip(cents // HIST_WIDTH_CENTS, 0, HIST_MAX_BUCKET)
+        for b in np.unique(buckets):
+            m = cents[buckets == b]
+            bi = int(b)
+            cnts[bi] += len(m)
+            sums[bi] += int(m.sum())
+            mins[bi] = min(mins[bi], int(m.min()))
+            maxs[bi] = max(maxs[bi], int(m.max()))
+    state.update((cnts, sums, mins, maxs))
+    rows = [
+        (key[0], b, cnts[b], sums[b], mins[b], maxs[b])
+        for b in range(nb)
+        if cnts[b] > 0
+    ]
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "bucket", "n_events", "sum_cents",
+            "min_cents", "max_cents",
+        ],
+    )
+
+
+def running_type_histogram(events: DataFrame) -> DataFrame:
+    """Per-event-type RUNNING equi-width histogram with explicit
+    GroupState — the streaming twin of the ``events_value_histogram``
+    batch entry: bucket counts/sums/mins/maxs accumulate across
+    micro-batches and each batch emits the current non-empty buckets
+    (update mode). State is a fixed 20-slot array per type — bounded
+    regardless of stream length, the always-on dashboard-distribution
+    shape."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_type_histogram,
+            outputStructType=_HIST_OUT_SCHEMA,
+            stateStructType=_HIST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -443,3 +443,33 @@ def test_rolling_anomaly_stream_multichunk_key(
         "is_anomaly",
     ]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stateful_histogram_equals_batch_entry(
+    spark, events_stream, tmp_path
+):
+    """The running per-type histogram's final state must equal the
+    events_value_histogram BATCH entry row for row (counts and sums
+    are monotone non-decreasing and mins/maxs monotone in their
+    direction, so max/min over the update-mode snapshots recovers the
+    final state)."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    got = SE.run_stream_to_memory(
+        SE.running_type_histogram(events_stream),
+        "t_hist_state",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt_hist"),
+    )
+    final = got.groupBy("event_type", "bucket").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+    want = registry()["events_value_histogram"].fn(spark, SF_DIR)
+    cols = [
+        "event_type", "bucket", "n_events", "sum_cents",
+        "min_cents", "max_cents",
+    ]
+    assert _canon(final, cols) == _canon(want, cols)
