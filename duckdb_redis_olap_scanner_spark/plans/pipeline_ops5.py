@@ -937,3 +937,74 @@ def pipeline_bpe_encode(spark: SparkSession, sf: str):
 )
 def pipeline_gzip_ingest(spark: SparkSession, sf: str):
     return M.gzip_ingest(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals (temporal-table snapshotting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts, event_type,
+             lead(ts) OVER w AS next_ts,
+             lead(event_id) OVER w AS next_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    iv AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             CAST(epoch_us(next_ts) AS BIGINT) AS valid_to_us,
+             next_ts IS NULL AS is_current,
+             CASE WHEN next_ts IS NOT NULL
+                  THEN CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT)
+             END AS duration_us
+      FROM b)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           CAST(sum(coalesce(duration_us, 0)) AS BIGINT)
+               AS closed_span_us,
+           CAST(min(valid_from_us) AS BIGINT) AS first_from_us,
+           CAST(max(valid_from_us) AS BIGINT) AS last_from_us
+    FROM iv GROUP BY user_id
+    """,
+    tags=("temporal", "window"),
+    doc="SCD2 (slowly-changing-dimension type 2) validity intervals: "
+    "each event version gets [valid_from, valid_to) from lead() over "
+    "the user's (ts, event_id)-ordered stream, the open interval "
+    "marked current — the temporal-table snapshotting primitive. "
+    "Per-user audit output in exact epoch-microseconds (one window "
+    "pass + one agg on the natural user key; interval construction "
+    "itself is shuffle-free past the window).",
+)
+def events_scd2_intervals(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("to_us"),
+    )
+    iv = b.select(
+        "user_id",
+        F.col("to_us").isNull().alias("is_current"),
+        "from_us",
+        F.when(
+            F.col("to_us").isNotNull(), F.col("to_us") - F.col("from_us")
+        ).alias("duration_us"),
+    )
+    return iv.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.sum(F.coalesce("duration_us", F.lit(0).cast("long"))).alias(
+            "closed_span_us"
+        ),
+        F.min("from_us").alias("first_from_us"),
+        F.max("from_us").alias("last_from_us"),
+    )
