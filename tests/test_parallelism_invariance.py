@@ -50,6 +50,8 @@ DOC_OPS = [
     pytest.param(segment_dedup, id="segment_dedup"),
     pytest.param(T.quality_classifier, id="quality_classifier"),
     pytest.param(T.bigram_familiarity, id="bigram_familiarity"),
+    pytest.param(R.bpe_train_merges, id="bpe_train_merges"),
+    pytest.param(R.bpe_encode_stats, id="bpe_encode_stats"),
 ]
 
 
