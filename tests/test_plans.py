@@ -304,3 +304,32 @@ def test_round7_curation_plans_are_clean(spark):
     plan = plan_of(spark, "pipeline_curriculum_shards")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round7_window_plans_are_clean(spark):
+    """The window-based round-7 entries: no joins where none belong,
+    no Python, pruned scans."""
+    # Token budget: one window over the natural source key, no join.
+    plan = plan_of(spark, "pipeline_token_budget")
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "n_chars" not in read
+
+    # SCD2 intervals: one window + one agg on user_id — join-free,
+    # and the scan must not read props/value.
+    plan = plan_of(spark, "events_scd2_intervals")
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "value" not in read
+
+    # Equi-depth histogram: the only window runs over the DISTINCT
+    # cents aggregate; no cartesian product, no sort-merge join.
+    plan = plan_of(spark, "events_equidepth_histogram")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # Heavy hitters: rank window partitioned on source after the agg;
+    # join-free.
+    plan = plan_of(spark, "text_top_terms_per_source")
+    assert "Join" not in plan and "BatchEvalPython" not in plan
