@@ -1008,3 +1008,105 @@ def events_scd2_intervals(spark: SparkSession, sf: str):
         F.min("from_us").alias("first_from_us"),
         F.max("from_us").alias("last_from_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship v2: classifier -> segment-dedup -> token-budget, one plan
+# ---------------------------------------------------------------------------
+
+V2_BUDGET = 40  # per-source token budget for the post-filter selection
+
+
+@register(
+    "pipeline_curation_v2",
+    oracle=f"""
+    WITH {_SQL_CLS_FEATURES},
+    kd AS (
+      SELECT d.doc_id, d.text, d.source, g.margin
+      FROM documents d JOIN g ON d.doc_id = g.doc_id
+      WHERE g.margin > 0),
+    t2 AS (
+      SELECT doc_id,
+             coalesce({_SQL_TOKS}, CAST([] AS VARCHAR[])) AS toks
+      FROM kd),
+    s2 AS (
+      SELECT doc_id,
+             CAST((len(toks) + {_SEG - 1}) // {_SEG} AS INT) AS n_segs,
+             list_transform(
+               range(0, (len(toks) + {_SEG - 1}) // {_SEG}),
+               i -> array_to_string(
+                 list_slice(toks, CAST(i * {_SEG} + 1 AS INT),
+                            CAST(i * {_SEG} + {_SEG} AS INT)), ' ')) AS segs
+      FROM t2),
+    e2 AS (
+      SELECT doc_id, u.s AS seg FROM (
+        SELECT doc_id, unnest(list_transform(
+            range(1, len(segs) + 1),
+            i -> {{'i': i, 's': segs[CAST(i AS INT)]}})) AS u
+        FROM s2)),
+    h2 AS (SELECT doc_id, {sql_md5_hash64('seg')} AS hh FROM e2),
+    c2 AS (SELECT hh, count(*) AS cnt FROM h2 GROUP BY hh),
+    r2 AS (
+      SELECT h2.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      FROM h2 JOIN c2 ON h2.hh = c2.hh WHERE c2.cnt = 1
+      GROUP BY h2.doc_id),
+    sv AS (
+      SELECT s2.doc_id, s2.n_segs,
+             CAST(coalesce(r2.n_kept, 0) AS BIGINT) AS n_kept
+      FROM s2 LEFT JOIN r2 ON s2.doc_id = r2.doc_id
+      WHERE 2 * coalesce(r2.n_kept, 0) >= s2.n_segs),
+    bt AS (
+      SELECT kd.doc_id, kd.source, kd.margin, sv.n_segs, sv.n_kept,
+             CAST(coalesce(len({_SQL_TOKS}), 0) AS INT) AS n_toks,
+             coalesce({sql_md5_hash64("'budget|' || text")},
+                      CAST(-1 AS BIGINT)) AS ok
+      FROM kd JOIN sv ON kd.doc_id = sv.doc_id),
+    wn AS (
+      SELECT doc_id, source, margin, n_segs, n_kept, n_toks,
+             CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_toks
+      FROM bt)
+    SELECT doc_id, source, margin, n_segs, n_kept, n_toks, cum_toks,
+           cum_toks <= {V2_BUDGET} AS selected
+    FROM wn
+    """,
+    tags=("pipeline", "dedup", "text"),
+    doc="Round-7 flagship DAG: quality-classifier gate (margin > 0) "
+    "-> segment-level dedup over the SURVIVING corpus (docs keeping a "
+    "majority of their segments advance) -> per-source token-budget "
+    "selection in salted-hash order — three round-7 operators "
+    "composed as ONE declarative plan, no driver materialization; "
+    "the oracle mirrors the same CTE chain. Each stage's shuffles "
+    "keep their individual keys (uniform segment hash; natural "
+    "source key), so the composition adds no new scale hazard.",
+)
+def pipeline_curation_v2(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    g = T.margin_features(docs).where(F.col("margin") > 0).select(
+        "doc_id", "margin"
+    )
+    kd = docs.join(g, "doc_id")
+    seg = D.segment_dedup(kd)
+    sv = seg.where(2 * F.col("n_kept") >= F.col("n_segs")).select(
+        "doc_id", "n_segs", "n_kept"
+    )
+    n_toks = F.coalesce(F.size(T.tokens_col()), F.lit(0)).alias("n_toks")
+    ok = F.coalesce(
+        T.md5_hash64(F.concat(F.lit("budget|"), F.col("text"))),
+        F.lit(-1).cast("long"),
+    ).alias("ok")
+    bt = kd.select("doc_id", "source", "margin", "text").join(
+        sv, "doc_id"
+    ).select("doc_id", "source", "margin", "n_segs", "n_kept", n_toks, ok)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = bt.select(
+        "doc_id", "source", "margin", "n_segs", "n_kept", "n_toks",
+        F.sum("n_toks").over(w).alias("cum_toks"),
+    )
+    return wn.withColumn("selected", F.col("cum_toks") <= V2_BUDGET)
