@@ -122,3 +122,74 @@ def test_gapfill_span_guard_trips_on_corrupt_epoch(spark, tmp_path):
     assert df.columns == ["user_id", "hour", "value_cents", "is_gap"]
     with pytest.raises(ValueError, match="positive"):
         events_gapfill_locf(spark, str(tmp_path), max_span_hours=0)
+
+
+def _compare_events(spark, sf_dir: str, entry: str) -> None:
+    import duckdb
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    ents = registry()
+    sdf = ents[entry].fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events')}.parquet'"
+    )
+    odf = con.execute(ents[entry].oracle).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), entry
+    from .test_oracle_parity import _canon_rows
+
+    assert _canon_rows(sdf) == _canon_rows(odf), entry
+
+
+def test_events_negative_values_and_singletons(spark, tmp_path):
+    """Value-domain drift: negative and huge values must take the
+    histogram CLAMP paths (bucket 0 below, top bucket above) on BOTH
+    engines, and single-event users exercise the SCD2 open-interval
+    branch — none of which the all-positive generated corpus
+    reaches."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 60_000_000 for i in range(5)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([10, 10, 20, 30, 30], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "view", "click", "view"]
+            ),
+            "value": pa.array(
+                [-12.5, 0.01, 999999.99, 4.0, -0.01], pa.float64()
+            ),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    for entry in (
+        "events_value_histogram",
+        "events_equidepth_histogram",
+        "events_scd2_intervals",
+    ):
+        _compare_events(spark, str(tmp_path), entry)
+
+
+def test_events_empty_table(spark, tmp_path):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    for entry in (
+        "events_value_histogram",
+        "events_equidepth_histogram",
+        "events_scd2_intervals",
+    ):
+        _compare_events(spark, str(tmp_path), entry)
