@@ -615,3 +615,133 @@ def test_bpe_encode_matches_python_reference(spark):
         assert r.n_words == len(words)
         assert r.n_bpe_tokens == sum(len(encode(w)) for w in words)
         assert r.tokens_md5 == _hl.md5(" ".join(streams).encode()).hexdigest()
+
+
+def test_equidepth_histogram_matches_python_reference(spark, tmp_path):
+    """Equi-depth bucket assignment re-derived independently: bucket of
+    a value = floor(NB * rank_before / total) over the sorted distinct
+    values, ties sharing a bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+    from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import (
+        EQD_BUCKETS,
+    )
+
+    vals = [1.0, 1.0, 1.0, 2.5, 2.5, 3.0, 7.75, 7.75, 7.75, 7.75, 100.0]
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["t"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    import math
+    from collections import Counter
+
+    cents = [math.floor(v * 100) for v in vals]
+    cnt = Counter(cents)
+    total = len(cents)
+    ref: dict = {}
+    cum = 0
+    for c in sorted(cnt):
+        b = min(EQD_BUCKETS * cum // total, EQD_BUCKETS - 1)
+        r = ref.setdefault(b, [0, 1 << 62, -(1 << 62), 0])
+        r[0] += cnt[c]
+        r[1] = min(r[1], c)
+        r[2] = max(r[2], c)
+        r[3] += 1
+        cum += cnt[c]
+
+    got = {
+        r.bucket: (r.n_events, r.lo_cents, r.hi_cents, r.n_distinct)
+        for r in registry()["events_equidepth_histogram"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {b: tuple(v) for b, v in ref.items()}
+
+
+def test_curriculum_shards_match_python_reference(spark):
+    """Shard boundaries re-derived independently from the margin
+    multiset: shard of a doc = floor(NS * docs_with_strictly_higher
+    _margin / total), all same-margin docs sharing a shard."""
+    from collections import Counter
+
+    from duckdb_redis_olap_scanner_spark.operators.text import (
+        CLS_BIAS,
+        CLS_CPT_CENTER,
+        CLS_CPT_W_DIV,
+        CLS_STOP_W,
+        CLS_UNIQ_W,
+        STOPWORDS,
+    )
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+    from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import (
+        NUM_SHARDS,
+    )
+
+    rows = [(i, t) for i, t in _random_docs(11) if t]  # skip empties: NULL-free
+    # Write as the documents table shape.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp}/documents.parquet")
+
+    def margin(text):
+        toks = _toks(text)
+        t = len(toks)
+        s = sum(1 for x in toks if x in STOPWORDS)
+        d = len(set(toks))
+        c = len(text)
+        sm, um, cm = 1000 * s // t, 1000 * d // t, 1000 * c // t
+        return (
+            CLS_STOP_W * sm + CLS_UNIQ_W * um
+            - abs(cm - CLS_CPT_CENTER) // CLS_CPT_W_DIV + CLS_BIAS
+        )
+
+    margins = [margin(t) for _, t in rows]
+    toks_n = [len(_toks(t)) for _, t in rows]
+    total = len(margins)
+    mc = Counter(margins)
+    ref: dict = {}
+    cum = 0
+    for m in sorted(mc, reverse=True):
+        shard = min(NUM_SHARDS * cum // total, NUM_SHARDS - 1)
+        for mm, tn in zip(margins, toks_n):
+            if mm == m:
+                r = ref.setdefault(shard, [0, 0, 1 << 62, -(1 << 62)])
+                r[0] += 1
+                r[1] += tn
+                r[2] = min(r[2], m)
+                r[3] = max(r[3], m)
+        cum += mc[m]
+
+    got = {
+        r.shard: (r.n_docs, r.sum_tokens, r.min_margin, r.max_margin)
+        for r in registry()["pipeline_curriculum_shards"]
+        .fn(spark, tmp)
+        .collect()
+    }
+    assert got == {b: tuple(v) for b, v in ref.items()}
