@@ -206,6 +206,30 @@ class Engine:
             reader = reader.option(k, v)
         return reader.load()
 
+    def redis_zset(self, key: str, **options) -> DataFrame:
+        host, port = self._require_conn()
+        reader = (
+            self.spark.read.format("redis_zset")
+            .option("host", host)
+            .option("port", port)
+            .option("key", key)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def redis_list(self, key: str, **options) -> DataFrame:
+        host, port = self._require_conn()
+        reader = (
+            self.spark.read.format("redis_list")
+            .option("host", host)
+            .option("port", port)
+            .option("key", key)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
     # -- scalar UDFs -----------------------------------------------------------
     def redis_get_udf(self, missing: str = "null"):
         host, port = self._require_conn()

@@ -142,3 +142,40 @@ def redduck_scalar(spark: SparkSession, sf: str):
         redduck("n_name").alias("quacked"),
         set_name("n_name").alias("named"),
     )
+
+
+@register(
+    "redis_zset_golden",
+    oracle="""
+    SELECT 'item:' || lpad(CAST(i AS VARCHAR), 4, '0') AS member,
+           CAST(i * 10 AS DOUBLE) AS score,
+           CAST(i - 1 AS INT) AS rank
+    FROM range(1, 11) t(i)
+    """,
+    tags=("redis",),
+    doc="redis_zset('rank:global') — sorted-set source: ZRANGE 0 -1 "
+    "WITHSCORES in ascending (score, member) order with ranks "
+    "attached; completes the container-type surface (string/hash/"
+    "stream/zset/list) beyond the reference's string-only scan. One "
+    "partition per key; the ZADD write path round-trips in "
+    "tests/test_redis_sources.py.",
+)
+def redis_zset_golden(spark: SparkSession, sf: str):
+    return _engine(spark).redis_zset("rank:global")
+
+
+@register(
+    "redis_list_golden",
+    oracle="""
+    SELECT CAST(i - 1 AS INT) AS pos,
+           'job:' || lpad(CAST(i AS VARCHAR), 4, '0') AS element
+    FROM range(1, 9) t(i)
+    """,
+    tags=("redis",),
+    doc="redis_list('queue:jobs') — list source: LRANGE 0 -1 in "
+    "insertion order with positions. Deliberately read-only as a "
+    "batch source (a partition-parallel RPUSH would interleave "
+    "nondeterministically; append flows belong to the stream sink).",
+)
+def redis_list_golden(spark: SparkSession, sf: str):
+    return _engine(spark).redis_list("queue:jobs")

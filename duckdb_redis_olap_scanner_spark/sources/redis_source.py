@@ -43,6 +43,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
     MapType,
     StringType,
     StructField,
@@ -305,6 +307,173 @@ class RedisHashWriter(DataSourceWriter):
         return WriterCommitMessage()
 
 
+# ---------------------------------------------------------------------------
+# Sorted-set and list sources (container-type coverage beyond the
+# reference's string/hash surface — see COVERAGE.md)
+# ---------------------------------------------------------------------------
+
+
+class _SingleKeyPartition(InputPartition):
+    def __init__(self, host: str, port: int, key: str) -> None:
+        self.host, self.port, self.key = host, port, key
+
+
+def _single_key_partition(options: dict) -> list[_SingleKeyPartition]:
+    return [
+        _SingleKeyPartition(
+            options.get("host", "127.0.0.1"),
+            int(options.get("port", 6379)),
+            options["key"],
+        )
+    ]
+
+
+_ZSET_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("member", pa.string(), nullable=False),
+        pa.field("score", pa.float64(), nullable=False),
+        pa.field("rank", pa.int32(), nullable=False),
+    ]
+)
+
+
+class RedisZSetReader(DataSourceReader):
+    """ZRANGE key 0 -1 WITHSCORES — the full sorted set in ascending
+    (score, member) order, rank attached. One partition per key (a
+    sorted set lives on one shard in any real deployment; multi-key
+    reads union several loads)."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+
+    def partitions(self) -> list[_SingleKeyPartition]:
+        return _single_key_partition(self.options)
+
+    def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
+        with RedisClient(part.host, part.port) as client:
+            flat = client.command("ZRANGE", part.key, "0", "-1", "WITHSCORES")
+            members = [
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in flat[0::2]
+            ]
+            scores = [
+                float(v.decode() if isinstance(v, bytes) else v)
+                for v in flat[1::2]
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(members, type=pa.string()),
+                    pa.array(scores, type=pa.float64()),
+                    pa.array(range(len(members)), type=pa.int32()),
+                ],
+                schema=_ZSET_ARROW_SCHEMA,
+            )
+
+
+class RedisZSetWriter(DataSourceWriter):
+    """Batch writer for (member, score) rows: pipelined ZADD. Scores
+    are last-writer-wins per member and set insertion is commutative,
+    so partition-parallel writes are deterministic for distinct
+    members — the container whose write semantics suit a distributed
+    sink best."""
+
+    def __init__(self, options: dict) -> None:
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options.get("port", 6379))
+        self.key = options["key"]
+        self.batch_size = int(options.get("batch_size", DEFAULT_SCAN_COUNT))
+
+    def write(self, rows) -> WriterCommitMessage:
+        with RedisClient(self.host, self.port) as client:
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(("ZADD", self.key, repr(float(row.score)), row.member))
+                if len(batch) >= self.batch_size:
+                    client.pipeline(batch)
+                    batch = []
+            if batch:
+                client.pipeline(batch)
+        return WriterCommitMessage()
+
+
+class RedisZSetDataSource(DataSource):
+    """``spark.read.format("redis_zset").option("key", k).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "redis_zset"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("member", StringType(), False),
+                StructField("score", DoubleType(), False),
+                StructField("rank", IntegerType(), False),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RedisZSetReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return RedisZSetWriter(self.options)
+
+
+_LIST_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("pos", pa.int32(), nullable=False),
+        pa.field("element", pa.string(), nullable=False),
+    ]
+)
+
+
+class RedisListReader(DataSourceReader):
+    """LRANGE key 0 -1 — the full list in insertion order with
+    positions. Read-only source: a distributed RPUSH writer would
+    interleave partitions nondeterministically, so list APPEND is
+    deliberately not offered as a batch sink (use the stream sink for
+    append semantics)."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+
+    def partitions(self) -> list[_SingleKeyPartition]:
+        return _single_key_partition(self.options)
+
+    def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
+        with RedisClient(part.host, part.port) as client:
+            vals = client.command("LRANGE", part.key, "0", "-1")
+            elems = [
+                v.decode() if isinstance(v, bytes) else str(v) for v in vals
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(range(len(elems)), type=pa.int32()),
+                    pa.array(elems, type=pa.string()),
+                ],
+                schema=_LIST_ARROW_SCHEMA,
+            )
+
+
+class RedisListDataSource(DataSource):
+    """``spark.read.format("redis_list").option("key", k).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "redis_list"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("pos", IntegerType(), False),
+                StructField("element", StringType(), False),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RedisListReader(self.options)
+
+
 from .redis_stream_source import RedisStreamDataSource  # noqa: E402
 
 ALL_DATASOURCES = [
@@ -312,4 +481,6 @@ ALL_DATASOURCES = [
     RedisKVDataSource,
     RedisHashDataSource,
     RedisStreamDataSource,
+    RedisZSetDataSource,
+    RedisListDataSource,
 ]

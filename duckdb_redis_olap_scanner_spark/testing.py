@@ -56,6 +56,9 @@ class FakeRedisStore:
     def __init__(self) -> None:
         self.strings: dict[str, str] = {}
         self.hashes: dict[str, dict[str, str]] = {}
+        # zset key -> member -> score (ZRANGE orders by (score, member))
+        self.zsets: dict[str, dict[str, float]] = {}
+        self.lists: dict[str, list[str]] = {}
         # stream key -> list of (id, [field, value, ...]) in append order
         self.streams: dict[str, list[tuple[str, list[str]]]] = {}
         # last generated/accepted (ms, seq) per stream — XADD enforces
@@ -70,6 +73,8 @@ class FakeRedisStore:
             list(self.strings.keys())
             + list(self.hashes.keys())
             + list(self.streams.keys())
+            + list(self.zsets.keys())
+            + list(self.lists.keys())
         )
 
 
@@ -137,16 +142,74 @@ class _Handler(socketserver.BaseRequestHandler):
                     return _simple("string")
                 if args[0] in store.hashes:
                     return _simple("hash")
+                if args[0] in store.zsets:
+                    return _simple("zset")
+                if args[0] in store.lists:
+                    return _simple("list")
                 return _simple("none")
+            if name == "ZADD":
+                z = store.zsets.setdefault(args[0], {})
+                added = 0
+                for sc, member in zip(args[1::2], args[2::2]):
+                    added += 0 if member in z else 1
+                    z[member] = float(sc)
+                return _encode(added)
+            if name == "ZCARD":
+                return _encode(len(store.zsets.get(args[0], {})))
+            if name == "ZRANGE":
+                # ZRANGE key start stop [WITHSCORES] — index-based over
+                # the (score, member) order; negative indices from the
+                # end, as in real Redis.
+                z = store.zsets.get(args[0], {})
+                ordered = sorted(z.items(), key=lambda kv: (kv[1], kv[0]))
+                start, stop = int(args[1]), int(args[2])
+                n = len(ordered)
+                if start < 0:
+                    start += n
+                if stop < 0:
+                    stop += n
+                sel = ordered[max(start, 0) : stop + 1] if stop >= 0 else []
+                withscores = any(a.upper() == "WITHSCORES" for a in args[3:])
+                flat: list[str] = []
+                for m, sc in sel:
+                    flat.append(m)
+                    if withscores:
+                        # Integer-valued scores print without a decimal
+                        # point, as real Redis formats them.
+                        flat.append(
+                            str(int(sc)) if sc == int(sc) else repr(sc)
+                        )
+                return _encode(flat)
+            if name == "RPUSH":
+                lst = store.lists.setdefault(args[0], [])
+                lst.extend(args[1:])
+                return _encode(len(lst))
+            if name == "LLEN":
+                return _encode(len(store.lists.get(args[0], [])))
+            if name == "LRANGE":
+                lst = store.lists.get(args[0], [])
+                start, stop = int(args[1]), int(args[2])
+                n = len(lst)
+                if start < 0:
+                    start += n
+                if stop < 0:
+                    stop += n
+                return _encode(
+                    lst[max(start, 0) : stop + 1] if stop >= 0 else []
+                )
             if name == "DEL":
                 n = 0
                 for k in args:
                     n += 1 if (store.strings.pop(k, None) is not None) else 0
                     n += 1 if (store.hashes.pop(k, None) is not None) else 0
+                    n += 1 if (store.zsets.pop(k, None) is not None) else 0
+                    n += 1 if (store.lists.pop(k, None) is not None) else 0
                 return _encode(n)
             if name == "FLUSHALL":
                 store.strings.clear()
                 store.hashes.clear()
+                store.zsets.clear()
+                store.lists.clear()
                 return _simple("OK")
             if name == "DBSIZE":
                 return _encode(len(store.all_keys()))
@@ -302,6 +365,14 @@ class FakeRedisServer:
             for k, h in kh.items():
                 self.store.hashes.setdefault(k, {}).update(h)
 
+    def seed_zset(self, key: str, members: dict[str, float]) -> None:
+        with self.store.lock:
+            self.store.zsets.setdefault(key, {}).update(members)
+
+    def seed_list(self, key: str, elements: list[str]) -> None:
+        with self.store.lock:
+            self.store.lists.setdefault(key, []).extend(elements)
+
 
 def seed_reference_fixture(server: FakeRedisServer) -> None:
     """The keyspace implied by the reference's golden test
@@ -317,6 +388,10 @@ def seed_reference_fixture(server: FakeRedisServer) -> None:
             "user:1002": {"name": "grace", "city": "nyc"},
         }
     )
+    server.seed_zset(
+        "rank:global", {f"item:{i:04d}": float(i * 10) for i in range(1, 11)}
+    )
+    server.seed_list("queue:jobs", [f"job:{i:04d}" for i in range(1, 9)])
 
 
 _GOLDEN_SERVER: FakeRedisServer | None = None

@@ -187,3 +187,51 @@ def test_hash_writer_roundtrip(spark, engine, redis_server):
     )
     back = {r.key: dict(r.value) for r in engine.redis_hash("whash:*").collect()}
     assert back == dict(rows)
+
+
+def test_zset_source_reads_score_order(spark, engine):
+    """ZRANGE order is ascending (score, member) with ranks attached —
+    the golden fixture's distinct scores and a tied-score pair both
+    land deterministically."""
+    rows = engine.redis_zset("rank:global").collect()
+    assert [r.member for r in rows] == [
+        f"item:{i:04d}" for i in range(1, 11)
+    ]
+    assert [r.score for r in rows] == [float(i * 10) for i in range(1, 11)]
+    assert [r.rank for r in rows] == list(range(10))
+
+
+def test_zset_writer_roundtrip(spark, engine, redis_server):
+    """df.write.format('redis_zset') pipelines ZADDs; reading back
+    returns the members in (score, member) order — including a score
+    tie broken by member, and a rewritten member keeping only its
+    last score (set semantics, safe under partition parallelism)."""
+    rows = [("zb", 2.0), ("za", 1.0), ("zc", 1.0), ("zb", 5.0)]
+    df = spark.createDataFrame(rows, "member string, score double")
+    (
+        df.coalesce(1)  # deterministic last-writer for the zb rewrite
+        .write.format("redis_zset")
+        .option("host", redis_server.host)
+        .option("port", redis_server.port)
+        .option("key", "wzset:test")
+        .mode("append")
+        .save()
+    )
+    back = engine.redis_zset("wzset:test").collect()
+    assert [(r.member, r.score) for r in back] == [
+        ("za", 1.0),
+        ("zc", 1.0),
+        ("zb", 5.0),
+    ]
+
+
+def test_list_source_preserves_insertion_order(spark, engine):
+    rows = engine.redis_list("queue:jobs").collect()
+    assert [(r.pos, r.element) for r in rows] == [
+        (i - 1, f"job:{i:04d}") for i in range(1, 9)
+    ]
+
+
+def test_scan_sees_zset_and_list_keys(spark, engine):
+    keys = {r.key_name for r in engine.redis_scan("*").collect()}
+    assert "rank:global" in keys and "queue:jobs" in keys
