@@ -179,3 +179,55 @@ def redis_zset_golden(spark: SparkSession, sf: str):
 )
 def redis_list_golden(spark: SparkSession, sf: str):
     return _engine(spark).redis_list("queue:jobs")
+
+
+@register(
+    "redis_zset_topk",
+    oracle="""
+    SELECT 'item:' || lpad(CAST(i AS VARCHAR), 4, '0') AS member,
+           CAST(i * 10 AS DOUBLE) AS score
+    FROM range(8, 11) t(i)
+    ORDER BY score DESC
+    """,
+    tags=("redis", "topk"),
+    doc="Leaderboard head over the sorted-set source: ORDER BY score "
+    "DESC LIMIT 3 on redis_zset plans as TakeOrderedAndProject over "
+    "the source partitions — the relational surface composing "
+    "directly over a Redis container type.",
+)
+def redis_zset_topk(spark: SparkSession, sf: str):
+    z = _engine(spark).redis_zset("rank:global")
+    return (
+        z.select("member", "score").orderBy(F.desc("score")).limit(3)
+    )
+
+
+@register(
+    "redis_parquet_join",
+    oracle="""
+    SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key,
+           'value:' || lpad(CAST(i AS VARCHAR), 4, '0') AS value,
+           c.c_name
+    FROM range(1, 11) t(i)
+    JOIN customer c ON c.c_custkey = i
+    """,
+    tags=("redis", "join"),
+    doc="THE reference's use case as one query: operational Redis "
+    "state joined to the warehouse — redis_kv('testkey:*') "
+    "equi-joined to the parquet customer dim on the key's numeric "
+    "suffix. The Redis side is 10 rows, so AQE broadcasts it and the "
+    "customer scan never shuffles; at real scale a sharded scan "
+    "(shard_patterns) feeds the same join.",
+)
+def redis_parquet_join(spark: SparkSession, sf: str):
+    from .catalog import table
+
+    kv = _engine(spark).redis_kv("testkey:*")
+    cust = table(spark, sf, "customer")
+    keyed = kv.withColumn(
+        "ck", F.substring("key", 9, 4).cast("long")
+    )
+    return (
+        keyed.join(cust, keyed["ck"] == cust["c_custkey"])
+        .select("key", "value", "c_name")
+    )
