@@ -473,3 +473,80 @@ def test_stateful_histogram_equals_batch_entry(
         "min_cents", "max_cents",
     ]
     assert _canon(final, cols) == _canon(want, cols)
+
+
+def test_stateful_histogram_survives_checkpoint_restart(spark, tmp_path):
+    """Histogram GroupState must persist across separate availableNow
+    runs over a shared checkpoint: counts from batch 1 carry into the
+    state that batch 2 (a new run) folds onto, and the final emitted
+    rows equal one histogram over ALL rows."""
+    import datetime as dt
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt_hist2")
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(rows, schema)
+        pdf.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp" / name)
+        )
+        for f in (tmp_path / "tmp" / name).glob("*.parquet"):
+            _shutil.copy(f, src / f"{name}.parquet")
+
+    out = str(tmp_path / "hist_out")
+
+    def run_once():
+        # The memory sink cannot recover a checkpoint; foreachBatch
+        # appending each update-mode batch to parquet can.
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        df = SE.running_type_histogram(stream)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1)
+    write_batch(
+        "b1",
+        [(1, t0, 1, "click", 10.0, "{}"), (2, t0, 1, "click", 30.0, "{}")],
+    )
+    run_once()
+    # Second run: bucket 0 again (12.00 → 1200 cents, same bucket as
+    # the 10.00 row) so the restored state must ACCUMULATE, not
+    # restart from zero; the untouched bucket 1 (3000 cents) must
+    # survive the restart intact.
+    write_batch("b2", [(3, t0, 2, "click", 12.0, "{}")])
+    run_once()
+    got = spark.read.parquet(out)
+    final = (
+        got.groupBy("event_type", "bucket")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .collect()
+    )
+    rows = {
+        (r.event_type, r.bucket): (
+            r.n_events, r.sum_cents, r.min_cents, r.max_cents
+        )
+        for r in final
+    }
+    assert rows[("click", 0)] == (2, 2200, 1000, 1200)
+    assert rows[("click", 1)] == (1, 3000, 3000, 3000)
