@@ -1117,3 +1117,118 @@ def pipeline_curation_v2(spark: SparkSession, sf: str):
         F.sum("n_toks").over(w).alias("cum_toks"),
     )
     return wn.withColumn("selected", F.col("cum_toks") <= V2_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality checks (the dbt-test / expectations shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_quality_checks",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      FROM lineitem),
+    d AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v_dup,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_orphan
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)),
+    sh AS (
+      SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_early,
+             CAST(count(*) AS BIGINT) AS n_joined
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT 'pk_not_null' AS check_name, a.n AS n_checked,
+           a.v_null AS n_violations, a.v_null = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'quantity_in_1_50', a.n, a.v_qty, a.v_qty = 0 FROM a
+    UNION ALL
+    SELECT 'discount_in_0_01', a.n, a.v_disc, a.v_disc = 0 FROM a
+    UNION ALL
+    SELECT 'unique_order_line', d.n_groups, d.v_dup, d.v_dup = 0 FROM d
+    UNION ALL
+    SELECT 'fk_lineitem_orders', a.n, fk.v_orphan, fk.v_orphan = 0
+    FROM a CROSS JOIN fk
+    UNION ALL
+    SELECT 'ship_after_order', sh.n_joined, sh.v_early, sh.v_early = 0
+    FROM sh
+    """,
+    tags=("pipeline", "agg"),
+    doc="Declarative data-quality gate (the dbt-test / expectations "
+    "shape): six checks over the fact tables — PK non-null, value "
+    "ranges, composite-key uniqueness, FK integrity (anti-join "
+    "orphans), and a cross-table temporal invariant (ship date not "
+    "before order date) — emitted as one (check, checked, violations, "
+    "passed) report. Range/null checks FUSE into a single fact scan "
+    "of conditional aggregates; uniqueness is one map-side-combined "
+    "groupBy; the FK checks ride the co-partitioned orderkey join — "
+    "the nightly warehouse-gate plan.",
+)
+def pipeline_quality_checks(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    a = li.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("v_null"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        ).alias("v_disc"),
+    )
+    d = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0).cast("long")).alias(
+                "v_dup"
+            ),
+            F.count("*").alias("n_groups"),
+        )
+    )
+    fk = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v_orphan"))
+    )
+    sh = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("long")
+        ).alias("v_early"),
+        F.count("*").alias("n_joined"),
+    )
+
+    def row(name, n_col, v_col, src):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    af = a.crossJoin(F.broadcast(fk))
+    return (
+        row("pk_not_null", "n", "v_null", a)
+        .unionAll(row("quantity_in_1_50", "n", "v_qty", a))
+        .unionAll(row("discount_in_0_01", "n", "v_disc", a))
+        .unionAll(row("unique_order_line", "n_groups", "v_dup", d))
+        .unionAll(row("fk_lineitem_orders", "n", "v_orphan", af))
+        .unionAll(row("ship_after_order", "n_joined", "v_early", sh))
+    )
