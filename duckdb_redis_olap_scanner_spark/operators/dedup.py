@@ -527,3 +527,49 @@ def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
     )
+
+
+EDIT_NEAR_DIST = 20
+
+
+def edit_distance_dedup(
+    docs: DataFrame, max_dist: int = EDIT_NEAR_DIST
+) -> DataFrame:
+    """Edit-distance near-dup verification over the SAME banded-LSH
+    candidate set the Jaccard verifier uses: exact Levenshtein between
+    the canonical texts of each candidate pair, with a near flag at
+    ``max_dist`` — the character-level complement to set-based Jaccard
+    (catches small in-place edits Jaccard over-penalizes, e.g. one
+    typo inside many shingles).
+
+    Both engines implement the identical Levenshtein DP, so the
+    distance is integer-exact cross-engine. Cost is O(len²) per
+    CANDIDATE pair only — the LSH banding bounds the pair set, which
+    is what makes the quadratic verifier affordable; a 100 TB run
+    would additionally use Spark's thresholded ``levenshtein(l, r,
+    bound)`` form to early-exit rows already past ``max_dist``.
+    """
+    docs = fan_out(docs, key="doc_id")
+    cand = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    canon = docs.select("doc_id", canonical_text().alias("ct"))
+    j = (
+        cand.join(
+            canon.select(
+                F.col("doc_id").alias("doc_a"), F.col("ct").alias("ct_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            canon.select(
+                F.col("doc_id").alias("doc_b"), F.col("ct").alias("ct_b")
+            ),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein(F.col("ct_a"), F.col("ct_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("int").alias("edit_dist"),
+        (dist <= max_dist).alias("is_near"),
+    )

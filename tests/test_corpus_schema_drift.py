@@ -79,6 +79,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "pipeline_bpe_encode",
         "pipeline_gzip_ingest",
         "pipeline_curation_v2",
+        "dedup_edit_distance",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -177,6 +178,7 @@ def test_documents_empty_table(spark, tmp_path):
         "pipeline_bpe_encode",
         "pipeline_gzip_ingest",
         "pipeline_curation_v2",
+        "dedup_edit_distance",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
