@@ -1,9 +1,20 @@
-"""Round-7 pipeline additions, part 2: corpus curation beyond the r6
-surface — segment-level dedup with reassembly, model-based quality
-classification, corpus bigram-LM familiarity scoring, token-budget
-mixture selection, scale-safe curriculum sharding, JL-style integer
-random projection, equi-width and equi-depth value histograms, and
-per-source heavy hitters.
+"""Round-7 pipeline additions, part 2.
+
+Curation: segment-level dedup with reassembly, model-based quality
+classification, corpus bigram-LM familiarity, token-budget mixture
+selection, scale-safe curriculum sharding, edit-distance near-dup
+verification over the LSH candidates, and the ``pipeline_curation_v2``
+flagship DAG composing three of these as one declarative plan.
+
+Tokenizers: on-engine BPE merge training (chained-CTE oracle) and the
+train→encode application loop.
+
+Media: the compressed PNG and G.711 mu-law decoders, the AVI video
+container, real nearest-neighbor resize, and gzip text ingestion.
+
+OLAP: equi-width and equi-depth value histograms, per-source heavy
+hitters, JL-style integer random projection, SCD2 validity intervals,
+and the declarative data-quality gate.
 
 Shared discipline (plans/catalog.py): every computed value is integer-
 exact on both engines (truncating division of positive ints, md5-64
