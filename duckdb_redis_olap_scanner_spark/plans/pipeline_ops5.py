@@ -1304,3 +1304,58 @@ def _sql_edit_distance_oracle(max_dist: int) -> str:
 )
 def dedup_edit_distance(spark: SparkSession, sf: str):
     return D.edit_distance_dedup(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Running COUNT(DISTINCT) window (first-occurrence-flag rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(first_seen = 1 AS BOOLEAN) AS is_first_of_type,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS distinct_types_so_far
+    FROM f
+    """,
+    tags=("window",),
+    doc="Running COUNT(DISTINCT event_type) per user — a window no "
+    "engine supports natively — via the standard rewrite: flag each "
+    "(user, type)'s FIRST occurrence with one row_number window, then "
+    "a running sum of flags over the user timeline. Two window passes "
+    "on keys that share the user prefix, so the second reuses the "
+    "first's partitioning (one Exchange); exact at any scale because "
+    "state per user is the flag sum, not a distinct-set.",
+)
+def events_running_distinct(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    f = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.row_number().over(w1) == 1).cast("int").alias("first_seen"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        (F.col("first_seen") == 1).alias("is_first_of_type"),
+        F.sum("first_seen").over(w2).alias("distinct_types_so_far"),
+    )
