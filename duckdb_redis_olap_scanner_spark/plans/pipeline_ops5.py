@@ -1359,3 +1359,148 @@ def events_running_distinct(spark: SparkSession, sf: str):
         (F.col("first_seen") == 1).alias("is_first_of_type"),
         F.sum("first_seen").over(w2).alias("distinct_types_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio decimation on decoded PCM + the one-pass dataset card
+# ---------------------------------------------------------------------------
+
+RESAMPLE_FACTOR = 2
+
+
+@register(
+    "multimodal_audio_resample",
+    # Channel-0 sample j sits at interleaved index j*ch; decimation
+    # keeps j = 0, R, 2R, ... — same closed form as the decode oracle.
+    oracle=f"""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS INT) AS f
+      FROM documents),
+    d AS (
+      SELECT doc_id, n_channels, sample_rate, f,
+             CAST((f + {RESAMPLE_FACTOR - 1}) // {RESAMPLE_FACTOR} AS INT)
+                 AS n_out
+      FROM prm),
+    sm AS (
+      SELECT doc_id, n_channels, sample_rate, n_out,
+             unnest(range(0, CAST(n_out AS BIGINT))) AS j
+      FROM d),
+    v AS (
+      SELECT doc_id, n_channels, sample_rate, n_out, j,
+             ((doc_id * 11 + (j * {RESAMPLE_FACTOR} * n_channels) * 97)
+              % 65536) - 32768 AS s
+      FROM sm)
+    SELECT doc_id,
+           CAST(sample_rate // {RESAMPLE_FACTOR} AS INT) AS out_rate,
+           n_out,
+           CAST(SUM(s) AS BIGINT) AS out_sum,
+           CAST(SUM((j + 1) * s) AS BIGINT) AS out_checksum
+    FROM v GROUP BY doc_id, sample_rate, n_out
+    """,
+    tags=("multimodal",),
+    doc="Real sample-rate reduction ON the decoded PCM: decimate "
+    "channel 0 by 2 (keep every other sample), halving the nominal "
+    "rate — the naive-resample primitive under any anti-aliased "
+    "resampler — with a position-weighted checksum pinning which "
+    "samples were kept. One more numpy step in the same narrow Arrow "
+    "map as the decode.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf: str):
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: F401
+    import numpy as np  # noqa: F401
+
+    media = M.synthesize_media(table(spark, sf, "documents"), "wav")
+    from ..engine import ship_package
+
+    def _run(batch_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, sr, _bits, samples = M.decode_wav(bytes(payload))
+                ch0 = samples[0::ch].astype(np.int64)
+                out = ch0[::RESAMPLE_FACTOR]
+                rows.append(
+                    (
+                        int(did), sr // RESAMPLE_FACTOR, len(out),
+                        int(out.sum()),
+                        int(((np.arange(len(out), dtype=np.int64) + 1)
+                             * out).sum()),
+                    )
+                )
+            o = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_rate", "n_out", "out_sum",
+                    "out_checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("out_rate", "int32"),
+                         ("n_out", "int32"), ("out_sum", "int64"),
+                         ("out_checksum", "int64")):
+                o[c] = o[c].astype(t)
+            yield o
+
+    ship_package(spark)
+    return media.mapInPandas(
+        _run,
+        schema="doc_id long, out_rate int, n_out int, out_sum long, "
+        "out_checksum long",
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             CAST(coalesce(len({_SQL_TOKS}), 0) AS BIGINT) AS n_toks,
+             CAST(coalesce(length(text), 0) AS BIGINT) AS n_ch
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_ch) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN count(*) > 0
+                     THEN sum(n_toks) * 1000 // count(*)
+                     ELSE 0 END AS BIGINT) AS mean_tokens_milli,
+           CAST(min(n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens
+    FROM t
+    """,
+    tags=("pipeline", "agg"),
+    doc="The dataset card in one scan: corpus-level documentation "
+    "metadata (doc/source/language counts, token and char totals, "
+    "exact per-mille mean, token-length extremes) as a single "
+    "map-side-combined aggregate — what every released training set "
+    "publishes, computed on-engine.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    n_toks = F.coalesce(F.size(T.tokens_col()), F.lit(0)).cast("long")
+    n_ch = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    t = docs.select(
+        "source", "lang", n_toks.alias("n_toks"), n_ch.alias("n_ch")
+    )
+    cnt = F.count("*")
+    return t.agg(
+        cnt.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_ch").alias("total_chars"),
+        F.when(cnt > 0, F.floor((F.sum("n_toks") * 1000) / cnt))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_tokens_milli"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )

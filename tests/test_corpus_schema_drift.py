@@ -80,6 +80,8 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "pipeline_gzip_ingest",
         "pipeline_curation_v2",
         "dedup_edit_distance",
+        "multimodal_audio_resample",
+        "pipeline_dataset_card",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -179,6 +181,8 @@ def test_documents_empty_table(spark, tmp_path):
         "pipeline_gzip_ingest",
         "pipeline_curation_v2",
         "dedup_edit_distance",
+        "multimodal_audio_resample",
+        "pipeline_dataset_card",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
