@@ -1504,3 +1504,46 @@ def pipeline_dataset_card(spark: SparkSession, sf: str):
         F.min("n_toks").alias("min_tokens"),
         F.max("n_toks").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (pairwise contamination audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_source_overlap",
+    oracle=f"""
+    WITH {_sql_shingles_cte()},
+    hs AS (
+      SELECT DISTINCT {sql_md5_hash64('sh.shingle')} AS h, d.source
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("dedup", "pipeline"),
+    doc="Cross-source overlap matrix (the pairwise contamination "
+    "audit behind dataset mixing decisions): for every source pair, "
+    "the number of distinct word-3-gram shingle hashes they share. "
+    "The join is on the uniform shingle hash after per-source "
+    "DISTINCT, and fan-out per hash is bounded by the source count "
+    "squared — never by corpus volume; output is sources x sources.",
+)
+def pipeline_source_overlap(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    sh = D.shingles(docs)
+    hs = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select(T.md5_hash64(F.col("shingle")).alias("h"), "source")
+        .distinct()
+    )
+    a = hs.select(F.col("h"), F.col("source").alias("src_a"))
+    b = hs.select(F.col("h"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

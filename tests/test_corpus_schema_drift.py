@@ -82,6 +82,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "dedup_edit_distance",
         "multimodal_audio_resample",
         "pipeline_dataset_card",
+        "pipeline_source_overlap",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -183,6 +184,7 @@ def test_documents_empty_table(spark, tmp_path):
         "dedup_edit_distance",
         "multimodal_audio_resample",
         "pipeline_dataset_card",
+        "pipeline_source_overlap",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
