@@ -1547,3 +1547,93 @@ def pipeline_source_overlap(spark: SparkSession, sf: str):
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly unique users + RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_uniques",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "temporal"),
+    doc="Exact distinct users per hour — the dashboard uniques "
+    "primitive the approx-HLL entries sketch, computed exactly: one "
+    "two-phase distinct aggregation keyed on (day, hour), output "
+    "bounded by the time span. At volumes where exactness stops "
+    "paying, agg_hll_sketch_union is the drop-in sketch twin.",
+)
+def events_hourly_uniques(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hour"),
+            "user_id",
+        )
+        .groupBy("day", "hour")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS d FROM orders),
+    r AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(datediff('day', max(o.o_orderdate), mx.d) AS BIGINT)
+                 AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders o CROSS JOIN mx
+      GROUP BY o.o_custkey, mx.d)
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           recency_days <= 30 AND frequency >= 3 AS is_active_repeat
+    FROM r
+    """,
+    tags=("agg", "temporal"),
+    doc="RFM customer segmentation (recency / frequency / monetary): "
+    "per-customer days since last order (against the corpus max date "
+    "— one broadcast scalar), order count, and exact cents total, "
+    "with an active-repeat flag. One agg on the natural customer key "
+    "after the 1-row broadcast; the behavioral-segmentation "
+    "primitive under every CRM cohort.",
+)
+def orders_rfm(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d"))
+    r = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "d")
+        .agg(
+            F.datediff(F.first("d"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    return r.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        ((F.col("recency_days") <= 30) & (F.col("frequency") >= 3)).alias(
+            "is_active_repeat"
+        ),
+    )
