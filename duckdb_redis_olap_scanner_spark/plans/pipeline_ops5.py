@@ -1637,3 +1637,74 @@ def orders_rfm(spark: SparkSession, sf: str):
             "is_active_repeat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness (sliding-window distinct rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (SELECT max(day) AS max_day FROM ud),
+    contrib AS (
+      SELECT DISTINCT u.user_id,
+             u.day + CAST(o.o AS INT) AS window_day
+      FROM ud u
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+      CROSS JOIN bounds b
+      WHERE u.day + CAST(o.o AS INT) <= b.max_day),
+    wau AS (
+      SELECT window_day AS day, CAST(count(*) AS BIGINT) AS wau
+      FROM contrib GROUP BY window_day),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+    SELECT strftime(w.day, '%Y-%m-%d') AS day,
+           coalesce(d.dau, 0) AS dau, w.wau,
+           CAST(1000 * coalesce(d.dau, 0) // w.wau AS BIGINT)
+               AS stickiness_milli
+    FROM wau w LEFT JOIN dau d ON w.day = d.day
+    """,
+    tags=("agg", "temporal"),
+    doc="DAU/WAU stickiness per day via the sliding-window-distinct "
+    "rewrite: each (user, active-day) pair is EXPLODED into the <=7 "
+    "window days it contributes to (bounded x7 fan-out), distinct-ed, "
+    "and counted — no per-day distinct-set state, no window over "
+    "distinct aggregates (which engines don't support). Exact "
+    "per-mille stickiness; the product-analytics engagement "
+    "primitive.",
+)
+def events_dau_wau(spark: SparkSession, sf: str):
+    e = table(spark, sf, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    bounds = ud.agg(F.max("day").alias("max_day"))
+    contrib = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("window_day"),
+            "max_day",
+        )
+        .where(F.col("window_day") <= F.col("max_day"))
+        .select("user_id", "window_day")
+        .distinct()
+    )
+    wau = contrib.groupBy("window_day").agg(F.count("*").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    j = wau.join(dau, wau["window_day"] == dau["day"], "left")
+    return j.select(
+        F.date_format("window_day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
+        "wau",
+        F.floor(
+            (F.lit(1000) * F.coalesce("dau", F.lit(0).cast("long")))
+            / F.col("wau")
+        )
+        .cast("long")
+        .alias("stickiness_milli"),
+    )
