@@ -1306,3 +1306,62 @@ def gzip_ingest(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _run, schema=GZIP_INGEST_SCHEMA
     )
+
+
+AUGMENT_SCHEMA = (
+    "doc_id long, width int, height int, flip_checksum long, "
+    "sum_preserved boolean"
+)
+
+
+def image_flip_augment(media: DataFrame) -> DataFrame:
+    """Real augmentation math ON the decoded image: horizontal flip
+    (out[y, x] = in[y, w-1-x]) — the canonical training-time
+    augmentation — with a position-weighted checksum over the FLIPPED
+    array pinning the mirror geometry, plus the invariant that the
+    value sum is flip-preserved (a cheap self-check a broken flip
+    that drops or duplicates columns fails). One more numpy step in
+    the same narrow Arrow map as the decode."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                px = (
+                    decode_bmp(payload)
+                    if payload[:2] == b"BM"
+                    else decode_ppm(payload)
+                    if payload[:2] == b"P6"
+                    else decode_png(payload)[0]
+                )
+                h, w, _ = px.shape
+                flipped = px[:, ::-1, :]
+                flat = flipped.reshape(-1).astype(np.int64)
+                orig = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h,
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                        bool(flat.sum() == orig.sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "flip_checksum",
+                    "sum_preserved",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("flip_checksum", "int64"),
+                         ("sum_preserved", "bool")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=AUGMENT_SCHEMA)

@@ -1708,3 +1708,44 @@ def events_dau_wau(spark: SparkSession, sf: str):
         .cast("long")
         .alias("stickiness_milli"),
     )
+
+
+@register(
+    "multimodal_flip_augment",
+    # Flipped pixel at flat index k = 3*(y*w + x) + c reads the source
+    # at x' = w-1-x: val = (doc_id*7 + 3*(y*w + (w-1-x)) + c) % 256.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, k,
+             (doc_id * 7
+              + 3 * (((k // 3) // width) * width
+                     + (width - 1 - (k // 3) % width))
+              + k % 3) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS flip_checksum,
+           TRUE AS sum_preserved
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="Real augmentation ON the decoded pixels: horizontal flip "
+    "with a position-weighted checksum over the MIRRORED array (the "
+    "oracle evaluates the mirrored index arithmetic, so a flip that "
+    "mirrors the wrong axis or forgets the channel triple cannot "
+    "hash-match) plus the flip-preserves-sum invariant. Decode + "
+    "augment in ONE narrow Arrow map "
+    "(operators/multimodal.image_flip_augment).",
+)
+def multimodal_flip_augment(spark: SparkSession, sf: str):
+    return M.image_flip_augment(
+        M.synthesize_media(table(spark, sf, "documents"), "bmp")
+    )

@@ -83,6 +83,7 @@ def test_documents_with_null_and_empty_text(spark, tmp_path):
         "multimodal_audio_resample",
         "pipeline_dataset_card",
         "pipeline_source_overlap",
+        "multimodal_flip_augment",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
@@ -185,6 +186,7 @@ def test_documents_empty_table(spark, tmp_path):
         "multimodal_audio_resample",
         "pipeline_dataset_card",
         "pipeline_source_overlap",
+        "multimodal_flip_augment",
         "pipeline_tokenize_ids",
         "text_pii_scrub_full",
         "multimodal_image_features",
