@@ -1749,3 +1749,31 @@ def multimodal_flip_augment(spark: SparkSession, sf: str):
     return M.image_flip_augment(
         M.synthesize_media(table(spark, sf, "documents"), "bmp")
     )
+
+
+@register(
+    "orders_basket_size_distribution",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT basket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(basket) AS BIGINT) AS n_lines
+    FROM b GROUP BY basket
+    """,
+    tags=("agg",),
+    doc="Basket-size distribution: lines per order, then orders per "
+    "basket size — the two-level re-aggregation (group, then group "
+    "the group sizes) behind every 'distribution of group sizes' "
+    "question. First agg shuffles on the co-partitioned orderkey "
+    "(no planner exchange on the keyed layout), second is "
+    "tiny-domain; output bounded by the max basket size.",
+)
+def orders_basket_size_distribution(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("basket"))
+    return b.groupBy("basket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("basket").alias("n_lines"),
+    )
