@@ -1777,3 +1777,67 @@ def orders_basket_size_distribution(spark: SparkSession, sf: str):
         F.count("*").alias("n_orders"),
         F.sum("basket").alias("n_lines"),
     )
+
+
+@register(
+    "parts_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    w AS (
+      SELECT l_partkey, rev_cents,
+             CAST(row_number() OVER
+               (ORDER BY rev_cents DESC, l_partkey ASC) AS INT) AS rnk,
+             CAST(SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_cents,
+             CAST(SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS total_cents
+      FROM r)
+    SELECT l_partkey, rev_cents, rnk, cum_cents,
+           cum_cents * 100 <= total_cents * 80 AS in_top80
+    FROM w
+    """,
+    tags=("agg", "window"),
+    doc="Pareto revenue analysis: exact cents revenue per part, then "
+    "rank, running total, and the 80%-of-revenue flag from one "
+    "ordered window (cum + grand total share the pass). The window "
+    "runs over the PER-PART aggregate — bounded by the part "
+    "dimension, not fact volume — the same dim-bounded-window "
+    "argument as curriculum sharding; integer cross-multiplication "
+    "keeps the 80% cut exact.",
+)
+def parts_pareto(spark: SparkSession, sf: str):
+    li = table(spark, sf, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    wo = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = r.select(
+        "l_partkey",
+        "rev_cents",
+        F.row_number().over(wo).cast("int").alias("rnk"),
+        F.sum("rev_cents").over(wc).alias("cum_cents"),
+        F.sum("rev_cents").over(wt).alias("total_cents"),
+    )
+    return w.select(
+        "l_partkey",
+        "rev_cents",
+        "rnk",
+        "cum_cents",
+        (F.col("cum_cents") * 100 <= F.col("total_cents") * 80).alias(
+            "in_top80"
+        ),
+    )
