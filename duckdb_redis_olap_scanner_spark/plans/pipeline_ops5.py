@@ -1841,3 +1841,55 @@ def parts_pareto(spark: SparkSession, sf: str):
             "in_top80"
         ),
     )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(datediff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap_days
+      FROM orders)
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           CAST(sum(coalesce(gap_days, 0)) AS BIGINT) AS total_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(CASE WHEN count(gap_days) > 0
+                     THEN 1000 * sum(coalesce(gap_days, 0))
+                          // count(gap_days)
+                     ELSE 0 END AS BIGINT) AS mean_gap_milli
+    FROM g GROUP BY o_custkey
+    """,
+    tags=("temporal", "window"),
+    doc="Inter-order gaps per customer: lag() over each customer's "
+    "(orderdate, orderkey)-ordered history, then exact per-mille mean "
+    "and max gap in days — the repurchase-cadence primitive behind "
+    "churn models. One window pass + one agg on the natural customer "
+    "key; single-order customers report zero gaps, not NULL "
+    "arithmetic.",
+)
+def customer_order_gaps(spark: SparkSession, sf: str):
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    )
+    n_gaps = F.count("gap_days")
+    total = F.sum(F.coalesce("gap_days", F.lit(0).cast("long")))
+    return g.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        n_gaps.alias("n_gaps"),
+        total.alias("total_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+        F.when(n_gaps > 0, F.floor((F.lit(1000) * total) / n_gaps))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_gap_milli"),
+    ).withColumnRenamed("o_custkey", "custkey")
