@@ -1979,11 +1979,14 @@ def q12_shipmode(spark: SparkSession, sf: str):
     tags=("bench", "join"),
     doc="TPC-H Q14: promotion-revenue share as two exact integer sums "
     "(the ratio is derivable; comparing cents avoids a double divide). "
-    "The LIKE is evaluated INSIDE the broadcast build side, so the "
+    "The LIKE is evaluated INSIDE the join build side, so the "
     "hash table carries (p_partkey, is_promo) — int+bool per part "
-    "instead of the p_type string — shrinking the bc payload and "
+    "instead of the p_type string — shrinking the build payload and "
     "moving the LIKE off the per-lineitem probe path (r6→r7: "
-    "0.063→0.058 s measured at sf0.1).",
+    "0.063→0.058 s measured at sf0.1). part scales with SF, so the "
+    "broadcast is the cost-based maybe_broadcast hint, not a hard "
+    "F.broadcast: identical plan at test scale, shuffle fallback at "
+    "cluster volume.",
 )
 def q14_promo_effect(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem").filter(
@@ -1994,7 +1997,9 @@ def q14_promo_effect(spark: SparkSession, sf: str):
         "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
     )
     disc_cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    # part scales with SF → cost-based hint: same broadcast plan at
+    # test scale, co-partitioned shuffle fallback at cluster volume.
+    return l.join(maybe_broadcast(p, sf, "part"), l.l_partkey == p.p_partkey).agg(
         F.sum(F.when(F.col("is_promo"), disc_cents).otherwise(0))
         .cast("long")
         .alias("promo_cents"),

@@ -76,13 +76,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str):
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-    # supplier⋈nation⋈region is ≤|supplier| rows — broadcast the whole
-    # dim side so the fact-derived ps never shuffles for it.
+    # nation⋈region is fixed-size (25×5 rows at any SF) — hard
+    # broadcast is safe there.  supplier⋈nation⋈region scales with SF,
+    # so its hint is cost-based: broadcast at test scale, shuffle
+    # fallback at cluster volume (catalog.maybe_broadcast doctrine).
     sn = s.join(
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         s.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    eu = ps.join(F.broadcast(sn), ps.l_suppkey == F.col("s_suppkey"))
+    eu = ps.join(maybe_broadcast(sn, sf, "supplier"), ps.l_suppkey == F.col("s_suppkey"))
     # Correlated MIN per part → analytic min over a partkey window
     # (re-uses one hash shuffle; no second scan of eu).
     w = Window.partitionBy("l_partkey")
@@ -93,7 +95,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str):
         (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
     )
     return (
-        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        eu.join(maybe_broadcast(p, sf, "part"), eu.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost_cents")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
@@ -144,10 +146,10 @@ def q7_volume_shipping(spark: SparkSession, sf: str):
     # Restrict each dim to the two nations FIRST, broadcast-join them
     # into supplier/customer, then join the (now ~8%-selectivity) dims
     # into the facts — the fact tables only shuffle surviving rows.
-    sup = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+    sup = s.join(maybe_broadcast(n1, sf, "nation"), s.s_nationkey == F.col("n1_key")).select(
         "s_suppkey", "supp_nation"
     )
-    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+    cust = c.join(maybe_broadcast(n2, sf, "nation"), c.c_nationkey == F.col("n2_key")).select(
         "c_custkey", "cust_nation"
     )
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -216,6 +218,10 @@ def q8_market_share(spark: SparkSession, sf: str):
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
     p = table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    # nation⋈region is fixed-size (25×5) — hard broadcast safe.  The
+    # derived cn/sn/p frames scale with customer/supplier/part, so
+    # their hints are cost-based (broadcast at test scale, shuffle
+    # fallback at cluster volume).
     cn = c.join(
         F.broadcast(
             n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
@@ -230,10 +236,13 @@ def q8_market_share(spark: SparkSession, sf: str):
     ).select("s_suppkey", "nation")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     vol = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        l.join(
+            maybe_broadcast(p.select("p_partkey"), sf, "part"),
+            l.l_partkey == F.col("p_partkey"),
+        )
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
-        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(maybe_broadcast(cn, sf, "customer"), o.o_custkey == cn.c_custkey)
+        .join(maybe_broadcast(sn, sf, "supplier"), l.l_suppkey == sn.s_suppkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             _cents(disc).alias("vol_cents"),
@@ -347,8 +356,9 @@ def q11_important_stock(spark: SparkSession, sf: str):
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    # sn scales with supplier → cost-based hint, not hard F.broadcast.
     val = (
-        l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        l.join(maybe_broadcast(sn, sf, "supplier"), l.l_suppkey == sn.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
     )
@@ -400,7 +410,13 @@ def q15_top_supplier(spark: SparkSession, sf: str):
     top = revenue.agg(F.max("total_revenue_cents").alias("max_rev"))
     s = table(spark, sf, "supplier")
     return (
-        s.join(F.broadcast(revenue), s.s_suppkey == F.col("supplier_no"))
+        # revenue is a per-supplier aggregate (≤|supplier| rows, scales
+        # with SF) → cost-based hint; top is a 1-row MAX — hard
+        # broadcast safe.
+        s.join(
+            maybe_broadcast(revenue, sf, "supplier"),
+            s.s_suppkey == F.col("supplier_no"),
+        )
         .join(F.broadcast(top))
         .filter(F.col("total_revenue_cents") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue_cents")
@@ -442,8 +458,13 @@ def q16_parts_supplier_counts(spark: SparkSession, sf: str):
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        # bad/p scale with supplier/part → cost-based hints.
+        ps.join(
+            maybe_broadcast(bad, sf, "supplier"),
+            ps.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(maybe_broadcast(p, sf, "part"), ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -481,8 +502,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str):
         F.avg("l_quantity").alias("avg_quantity")
     )
     return (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), l.l_partkey == F.col("avg_partkey"))
+        # p and the per-partkey avg_qty aggregate both scale with part
+        # → cost-based hints keyed on the part table's real size.
+        l.join(
+            maybe_broadcast(p.select("p_partkey"), sf, "part"),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(maybe_broadcast(avg_qty, sf, "part"), l.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_quantity"))
         .agg(F.sum(_cents("l_extendedprice")).alias("revenue_cents"))
     )
@@ -533,7 +559,8 @@ def q19_discounted_revenue(spark: SparkSession, sf: str):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # part scales with SF → cost-based hint.
+        l.join(maybe_broadcast(p, sf, "part"), l.l_partkey == p.p_partkey)
         .filter(band1 | band2 | band3)
         .agg(F.sum(_cents(disc)).alias("revenue_cents"))
     )
@@ -572,7 +599,11 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str):
     )
     p = table(spark, sf, "part").filter(F.col("p_name").like("red%"))
     heavy = (
-        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        # p scales with part → cost-based hint.
+        l.join(
+            maybe_broadcast(p.select("p_partkey"), sf, "part"),
+            l.l_partkey == F.col("p_partkey"),
+        )
         .groupBy("l_suppkey")
         .agg(F.sum(_cents("l_quantity")).alias("qty_cents"))
         .filter(F.col("qty_cents") > 20000)
@@ -582,7 +613,12 @@ def q20_promotion_suppliers(spark: SparkSession, sf: str):
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        # heavy is a per-supplier aggregate (scales with SF) → cost-based.
+        .join(
+            maybe_broadcast(heavy, sf, "supplier"),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -634,7 +670,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str):
         "s_suppkey", "s_name"
     )
     cand = (
-        l1.join(F.broadcast(sn), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        # sn scales with supplier → cost-based hint.
+        l1.join(maybe_broadcast(sn, sf, "supplier"), F.col("l1.l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
         .join(
             l2,
