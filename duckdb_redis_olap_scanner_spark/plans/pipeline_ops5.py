@@ -1806,12 +1806,19 @@ def orders_basket_size_distribution(spark: SparkSession, sf: str):
     """,
     tags=("agg", "window"),
     doc="Pareto revenue analysis: exact cents revenue per part, then "
-    "rank, running total, and the 80%-of-revenue flag from one "
-    "ordered window (cum + grand total share the pass). The window "
-    "runs over the PER-PART aggregate — bounded by the part "
-    "dimension, not fact volume — the same dim-bounded-window "
-    "argument as curriculum sharding; integer cross-multiplication "
-    "keeps the 80% cut exact.",
+    "rank, running total, and the 80%-of-revenue flag. The running "
+    "sum is over the PER-PART aggregate, whose cardinality scales "
+    "with SF (~200k×SF rows) — so instead of a single-partition "
+    "global window, this is the scale-safe two-pass range-partitioned "
+    "prefix sum: repartitionByRange on the sort key gives each of the "
+    "P shuffle partitions a contiguous, ordered slice; pass 1 computes "
+    "partition-LOCAL row numbers and cumsums in parallel; pass 2 "
+    "aggregates one (count, sum) row per partition — P rows, bounded "
+    "by the partition count, never by data — turns them into "
+    "exclusive prefix offsets on the driver-sized frame, and "
+    "broadcast-joins them back. Identical output to the global "
+    "window at any scale; integer cross-multiplication keeps the "
+    "80% cut exact.",
 )
 def parts_pareto(spark: SparkSession, sf: str):
     li = table(spark, sf, "lineitem")
@@ -1820,26 +1827,64 @@ def parts_pareto(spark: SparkSession, sf: str):
             "rev_cents"
         )
     )
-    wo = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
-    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = wo.rowsBetween(
+    # Pass 0: range-partition on the global sort key (explicit
+    # numPartitions pins the exchange against AQE coalescing) so
+    # partition i holds keys strictly ordered before partition i+1,
+    # then stamp each row with its slice id.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = r.repartitionByRange(
+        nparts, F.desc("rev_cents"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    # Pass 1: per-slice local rank + local running sum — the window is
+    # partitioned on pid, so every slice sorts independently in
+    # parallel (no single-partition global sort anywhere).
+    wloc = Window.partitionBy("pid").orderBy(
+        F.desc("rev_cents"), F.asc("l_partkey")
+    )
+    wcum = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.select(
+        "l_partkey",
+        "rev_cents",
+        "pid",
+        F.row_number().over(wloc).alias("loc_rn"),
+        F.sum("rev_cents").over(wcum).alias("loc_cum"),
+    )
+    # Pass 2: one (count, sum) row per slice → exclusive prefix
+    # offsets + grand total. P rows (the partition count), so the
+    # ordered window and the broadcast are constant-size.
+    per = local.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev_cents").alias("s")
+    )
+    wpid = Window.orderBy("pid")
+    wall = wpid.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w = r.select(
-        "l_partkey",
-        "rev_cents",
-        F.row_number().over(wo).cast("int").alias("rnk"),
-        F.sum("rev_cents").over(wc).alias("cum_cents"),
-        F.sum("rev_cents").over(wt).alias("total_cents"),
+    offs = per.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                wpid.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prior_cnt"),
+        F.coalesce(
+            F.sum("s").over(
+                wpid.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prior_sum"),
+        F.sum("s").over(wall).alias("total_cents"),
     )
-    return w.select(
+    merged = local.join(F.broadcast(offs), "pid")
+    return merged.select(
         "l_partkey",
         "rev_cents",
-        "rnk",
-        "cum_cents",
-        (F.col("cum_cents") * 100 <= F.col("total_cents") * 80).alias(
-            "in_top80"
-        ),
+        (F.col("prior_cnt") + F.col("loc_rn")).cast("int").alias("rnk"),
+        (F.col("prior_sum") + F.col("loc_cum")).alias("cum_cents"),
+        (
+            (F.col("prior_sum") + F.col("loc_cum")) * 100
+            <= F.col("total_cents") * 80
+        ).alias("in_top80"),
     )
 
 
