@@ -336,7 +336,9 @@ def wordpiece_encode_stats(
 BPE_N_MERGES = 8
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, batch_k: int = 1
+) -> DataFrame:
     """BPE tokenizer TRAINING on-engine: induce the first ``n_merges``
     byte-pair merges from the corpus word-frequency table (Sennrich et
     al.'s algorithm, characters as initial symbols, no end-of-word
@@ -351,14 +353,29 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     (``||a||a||a||`` → ``||aa||a||``). Training words are restricted
     to ``[a-z0-9]+`` so the separator cannot collide with content.
 
-    Per iteration: explode adjacent symbol pairs weighted by word
+    Per round: explode adjacent symbol pairs weighted by word
     frequency, one map-side-combined count agg, argmax with a total
     tie-break (count DESC, pair ASC), then one narrow replace over the
-    word table. The argmax row — ONE pair per round — is collected on
-    the driver (the sanctioned bounded-fixpoint pattern, same as
-    connected components in operators/dedup.py); the word-frequency
-    table itself never leaves the executors and is re-persisted each
-    round to keep lineage shallow.
+    word table. The argmax rows — a bounded handful per round — are
+    collected on the driver (the sanctioned bounded-fixpoint pattern,
+    same as connected components in operators/dedup.py); the
+    word-frequency table itself never leaves the executors. Each
+    round's persisted table is materialized BY the round's collect
+    before its predecessor is unpersisted, so no round ever recomputes
+    the replace chain from the base table.
+
+    ``batch_k`` is the scale knob for large vocabularies: with
+    ``batch_k=1`` (default, the exact oracle-pinned path) each round
+    emits exactly the sequential argmax merge. With ``batch_k=K`` each
+    round selects up to K SYMBOL-DISJOINT pairs from the round's count
+    table (greedy in the same total order) and applies them in one
+    narrow pass — disjointness means no selected merge can change
+    another selected pair's occurrences, so all K are valid merges at
+    the counts the round observed. A 30k-merge production vocabulary
+    then costs ~30k/K Spark jobs instead of 30k; the deviation from
+    strict sequential argmax (a freshly-merged symbol's new pairs
+    can't win until the NEXT round) is the standard batched-BPE
+    trade-off and is why the catalog entries pin ``batch_k=1``.
 
     100 TB shape: the word-frequency table is bounded by the
     VOCABULARY, not the corpus (the initial groupBy(token) collapses
@@ -368,6 +385,8 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     Returns (merge_rank, lhs, rhs, merged, pair_freq) — ``n_merges``
     rows (fewer if the pair stream runs dry).
     """
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     spark = docs.sparkSession
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -384,7 +403,9 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     ).persist()
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    prev: DataFrame | None = None
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
         arr = F.filter(F.split(F.col("s"), r"\|\|"), lambda x: x != "")
         pairs = F.when(
             F.size(arr) >= 2,
@@ -395,30 +416,51 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
+        # Over-fetch 4× so the greedy disjoint filter usually finds
+        # `want` independent pairs in one round; still a bounded
+        # driver collect (≤ 4*batch_k rows).
         top = (
             words.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
+            .limit(max(1, 4 * want))
             .collect()
         )
+        # The collect above materialized `words`' cache — only now is
+        # it safe to drop the previous round's table.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
-        a, b = top[0]["pair"].split(" ", 1)
-        merged = a + b
-        merges.append((rank, a, b, merged, int(top[0]["cnt"])))
-        nxt = words.select(
-            F.replace(
-                F.col("s"),
-                F.lit(f"|{a}||{b}|"),
-                F.lit(f"|{merged}|"),
-            ).alias("s"),
-            "freq",
-        ).persist()
-        words.unpersist()
+        used: set[str] = set()
+        selected: list[tuple[str, str, str, int]] = []
+        for row in top:
+            if len(selected) == want:
+                break
+            a, b = row["pair"].split(" ", 1)
+            merged = a + b
+            # Symbol-disjointness (incl. the produced symbol) keeps
+            # every selected merge's count valid after the others.
+            if {a, b, merged} & used:
+                continue
+            used.update((a, b, merged))
+            selected.append((a, b, merged, int(row["cnt"])))
+        if not selected:
+            break
+        col = F.col("s")
+        for a, b, merged, cnt in selected:
+            merges.append((len(merges) + 1, a, b, merged, cnt))
+            col = F.replace(
+                col, F.lit(f"|{a}||{b}|"), F.lit(f"|{merged}|")
+            )
+        nxt = words.select(col.alias("s"), "freq").persist()
+        prev = words
         words = nxt
     words.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "

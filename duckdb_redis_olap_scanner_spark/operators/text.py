@@ -632,10 +632,13 @@ def bigram_familiarity(docs: DataFrame) -> DataFrame:
        1000*familiarity // n_bigrams`` (truncating, engine-exact).
 
     Docs with <2 tokens have no bigrams and score 0. Both shuffles key on
-    the uniform md5-64 bigram hash, so the 100 TB cost is linear with no
-    skew beyond true bigram frequency (hot bigrams are hot AGG keys —
-    absorbed map-side — and their join fan-out equals their true
-    occurrence count, same as :func:`~..operators.dedup.segment_dedup`).
+    the FULL 128-bit md5 bigram hash — at corpus scale the distinct
+    bigram count passes ~2^30, where the reduced md5_hash64 space would
+    merge distinct bigrams' counts and inflate familiarity — so the
+    100 TB cost is linear with no skew beyond true bigram frequency (hot
+    bigrams are hot AGG keys — absorbed map-side — and their join
+    fan-out equals their true occurrence count, same as
+    :func:`~..operators.dedup.segment_dedup`).
     """
     docs = fan_out(docs, key="doc_id")
     toks = tokens_col()
@@ -652,7 +655,7 @@ def bigram_familiarity(docs: DataFrame) -> DataFrame:
     base = docs.select("doc_id", bigrams.alias("bg"))
     occ = base.select(
         "doc_id", F.explode("bg").alias("bigram")
-    ).withColumn("h", md5_hash64(F.col("bigram")))
+    ).withColumn("h", F.md5(F.col("bigram")))
     model = occ.groupBy("h").agg(F.count("*").alias("cnt"))
     per_doc = (
         occ.join(model, "h")

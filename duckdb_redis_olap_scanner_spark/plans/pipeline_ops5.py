@@ -76,7 +76,7 @@ _SEG = D.SEG_WORDS
             i -> {{'i': i, 's': segs[CAST(i AS INT)]}})) AS u
         FROM s)),
     h AS (
-      SELECT doc_id, idx, seg, {sql_md5_hash64('seg')} AS hh FROM e),
+      SELECT doc_id, idx, seg, md5(seg) AS hh FROM e),
     c AS (SELECT hh, count(*) AS cnt FROM h GROUP BY hh),
     k AS (
       SELECT h.doc_id, h.idx, h.seg
@@ -95,9 +95,10 @@ _SEG = D.SEG_WORDS
     "non-overlapping segments, drop every segment occurring more than "
     "once corpus-wide (symmetric removal, no arbitrary winner), rejoin "
     "the survivors in original order — kept_md5 pins membership AND "
-    "order. Linear cost: segments shuffle on their uniform content "
-    "hash, then one agg back on doc_id; no pairwise candidate set "
-    "(operators/dedup.segment_dedup).",
+    "order. Linear cost: segments shuffle on their full-md5 content "
+    "hash (collision-resistant — removal paths must not merge "
+    "distinct segments), then one agg back on doc_id; no pairwise "
+    "candidate set (operators/dedup.segment_dedup).",
 )
 def pipeline_segment_dedup(spark: SparkSession, sf: str):
     return D.segment_dedup(table(spark, sf, "documents"))
@@ -170,7 +171,7 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str):
                   ELSE CAST([] AS VARCHAR[]) END AS bg
       FROM t),
     o AS (
-      SELECT doc_id, {sql_md5_hash64('u')} AS h
+      SELECT doc_id, md5(u) AS h
       FROM (SELECT doc_id, unnest(bg) AS u FROM b)),
     m AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY h),
     p AS (
@@ -189,9 +190,9 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str):
     doc="Corpus-level bigram language-model familiarity (the KenLM "
     "perplexity-filter shape, exact integer math): per-doc sum and "
     "per-1000 average of each bigram occurrence's corpus-wide count, "
-    "WITH multiplicity. Two uniform-hash-keyed shuffles (model agg + "
-    "score join), linear at 100 TB "
-    "(operators/text.bigram_familiarity).",
+    "WITH multiplicity. Two full-md5-keyed shuffles (model agg + "
+    "score join — 128-bit keys so distinct bigrams never merge), "
+    "linear at 100 TB (operators/text.bigram_familiarity).",
 )
 def pipeline_bigram_lm(spark: SparkSession, sf: str):
     return T.bigram_familiarity(table(spark, sf, "documents"))
@@ -1055,7 +1056,7 @@ V2_BUDGET = 40  # per-source token budget for the post-filter selection
             range(1, len(segs) + 1),
             i -> {{'i': i, 's': segs[CAST(i AS INT)]}})) AS u
         FROM s2)),
-    h2 AS (SELECT doc_id, {sql_md5_hash64('seg')} AS hh FROM e2),
+    h2 AS (SELECT doc_id, md5(seg) AS hh FROM e2),
     c2 AS (SELECT hh, count(*) AS cnt FROM h2 GROUP BY hh),
     r2 AS (
       SELECT h2.doc_id, CAST(count(*) AS BIGINT) AS n_kept
