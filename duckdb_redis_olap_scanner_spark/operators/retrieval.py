@@ -360,9 +360,13 @@ def bpe_train_merges(
     collected on the driver (the sanctioned bounded-fixpoint pattern,
     same as connected components in operators/dedup.py); the
     word-frequency table itself never leaves the executors. Each
-    round's persisted table is materialized BY the round's collect
-    before its predecessor is unpersisted, so no round ever recomputes
-    the replace chain from the base table.
+    round's table is eagerly ``localCheckpoint``-ed, which both
+    materializes it before the predecessor becomes unreachable AND
+    truncates the logical plan — without the truncation the plan tree
+    grows linearly in rounds and plan ANALYSIS (not data) OOMs the
+    driver past ~25 rounds (measured; a lazily-``persist``-ed chain
+    caches data but keeps the full nested plan). A multi-executor run
+    would point this at a reliable checkpoint dir instead.
 
     ``batch_k`` is the scale knob for large vocabularies: with
     ``batch_k=1`` (default, the exact oracle-pinned path) each round
@@ -400,10 +404,9 @@ def bpe_train_merges(
             F.lit("||"), F.array_join(chars, "||"), F.lit("||")
         ).alias("s"),
         "freq",
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    prev: DataFrame | None = None
     while len(merges) < n_merges:
         want = min(batch_k, n_merges - len(merges))
         arr = F.filter(F.split(F.col("s"), r"\|\|"), lambda x: x != "")
@@ -427,11 +430,6 @@ def bpe_train_merges(
             .limit(max(1, 4 * want))
             .collect()
         )
-        # The collect above materialized `words`' cache — only now is
-        # it safe to drop the previous round's table.
-        if prev is not None:
-            prev.unpersist()
-            prev = None
         if not top:
             break
         used: set[str] = set()
@@ -455,12 +453,14 @@ def bpe_train_merges(
             col = F.replace(
                 col, F.lit(f"|{a}||{b}|"), F.lit(f"|{merged}|")
             )
-        nxt = words.select(col.alias("s"), "freq").persist()
-        prev = words
-        words = nxt
-    words.unpersist()
-    if prev is not None:
-        prev.unpersist()
+        # Eager localCheckpoint: materializes the new table off the
+        # old one (which is still checkpointed — no recompute) and
+        # cuts the plan back to a flat scan; superseded checkpoint
+        # blocks are released by the context cleaner as the old
+        # DataFrame goes out of scope.
+        words = words.select(col.alias("s"), "freq").localCheckpoint(
+            eager=True
+        )
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "

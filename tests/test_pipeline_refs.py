@@ -617,6 +617,94 @@ def test_bpe_encode_matches_python_reference(spark):
         assert r.tokens_md5 == _hl.md5(" ".join(streams).encode()).hexdigest()
 
 
+def test_bpe_train_batched_matches_python_reference(spark):
+    """The batch_k>1 scale path pinned against an independent Python
+    implementation of the same batched algorithm: per round, order
+    pairs by (count DESC, pair ASC), greedily select up to k
+    symbol-disjoint pairs from the top 4k candidates, apply them
+    sequentially, repeat. Also asserts batch_k=1 stays byte-identical
+    to the exact sequential path."""
+    from collections import Counter
+
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import (
+        bpe_train_merges,
+    )
+
+    rows = [
+        (0, "banana bandana banana"),
+        (1, "aaa aaaa banana"),
+        (2, "cat catalog cataract"),
+        (3, "na na na banana"),
+        (4, "x1 x1 x1 x1"),
+        (5, "zig zag zig zag zigzag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_merges, k = 10, 3
+
+    def ref_batched(n_merges, k):
+        freq: Counter = Counter()
+        for _i, s in rows:
+            for w in s.strip().lower().split():
+                freq[tuple(w)] += 1
+        out_merges = []
+        while len(out_merges) < n_merges:
+            want = min(k, n_merges - len(out_merges))
+            pc: Counter = Counter()
+            for sym, f in freq.items():
+                for j in range(len(sym) - 1):
+                    pc[(sym[j], sym[j + 1])] += f
+            if not pc:
+                break
+            top = sorted(
+                pc.items(),
+                key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"),
+            )[: max(1, 4 * want)]
+            used: set = set()
+            selected = []
+            for (a, b), cnt in top:
+                if len(selected) == want:
+                    break
+                if {a, b, a + b} & used:
+                    continue
+                used.update((a, b, a + b))
+                selected.append((a, b, cnt))
+            if not selected:
+                break
+            for a, b, cnt in selected:
+                out_merges.append(
+                    (len(out_merges) + 1, a, b, a + b, cnt)
+                )
+                nxt: Counter = Counter()
+                for sym, f in freq.items():
+                    merged, j = [], 0
+                    while j < len(sym):
+                        if (
+                            j + 1 < len(sym)
+                            and sym[j] == a
+                            and sym[j + 1] == b
+                        ):
+                            merged.append(a + b)
+                            j += 2
+                        else:
+                            merged.append(sym[j])
+                            j += 1
+                    nxt[tuple(merged)] += f
+                freq = nxt
+        return out_merges
+
+    got = sorted(
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_freq)
+        for r in bpe_train_merges(df, n_merges, batch_k=k).collect()
+    )
+    assert got == ref_batched(n_merges, k)
+
+    exact = sorted(
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_freq)
+        for r in bpe_train_merges(df, n_merges).collect()
+    )
+    assert exact == ref_batched(n_merges, 1)
+
+
 def test_equidepth_histogram_matches_python_reference(spark, tmp_path):
     """Equi-depth bucket assignment re-derived independently: bucket of
     a value = floor(NB * rank_before / total) over the sorted distinct
