@@ -43,6 +43,10 @@ class CatalogEntry:
     oracle: str | None
     tags: tuple[str, ...] = field(default=())
     doc: str = ""
+    # The undecorated registered function — the root of the
+    # referenced-callable closure used by the changed-since-verified
+    # gate tier (see ``_changed_since_verified``).
+    raw_fn: Callable | None = None
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}
@@ -87,7 +91,9 @@ def register(
 
         cached_fn.__name__ = fn.__name__
         cached_fn.__doc__ = fn.__doc__
-        _REGISTRY[name] = CatalogEntry(name, cached_fn, oracle, tuple(tags), doc)
+        _REGISTRY[name] = CatalogEntry(
+            name, cached_fn, oracle, tuple(tags), doc, fn
+        )
         return fn
 
     return deco
@@ -162,17 +168,209 @@ def _prior_verified() -> frozenset[str]:
     return frozenset(_verified_rounds())
 
 
+def _round_commits(root: str) -> dict[int, str]:
+    """Driver round number → the commit that last touched its
+    CORRECTNESS file, from ONE ``git log`` pass. Empty when git/history
+    is unavailable (e.g. the synthetic tmp repo roots the rotation
+    tests use) — callers then skip the changed-since-verified tier and
+    fall back to pure LRU."""
+    import re
+    import subprocess
+
+    out: dict[int, str] = {}
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H", "--name-only",
+             "--", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, timeout=60,
+        )
+        if log.returncode != 0:
+            return {}
+        sha = ""
+        # newest-first: the first commit naming a round's file wins
+        for line in log.stdout.splitlines():
+            line = line.strip()
+            if re.fullmatch(r"[0-9a-f]{40}", line):
+                sha = line
+            else:
+                m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", line)
+                if m and int(m.group(1)) not in out:
+                    out[int(m.group(1))] = sha
+    except (OSError, subprocess.SubprocessError):
+        return {}
+    return out
+
+
+def _git_blob(root: str, commit: str, relpath: str,
+              _cache: dict[tuple[str, str], str | None] = {}) -> str | None:
+    """File content at a commit (None if absent there)."""
+    import subprocess
+
+    key = (commit, relpath)
+    if key not in _cache:
+        try:
+            show = subprocess.run(
+                ["git", "show", f"{commit}:{relpath}"],
+                cwd=root, capture_output=True, text=True, timeout=60,
+            )
+            _cache[key] = show.stdout if show.returncode == 0 else None
+        except (OSError, subprocess.SubprocessError):
+            _cache[key] = None
+    return _cache[key]
+
+
+def _referenced_pkg_callables(fn) -> frozenset:
+    """The transitive closure of THIS-PACKAGE functions/classes an
+    entry's registered function actually references — resolved by
+    walking code objects' global-name loads (``co_names``, including
+    nested lambdas/comprehensions and closure cells) rather than
+    module imports, so one edited helper dirties only the entries that
+    call it, not every entry in a 2 kLoC module. Names reached through
+    a package-module alias (``D.segment_dedup``) are resolved against
+    that module's namespace."""
+    import inspect
+    import types
+
+    pkg = __name__.split(".")[0] + "."
+
+    def in_pkg(obj) -> bool:
+        return (getattr(obj, "__module__", "") or "").startswith(pkg) or \
+            getattr(obj, "__module__", "") == pkg[:-1]
+
+    out: set = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        f = inspect.unwrap(f)
+        code = getattr(f, "__code__", None)
+        if code is None:
+            # pyspark UDF wrappers hold the python fn as ``.func``
+            inner = getattr(f, "func", None)
+            code = getattr(inner, "__code__", None)
+            if code is None:
+                continue
+            f = inner
+        if f in out:
+            continue
+        if in_pkg(f):
+            out.add(f)
+        names: set[str] = set()
+        codes = [code]
+        while codes:
+            c = codes.pop()
+            names.update(c.co_names)
+            names.update(c.co_freevars)
+            codes.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+        g = getattr(f, "__globals__", {})
+        pkg_mods = []
+        for n in names:
+            obj = g.get(n)
+            if isinstance(obj, types.ModuleType):
+                if (obj.__name__ + ".").startswith(pkg):
+                    pkg_mods.append(obj)
+            elif callable(obj) and in_pkg(obj):
+                stack.append(obj)
+        for mod in pkg_mods:
+            for n in names:
+                obj = getattr(mod, n, None)
+                if callable(obj) and in_pkg(obj):
+                    stack.append(obj)
+        for cell in getattr(f, "__closure__", None) or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:
+                continue
+            if callable(v) and in_pkg(v):
+                stack.append(v)
+    return frozenset(out)
+
+
+_DIRTY_CACHE: dict[tuple, dict[str, int]] = {}
+
+
+def _changed_since_verified(rounds: dict[str, int]) -> dict[str, int]:
+    """Entries running code the driver never hash-checked: some
+    function in the entry's referenced-callable closure has source text
+    (current, in-memory) that did NOT exist verbatim in its file's blob
+    at the commit of the entry's last verified round.
+
+    Returns dirty-entry → "change round": the OLDEST driver round whose
+    commit already contains the entry's current code — i.e. roughly the
+    round the change landed (max round + 1 when only the uncommitted
+    working tree matches). ``registry()`` bumps dirty entries to the
+    front of the verified gate window, newest change first, instead of
+    waiting ~ceil(N/50) rounds for LRU to cycle back to them. Memoized
+    per (repo root, verified-rounds state): one git history walk + a
+    few hundred cached blob substring checks."""
+    import inspect
+
+    root = _repo_root()
+    cache_key = (root, tuple(sorted(rounds.items())))
+    hit = _DIRTY_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    commits = _round_commits(root)
+    if not commits:
+        _DIRTY_CACHE[cache_key] = {}
+        return {}
+
+    src_cache: dict = {}
+
+    def fn_src_and_file(f):
+        if f not in src_cache:
+            try:
+                src = inspect.getsource(f)
+                rel = os.path.relpath(
+                    os.path.abspath(inspect.getfile(f)), root)
+            except (OSError, TypeError):
+                src, rel = None, None
+            src_cache[f] = (src, rel)
+        return src_cache[f]
+
+    changed_at: dict[tuple, bool] = {}
+
+    def changed(f, commit) -> bool:
+        key = (f, commit)
+        if key not in changed_at:
+            src, rel = fn_src_and_file(f)
+            if src is None:
+                changed_at[key] = False
+            else:
+                blob = _git_blob(root, commit, rel)
+                changed_at[key] = blob is None or src not in blob
+        return changed_at[key]
+
+    dirty: dict[str, int] = {}
+    for name, rno in rounds.items():
+        entry = _REGISTRY.get(name)
+        commit = commits.get(rno)
+        if entry is None or entry.raw_fn is None or commit is None:
+            continue
+        closure = _referenced_pkg_callables(entry.raw_fn)
+        if any(changed(f, commit) for f in closure):
+            dirty[name] = min(
+                (r for r, c in commits.items()
+                 if not any(changed(f, c) for f in closure)),
+                default=max(commits) + 1,
+            )
+    _DIRTY_CACHE[cache_key] = dirty
+    return dirty
+
+
 def registry() -> dict[str, CatalogEntry]:
     """All catalog entries (imports the defining modules on first use).
 
     Iteration order is verification-priority order: entries without a
     prior driver CORRECTNESS row first (registration order within the
-    frontier), then prior-verified entries LEAST-recently-verified
-    first (registration order within a round). The driver's gate
-    checks the first 50 entries, so once the frontier is empty every
-    entry cycles back through the gate every ~ceil(N/50) rounds —
-    a regression in a long-verified entry becomes driver-visible again
-    instead of only failing the local parity tests. See
+    frontier), then verified entries whose source-file closure CHANGED
+    after their last verified round ("dirty" — running code the driver
+    never hash-checked; see ``_changed_since_verified``), then the
+    remaining prior-verified entries. Both verified tiers sort
+    least-recently-verified first (registration order within a round).
+    The driver's gate checks the first 50 entries, so once the frontier
+    is empty every entry cycles back through the gate every
+    ~ceil(N/50) rounds — and a modified entry re-enters the very next
+    window instead of waiting out the LRU cycle. See
     ``_verified_rounds``.
     """
     # Local imports to avoid import cycles; each module registers on import.
@@ -192,12 +390,17 @@ def registry() -> dict[str, CatalogEntry]:
 
     rounds = _verified_rounds()
     frontier = {n: e for n, e in _REGISTRY.items() if n not in rounds}
+    dirty = _changed_since_verified(rounds)
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
     verified = {
         n: _REGISTRY[n]
         for n in sorted(
             (n for n in _REGISTRY if n in rounds),
-            key=lambda n: (rounds[n], reg_pos[n]),
+            key=lambda n: (
+                # dirty first; within dirty, newest change first
+                (0, -dirty[n]) if n in dirty else (1, 0),
+                rounds[n], reg_pos[n],
+            ),
         )
     }
     return {**frontier, **verified}

@@ -136,17 +136,24 @@ def test_real_repo_r7_gate_window_is_lru():
         # The r7 (or later) gate already ran: the new entries must
         # have been verified by it, not still be pending.
         assert not (r7_new & set(frontier))
-    # The verified tail is sorted by (last-verified round,
-    # registration position): round numbers must be non-decreasing.
-    tail_rounds = [rounds[n] for n in names[len(frontier):]]
-    assert tail_rounds == sorted(tail_rounds)
-    # LRU property of the driver window: every verified entry INSIDE
-    # the 50-entry window is at most as recently verified as every
-    # verified entry outside it — and with ≥100 older-than-newest
-    # entries the window never wastes a slot on the newest round.
+    # The verified tail is ordered: changed-since-verified entries
+    # first (newest change first), then the clean LRU cohort sorted by
+    # (last-verified round, registration position).
+    dirty = catalog._changed_since_verified(rounds)
+    tail = names[len(frontier):]
+    n_dirty = len([n for n in tail if n in dirty])
+    assert [n for n in tail[:n_dirty] if n not in dirty] == []
+    dirty_changes = [dirty[n] for n in tail[:n_dirty]]
+    assert dirty_changes == sorted(dirty_changes, reverse=True)
+    clean_rounds = [rounds[n] for n in tail[n_dirty:]]
+    assert clean_rounds == sorted(clean_rounds)
+    # LRU property of the driver window: among CLEAN entries, every one
+    # inside the 50-entry window is at most as recently verified as
+    # every one outside it — and with ≥100 older-than-newest entries
+    # the window never wastes a slot on the newest round.
     window = names[:50]
-    in_rounds = [rounds[n] for n in window if n in rounds]
-    out_rounds = [rounds[n] for n in names[50:] if n in rounds]
+    in_rounds = [rounds[n] for n in window if n in rounds and n not in dirty]
+    out_rounds = [rounds[n] for n in names[50:] if n in rounds and n not in dirty]
     if in_rounds and out_rounds:
         assert max(in_rounds) <= min(out_rounds)
     if latest <= 6:
@@ -155,3 +162,65 @@ def test_real_repo_r7_gate_window_is_lru():
         # older than anything r6 touched.
         assert "redis_scan_golden" in window
         assert all(r < latest for r in in_rounds)
+
+
+def test_changed_since_verified_bumps_entry_to_window_front(monkeypatch):
+    """A verified entry flagged changed-since-verified must lead the
+    verified tail of the gate window (synthetic dirty set — the real
+    git-based detection is exercised by the real-repo tests below)."""
+    names = list(catalog.registry())
+    rounds = catalog._verified_rounds()
+    verified = [n for n in names if n in rounds]
+    if not verified:
+        return
+    victim = verified[-1]  # most-recently-verified: last under pure LRU
+    monkeypatch.setattr(
+        catalog, "_changed_since_verified", lambda r: {victim: 99}
+    )
+    rotated = list(catalog.registry())
+    frontier = [n for n in rotated if n not in rounds]
+    assert rotated[len(frontier)] == victim
+
+
+def test_referenced_callables_cross_module_alias():
+    """The dirty-closure walk must reach helpers called through a
+    module alias (``D.segment_dedup``), not just direct imports —
+    otherwise an operator-module fix never dirties its plan entries."""
+    reg = catalog.registry()
+    e = reg["pipeline_segment_dedup"]
+    fns = catalog._referenced_pkg_callables(e.raw_fn)
+    quals = {f.__qualname__ for f in fns}
+    assert "segment_dedup" in quals  # lives in operators/dedup.py
+    assert any(q == "table" for q in quals)  # catalog helper
+
+
+def test_round_commits_and_blob_real_repo():
+    root = catalog._repo_root()
+    commits = catalog._round_commits(root)
+    if not commits:  # git history unavailable — nothing to pin
+        return
+    assert all(len(sha) == 40 for sha in commits.values())
+    assert min(commits) >= 1
+    # A blob fetch for a file that exists at that commit returns text.
+    blob = catalog._git_blob(
+        root, commits[min(commits)], "SURVEY.md"
+    )
+    assert blob is None or "operator" in blob.lower()
+
+
+def test_real_repo_dirty_entries_are_verified_and_lead_tail():
+    """State-robust pin of the changed-since-verified tier on the live
+    repo: every dirty entry must already be driver-verified (frontier
+    entries never need the tier), and the verified tail must open with
+    exactly the dirty cohort."""
+    names = list(catalog.registry())
+    rounds = catalog._verified_rounds()
+    dirty = catalog._changed_since_verified(rounds)
+    assert set(dirty) <= set(rounds)
+    frontier = [n for n in names if n not in rounds]
+    tail = names[len(frontier):]
+    assert set(tail[: len(set(dirty) & set(tail))]) <= set(dirty) | set()
+    # every dirty entry sits before every clean verified entry
+    if dirty:
+        last_dirty = max(i for i, n in enumerate(tail) if n in dirty)
+        assert all(n in dirty for n in tail[: last_dirty + 1])
