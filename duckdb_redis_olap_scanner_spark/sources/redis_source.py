@@ -338,36 +338,57 @@ _ZSET_ARROW_SCHEMA = pa.schema(
 
 
 class RedisZSetReader(DataSourceReader):
-    """ZRANGE key 0 -1 WITHSCORES — the full sorted set in ascending
+    """Paged ZRANGE WITHSCORES — the full sorted set in ascending
     (score, member) order, rank attached. One partition per key (a
     sorted set lives on one shard in any real deployment; multi-key
-    reads union several loads)."""
+    reads union several loads), but the read streams
+    ``DEFAULT_SCAN_COUNT``-sized index slices and yields one
+    RecordBatch per slice, so a multi-GB leaderboard never
+    materializes as one Python list in the worker (mirrors the
+    writers' pipelined batching). Like every SCAN-family reader here,
+    paging trades the single-command snapshot for bounded memory:
+    elements added/removed mid-read may be missed or shifted — the
+    same contract as SCAN itself."""
 
     def __init__(self, options: dict) -> None:
         self.options = options
+        self.page_size = int(options.get("page_size", DEFAULT_SCAN_COUNT))
 
     def partitions(self) -> list[_SingleKeyPartition]:
         return _single_key_partition(self.options)
 
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
+        page = max(1, self.page_size)
         with RedisClient(part.host, part.port) as client:
-            flat = client.command("ZRANGE", part.key, "0", "-1", "WITHSCORES")
-            members = [
-                v.decode() if isinstance(v, bytes) else str(v)
-                for v in flat[0::2]
-            ]
-            scores = [
-                float(v.decode() if isinstance(v, bytes) else v)
-                for v in flat[1::2]
-            ]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(members, type=pa.string()),
-                    pa.array(scores, type=pa.float64()),
-                    pa.array(range(len(members)), type=pa.int32()),
-                ],
-                schema=_ZSET_ARROW_SCHEMA,
-            )
+            rank = 0
+            while True:
+                flat = client.command(
+                    "ZRANGE", part.key, str(rank), str(rank + page - 1),
+                    "WITHSCORES",
+                )
+                if not flat:
+                    return
+                members = [
+                    v.decode() if isinstance(v, bytes) else str(v)
+                    for v in flat[0::2]
+                ]
+                scores = [
+                    float(v.decode() if isinstance(v, bytes) else v)
+                    for v in flat[1::2]
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(members, type=pa.string()),
+                        pa.array(scores, type=pa.float64()),
+                        pa.array(
+                            range(rank, rank + len(members)), type=pa.int32()
+                        ),
+                    ],
+                    schema=_ZSET_ARROW_SCHEMA,
+                )
+                rank += len(members)
+                if len(members) < page:
+                    return
 
 
 class RedisZSetWriter(DataSourceWriter):
@@ -428,31 +449,46 @@ _LIST_ARROW_SCHEMA = pa.schema(
 
 
 class RedisListReader(DataSourceReader):
-    """LRANGE key 0 -1 — the full list in insertion order with
-    positions. Read-only source: a distributed RPUSH writer would
-    interleave partitions nondeterministically, so list APPEND is
-    deliberately not offered as a batch sink (use the stream sink for
-    append semantics)."""
+    """Paged LRANGE — the full list in insertion order with positions,
+    streamed as one RecordBatch per ``DEFAULT_SCAN_COUNT``-sized index
+    slice so a huge list never buffers whole in the worker (same
+    bounded-memory/non-snapshot contract as the zset reader).
+    Read-only source: a distributed RPUSH writer would interleave
+    partitions nondeterministically, so list APPEND is deliberately
+    not offered as a batch sink (use the stream sink for append
+    semantics)."""
 
     def __init__(self, options: dict) -> None:
         self.options = options
+        self.page_size = int(options.get("page_size", DEFAULT_SCAN_COUNT))
 
     def partitions(self) -> list[_SingleKeyPartition]:
         return _single_key_partition(self.options)
 
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
+        page = max(1, self.page_size)
         with RedisClient(part.host, part.port) as client:
-            vals = client.command("LRANGE", part.key, "0", "-1")
-            elems = [
-                v.decode() if isinstance(v, bytes) else str(v) for v in vals
-            ]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(range(len(elems)), type=pa.int32()),
-                    pa.array(elems, type=pa.string()),
-                ],
-                schema=_LIST_ARROW_SCHEMA,
-            )
+            pos = 0
+            while True:
+                vals = client.command(
+                    "LRANGE", part.key, str(pos), str(pos + page - 1)
+                )
+                if not vals:
+                    return
+                elems = [
+                    v.decode() if isinstance(v, bytes) else str(v)
+                    for v in vals
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(range(pos, pos + len(elems)), type=pa.int32()),
+                        pa.array(elems, type=pa.string()),
+                    ],
+                    schema=_LIST_ARROW_SCHEMA,
+                )
+                pos += len(elems)
+                if len(elems) < page:
+                    return
 
 
 class RedisListDataSource(DataSource):

@@ -235,3 +235,54 @@ def test_list_source_preserves_insertion_order(spark, engine):
 def test_scan_sees_zset_and_list_keys(spark, engine):
     keys = {r.key_name for r in engine.redis_scan("*").collect()}
     assert "rank:global" in keys and "queue:jobs" in keys
+
+
+def test_zset_reader_pages_large_container(redis_server):
+    """A sorted set larger than one page streams as MULTIPLE
+    RecordBatches (bounded worker memory — no ZRANGE 0 -1 buffering
+    the whole container), with ranks continuous across slices and
+    contents identical to a single-shot read."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        RedisZSetReader,
+        _SingleKeyPartition,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        args: list[str] = []
+        for i in range(25):
+            args += [str(float(i)), f"pm:{i:03d}"]
+        c.command("ZADD", "pzset:test", *args)
+    reader = RedisZSetReader(
+        {"host": redis_server.host, "port": str(redis_server.port),
+         "key": "pzset:test", "page_size": "10"}
+    )
+    part = _SingleKeyPartition(redis_server.host, redis_server.port, "pzset:test")
+    batches = list(reader.read(part))
+    assert [b.num_rows for b in batches] == [10, 10, 5]
+    members = [m for b in batches for m in b.column("member").to_pylist()]
+    ranks = [r for b in batches for r in b.column("rank").to_pylist()]
+    assert members == [f"pm:{i:03d}" for i in range(25)]
+    assert ranks == list(range(25))
+
+
+def test_list_reader_pages_large_container(redis_server):
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        RedisListReader,
+        _SingleKeyPartition,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.command("RPUSH", "plist:test", *[f"el:{i:03d}" for i in range(23)])
+    reader = RedisListReader(
+        {"host": redis_server.host, "port": str(redis_server.port),
+         "key": "plist:test", "page_size": "10"}
+    )
+    part = _SingleKeyPartition(redis_server.host, redis_server.port, "plist:test")
+    batches = list(reader.read(part))
+    assert [b.num_rows for b in batches] == [10, 10, 3]
+    elems = [e for b in batches for e in b.column("element").to_pylist()]
+    pos = [p for b in batches for p in b.column("pos").to_pylist()]
+    assert elems == [f"el:{i:03d}" for i in range(23)]
+    assert pos == list(range(23))
