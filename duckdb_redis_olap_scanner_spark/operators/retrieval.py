@@ -335,9 +335,22 @@ def wordpiece_encode_stats(
 
 BPE_N_MERGES = 8
 
+# Auto batch_k threshold: vocabularies up to this size train with the
+# exact sequential argmax (one Spark job per merge — cheap and
+# oracle-reproducible); past it, rounds batch disjoint merges so job
+# count grows ~sub-linearly in n_merges (a 30k-merge production vocab
+# runs ~470 jobs instead of 30k).
+BPE_SEQUENTIAL_MAX = 64
+
+
+def _auto_batch_k(n_merges: int) -> int:
+    if n_merges <= BPE_SEQUENTIAL_MAX:
+        return 1
+    return min(BPE_SEQUENTIAL_MAX, -(-n_merges // BPE_SEQUENTIAL_MAX))
+
 
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = BPE_N_MERGES, batch_k: int = 1
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, batch_k: int | None = None
 ) -> DataFrame:
     """BPE tokenizer TRAINING on-engine: induce the first ``n_merges``
     byte-pair merges from the corpus word-frequency table (Sennrich et
@@ -369,8 +382,8 @@ def bpe_train_merges(
     would point this at a reliable checkpoint dir instead.
 
     ``batch_k`` is the scale knob for large vocabularies: with
-    ``batch_k=1`` (default, the exact oracle-pinned path) each round
-    emits exactly the sequential argmax merge. With ``batch_k=K`` each
+    ``batch_k=1`` (the exact oracle-pinned path) each round emits
+    exactly the sequential argmax merge. With ``batch_k=K`` each
     round selects up to K SYMBOL-DISJOINT pairs from the round's count
     table (greedy in the same total order) and applies them in one
     narrow pass — disjointness means no selected merge can change
@@ -379,7 +392,10 @@ def bpe_train_merges(
     then costs ~30k/K Spark jobs instead of 30k; the deviation from
     strict sequential argmax (a freshly-merged symbol's new pairs
     can't win until the NEXT round) is the standard batched-BPE
-    trade-off and is why the catalog entries pin ``batch_k=1``.
+    trade-off. The default (``batch_k=None``) resolves adaptively:
+    sequential up to ``BPE_SEQUENTIAL_MAX`` merges (so the small-vocab
+    catalog entry stays byte-identical to its SQL oracle), batched
+    beyond — production-size defaults without opting in.
 
     100 TB shape: the word-frequency table is bounded by the
     VOCABULARY, not the corpus (the initial groupBy(token) collapses
@@ -389,6 +405,8 @@ def bpe_train_merges(
     Returns (merge_rank, lhs, rhs, merged, pair_freq) — ``n_merges``
     rows (fewer if the pair stream runs dry).
     """
+    if batch_k is None:
+        batch_k = _auto_batch_k(n_merges)
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     spark = docs.sparkSession
@@ -455,12 +473,16 @@ def bpe_train_merges(
             )
         # Eager localCheckpoint: materializes the new table off the
         # old one (which is still checkpointed — no recompute) and
-        # cuts the plan back to a flat scan; superseded checkpoint
-        # blocks are released by the context cleaner as the old
-        # DataFrame goes out of scope.
-        words = words.select(col.alias("s"), "freq").localCheckpoint(
+        # cuts the plan back to a flat scan. The superseded
+        # checkpoint's blocks are released EXPLICITLY — in a 30k-merge
+        # run, waiting for driver GC + the context cleaner lets dead
+        # blocks pile up on executors between collections.
+        prev = words
+        words = prev.select(col.alias("s"), "freq").localCheckpoint(
             eager=True
         )
+        prev.unpersist()
+    words.unpersist()  # the final table is not part of the result
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "

@@ -833,3 +833,25 @@ def test_curriculum_shards_match_python_reference(spark):
         .collect()
     }
     assert got == {b: tuple(v) for b, v in ref.items()}
+
+
+def test_bpe_auto_batch_k_resolution():
+    """Default batch_k resolves adaptively: exact sequential argmax up
+    to BPE_SEQUENTIAL_MAX merges (the oracle-reproducible regime),
+    batched beyond — so a 30k-merge production vocabulary runs ~470
+    Spark jobs by default instead of 30k."""
+    from duckdb_redis_olap_scanner_spark.operators.retrieval import (
+        BPE_SEQUENTIAL_MAX,
+        _auto_batch_k,
+    )
+
+    assert _auto_batch_k(1) == 1
+    assert _auto_batch_k(8) == 1
+    assert _auto_batch_k(BPE_SEQUENTIAL_MAX) == 1
+    assert _auto_batch_k(BPE_SEQUENTIAL_MAX + 1) == 2
+    assert _auto_batch_k(512) == 8
+    assert _auto_batch_k(30_000) == BPE_SEQUENTIAL_MAX
+    # job count is sub-linear: rounds = ceil(n / k)
+    n = 30_000
+    rounds = -(-n // _auto_batch_k(n))
+    assert rounds <= 470
