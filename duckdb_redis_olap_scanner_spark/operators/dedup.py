@@ -478,7 +478,9 @@ def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS) -> DataFrame:
     100 TB shape: segments shuffle on their FULL 128-bit md5 content
     hash — this is a removal path, so like :func:`exact_dedup` it needs
     a collision-resistant key (the ~2^30 ``md5_hash64`` space would
-    silently drop distinct colliding segments at ~40k distinct values)
+    silently drop distinct colliding segments at ~40k distinct values);
+    the key is ``unhex(md5)``, 16 raw bytes, half the shuffle width of
+    the 32-char hex string for the same collision resistance
     (one count agg + one equi-join), then one agg back on doc_id; no
     pairwise candidate set exists at any point, so cost is linear in
     corpus token count. Boilerplate lines shared by millions of pages are
@@ -510,7 +512,7 @@ def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS) -> DataFrame:
     base = docs.select("doc_id", n_segs.alias("n_segs"), segs.alias("segs"))
     exploded = base.select(
         "doc_id", F.posexplode("segs").alias("idx", "seg")
-    ).withColumn("h", F.md5(F.col("seg")))
+    ).withColumn("h", F.unhex(F.md5(F.col("seg"))))
     counts = exploded.groupBy("h").agg(F.count("*").alias("cnt"))
     kept = exploded.join(counts, "h").where(F.col("cnt") == 1)
     reassembled = kept.groupBy("doc_id").agg(

@@ -634,7 +634,9 @@ def bigram_familiarity(docs: DataFrame) -> DataFrame:
     Docs with <2 tokens have no bigrams and score 0. Both shuffles key on
     the FULL 128-bit md5 bigram hash — at corpus scale the distinct
     bigram count passes ~2^30, where the reduced md5_hash64 space would
-    merge distinct bigrams' counts and inflate familiarity — so the
+    merge distinct bigrams' counts and inflate familiarity — carried as
+    ``unhex(md5)``, 16 raw bytes, half the hex string's shuffle width —
+    so the
     100 TB cost is linear with no skew beyond true bigram frequency (hot
     bigrams are hot AGG keys — absorbed map-side — and their join
     fan-out equals their true occurrence count, same as
@@ -655,7 +657,7 @@ def bigram_familiarity(docs: DataFrame) -> DataFrame:
     base = docs.select("doc_id", bigrams.alias("bg"))
     occ = base.select(
         "doc_id", F.explode("bg").alias("bigram")
-    ).withColumn("h", F.md5(F.col("bigram")))
+    ).withColumn("h", F.unhex(F.md5(F.col("bigram"))))
     model = occ.groupBy("h").agg(F.count("*").alias("cnt"))
     per_doc = (
         occ.join(model, "h")

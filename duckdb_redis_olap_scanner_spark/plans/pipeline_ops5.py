@@ -40,7 +40,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..operators.text import sql_md5_hash64
-from .catalog import register, table
+from .catalog import _keyed_parts, register, table
 from .pipeline_ops import _SQL_QUANT_EMB, _SQL_TOKS
 
 _SQL_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS)
@@ -1831,11 +1831,19 @@ def parts_pareto(spark: SparkSession, sf: str):
     # Pass 0: range-partition on the global sort key (explicit
     # numPartitions pins the exchange against AQE coalescing) so
     # partition i holds keys strictly ordered before partition i+1,
-    # then stamp each row with its slice id.
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = r.repartitionByRange(
-        nparts, F.desc("rev_cents"), F.asc("l_partkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # then stamp each row with its slice id. The stamped table is
+    # eagerly localCheckpoint-ed: repartitionByRange SAMPLES its
+    # boundaries, so pid assignment is nondeterministic across
+    # recomputations — both downstream branches (the P-row offsets
+    # frame and the probe side it broadcast-joins back to) must read
+    # the SAME materialized assignment rather than rely on exchange
+    # reuse firing. It also caches the one table two branches scan.
+    nparts = _keyed_parts(spark, sf)
+    ranged = (
+        r.repartitionByRange(nparts, F.desc("rev_cents"), F.asc("l_partkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # Pass 1: per-slice local rank + local running sum — the window is
     # partitioned on pid, so every slice sorts independently in
     # parallel (no single-partition global sort anywhere).
