@@ -86,6 +86,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _dispatch_floor_model(spark, samples: int = 6) -> tuple[float, float]:
+    """Measured (job_floor, per_exchange_floor) on THIS host: best time
+    of a trivial 0-exchange noop job, and the marginal cost per
+    exchange fitted from a 4-exchange groupBy chain over the same tiny
+    input. Local-mode query latency has an additive floor of roughly
+    job_floor + exchanges × per_exchange — which is why sub-0.2 s
+    queries can't approach DuckDB's ~20 ms numbers regardless of plan
+    quality."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(10_000, numPartitions=8).select(
+        F.col("id").alias("k0"), F.lit(1).alias("v")
+    )
+    chain = base
+    for i in range(4):
+        chain = chain.groupBy(
+            (F.col(chain.columns[0]) % (97 - i)).alias(f"k{i + 1}")
+        ).agg(F.sum("v").alias("v"))
+    best0 = best4 = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        _force(base)
+        best0 = min(best0, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _force(chain)
+        best4 = min(best4, time.perf_counter() - t0)
+    return best0, max(best4 - best0, 0.0) / 4
+
+
+def _plan_exchanges(df) -> int:
+    """Exchange count (shuffle + broadcast, minus reused) from the
+    executed physical plan — each one dispatches an extra stage/job
+    boundary. An estimate, not an exact scheduler count — good enough
+    to separate floor-bound queries (floor ≈ measured time) from real
+    regressions."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange") - plan.count("ReusedExchange")
+
+
 def _shuffle_partitions(sf_dir: str) -> int:
     """Volume-proportional shuffle sizing, using THE SAME formula as the
     keyed table loads (catalog.suggested_shuffle_partitions): when the
@@ -173,6 +212,20 @@ def main() -> None:
                 best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(v, 3) for name, v in best.items()}
 
+    # Per-query dispatch floor: job floor + exchanges × per-exchange
+    # floor, both measured on this host. A query whose time ≈ its
+    # floor is scheduler-bound, not plan-bound — mechanically
+    # separable from a real regression.
+    job_floor, ex_floor = _dispatch_floor_model(spark)
+    floor_sec = {
+        name: round(
+            job_floor
+            + _plan_exchanges(entries[name].fn(spark, sf_dir)) * ex_floor,
+            3,
+        )
+        for name in bench_names
+    }
+
     # Regression guard on stderr — stdout stays the single JSON line
     # the driver parses.
     for msg in regression_report(
@@ -189,6 +242,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "floor_sec": floor_sec,
+                "floor_model": {
+                    "job_sec": round(job_floor, 4),
+                    "per_exchange_sec": round(ex_floor, 4),
+                },
+                "notes": (
+                    "floor_sec = measured job floor + executed-plan "
+                    "exchange count x measured per-exchange floor; a "
+                    "query near its floor is scheduler-bound, not "
+                    "plan-bound. "
+                    "q13_customer_distribution's timing excludes the "
+                    "one-time secondary custkey layout build (warmed "
+                    "above, the bucketed-on-storage assumption)."
+                ),
             }
         )
     )
