@@ -52,24 +52,32 @@ def _try_import_pillow():
 
 def decode_image(payload: bytes):
     """Image decode. Uncompressed BMP (24-bit BI_RGB), binary PPM
-    (P6), and PNG (8-bit truecolor, zlib is stdlib) are decoded HERE,
-    dependency-free, to a top-down RGB uint8 numpy array — no import
-    gate (see :func:`decode_bmp` / :func:`decode_ppm` /
-    :func:`decode_png`). Codec-library formats (JPEG/WebP/…) fall
-    through to Pillow, import-gated."""
+    (P6), PNG (8-bit truecolor, zlib is stdlib), and baseline
+    sequential JPEG (SOF0, 4:4:4 — see :mod:`.jpeg`) are decoded
+    HERE, dependency-free, to a top-down uint8 numpy array — no
+    import gate. Remaining codec-library formats (progressive JPEG,
+    WebP/…) fall through to Pillow, import-gated."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)[0]
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)[0]
+        except NotImplementedError:
+            pass  # progressive/subsampled: fall through to Pillow
     image_mod = _try_import_pillow()
     if image_mod is None:
         raise NotImplementedError(
-            "codec-library image decoding (JPEG/WebP/...) requires "
-            "Pillow, which is not installed in this container; "
-            "BMP/PPM/PNG decode natively (decode_bmp/decode_ppm/"
-            "decode_png)"
+            "codec-library image decoding (progressive/subsampled "
+            "JPEG, WebP/...) requires Pillow, which is not installed "
+            "in this container; BMP/PPM/PNG and baseline 4:4:4 JPEG "
+            "decode natively (decode_bmp/decode_ppm/decode_png/"
+            "jpeg.decode_jpeg)"
         )
     import io
 
@@ -451,6 +459,8 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
     multimodal plumbing. kind in {'bmp', 'ppm', 'wav'}."""
     from ..engine import ship_package
 
+    from .jpeg import encode_jpeg_payload
+
     enc = {
         "bmp": encode_bmp_payload,
         "ppm": encode_ppm_payload,
@@ -458,10 +468,12 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "png": lambda did: encode_png_payload(did),
         "wav_mulaw": lambda did: encode_wav_mulaw_payload(did),
         "avi": lambda did: encode_avi_payload(did),
+        "jpeg": lambda did: encode_jpeg_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
-            "wav_mulaw": "audio/wav", "avi": "video/x-msvideo"}[kind]
+            "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
+            "jpeg": "image/jpeg"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -591,6 +603,10 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_png_features(media)
     if kind == "avi":
         return decode_avi_features(media)
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg_features
+
+        return decode_jpeg_features(media)
     return decode_image_features(media)
 
 

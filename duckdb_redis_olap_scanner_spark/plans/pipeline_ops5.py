@@ -636,6 +636,73 @@ def multimodal_decode_png(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_jpeg",
+    # JPEGs are synthesized from CLOSED-FORM quantized coefficients
+    # (operators/jpeg.py module docstring), so the oracle reproduces
+    # the per-(block, component) sparse coefficient synthesis and the
+    # two quantization tables directly in SQL. The decoder can only
+    # reach these numbers through a real marker walk + file-defined
+    # canonical Huffman decode + dequantization (IDCT pixels are
+    # transcendental, hence not the oracled surface — they are pinned
+    # by the DC-only closed form in tests/test_multimodal_codecs.py).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents),
+    bc AS (
+      SELECT doc_id, width, height, nb,
+             unnest(range(0, nb * 3)) AS i
+      FROM dims),
+    t AS (
+      SELECT doc_id, width, height, nb, i // 3 AS b, i % 3 AS c
+      FROM bc),
+    q AS (
+      SELECT doc_id, width, height, nb, b, c,
+             ((doc_id*5 + b*11 + c*23) % 61) - 30 AS dc,
+             1 + ((doc_id + b + c) % 9) AS z1,
+             ((doc_id + 7*b + 13*c) % 19) - 9 AS v1,
+             20 + ((doc_id*3 + b*7 + c*5) % 40) AS z2,
+             ((doc_id*7 + 3*b + 5*c) % 13) - 6 AS v2
+      FROM t),
+    d AS (
+      SELECT doc_id, width, height, nb, b, c, z1, z2,
+             dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dq0,
+             v1 * (CASE WHEN c = 0 THEN 1 + (5*z1) % 16
+                        ELSE 2 + (3*z1) % 24 END) AS dq1,
+             v2 * (CASE WHEN c = 0 THEN 1 + (5*z2) % 16
+                        ELSE 2 + (3*z2) % 24 END) AS dq2
+      FROM q)
+    SELECT doc_id, width, height,
+           CAST(nb * 3 AS INT) AS n_blocks,
+           CAST(SUM(dq0) AS BIGINT) AS sum_dc,
+           CAST(SUM(dq1 + dq2) AS BIGINT) AS sum_ac,
+           CAST(SUM((b*192 + c*64 + 1) * dq0
+                  + (b*192 + c*64 + z1 + 1) * dq1
+                  + (b*192 + c*64 + z2 + 1) * dq2) AS BIGINT)
+               AS coef_checksum
+    FROM d
+    GROUP BY doc_id, width, height, nb
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of a LOSSY image format, no codec library: "
+    "synthesize a true baseline-sequential JFIF per doc (YCbCr 4:4:4, "
+    "canonical Huffman tables built from the image's own symbol "
+    "frequencies and carried in DHT, ZRL-exercising AC layout, "
+    "restart intervals on every third doc), then fully parse it back "
+    "— marker walk, DHT canonical-Huffman decode, byte unstuffing, "
+    "DC prediction with RSTn resets, dequantize, de-zigzag, float64 "
+    "IDCT — in stdlib struct + numpy inside the same narrow Arrow "
+    "maps as the PNG twin. The oracle pins dequantized-coefficient "
+    "sums/checksum (operators/jpeg.decode_jpeg).",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "jpeg")
+
+
+@register(
     "multimodal_decode_wav_mulaw",
     # The payload bytes ARE the closed form (b_i = (doc_id*13+i*31)%256);
     # the oracle expands them with the same standard G.711 integer

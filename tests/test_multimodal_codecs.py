@@ -130,9 +130,15 @@ def test_decode_image_dispatch():
     assert (M.decode_image(M.encode_ppm_payload(9)) == M._image_pixels(9)).all()
     assert (M.decode_image(M.encode_png_payload(9)) == M._image_pixels(9)).all()
     if M._try_import_pillow() is None:
-        # JPEG (codec-library formats) still import-gate on Pillow.
+        # Baseline JPEG now decodes natively; only NON-baseline JPEG
+        # (progressive etc.) still import-gates on Pillow.
+        import duckdb_redis_olap_scanner_spark.operators.jpeg as _J
+
+        progressive = bytearray(_J.encode_jpeg_payload(1))
+        sof = progressive.find(b"\xff\xc0")
+        progressive[sof + 1] = 0xC2
         with pytest.raises(NotImplementedError, match="codec-library"):
-            M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+            M.decode_image(bytes(progressive))
 
 
 def test_decode_audio_dispatch():
@@ -241,3 +247,138 @@ def test_avi_rejects_unsupported():
     buf[i : i + 4] = b"MJPG"
     with pytest.raises(ValueError, match="MJPG"):
         M.decode_avi(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+import duckdb_redis_olap_scanner_spark.operators.jpeg as J  # noqa: E402
+
+
+def test_jpeg_zigzag_is_the_spec_order():
+    # First entries of T.81's zigzag scan in natural (row*8+col) index.
+    assert J.ZIGZAG[:16] == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    ]
+    assert sorted(J.ZIGZAG) == list(range(64))
+
+
+def _expected_stats(doc_id):
+    w, h = J.synth_dims(doc_id)
+    nb = (w // 8) * (h // 8)
+    dc = ac = ck = 0
+    for b in range(nb):
+        for c in range(3):
+            q = J.quant_table(c)
+            for z, v in J.synth_block_coefs(doc_id, b, c).items():
+                deq = v * q[z]
+                dc += deq if z == 0 else 0
+                ac += deq if z > 0 else 0
+                ck += (b * 192 + c * 64 + z + 1) * deq
+    return w, h, nb * 3, dc, ac, ck
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 6, 11, 12, 123, 4999])
+def test_jpeg_round_trip_coefficients(doc_id):
+    """Encode from closed-form coefficients, decode through the full
+    marker walk + file-defined Huffman tables + dequantize; doc_id
+    divisible by 3 exercises DRI/RSTn with DC-predictor resets."""
+    px, st = J.decode_jpeg(J.encode_jpeg_payload(doc_id))
+    w, h, n_blocks, dc, ac, ck = _expected_stats(doc_id)
+    assert (st["width"], st["height"], st["n_blocks"]) == (w, h, n_blocks)
+    assert st["sum_dc"] == dc
+    assert st["sum_ac"] == ac
+    assert st["coef_checksum"] == ck
+    assert px.shape == (h, w, 3) and px.dtype == np.uint8
+
+
+def test_jpeg_restart_markers_present_and_required():
+    """A doc_id % 3 == 2 payload must physically contain RSTn markers,
+    and corrupting one must fail loudly (proving the decoder honors
+    the DRI interval rather than skipping bytes)."""
+    payload = bytearray(J.encode_jpeg_payload(5))  # 3x2 MCUs, DRI=2
+    rst_positions = [
+        i for i in range(len(payload) - 1)
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+    ]
+    assert len(rst_positions) == 2  # 6 MCUs / DRI 2 -> 2 interior RSTs
+    payload[rst_positions[0] + 1] = 0xD7  # wrong RST index
+    with pytest.raises(ValueError, match="expected RST"):
+        J.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_dc_only_idct_closed_form():
+    """IDCT pin: a block whose only coefficient is DC decodes to the
+    flat value round(dc*Q0/8) + 128 on every pixel — the one
+    closed-form pixel case a lossy codec has."""
+    real_synth = J.synth_block_coefs
+    try:
+        J.synth_block_coefs = lambda d, b, c: {0: 24 if c == 0 else -16}
+        px, st = J.decode_jpeg(J.encode_jpeg_payload(1))  # 16x16, no DRI
+        q0_luma, q0_chroma = J.quant_table(0)[0], J.quant_table(1)[0]
+        want_y = int(np.clip(np.round(24 * q0_luma / 8) + 128, 0, 255))
+        want_c = int(np.clip(np.round(-16 * q0_chroma / 8) + 128, 0, 255))
+        assert (px[:, :, 0] == want_y).all()
+        assert (px[:, :, 1] == want_c).all()
+        assert (px[:, :, 2] == want_c).all()
+        assert st["sum_ac"] == 0
+    finally:
+        J.synth_block_coefs = real_synth
+
+
+def test_jpeg_rejects_non_baseline():
+    payload = bytearray(J.encode_jpeg_payload(1))
+    # SOF0 (FFC0) -> SOF2 (FFC2): progressive must gate to Pillow.
+    sof = payload.find(b"\xff\xc0")
+    assert sof > 0
+    payload[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"NOPE")
+
+
+def test_jpeg_huffman_tables_are_canonical_and_legal():
+    """Every DHT in a synthesized file must be decodable by the
+    generic canonical reader AND leave the all-ones code of its max
+    length unassigned (T.81's prefix-reservation rule)."""
+    payload = J.encode_jpeg_payload(123)
+    pos, n_tables = 2, 0
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xC4:
+            n_tables += 1
+            bits = list(body[1:17])
+            code, maxcode = 0, {}
+            for ln in range(1, 17):
+                code = (code << 1) if ln > 1 else 0
+                code += 0  # canonical walk below
+            # rebuild canonical codes and check the all-ones rule
+            code = 0
+            last_len = 0
+            codes = []
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    code <<= ln - last_len
+                    last_len = ln
+                    codes.append((code, ln))
+                    code += 1
+            assert codes, "empty Huffman table"
+            for c, ln in codes:
+                assert c < (1 << ln)
+                assert not (ln and c == (1 << ln) - 1), (
+                    f"all-ones code of length {ln} assigned"
+                )
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    assert n_tables == 4
+
+
+def test_decode_image_routes_baseline_jpeg_natively():
+    px = M.decode_image(J.encode_jpeg_payload(7))
+    w, h = J.synth_dims(7)
+    assert px.shape == (h, w, 3)
