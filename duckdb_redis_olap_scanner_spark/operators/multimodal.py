@@ -469,11 +469,12 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "wav_mulaw": lambda did: encode_wav_mulaw_payload(did),
         "avi": lambda did: encode_avi_payload(did),
         "jpeg": lambda did: encode_jpeg_payload(did),
+        "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
-            "jpeg": "image/jpeg"}[kind]
+            "jpeg": "image/jpeg", "jpeg420": "image/jpeg"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -603,7 +604,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_png_features(media)
     if kind == "avi":
         return decode_avi_features(media)
-    if kind == "jpeg":
+    if kind in ("jpeg", "jpeg420"):
         from .jpeg import decode_jpeg_features
 
         return decode_jpeg_features(media)

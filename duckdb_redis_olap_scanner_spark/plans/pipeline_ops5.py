@@ -703,6 +703,69 @@ def multimodal_decode_jpeg(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_jpeg420",
+    # 4:2:0 contract (operators/jpeg.py module docstring): 16x16 MCUs
+    # of Y0 Y1 Y2 Y3 Cb Cr; block index b = the GLOBAL scan-order
+    # counter i, component c = i%6 mapped 0/0/0/0/1/2; checksum weight
+    # i*64 + z + 1. Interleaved-MCU entropy decode with four luma
+    # blocks sharing one DC predictor chain is exactly what a 4:4:4
+    # decoder gets wrong, so this pins the real-world layout.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+             CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+             (1 + doc_id % 2) * (1 + doc_id % 3) AS nm
+      FROM documents),
+    bc AS (
+      SELECT doc_id, width, height, nm,
+             unnest(range(0, nm * 6)) AS i
+      FROM dims),
+    t AS (
+      SELECT doc_id, width, height, nm, i,
+             CASE WHEN i % 6 < 4 THEN 0
+                  WHEN i % 6 = 4 THEN 1 ELSE 2 END AS c
+      FROM bc),
+    q AS (
+      SELECT doc_id, width, height, nm, i, c,
+             ((doc_id*5 + i*11 + c*23) % 61) - 30 AS dc,
+             1 + ((doc_id + i + c) % 9) AS z1,
+             ((doc_id + 7*i + 13*c) % 19) - 9 AS v1,
+             20 + ((doc_id*3 + i*7 + c*5) % 40) AS z2,
+             ((doc_id*7 + 3*i + 5*c) % 13) - 6 AS v2
+      FROM t),
+    d AS (
+      SELECT doc_id, width, height, nm, i, z1, z2,
+             dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dq0,
+             v1 * (CASE WHEN c = 0 THEN 1 + (5*z1) % 16
+                        ELSE 2 + (3*z1) % 24 END) AS dq1,
+             v2 * (CASE WHEN c = 0 THEN 1 + (5*z2) % 16
+                        ELSE 2 + (3*z2) % 24 END) AS dq2
+      FROM q)
+    SELECT doc_id, width, height,
+           CAST(nm * 6 AS INT) AS n_blocks,
+           CAST(SUM(dq0) AS BIGINT) AS sum_dc,
+           CAST(SUM(dq1 + dq2) AS BIGINT) AS sum_ac,
+           CAST(SUM((i*64 + 1) * dq0
+                  + (i*64 + z1 + 1) * dq1
+                  + (i*64 + z2 + 1) * dq2) AS BIGINT) AS coef_checksum
+    FROM d
+    GROUP BY doc_id, width, height, nm
+    """,
+    tags=("multimodal",),
+    doc="4:2:0 chroma-subsampled JPEG decode — the dominant real-world "
+    "layout: 16x16 interleaved MCUs (four luma blocks sharing one DC "
+    "predictor chain + Cb + Cr), generic per-component sampling "
+    "factors in the MCU walk, chroma planes decoded at half "
+    "resolution and replicated back up for the pixel output. Same "
+    "marker/Huffman/dequantize machinery as multimodal_decode_jpeg; "
+    "DRI/RSTn on the two-MCU-wide docs (operators/jpeg.decode_jpeg).",
+)
+def multimodal_decode_jpeg420(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "jpeg420")
+
+
+@register(
     "multimodal_decode_wav_mulaw",
     # The payload bytes ARE the closed form (b_i = (doc_id*13+i*31)%256);
     # the oracle expands them with the same standard G.711 integer

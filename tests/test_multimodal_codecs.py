@@ -382,3 +382,56 @@ def test_decode_image_routes_baseline_jpeg_natively():
     px = M.decode_image(J.encode_jpeg_payload(7))
     w, h = J.synth_dims(7)
     assert px.shape == (h, w, 3)
+
+
+def _expected_stats_420(doc_id):
+    w, h = J.synth_dims420(doc_id)
+    nm = (w // 16) * (h // 16)
+    dc = ac = ck = 0
+    blk = 0
+    for m in range(nm):
+        for n, c in enumerate((0, 0, 0, 0, 1, 2)):
+            q = J.quant_table(c)
+            for z, v in J.synth_block_coefs(doc_id, m * 6 + n, c).items():
+                deq = v * q[z]
+                dc += deq if z == 0 else 0
+                ac += deq if z > 0 else 0
+                ck += (blk * 64 + z + 1) * deq
+            blk += 1
+    return w, h, nm * 6, dc, ac, ck
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 6, 11, 123, 4999])
+def test_jpeg420_round_trip_coefficients(doc_id):
+    """4:2:0 interleaved MCUs: four luma blocks per MCU share one DC
+    predictor chain — a decoder that walks components 1:1:1 drifts
+    immediately. Odd doc_ids exercise DRI/RSTn mid-row."""
+    px, st = J.decode_jpeg(J.encode_jpeg_payload(doc_id, "420"))
+    w, h, n_blocks, dc, ac, ck = _expected_stats_420(doc_id)
+    assert (st["width"], st["height"], st["n_blocks"]) == (w, h, n_blocks)
+    assert (st["sum_dc"], st["sum_ac"], st["coef_checksum"]) == (dc, ac, ck)
+    assert px.shape == (h, w, 3) and px.dtype == np.uint8
+
+
+def test_jpeg420_chroma_upsampling_is_replication():
+    """DC-only 4:2:0 chroma decodes to a flat half-res plane that must
+    come back replicated 2x2 to full resolution."""
+    real_synth = J.synth_block_coefs
+    try:
+        J.synth_block_coefs = lambda d, b, c: {0: 8 if c == 0 else 24}
+        px, _st = J.decode_jpeg(J.encode_jpeg_payload(0, "420"))
+        q0_l, q0_c = J.quant_table(0)[0], J.quant_table(1)[0]
+        want_y = int(np.clip(np.round(8 * q0_l / 8) + 128, 0, 255))
+        want_c = int(np.clip(np.round(24 * q0_c / 8) + 128, 0, 255))
+        assert (px[:, :, 0] == want_y).all()
+        assert (px[:, :, 1] == want_c).all() and (px[:, :, 2] == want_c).all()
+    finally:
+        J.synth_block_coefs = real_synth
+
+
+def test_jpeg_rejects_oversampled():
+    payload = bytearray(J.encode_jpeg_payload(1))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 2 + 2 + 6 + 1] = 0x33  # Y sampling 3x3
+    with pytest.raises(NotImplementedError, match="sampling factor"):
+        J.decode_jpeg(bytes(payload))
