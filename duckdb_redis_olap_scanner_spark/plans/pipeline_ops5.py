@@ -765,6 +765,81 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "jpeg420")
 
 
+# The IMA ADPCM oracle replays the codec's STATE MACHINE as a
+# recursive CTE — per doc, sample s derives from sample s-1 through
+# the step-table recurrence (operators/multimodal.py: adpcm_expand /
+# the synthesis contract above ADPCM_SPB). Built once at import.
+_ADPCM_STEP_SQL = "[" + ",".join(str(v) for v in M.IMA_STEP_TABLE) + "]"
+
+_ADPCM_HEAD = "((doc_id * 11 + ((s + 1) // 17) * 29) % 65536) - 32768"
+
+
+@register(
+    "multimodal_decode_wav_adpcm",
+    oracle=f"""
+    WITH RECURSIVE prm AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             16 + doc_id % 33 AS n
+      FROM documents),
+    st AS (
+      SELECT doc_id, sample_rate, n, 0 AS s,
+             ((doc_id * 11) % 65536) - 32768 AS pred,
+             doc_id % 89 AS idx,
+             CAST(((doc_id * 11) % 65536) - 32768 AS BIGINT) AS ssum,
+             CAST(((doc_id * 11) % 65536) - 32768 AS BIGINT) AS ck
+      FROM prm
+      UNION ALL
+      SELECT doc_id, sample_rate, n, s + 1,
+             CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD}
+                  ELSE new_pred END,
+             CASE WHEN (s + 1) % 17 = 0
+                  THEN (doc_id + ((s + 1) // 17) * 7) % 89
+                  ELSE new_idx END,
+             ssum + CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD}
+                  ELSE new_pred END,
+             ck + (s + 2) * CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD}
+                  ELSE new_pred END
+      FROM (
+        SELECT doc_id, sample_rate, n, s, ssum, ck, idx, nib,
+               GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN nib >= 8 THEN -dlt ELSE dlt END))
+                   AS new_pred,
+               GREATEST(0, LEAST(88,
+                 idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+                   AS new_idx
+        FROM (
+          SELECT *,
+                 step // 8 + ((nib // 4) % 2) * step
+                 + ((nib // 2) % 2) * (step // 2)
+                 + (nib % 2) * (step // 4) AS dlt
+          FROM (
+            SELECT *,
+                   (doc_id * 7 + (s + 1) * 13) % 16 AS nib,
+                   ({_ADPCM_STEP_SQL})[idx + 1] AS step
+            FROM st WHERE s + 1 < n))))
+    SELECT doc_id, CAST(1 AS INT) AS n_channels, sample_rate,
+           CAST(4 AS INT) AS bits, CAST(n AS INT) AS n_frames,
+           CAST(ssum AS BIGINT) AS sum_ch0, CAST(0 AS BIGINT) AS sum_ch1,
+           CAST(ck AS BIGINT) AS checksum
+    FROM st WHERE s = n - 1
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of a STATEFUL compressed-audio codec, no codec "
+    "library: synthesize true RIFF/WAVE IMA ADPCM files (format 17, "
+    "per-block predictor headers, packed 4-bit deltas, fact-chunk "
+    "sample count bounding the padded last block), then decode the "
+    "step-table state machine sample-by-sample (predictor and index "
+    "clamped per the spec's reference decoder). The oracle replays "
+    "the SAME recurrence as a DuckDB recursive CTE — each sample "
+    "depends on the previous one, so no per-byte closed form exists, "
+    "and this pins an entire decode TRAJECTORY, not just aggregate "
+    "formulas (operators/multimodal.adpcm_expand).",
+)
+def multimodal_decode_wav_adpcm(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "wav_adpcm")
+
+
 @register(
     "multimodal_decode_wav_mulaw",
     # The payload bytes ARE the closed form (b_i = (doc_id*13+i*31)%256);

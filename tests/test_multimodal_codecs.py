@@ -435,3 +435,68 @@ def test_jpeg_rejects_oversampled():
     payload[sof + 2 + 2 + 6 + 1] = 0x33  # Y sampling 3x3
     with pytest.raises(NotImplementedError, match="sampling factor"):
         J.decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (stateful compressed audio, operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _adpcm_reference(doc_id):
+    """Independent replay of the IMA state machine from the synthesis
+    contract (not via adpcm_expand)."""
+    sr, n = M._adpcm_params(doc_id)
+    out = []
+    pred = idx = 0
+    for s in range(n):
+        if s % M.ADPCM_SPB == 0:
+            pred, idx = M._adpcm_block_header(doc_id, s // M.ADPCM_SPB)
+        else:
+            nib = M._adpcm_nibble(doc_id, s)
+            step = M.IMA_STEP_TABLE[idx]
+            diff = (step >> 3) + (nib & 1) * (step >> 2) \
+                + ((nib >> 1) & 1) * (step >> 1) + ((nib >> 2) & 1) * step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + M.IMA_INDEX_ADJUST[nib & 7]))
+        out.append(pred)
+    return sr, out
+
+
+def test_ima_tables_are_the_spec_tables():
+    assert len(M.IMA_STEP_TABLE) == 89
+    assert M.IMA_STEP_TABLE[0] == 7 and M.IMA_STEP_TABLE[-1] == 32767
+    assert all(a < b for a, b in zip(M.IMA_STEP_TABLE, M.IMA_STEP_TABLE[1:]))
+    assert M.IMA_INDEX_ADJUST == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 16, 17, 33, 50, 123, 4999])
+def test_adpcm_round_trip(doc_id):
+    """n = 16 + d%33 spans partial single blocks, exact one-block
+    (n=17), and multi-block streams with per-block state resets."""
+    ch, sr, bits, samples = M.decode_wav(M.encode_wav_adpcm_payload(doc_id))
+    rsr, ref = _adpcm_reference(doc_id)
+    assert (ch, sr, bits) == (1, rsr, 4)
+    assert list(samples) == ref
+
+
+def test_adpcm_fact_chunk_bounds_padded_last_block():
+    """A doc with an ODD nibble count carries a zero pad nibble the
+    fact chunk must exclude; without the fact count the capacity
+    formula would emit one extra sample."""
+    for doc_id in range(33):
+        _sr, n = M._adpcm_params(doc_id)
+        if (n - 1) % M.ADPCM_SPB % 2 == 0 and n % M.ADPCM_SPB != 0:
+            break
+    _ch, _sr2, _bits, samples = M.decode_wav(
+        M.encode_wav_adpcm_payload(doc_id)
+    )
+    assert len(samples) == n
+
+
+def test_adpcm_rejects_corrupt_step_index():
+    payload = bytearray(M.encode_wav_adpcm_payload(2))
+    data_off = payload.find(b"data") + 8
+    payload[data_off + 2] = 120  # step index > 88
+    with pytest.raises(ValueError, match="step index"):
+        M.decode_wav(bytes(payload))
