@@ -116,13 +116,21 @@ def _dispatch_floor_model(spark, samples: int = 6) -> tuple[float, float]:
 
 
 def _plan_exchanges(df) -> int:
-    """Exchange count (shuffle + broadcast, minus reused) from the
-    executed physical plan — each one dispatches an extra stage/job
-    boundary. An estimate, not an exact scheduler count — good enough
-    to separate floor-bound queries (floor ≈ measured time) from real
+    """SHUFFLE exchange count (hash/range/single-partition, minus
+    reused) from the executed physical plan — each one is a hard stage
+    boundary at roughly the probe's per-exchange cost. Broadcast
+    exchanges are excluded: they move dim-sized data on side jobs that
+    overlap the main stages, so charging them the full shuffle rate
+    pushed the floor ABOVE measured time on broadcast-heavy queries.
+    An estimate, not an exact scheduler count — good enough to
+    separate floor-bound queries (floor ≈ measured time) from real
     regressions."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange") - plan.count("ReusedExchange")
+    return (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
 
 
 def _shuffle_partitions(sf_dir: str) -> int:
