@@ -238,10 +238,33 @@ def _referenced_pkg_callables(fn) -> frozenset:
             getattr(obj, "__module__", "") == pkg[:-1]
 
     out: set = set()
+    visited: set = set()
     stack = [fn]
+
+    def push(obj) -> None:
+        obj = getattr(obj, "__func__", obj)  # classmethod/staticmethod
+        if callable(obj) and in_pkg(obj):
+            stack.append(obj)
+
     while stack:
         f = stack.pop()
         f = inspect.unwrap(f)
+        try:
+            if f in visited:
+                continue
+            visited.add(f)
+        except TypeError:
+            continue
+        if isinstance(f, type):
+            # A class: its getsource covers the whole body, and its
+            # methods are walked for further references — this is how
+            # entries reach Engine and (through ALL_DATASOURCES) the
+            # DataSource/Reader classes behind string format names.
+            if in_pkg(f):
+                out.add(f)
+                for v in vars(f).values():
+                    push(v)
+            continue
         code = getattr(f, "__code__", None)
         if code is None:
             # pyspark UDF wrappers hold the python fn as ``.func``
@@ -250,8 +273,6 @@ def _referenced_pkg_callables(fn) -> frozenset:
             if code is None:
                 continue
             f = inner
-        if f in out:
-            continue
         if in_pkg(f):
             out.add(f)
         names: set[str] = set()
@@ -268,20 +289,20 @@ def _referenced_pkg_callables(fn) -> frozenset:
             if isinstance(obj, types.ModuleType):
                 if (obj.__name__ + ".").startswith(pkg):
                     pkg_mods.append(obj)
-            elif callable(obj) and in_pkg(obj):
-                stack.append(obj)
+            elif isinstance(obj, (list, tuple)) and len(obj) <= 64:
+                # registry constants like engine.ALL_DATASOURCES
+                for x in obj:
+                    push(x)
+            else:
+                push(obj)
         for mod in pkg_mods:
             for n in names:
-                obj = getattr(mod, n, None)
-                if callable(obj) and in_pkg(obj):
-                    stack.append(obj)
+                push(getattr(mod, n, None))
         for cell in getattr(f, "__closure__", None) or ():
             try:
-                v = cell.cell_contents
+                push(cell.cell_contents)
             except ValueError:
                 continue
-            if callable(v) and in_pkg(v):
-                stack.append(v)
     return frozenset(out)
 
 

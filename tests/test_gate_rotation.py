@@ -194,6 +194,19 @@ def test_referenced_callables_cross_module_alias():
     assert any(q == "table" for q in quals)  # catalog helper
 
 
+def test_referenced_callables_reach_datasource_classes():
+    """String-format sources (``spark.read.format('redis_zset')``) are
+    invisible to bytecode name loads; the walk must reach the reader
+    classes through Engine -> register_datasources -> ALL_DATASOURCES,
+    or a reader fix never dirties its golden entries."""
+    reg = catalog.registry()
+    e = reg["redis_zset_golden"]
+    fns = catalog._referenced_pkg_callables(e.raw_fn)
+    quals = {f.__qualname__ for f in fns}
+    assert "RedisZSetReader.read" in quals
+    assert "Engine" in quals  # the class itself (getsource covers it)
+
+
 def test_round_commits_and_blob_real_repo():
     root = catalog._repo_root()
     commits = catalog._round_commits(root)
