@@ -85,16 +85,21 @@ def decode_image(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Audio decode. RIFF/WAVE PCM16 is decoded HERE, dependency-free,
-    to (n_channels, sample_rate, bits, int16 samples) — no import gate
-    (see :func:`decode_wav`). Compressed codecs (FLAC/MP3/…) would
-    need an audio library absent from this container."""
+    """Audio decode. RIFF/WAVE (PCM16 / mu-law / IMA ADPCM) and FLAC
+    are decoded HERE, dependency-free, to (n_channels, sample_rate,
+    bits, samples) — no import gate (see :func:`decode_wav` and
+    :mod:`.flac`). Perceptual codecs (MP3/AAC/Vorbis) would need an
+    audio library absent from this container."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "compressed-audio decoding requires an audio library not "
-        "present in this container; PCM WAV decodes natively "
-        "(decode_wav)"
+        "perceptual-audio decoding (MP3/AAC/...) requires an audio "
+        "library not present in this container; PCM/mu-law/ADPCM WAV "
+        "and FLAC decode natively (decode_wav, flac.decode_flac)"
     )
 
 
@@ -478,6 +483,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
     multimodal plumbing. kind in {'bmp', 'ppm', 'wav'}."""
     from ..engine import ship_package
 
+    from .flac import encode_flac_payload as _encode_flac
     from .jpeg import encode_jpeg_payload
 
     enc = {
@@ -490,12 +496,13 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg": lambda did: encode_jpeg_payload(did),
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
         "wav_adpcm": lambda did: encode_wav_adpcm_payload(did),
+        "flac": _encode_flac,
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
-            "wav_adpcm": "audio/wav"}[kind]
+            "wav_adpcm": "audio/wav", "flac": "audio/flac"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -584,7 +591,7 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
         for pdf in batch_iter:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                ch, sr, bits, samples = decode_wav(bytes(payload))
+                ch, sr, bits, samples = decode_audio(bytes(payload))
                 s = samples.astype(np.int64)
                 rows.append(
                     (
@@ -619,7 +626,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     driver materialization — the 100 TB shape for media feature
     extraction."""
     media = synthesize_media(docs, kind)
-    if kind in ("wav", "wav_mulaw", "wav_adpcm"):
+    if kind in ("wav", "wav_mulaw", "wav_adpcm", "flac"):
         return decode_audio_features(media)
     if kind == "png":
         return decode_png_features(media)

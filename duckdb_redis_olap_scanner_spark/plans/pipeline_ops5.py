@@ -892,6 +892,54 @@ def multimodal_decode_wav_mulaw(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_flac",
+    # FLAC is lossless, so the oracle is the synthesis closed form
+    # (operators/flac.py module docstring): interleaved sample i is
+    # ((doc_id*11 + i*97) % 65536) - 32768 over n = 24 + doc_id % 41
+    # frames. What the hash pins is that the decoder recovers EXACTLY
+    # these samples back out of genuinely compressed bytes — Rice
+    # coded fixed/LPC prediction residuals, mid/side decorrelation,
+    # CRC-8/CRC-16-verified frames.
+    oracle="""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(24 + doc_id % 41 AS INT) AS n_frames
+      FROM documents),
+    sm AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT) * n_channels)) AS i
+      FROM prm),
+    v AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             ((doc_id * 11 + i * 97) % 65536) - 32768 AS s
+      FROM sm)
+    SELECT doc_id, n_channels, sample_rate,
+           CAST(16 AS INT) AS bits, n_frames,
+           CAST(SUM(CASE WHEN i % n_channels = 0 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN i % n_channels = 1 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch1,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of the dominant LOSSLESS audio codec, no codec "
+    "library: synthesize genuine FLAC streams per doc (STREAMINFO, "
+    "fixed-blocksize frames, UTF-8 frame numbers, CRC-8/CRC-16) whose "
+    "frames cycle VERBATIM / FIXED order 0-4 / LPC subframes and all "
+    "three stereo decorrelation modes (left-side, right-side, "
+    "mid-side with the 17-bit side channel), residuals Rice-coded "
+    "with per-partition parameter search and raw escapes; then "
+    "decode the full RFC 9639 frame layer back to bit-exact samples "
+    "(operators/flac.decode_flac).",
+)
+def multimodal_decode_flac(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "flac")
+
+
+@register(
     "multimodal_resize_nearest",
     # Resized pixel at (x, y, c) samples source (x*w//3, y*h//2):
     # val = (doc_id*7 + 3*((y*h//2)*w + (x*w//3)) + c) % 256.

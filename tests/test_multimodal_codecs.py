@@ -500,3 +500,148 @@ def test_adpcm_rejects_corrupt_step_index():
     payload[data_off + 2] = 120  # step index > 88
     with pytest.raises(ValueError, match="step index"):
         M.decode_wav(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# FLAC (operators/flac.py)
+# ---------------------------------------------------------------------------
+
+import duckdb_redis_olap_scanner_spark.operators.flac as FL
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 6, 7, 16, 40, 123, 4999])
+def test_flac_round_trip(doc_id):
+    """Bit-exact lossless round trip, samples checked against the
+    closed form computed HERE (not via _flac_samples). Even doc_ids
+    are mono; odd are stereo and cycle all four channel assignments
+    across frames; n = 24 + d%41 spans exact-multiple and partial
+    last frames."""
+    ch, sr, bits, samples = FL.decode_flac(FL.encode_flac_payload(doc_id))
+    ech, esr, n = 1 + doc_id % 2, 8000 + (doc_id % 3) * 4000, 24 + doc_id % 41
+    assert (ch, sr, bits) == (ech, esr, 16)
+    assert len(samples) == n * ech
+    for i, s in enumerate(samples):
+        assert s == ((doc_id * 11 + i * 97) % 65536) - 32768
+
+
+def test_flac_crc8_and_crc16_are_verified():
+    payload = bytearray(FL.encode_flac_payload(3))
+    # first frame starts right after fLaC + 4-byte header + 34 bytes
+    frame0 = 4 + 4 + 34
+    bad_hdr = bytearray(payload)
+    bad_hdr[frame0 + 4] ^= 0x01  # inside the header, before the CRC-8
+    with pytest.raises(ValueError, match="CRC-8"):
+        FL.decode_flac(bytes(bad_hdr))
+    bad_body = bytearray(payload)
+    bad_body[frame0 + 12] ^= 0x40  # inside subframe data
+    with pytest.raises(ValueError, match="CRC|sync|truncated|reserved"):
+        FL.decode_flac(bytes(bad_body))
+
+
+def test_flac_utf8_frame_numbers():
+    for v in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+              (1 << 31) - 1, (1 << 36) - 1):
+        br = FL._BitReader(FL._utf8_number(v))
+        assert FL._read_utf8_number(br) == v
+
+
+def _handmade_stream(frame_bits_fn, bs, total, sr=8000, ch=1, bps=16):
+    """Assemble a one-frame FLAC stream from a caller-supplied
+    subframe-bits writer, exercising decoder paths the repo encoder
+    never emits."""
+    si = FL._BitWriter()
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sr, 20)
+    si.write(ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    for _ in range(16):
+        si.write(0, 8)
+    out = bytearray(b"fLaC") + struct.pack(">I", (1 << 31) | 34)
+    out += si.getvalue()
+    bw = FL._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)
+    bw.write(1, 1)            # VARIABLE blocksize strategy
+    bw.write(0b0111, 4)       # 16-bit blocksize-1 at end of header
+    bw.write(0b0100, 4)       # sample rate 8000 from the code table
+    bw.write(0, 4)            # mono
+    bw.write(0b100, 3)        # 16 bps
+    bw.write(0, 1)
+    bw.write(0, 8)            # UTF-8 sample number 0
+    bw.write(bs - 1, 16)
+    header = bw.getvalue()
+    bw.write(FL.crc8(header), 8)
+    frame_bits_fn(bw)
+    bw.align()
+    frame = bw.getvalue()
+    out += frame + struct.pack(">H", FL.crc16(frame))
+    return bytes(out)
+
+
+def test_flac_constant_subframe_with_wasted_bits():
+    """CONSTANT + wasted-bits: the repo encoder emits neither, so this
+    pins the decoder against a hand-assembled spec stream."""
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)   # CONSTANT
+        bw.write(1, 1)          # wasted-bits flag
+        bw.write(0b01, 2)       # unary 1 -> 2 wasted bits
+        bw.write_signed(5, 14)  # constant at bps - wasted
+    ch, sr, bits, samples = FL.decode_flac(_handmade_stream(sub, 8, 8))
+    assert (ch, sr, bits) == (1, 8000, 16)
+    assert list(samples) == [5 << 2] * 8
+
+
+def test_flac_rice2_method_partitioned():
+    """Residual method 1 (5-bit Rice parameters), partition order 1."""
+    res = [3, -4, 1, 0, -1, 2, 7, -8]
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b001000, 6)   # FIXED order 0
+        bw.write(0, 1)
+        bw.write(0b01, 2)       # method 1: rice2
+        bw.write(1, 4)          # partition order 1 -> two partitions
+        for part in (res[:4], res[4:]):
+            bw.write(2, 5)      # k = 2
+            for r in part:
+                u = (r << 1) if r >= 0 else (-(r << 1) - 1)
+                bw.write_unary(u >> 2)
+                bw.write(u & 3, 2)
+    ch, _sr, _bits, samples = FL.decode_flac(_handmade_stream(sub, 8, 8))
+    assert list(samples) == res
+
+
+def test_flac_rejects_imposters_and_reserved():
+    with pytest.raises(ValueError, match="fLaC"):
+        FL.decode_flac(b"RIFF....WAVE")
+    def sub(bw):
+        bw.write(0, 1)
+        bw.write(0b000010, 6)   # reserved subframe type
+        bw.write(0, 1)
+    with pytest.raises(ValueError, match="reserved subframe"):
+        FL.decode_flac(_handmade_stream(sub, 8, 8))
+
+
+def test_flac_payloads_are_genuinely_compressed():
+    """The fixed/LPC+Rice frames must beat raw PCM for the sawtooth's
+    correlated step pattern on at least the mono docs — i.e. the
+    encoder is actually predicting, not verbatim-dumping (frame 0 is
+    verbatim by design; the rest predict)."""
+    smaller = 0
+    for doc_id in range(0, 40, 2):
+        n = 24 + doc_id % 41
+        raw = n * 2
+        overhead = 4 + 4 + 34  # marker + block header + STREAMINFO
+        if len(FL.encode_flac_payload(doc_id)) - overhead < raw + 16 * 6:
+            smaller += 1
+    assert smaller >= 10
+
+
+def test_flac_dispatches_through_decode_audio():
+    ch, sr, bits, samples = M.decode_audio(FL.encode_flac_payload(7))
+    assert (ch, sr, bits) == (2, 12000, 16)
+    assert len(samples) == (24 + 7 % 41) * 2
