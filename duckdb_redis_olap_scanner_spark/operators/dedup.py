@@ -63,15 +63,26 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_expr(n: int):
-    """(token-array column ``t``) → distinct word n-gram shingle array."""
+    """(token-array column ``t``) → distinct word n-gram shingle array.
+
+    Shape matters: this is a ``zip_with`` fold over n shifted
+    ``slice``s of the token array, NOT ``transform(sequence(...),
+    i -> element_at(t, i+k))``. Indexing an OUTER array with a lambda
+    variable inside a higher-order function drops the whole stage out
+    of the fast path — measured 144 s vs 5 s for the 3-gram shingle
+    explode on the 10x sf0.1 corpus (27x), identical output. Slices
+    and zip_with stay on sequential array traversals."""
     t = F.col("t")
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + k + 1) for k in range(n)]
-    )
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, m)
+    for k in range(1, n):
+        g = F.zip_with(
+            g, F.slice(t, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
         F.size(t) >= n,
-        F.array_distinct(F.transform(idx, gram)),
+        F.array_distinct(g),
     ).otherwise(F.array().cast("array<string>"))
 
 

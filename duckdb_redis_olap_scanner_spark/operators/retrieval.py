@@ -428,13 +428,15 @@ def bpe_train_merges(
     while len(merges) < n_merges:
         want = min(batch_k, n_merges - len(merges))
         arr = F.filter(F.split(F.col("s"), r"\|\|"), lambda x: x != "")
+        # zip_with over shifted slices, not transform+get: lambda-
+        # indexed outer-array access is the slow path (dedup.
+        # _shingle_expr has the measurements).
+        m = F.greatest(F.size(arr) - 1, F.lit(0))
         pairs = F.when(
             F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - 2),
-                lambda j: F.concat(
-                    F.get(arr, j), F.lit(" "), F.get(arr, j + 1)
-                ),
+            F.zip_with(
+                F.slice(arr, 1, m), F.slice(arr, 2, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>"))
         # Over-fetch 4× so the greedy disjoint filter usually finds
