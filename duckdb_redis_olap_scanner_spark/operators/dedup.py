@@ -521,27 +521,48 @@ def segment_dedup(docs: DataFrame, seg_words: int = SEG_WORDS) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = docs.select("doc_id", n_segs.alias("n_segs"), segs.alias("segs"))
+    # Hash-only dedup plane: segment TEXT never enters a shuffle. The
+    # count agg and the count join carry (doc_id, idx, h) — 16-byte
+    # binary md5 keys — and the surviving-index sets come back as int
+    # arrays. The text stays in `base`, which fan_out already hash-
+    # partitioned on doc_id, so the reassembly join is exchange-free
+    # on the base side (kept_idx's groupBy emits the same doc_id hash
+    # partitioning). Previously the h-join and the doc_id re-agg both
+    # shuffled full segment text; at 10x sf0.1 the hash-only plane
+    # cut the entry 10.9 s -> (see SCALE.md r9 check).
     exploded = base.select(
-        "doc_id", F.posexplode("segs").alias("idx", "seg")
-    ).withColumn("h", F.unhex(F.md5(F.col("seg"))))
-    counts = exploded.groupBy("h").agg(F.count("*").alias("cnt"))
-    kept = exploded.join(counts, "h").where(F.col("cnt") == 1)
-    reassembled = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
-                lambda s: s["seg"],
-            ),
-            " ",
-        ).alias("kept_text"),
+        "doc_id",
+        F.posexplode(
+            F.transform("segs", lambda s: F.unhex(F.md5(s)))
+        ).alias("idx", "h"),
     )
-    out = base.select("doc_id", "n_segs").join(reassembled, "doc_id", "left")
+    counts = exploded.groupBy("h").agg(F.count("*").alias("cnt"))
+    kept_idx = (
+        exploded.join(counts, "h")
+        .where(F.col("cnt") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_sort(F.collect_list("idx")).alias("ki"),
+        )
+    )
+    out = base.join(kept_idx, "doc_id", "left")
+    # ki indexes back into the co-located segs array. segs crosses the
+    # join as a materialized attribute (CollapseProject cannot inline
+    # an expression across a Join), so the lambda-indexed element_at
+    # is the measured-fast shape — the slow inlined-recompute variant
+    # of _shingle_expr's docstring cannot occur here.
+    kept_text = F.when(
+        F.col("ki").isNotNull(),
+        F.array_join(
+            F.transform("ki", lambda i: F.element_at("segs", i + 1)), " "
+        ),
+    ).otherwise(F.lit(""))
     return out.select(
         "doc_id",
         "n_segs",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+        F.md5(kept_text).alias("kept_md5"),
     )
 
 
