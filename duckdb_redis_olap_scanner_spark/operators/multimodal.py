@@ -63,6 +63,10 @@ def decode_image(payload: bytes):
         return decode_ppm(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)[0]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(payload)[0]
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -485,6 +489,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
 
     from .flac import encode_flac_payload as _encode_flac
     from .jpeg import encode_jpeg_payload
+    from .vp8l import encode_webp_payload as _encode_webp
 
     enc = {
         "bmp": encode_bmp_payload,
@@ -497,12 +502,14 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
         "wav_adpcm": lambda did: encode_wav_adpcm_payload(did),
         "flac": _encode_flac,
+        "webp": _encode_webp,
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
-            "wav_adpcm": "audio/wav", "flac": "audio/flac"}[kind]
+            "wav_adpcm": "audio/wav", "flac": "audio/flac",
+            "webp": "image/webp"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
@@ -630,6 +637,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_audio_features(media)
     if kind == "png":
         return decode_png_features(media)
+    if kind == "webp":
+        return decode_webp_features(media)
     if kind == "avi":
         return decode_avi_features(media)
     if kind in ("jpeg", "jpeg420"):
@@ -995,6 +1004,61 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=PNG_DECODED_SCHEMA)
+
+
+WEBP_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, cache_bits int, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def decode_webp_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode over a binary column: lossless
+    WebP (VP8L) — canonical prefix codes transmitted through the
+    code-length code, the color cache, the subtract-green transform —
+    and the same integer pixel statistics as the BMP/PPM/PNG twins,
+    plus the cache_bits the decoder recovered from the stream (closed
+    form: 1 + doc_id % 6, pinning that the cache config was actually
+    parsed). See operators/vp8l.py for the supported surface."""
+    from ..engine import ship_package
+
+    from .vp8l import decode_webp
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, cache_bits = decode_webp(bytes(payload))
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h, cache_bits,
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "cache_bits",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("cache_bits", "int32"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64"), ("checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=WEBP_DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

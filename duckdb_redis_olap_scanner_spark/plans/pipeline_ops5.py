@@ -940,6 +940,53 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_webp",
+    # Same pixel closed form as BMP/PPM/PNG (val = (doc_id*7 + k) % 256
+    # over the shared _image_pixels contract); cache_bits comes back
+    # from the STREAM (1 + doc_id % 6 by synthesis), pinning that the
+    # color-cache config was parsed. Payload size is compression-
+    # dependent, so unlike BMP/PPM there is no n_bytes column.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(1 + doc_id % 6 AS INT) AS cache_bits,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of WebP lossless (VP8L), no codec library: "
+    "synthesize genuine RIFF/WEBP/VP8L streams per doc — LSB-first "
+    "bit packing, canonical per-channel prefix codes transmitted "
+    "through the DEFLATE-style code-length code (16/17/18 repeats, "
+    "the 19-entry reorder table), a doc-varied color cache "
+    "(multiplicative-hash indexed), and the subtract-green transform "
+    "— then decode them back to bit-exact RGB. Decoder additionally "
+    "covers simple 1/2-symbol codes and any cache size; LZ77 "
+    "backrefs / other transforms / Huffman images are loudly gated "
+    "(operators/vp8l.decode_webp).",
+)
+def multimodal_decode_webp(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "webp")
+
+
+@register(
     "multimodal_resize_nearest",
     # Resized pixel at (x, y, c) samples source (x*w//3, y*h//2):
     # val = (doc_id*7 + 3*((y*h//2)*w + (x*w//3)) + c) % 256.

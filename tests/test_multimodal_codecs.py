@@ -645,3 +645,117 @@ def test_flac_dispatches_through_decode_audio():
     ch, sr, bits, samples = M.decode_audio(FL.encode_flac_payload(7))
     assert (ch, sr, bits) == (2, 12000, 16)
     assert len(samples) == (24 + 7 % 41) * 2
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless / VP8L (operators/vp8l.py)
+# ---------------------------------------------------------------------------
+
+import duckdb_redis_olap_scanner_spark.operators.vp8l as V
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 6, 11, 12, 90, 4999])
+def test_vp8l_round_trip(doc_id):
+    """Bit-exact round trip across cache sizes 2..64, simple and
+    code-length-coded prefix codes, and the subtract-green
+    transform."""
+    px, cache_bits = V.decode_webp(V.encode_webp_payload(doc_id))
+    assert cache_bits == 1 + doc_id % 6
+    assert (px == M._image_pixels(doc_id)).all()
+
+
+def test_vp8l_color_cache_hits_decode():
+    """Constant and tiled images force cache-hit symbols (the
+    synthesis contract never repeats a pixel, so this path needs its
+    own streams)."""
+    const = np.full((4, 6, 3), 77, dtype=np.uint8)
+    px, _ = V.decode_webp(V.encode_vp8l(const, 3))
+    assert (px == const).all()
+    pat = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 4, 3), (7, 1, 1))
+    px, _ = V.decode_webp(V.encode_vp8l(pat, 2))
+    assert (px == pat).all()
+
+
+def test_vp8l_code_length_code_round_trip():
+    """The DEFLATE-style RLE (16 repeat / 17-18 zero runs) through the
+    19-entry reorder table, including a >138 zero gap."""
+    for lengths in (
+        {0: 1, 255: 1},
+        {5: 2, 6: 2, 7: 3, 8: 3, 200: 2},
+        {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 4, 7: 4,
+         250: 3, 251: 3, 279: 2},
+        {279: 1, 0: 1},
+    ):
+        bw = V._LsbBitWriter()
+        V._write_code_lengths(bw, lengths, 280)
+        got = V._read_code_lengths(V._LsbBitReader(bw.getvalue()), 280)
+        assert got == lengths
+
+
+def test_vp8l_compresses_flat_content():
+    """A 64x64 image drawn from 8 values must come out well under raw
+    RGB size — i.e. the prefix codes genuinely compress."""
+    rng = np.arange(64 * 64 * 3, dtype=np.int64)
+    px = ((rng % 8) * 31 % 256).astype(np.uint8).reshape(64, 64, 3)
+    payload = V.encode_vp8l(px, 4)
+    assert len(payload) < 64 * 64 * 3 // 2
+    got, _ = V.decode_webp(payload)
+    assert (got == px).all()
+
+
+def test_vp8l_rejects_and_gates():
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        V.decode_webp(b"fLaC" + b"\x00" * 40)
+    # lossy VP8 chunk -> loud codec-library gate
+    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="lossy"):
+        V.decode_webp(lossy)
+
+    def stream(bits_fn, w=2, h=1):
+        bw = V._LsbBitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bits_fn(bw)
+        body = bw.getvalue()
+        vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            vp8l += b"\x00"
+        return (b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP"
+                + vp8l)
+
+    def predictor_transform(bw):
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # predictor
+    with pytest.raises(NotImplementedError, match="predictor"):
+        V.decode_webp(stream(predictor_transform))
+
+    def huffman_image(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(0, 1)  # no cache
+        bw.write(1, 1)  # huffman image present
+    with pytest.raises(NotImplementedError, match="Huffman image"):
+        V.decode_webp(stream(huffman_image))
+
+    def lz77(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no huffman image
+        # green code over {0, 256}: symbol 256 is a length code
+        V._write_prefix_code(bw, {0: 1, 256: 1}, 280)
+        for _ in range(3):
+            V._write_prefix_code(bw, {0: 1}, 256)
+        V._write_prefix_code(bw, {0: 1}, 40)
+        codes = V.canonical_codes({0: 1, 256: 1})
+        c, ln = codes[256]
+        bw.write_code(c, ln)
+    with pytest.raises(NotImplementedError, match="LZ77"):
+        V.decode_webp(stream(lz77))
+
+
+def test_vp8l_decode_image_dispatch():
+    px = M.decode_image(V.encode_webp_payload(9))
+    assert (px == M._image_pixels(9)).all()
