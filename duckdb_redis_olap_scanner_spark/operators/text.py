@@ -184,8 +184,10 @@ def with_lang_ngram(docs: DataFrame) -> DataFrame:
     """n-gram language-ID: score = number of character-trigram positions
     whose trigram is in the language's marker set; fixed priority
     tie-break (en > de > fr > es). The trigram array is projected in its
-    own select before the per-element filters (no CSE inside HOF
-    lambdas — same pitfall as operators/dedup.shingles)."""
+    own select before the per-element filters. The lambda-indexed
+    ``substr`` here is the measured-FAST shape (strings are fine); only
+    lambda-indexed OUTER-ARRAY access hits the inlined-recompute cliff
+    — see operators/dedup._shingle_expr."""
     docs = fan_out(docs, key="doc_id")
     canon = canonical_text()
     c = docs.select("doc_id", "lang", canon.alias("canon"))

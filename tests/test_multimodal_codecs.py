@@ -144,8 +144,14 @@ def test_decode_image_dispatch():
 def test_decode_audio_dispatch():
     ch, sr, bits, samples = M.decode_audio(M.encode_wav_payload(11))
     assert bits == 16 and (samples == M._audio_samples(11)).all()
-    with pytest.raises(NotImplementedError, match="compressed-audio"):
+    # fLaC magic now routes to the NATIVE decoder (which rejects this
+    # truncated imposter loudly) — no codec-library gate
+    with pytest.raises(ValueError, match="metadata truncated"):
         M.decode_audio(b"fLaC" + b"\x00" * 16)
+    # perceptual codecs stay gated: an MP3 frame header is neither
+    # RIFF/WAVE nor FLAC
+    with pytest.raises(NotImplementedError, match="perceptual-audio"):
+        M.decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 16)
 
 
 def test_checksum_pins_order():
