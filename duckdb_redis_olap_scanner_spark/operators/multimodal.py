@@ -500,6 +500,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "avi": lambda did: encode_avi_payload(did),
         "jpeg": lambda did: encode_jpeg_payload(did),
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
+        "jpeg_prog": lambda did: encode_jpeg_payload(did, "prog"),
         "wav_adpcm": lambda did: encode_wav_adpcm_payload(did),
         "flac": _encode_flac,
         "webp": _encode_webp,
@@ -508,6 +509,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
+            "jpeg_prog": "image/jpeg",
             "wav_adpcm": "audio/wav", "flac": "audio/flac",
             "webp": "image/webp"}[kind]
 
@@ -641,7 +643,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_webp_features(media)
     if kind == "avi":
         return decode_avi_features(media)
-    if kind in ("jpeg", "jpeg420"):
+    if kind in ("jpeg", "jpeg420", "jpeg_prog"):
         from .jpeg import decode_jpeg_features
 
         return decode_jpeg_features(media)

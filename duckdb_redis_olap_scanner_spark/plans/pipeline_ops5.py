@@ -987,6 +987,72 @@ def multimodal_decode_webp(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_jpeg_prog",
+    # Identical coefficient contract (and therefore oracle) to
+    # multimodal_decode_jpeg — what changes is the WIRE FORMAT: ten
+    # progressive scans whose partial approximations must reassemble
+    # to the exact same dequantized coefficients the one baseline
+    # scan carries. A decoder that mishandles any of spectral bands,
+    # successive-approximation shifts, EOB runs, or refinement
+    # correction bits cannot hash-match.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents),
+    bc AS (
+      SELECT doc_id, width, height, nb,
+             unnest(range(0, nb * 3)) AS i
+      FROM dims),
+    t AS (
+      SELECT doc_id, width, height, nb, i // 3 AS b, i % 3 AS c
+      FROM bc),
+    q AS (
+      SELECT doc_id, width, height, nb, b, c,
+             ((doc_id*5 + b*11 + c*23) % 61) - 30 AS dc,
+             1 + ((doc_id + b + c) % 9) AS z1,
+             ((doc_id + 7*b + 13*c) % 19) - 9 AS v1,
+             20 + ((doc_id*3 + b*7 + c*5) % 40) AS z2,
+             ((doc_id*7 + 3*b + 5*c) % 13) - 6 AS v2
+      FROM t),
+    d AS (
+      SELECT doc_id, width, height, nb, b, c, z1, z2,
+             dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dq0,
+             v1 * (CASE WHEN c = 0 THEN 1 + (5*z1) % 16
+                        ELSE 2 + (3*z1) % 24 END) AS dq1,
+             v2 * (CASE WHEN c = 0 THEN 1 + (5*z2) % 16
+                        ELSE 2 + (3*z2) % 24 END) AS dq2
+      FROM q)
+    SELECT doc_id, width, height,
+           CAST(nb * 3 AS INT) AS n_blocks,
+           CAST(SUM(dq0) AS BIGINT) AS sum_dc,
+           CAST(SUM(dq1 + dq2) AS BIGINT) AS sum_ac,
+           CAST(SUM((b*192 + c*64 + 1) * dq0
+                  + (b*192 + c*64 + z1 + 1) * dq1
+                  + (b*192 + c*64 + z2 + 1) * dq2) AS BIGINT)
+               AS coef_checksum
+    FROM d
+    GROUP BY doc_id, width, height, nb
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of PROGRESSIVE JPEG (SOF2), no codec library — "
+    "the mode the round-7/9 baseline decoder gated: ten scans per "
+    "file covering interleaved DC first (successive approximation "
+    "Al=1) and DC refinement (raw bits), per-component AC first "
+    "scans over split spectral bands with EOB runs accumulated "
+    "across blocks, and AC refinement scans with positionally-"
+    "consumed correction bits; Huffman tables rebuilt and redefined "
+    "between scans. Decoded through the same persistent-coefficient "
+    "multi-scan engine that handles baseline (operators/jpeg.py: "
+    "_decode_block_scan), with the baseline 4:4:4 oracle verbatim.",
+)
+def multimodal_decode_jpeg_prog(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "jpeg_prog")
+
+
+@register(
     "multimodal_resize_nearest",
     # Resized pixel at (x, y, c) samples source (x*w//3, y*h//2):
     # val = (doc_id*7 + 3*((y*h//2)*w + (x*w//3)) + c) % 256.

@@ -130,15 +130,15 @@ def test_decode_image_dispatch():
     assert (M.decode_image(M.encode_ppm_payload(9)) == M._image_pixels(9)).all()
     assert (M.decode_image(M.encode_png_payload(9)) == M._image_pixels(9)).all()
     if M._try_import_pillow() is None:
-        # Baseline JPEG now decodes natively; only NON-baseline JPEG
-        # (progressive etc.) still import-gates on Pillow.
+        # Baseline AND progressive JPEG now decode natively; only
+        # arithmetic-coded JPEG still import-gates on Pillow.
         import duckdb_redis_olap_scanner_spark.operators.jpeg as _J
 
-        progressive = bytearray(_J.encode_jpeg_payload(1))
-        sof = progressive.find(b"\xff\xc0")
-        progressive[sof + 1] = 0xC2
+        arith = bytearray(_J.encode_jpeg_payload(1))
+        sof = arith.find(b"\xff\xc0")
+        arith[sof + 1] = 0xC9
         with pytest.raises(NotImplementedError, match="codec-library"):
-            M.decode_image(bytes(progressive))
+            M.decode_image(bytes(arith))
 
 
 def test_decode_audio_dispatch():
@@ -333,16 +333,27 @@ def test_jpeg_dc_only_idct_closed_form():
         J.synth_block_coefs = real_synth
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_rejects_non_dct_modes():
     payload = bytearray(J.encode_jpeg_payload(1))
-    # SOF0 (FFC0) -> SOF2 (FFC2): progressive must gate to Pillow.
+    # SOF0 (FFC0) -> SOF9 (FFC9): arithmetic coding stays gated.
     sof = payload.find(b"\xff\xc0")
     assert sof > 0
-    payload[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"NOPE")
+
+
+def test_jpeg_sof2_relabel_decodes_identically():
+    """A full-band Ss=0..63 scan under an SOF2 header carries baseline
+    semantics; the multi-scan decoder must produce identical stats."""
+    payload = bytearray(J.encode_jpeg_payload(1))
+    _px0, st0 = J.decode_jpeg(bytes(payload))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    _px1, st1 = J.decode_jpeg(bytes(payload))
+    assert st0 == st1
 
 
 def test_jpeg_huffman_tables_are_canonical_and_legal():
@@ -765,3 +776,51 @@ def test_vp8l_rejects_and_gates():
 def test_vp8l_decode_image_dispatch():
     px = M.decode_image(V.encode_webp_payload(9))
     assert (px == M._image_pixels(9)).all()
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 11, 17, 123, 4999])
+def test_jpeg_progressive_matches_baseline(doc_id):
+    """The ten-scan progressive stream must reassemble to the exact
+    coefficients (and pixels) of the one-scan baseline stream."""
+    _pb, sb = J.decode_jpeg(J.encode_jpeg_payload(doc_id, "444"))
+    pp, sp = J.decode_jpeg(J.encode_jpeg_payload(doc_id, "prog"))
+    assert sp == sb
+    assert (pp == J.decode_jpeg(J.encode_jpeg_payload(doc_id, "444"))[0]).all()
+
+
+def test_jpeg_progressive_refinement_zrl_and_eobrun():
+    """Force the hard refinement paths: a newly-significant coefficient
+    past >16 zero-history positions (refinement ZRL with positionally-
+    consumed correction bits) and multi-block EOB runs, via a crafted
+    coefficient synthesis."""
+    real_synth = J.synth_block_coefs
+
+    def crafted(doc_id, b, c):
+        if b == 0 and c == 0:
+            # |v|>=2 coefs at 1 and 3 (correction bits), then a
+            # magnitude-1 at z=40: >16 zero-history gaps -> ZRL in the
+            # refinement scan with interleaved correction bits
+            return {0: 5, 1: 4, 3: -6, 40: 1}
+        if c == 0:
+            return {0: -3}  # AC-empty luma blocks -> EOB runs
+        return {0: 2, 2: 1}
+    J.synth_block_coefs = crafted
+    try:
+        doc_id = 5  # 24x16 -> 6 MCUs: EOBRUN spans >1 block
+        _pb, sb = J.decode_jpeg(J.encode_jpeg_payload(doc_id, "444"))
+        _pp, sp = J.decode_jpeg(J.encode_jpeg_payload(doc_id, "prog"))
+        assert sp == sb
+        assert sb["sum_ac"] != 0
+    finally:
+        J.synth_block_coefs = real_synth
+
+
+def test_jpeg_progressive_routes_natively():
+    """decode_image must decode SOF2 streams without the Pillow gate."""
+    px = M.decode_image(J.encode_jpeg_payload(7, "prog"))
+    assert px.shape == (8 * (1 + 7 % 2), 8 * (1 + 7 % 3), 3)
