@@ -543,7 +543,10 @@ def decode_flac(payload: bytes):
 
     chans = [[] for _ in range(ch)]
     got = 0
-    while got < total:
+    # total == 0 means UNKNOWN (RFC 9639 streaming encoders): decode
+    # frames until the payload is exhausted instead of stopping early.
+    unknown_total = total == 0
+    while (got < total) if not unknown_total else (pos < len(payload)):
         frame_start = pos
         br = _BitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
@@ -578,7 +581,12 @@ def decode_flac(payload: bytes):
             fsr = _SAMPLE_RATE_TABLE[sr_code]
         if fsr != sr:
             raise ValueError("frame sample rate differs from STREAMINFO")
-        fbps = bps if ss_code == 0 else _SAMPLE_SIZE_TABLE[ss_code]
+        if ss_code == 0:
+            fbps = bps
+        else:
+            fbps = _SAMPLE_SIZE_TABLE.get(ss_code)
+            if fbps is None:
+                raise ValueError(f"reserved sample-size code {ss_code:#05b}")
         header_len = br.bytepos - frame_start
         if crc8(payload[frame_start : frame_start + header_len]) != br.read(8):
             raise ValueError("frame header CRC-8 mismatch")
@@ -620,8 +628,9 @@ def decode_flac(payload: bytes):
             chans[c].extend(decoded[c])
         got += bs
 
-    if got != total:
+    if not unknown_total and got != total:
         raise ValueError(f"decoded {got} samples, STREAMINFO says {total}")
+    total = got
     inter = np.empty(total * ch, dtype=np.int64)
     for c in range(ch):
         inter[c::ch] = chans[c]

@@ -52,11 +52,13 @@ def _try_import_pillow():
 
 def decode_image(payload: bytes):
     """Image decode. Uncompressed BMP (24-bit BI_RGB), binary PPM
-    (P6), PNG (8-bit truecolor, zlib is stdlib), and baseline
-    sequential JPEG (SOF0, 4:4:4 — see :mod:`.jpeg`) are decoded
-    HERE, dependency-free, to a top-down uint8 numpy array — no
-    import gate. Remaining codec-library formats (progressive JPEG,
-    WebP/…) fall through to Pillow, import-gated."""
+    (P6), PNG (8-bit truecolor, zlib is stdlib), DCT JPEG (baseline
+    sequential AND progressive, any 1-2x sampling — see :mod:`.jpeg`)
+    and lossless WebP (VP8L literal/cache plane — see :mod:`.vp8l`)
+    are decoded HERE, dependency-free, to a top-down uint8 numpy
+    array — no import gate. Remaining codec-library formats
+    (arithmetic-coded JPEG, lossy/extended WebP, LZ77/transformed
+    VP8L, …) fall through to Pillow, import-gated."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -66,22 +68,26 @@ def decode_image(payload: bytes):
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .vp8l import decode_webp
 
-        return decode_webp(payload)[0]
+        try:
+            return decode_webp(payload)[0]
+        except NotImplementedError:
+            pass  # lossy / LZ77 / transforms: fall through to Pillow
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         try:
             return decode_jpeg(payload)[0]
         except NotImplementedError:
-            pass  # progressive/subsampled: fall through to Pillow
+            pass  # arithmetic/lossless modes: fall through to Pillow
     image_mod = _try_import_pillow()
     if image_mod is None:
         raise NotImplementedError(
-            "codec-library image decoding (progressive/subsampled "
-            "JPEG, WebP/...) requires Pillow, which is not installed "
-            "in this container; BMP/PPM/PNG and baseline 4:4:4 JPEG "
-            "decode natively (decode_bmp/decode_ppm/decode_png/"
-            "jpeg.decode_jpeg)"
+            "codec-library image decoding (arithmetic-coded JPEG, "
+            "lossy/extended WebP, ...) requires Pillow, which is not "
+            "installed in this container; BMP/PPM/PNG, baseline AND "
+            "progressive JPEG, and lossless WebP decode natively "
+            "(decode_bmp/decode_ppm/decode_png/jpeg.decode_jpeg/"
+            "vp8l.decode_webp)"
         )
     import io
 

@@ -876,3 +876,76 @@ def test_codec_corruption_never_hangs(encode, decode, seed):
     # most mutations must be DETECTED (CRCs / marker checks), proving
     # the validation paths run; a few may land in don't-care bytes
     assert bad > ok
+
+
+# ---------------------------------------------------------------------------
+# Review fixes (r9): unknown FLAC totals, reserved codes, fill bytes,
+# WebP Pillow fallthrough
+# ---------------------------------------------------------------------------
+
+
+def test_flac_unknown_total_samples_decodes_all_frames():
+    """STREAMINFO total-samples == 0 means UNKNOWN (streaming
+    encoders); the decoder must consume frames to end-of-payload, not
+    return zero samples."""
+    doc_id = 9
+    buf = bytearray(FL.encode_flac_payload(doc_id))
+    si = 8  # fLaC + 4-byte block header
+    # total(36) spans bits 108..143 of STREAMINFO: low nibble of
+    # byte 13 + bytes 14..17
+    buf[si + 13] &= 0xF0
+    for i in range(14, 18):
+        buf[si + i] = 0
+    ch, sr, bits, samples = FL.decode_flac(bytes(buf))
+    n = 24 + doc_id % 41
+    assert len(samples) == n * (1 + doc_id % 2)
+    assert list(samples) == list(FL._flac_samples(doc_id))
+
+
+def test_flac_reserved_sample_size_code_raises_value_error():
+    si = FL._BitWriter()
+    si.write(8, 16); si.write(8, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(8, 36)
+    for _ in range(16):
+        si.write(0, 8)
+    out = bytearray(b"fLaC") + struct.pack(">I", (1 << 31) | 34)
+    out += si.getvalue()
+    bw = FL._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(0b0110, 4)   # 8-bit blocksize at end
+    bw.write(0b0100, 4)   # sr 8000
+    bw.write(0, 4)        # mono
+    bw.write(0b011, 3)    # RESERVED sample size
+    bw.write(0, 1)
+    bw.write(0, 8)        # frame number 0
+    bw.write(7, 8)        # blocksize-1
+    header = bw.getvalue()
+    bw.write(FL.crc8(header), 8)
+    bw.align()
+    frame = bw.getvalue()
+    out += frame + struct.pack(">H", FL.crc16(frame))
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        FL.decode_flac(bytes(out))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker."""
+    payload = bytearray(J.encode_jpeg_payload(3))
+    _px, st = J.decode_jpeg(bytes(payload))
+    sof = payload.find(b"\xff\xc0")
+    padded = bytes(payload[:sof]) + b"\xff\xff\xff" + bytes(payload[sof:])
+    _px2, st2 = J.decode_jpeg(padded)
+    assert st2 == st
+
+
+def test_webp_unsupported_features_fall_to_pillow_gate():
+    """decode_image must route VP8L NotImplementedError features into
+    the Pillow fallthrough (gate message when Pillow is absent), not
+    propagate them raw."""
+    if M._try_import_pillow() is not None:
+        pytest.skip("Pillow installed: fallthrough decodes instead")
+    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 0) + b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="codec-library"):
+        M.decode_image(lossy)
