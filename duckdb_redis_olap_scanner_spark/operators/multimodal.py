@@ -36,6 +36,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Module-level (not in-function) codec imports: the gate rotation's
+# dirty-closure walk resolves references through module GLOBALS, so a
+# lazy `from .flac import ...` inside a function would hide flac.py
+# edits from the changed-since-verified tier. None of these import
+# multimodal at module scope, so there is no cycle.
+from . import flac as _flac
+from . import jpeg as _jpeg
+from . import vp8l as _vp8l
+
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, fake_width int, fake_height int, modality string"
 )
@@ -66,17 +75,13 @@ def decode_image(payload: bytes):
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)[0]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from .vp8l import decode_webp
-
         try:
-            return decode_webp(payload)[0]
+            return _vp8l.decode_webp(payload)[0]
         except NotImplementedError:
             pass  # lossy / LZ77 / transforms: fall through to Pillow
     if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
-
         try:
-            return decode_jpeg(payload)[0]
+            return _jpeg.decode_jpeg(payload)[0]
         except NotImplementedError:
             pass  # arithmetic/lossless modes: fall through to Pillow
     image_mod = _try_import_pillow()
@@ -103,9 +108,7 @@ def decode_audio(payload: bytes):
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:4] == b"fLaC":
-        from .flac import decode_flac
-
-        return decode_flac(payload)
+        return _flac.decode_flac(payload)
     raise NotImplementedError(
         "perceptual-audio decoding (MP3/AAC/...) requires an audio "
         "library not present in this container; PCM/mu-law/ADPCM WAV "
@@ -493,9 +496,9 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
     multimodal plumbing. kind in {'bmp', 'ppm', 'wav'}."""
     from ..engine import ship_package
 
-    from .flac import encode_flac_payload as _encode_flac
-    from .jpeg import encode_jpeg_payload
-    from .vp8l import encode_webp_payload as _encode_webp
+    encode_jpeg_payload = _jpeg.encode_jpeg_payload
+    _encode_flac = _flac.encode_flac_payload
+    _encode_webp = _vp8l.encode_webp_payload
 
     enc = {
         "bmp": encode_bmp_payload,
@@ -650,9 +653,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     if kind == "avi":
         return decode_avi_features(media)
     if kind in ("jpeg", "jpeg420", "jpeg_prog"):
-        from .jpeg import decode_jpeg_features
-
-        return decode_jpeg_features(media)
+        return _jpeg.decode_jpeg_features(media)
     return decode_image_features(media)
 
 
@@ -1030,7 +1031,7 @@ def decode_webp_features(media: DataFrame) -> DataFrame:
     parsed). See operators/vp8l.py for the supported surface."""
     from ..engine import ship_package
 
-    from .vp8l import decode_webp
+    decode_webp = _vp8l.decode_webp
 
     def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -237,3 +237,17 @@ def test_real_repo_dirty_entries_are_verified_and_lead_tail():
     if dirty:
         last_dirty = max(i for i, n in enumerate(tail) if n in dirty)
         assert all(n in dirty for n in tail[: last_dirty + 1])
+
+
+def test_referenced_callables_reach_codec_modules():
+    """The codec modules (flac/vp8l/jpeg) are imported at MODULE scope
+    in multimodal.py specifically so the dirty-closure walk can see
+    them — a lazy in-function `from .flac import ...` resolves to
+    nothing in the module globals at walk time and would hide codec
+    edits from the changed-since-verified tier."""
+    reg = catalog.registry()
+    fn = reg["multimodal_decode_flac"].fn
+    mods = {getattr(o, "__module__", "") for o in
+            catalog._referenced_pkg_callables(fn)}
+    for needle in ("operators.flac", "operators.vp8l", "operators.jpeg"):
+        assert any(m.endswith(needle) for m in mods), needle
