@@ -43,7 +43,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/pipeline_ops3.py", "tot"): "1-row corpus total",
     ("plans/pipeline_ops5.py", "fk"): "1-row fold constant",
     ("plans/pipeline_ops5.py", "mx"): "1-row global max",
-    ("plans/pipeline_ops5.py", "bounds"): "1-row (min,max) bounds",
     ("operators/retrieval.py", "stats"): "1-row corpus stats (BM25)",
     ("operators/retrieval.py", "n_docs"): "1-row corpus count",
     # Partition-count-bounded frames (P rows, P = shuffle partitions).
