@@ -278,6 +278,20 @@ def wordpiece_encode_stats(
         base = W + 2 * pos - (0 if cont else 1)
         return F.when(pos > 0, base.cast("int"))
 
+    def _let(fields: dict, body) -> Column:
+        """Evaluate-once binding for HOF expression trees: referencing
+        a Column object twice INLINES its whole tree twice (no CSE
+        across lambda boundaries — the vocab-scan aggregate re-ran per
+        continuation CHARACTER, and the whole encode re-ran per output
+        stat, before this: 28 s -> 3.7 s on the 10x corpus, identical
+        hashes). transform over a one-element struct array binds the
+        computed values to a lambda variable, whose field reads are
+        data loads."""
+        bound = F.array(
+            F.struct(*[c.alias(n) for n, c in fields.items()])
+        )
+        return F.element_at(F.transform(bound, body), 1)
+
     def word_ids(w: Column) -> Column:
         matches = F.filter(words_lit, lambda s: w.startswith(s["p"]))
         zero = F.struct(F.lit(0).alias("l"), F.lit(0).alias("id"))
@@ -291,45 +305,66 @@ def wordpiece_encode_stats(
                 ),
             ).otherwise(acc),
         )
-        first_id = F.when(best["l"] > 0, best["id"]).otherwise(
-            char_id(w.substr(F.lit(1), F.lit(1)), cont=False)
-        )
-        skip = F.when(best["l"] > 0, best["l"]).otherwise(F.lit(1))
-        rest_len = F.length(w) - skip
-        cont_ids = F.when(
-            rest_len > 0,
-            F.transform(
-                F.sequence(F.lit(1), rest_len),
-                lambda i: char_id(
-                    w.substr(skip + i, F.lit(1)), cont=True
+
+        def with_best(s: Column) -> Column:
+            w2, l, wid = s["w"], s["l"], s["id"]
+            first_id = F.when(l > 0, wid).otherwise(
+                char_id(w2.substr(F.lit(1), F.lit(1)), cont=False)
+            )
+            skip = F.when(l > 0, l).otherwise(F.lit(1))
+            rest_len = F.length(w2) - skip
+            cont_ids = F.when(
+                rest_len > 0,
+                F.transform(
+                    F.sequence(F.lit(1), rest_len),
+                    lambda i: char_id(
+                        w2.substr(skip + i, F.lit(1)), cont=True
+                    ),
                 ),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<int>)"))
-        ok = first_id.isNotNull() & ~F.exists(
-            cont_ids, lambda x: x.isNull()
-        )
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+
+            def with_ids(t: Column) -> Column:
+                ok = t["f"].isNotNull() & ~F.exists(
+                    t["c"], lambda x: x.isNull()
+                )
+                return F.when(
+                    ok, F.concat(F.array(t["f"]), t["c"])
+                ).otherwise(F.array(F.lit(WP_UNK_ID)))
+
+            return _let({"f": first_id, "c": cont_ids}, with_ids)
+
         return F.when(
             w == "", F.expr("CAST(array() AS array<int>)")
         ).otherwise(
-            F.when(
-                ok, F.concat(F.array(first_id), cont_ids)
-            ).otherwise(F.array(F.lit(WP_UNK_ID)))
+            _let(
+                {"w": w, "l": best["l"], "id": best["id"]}, with_best
+            )
         )
 
     toks = F.coalesce(
         tokens_col(), F.expr("CAST(array() AS array<string>)")
     )
     ids = F.flatten(F.transform(toks, word_ids))
-    ids_hash = F.aggregate(
-        ids,
-        F.lit(0).cast("long"),
-        lambda h, x: (h * WP_HASH_BASE + x + 1) % WP_HASH_MOD,
-    )
-    return docs.select(
-        "doc_id",
-        F.size(ids).alias("n_ids"),
-        F.size(F.filter(ids, lambda x: x == WP_UNK_ID)).alias("n_unk"),
-        ids_hash.alias("ids_hash"),
+
+    def stats(t: Column) -> Column:
+        return F.struct(
+            F.size(t["i"]).alias("n_ids"),
+            F.size(
+                F.filter(t["i"], lambda x: x == WP_UNK_ID)
+            ).alias("n_unk"),
+            F.aggregate(
+                t["i"],
+                F.lit(0).cast("long"),
+                lambda h, x: (h * WP_HASH_BASE + x + 1) % WP_HASH_MOD,
+            ).alias("ids_hash"),
+        )
+
+    # Bind the tokenized array ONCE: three bare references to `ids`
+    # would inline (and re-run) the whole encode three times; the
+    # intermediate projection keeps `st` a materialized attribute.
+    base = docs.select("doc_id", _let({"i": ids}, stats).alias("st"))
+    return base.select(
+        "doc_id", "st.n_ids", "st.n_unk", "st.ids_hash"
     )
 
 
