@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens_col
-from .util import fan_out
+from .util import fan_out, let_bind
 
 # BM25 constants — fixed and shared with the SQL oracle.
 BM25_K1 = 1.2
@@ -278,19 +278,11 @@ def wordpiece_encode_stats(
         base = W + 2 * pos - (0 if cont else 1)
         return F.when(pos > 0, base.cast("int"))
 
-    def _let(fields: dict, body) -> Column:
-        """Evaluate-once binding for HOF expression trees: referencing
-        a Column object twice INLINES its whole tree twice (no CSE
-        across lambda boundaries — the vocab-scan aggregate re-ran per
-        continuation CHARACTER, and the whole encode re-ran per output
-        stat, before this: 28 s -> 3.7 s on the 10x corpus, identical
-        hashes). transform over a one-element struct array binds the
-        computed values to a lambda variable, whose field reads are
-        data loads."""
-        bound = F.array(
-            F.struct(*[c.alias(n) for n, c in fields.items()])
-        )
-        return F.element_at(F.transform(bound, body), 1)
+    # Evaluate-once bindings (operators/util.let_bind): the vocab-scan
+    # aggregate re-ran per continuation CHARACTER, and the whole
+    # encode re-ran per output stat, before these — 28 s -> 3.7 s on
+    # the 10x corpus, identical hashes.
+    _let = let_bind
 
     def word_ids(w: Column) -> Column:
         matches = F.filter(words_lit, lambda s: w.startswith(s["p"]))

@@ -49,3 +49,28 @@ def fan_out(
             return out
         return df.repartition(target)
     return df
+
+
+def let_bind(fields: dict, body):
+    """Evaluate-once binding for HOF expression trees.
+
+    Referencing a Column object twice INLINES its whole expression
+    tree twice, and Spark performs no common-subexpression
+    elimination across lambda boundaries — an expensive subexpression
+    referenced inside a per-element lambda re-evaluates PER ELEMENT
+    (the wordpiece encode ran its vocab-scan aggregate once per
+    continuation character before this: 28 s -> 3.7 s on a 10x
+    corpus, identical hashes; operators/retrieval.py).
+
+    ``transform`` over a one-element struct array binds the computed
+    values to a lambda variable whose field reads are data loads:
+
+        let_bind({"x": expensive_expr}, lambda s: f(s["x"], s["x"]))
+
+    evaluates ``expensive_expr`` exactly once however many times the
+    body references it.
+    """
+    from pyspark.sql import functions as F
+
+    bound = F.array(F.struct(*[c.alias(n) for n, c in fields.items()]))
+    return F.element_at(F.transform(bound, body), 1)

@@ -855,3 +855,24 @@ def test_bpe_auto_batch_k_resolution():
     n = 30_000
     rounds = -(-n // _auto_batch_k(n))
     assert rounds <= 470
+
+
+def test_let_bind_semantics(spark):
+    """let_bind(fields, body) == body applied to the raw expressions —
+    the binding changes evaluation COUNT, never values (incl. NULLs
+    inside the bound struct)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_redis_olap_scanner_spark.operators.util import let_bind
+
+    df = spark.range(5).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 10).alias("v"),
+    )
+    bound = let_bind(
+        {"a": F.col("v") + 1, "b": F.col("id")},
+        lambda s: F.coalesce(s["a"], F.lit(-1)) * s["b"] + s["b"],
+    )
+    raw = F.coalesce(F.col("v") + 1, F.lit(-1)) * F.col("id") + F.col("id")
+    rows = df.select(bound.alias("x"), raw.alias("y")).collect()
+    assert all(r["x"] == r["y"] for r in rows)
