@@ -434,6 +434,20 @@ def bpe_train_merges(
     """
     if batch_k is None:
         batch_k = _auto_batch_k(n_merges)
+        if batch_k > 1:
+            # Loud semantic switch (round-9 ADVICE): the adaptive
+            # default moves past the exact sequential argmax here, so
+            # callers who relied on the old batch_k=1 default notice.
+            import warnings
+
+            warnings.warn(
+                f"bpe_train_merges: n_merges={n_merges} > "
+                f"{BPE_SEQUENTIAL_MAX} and no explicit batch_k — using "
+                f"batched symbol-disjoint merges (batch_k={batch_k}), "
+                "which can deviate from strict sequential argmax; pass "
+                "batch_k=1 for the exact (slower) path",
+                stacklevel=2,
+            )
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     spark = docs.sparkSession

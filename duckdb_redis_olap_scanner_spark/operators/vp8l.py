@@ -92,11 +92,45 @@ CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
 MAX_CODE_LENGTH = 15
 
 
+def _package_merge(freqs: dict[int, int], cap: int) -> dict[int, int]:
+    """Optimal length-limited code lengths (package-merge / coin
+    collector): symbol length = number of the cheapest 2(n-1)
+    first-level items it appears in across the cap merge levels."""
+    syms = sorted(freqs)
+    n = len(syms)
+    if (1 << cap) < n:
+        raise ValueError(f"alphabet of {n} cannot fit in {cap}-bit codes")
+    # items are (weight, {sym: count}); level 0 = one item per symbol
+    packages: list[tuple[int, dict[int, int]]] = sorted(
+        ((freqs[s], {s: 1}) for s in syms), key=lambda t: t[0]
+    )
+    for _ in range(cap - 1):
+        merged = []
+        for i in range(0, len(packages) - 1, 2):
+            wa, ca = packages[i]
+            wb, cb = packages[i + 1]
+            comb = dict(ca)
+            for s, c in cb.items():
+                comb[s] = comb.get(s, 0) + c
+            merged.append((wa + wb, comb))
+        packages = sorted(
+            merged + [(freqs[s], {s: 1}) for s in syms],
+            key=lambda t: t[0],
+        )
+    depth = {s: 0 for s in syms}
+    for _w, counts in packages[: 2 * (n - 1)]:
+        for s, c in counts.items():
+            depth[s] += c
+    return depth
+
+
 def huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
-    """Code length per symbol from frequencies (heap Huffman). The
-    alphabets here are <= a few hundred symbols with flat synthetic
-    frequencies, so depths stay well under the format's 15-bit cap —
-    asserted, not length-limited."""
+    """Code length per symbol from frequencies (heap Huffman). If the
+    unconstrained tree exceeds the format's 15-bit cap (possible for
+    arbitrary caller-supplied images with skewed, Fibonacci-like
+    frequencies), fall back to optimal length-limited package-merge
+    instead of emitting an undecodable stream (round-9 ADVICE: this
+    was an assert, stripped under ``python -O``)."""
     import heapq
 
     syms = [s for s, f in freqs.items() if f > 0]
@@ -113,7 +147,10 @@ def huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
         for s in sa + sb:
             depth[s] += 1
         heapq.heappush(heap, (fa + fb, sa + sb))
-    assert max(depth.values()) <= MAX_CODE_LENGTH, "unexpected deep code"
+    if max(depth.values()) > MAX_CODE_LENGTH:
+        return _package_merge(
+            {s: freqs[s] for s in syms}, MAX_CODE_LENGTH
+        )
     return depth
 
 

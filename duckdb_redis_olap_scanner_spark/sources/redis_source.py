@@ -360,11 +360,17 @@ class RedisZSetReader(DataSourceReader):
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
         page = max(1, self.page_size)
         with RedisClient(part.host, part.port) as client:
+            # Small keys (≤ one page by ZCARD) read in a single
+            # ZRANGE, keeping the old exact-snapshot semantics; only
+            # keys that genuinely need bounded-memory paging pay the
+            # non-snapshot trade-off (round-9 ADVICE).
+            card = int(client.command("ZCARD", part.key) or 0)
+            single_shot = card <= page
             rank = 0
             while True:
+                stop = str(rank + page - 1) if not single_shot else "-1"
                 flat = client.command(
-                    "ZRANGE", part.key, str(rank), str(rank + page - 1),
-                    "WITHSCORES",
+                    "ZRANGE", part.key, str(rank), stop, "WITHSCORES",
                 )
                 if not flat:
                     return
@@ -387,7 +393,7 @@ class RedisZSetReader(DataSourceReader):
                     schema=_ZSET_ARROW_SCHEMA,
                 )
                 rank += len(members)
-                if len(members) < page:
+                if single_shot or len(members) < page:
                     return
 
 
@@ -468,11 +474,14 @@ class RedisListReader(DataSourceReader):
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
         page = max(1, self.page_size)
         with RedisClient(part.host, part.port) as client:
+            # Same small-key single-shot fallback as the zset reader:
+            # a list within one page (by LLEN) reads atomically.
+            llen = int(client.command("LLEN", part.key) or 0)
+            single_shot = llen <= page
             pos = 0
             while True:
-                vals = client.command(
-                    "LRANGE", part.key, str(pos), str(pos + page - 1)
-                )
+                stop = str(pos + page - 1) if not single_shot else "-1"
+                vals = client.command("LRANGE", part.key, str(pos), stop)
                 if not vals:
                     return
                 elems = [
@@ -487,7 +496,7 @@ class RedisListReader(DataSourceReader):
                     schema=_LIST_ARROW_SCHEMA,
                 )
                 pos += len(elems)
-                if len(elems) < page:
+                if single_shot or len(elems) < page:
                     return
 
 

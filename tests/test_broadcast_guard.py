@@ -24,42 +24,119 @@ import duckdb_redis_olap_scanner_spark as pkg
 
 PKG_DIR = os.path.dirname(os.path.abspath(pkg.__file__))
 
-# (relative file, root name of the broadcast argument) → why it is
-# size-bounded independent of SF. The ROOT NAME is the leftmost
-# identifier in the argument expression, so renaming or re-deriving a
-# frame re-triggers review.
-ALLOWED: dict[tuple[str, str], str] = {
+# (relative file, enclosing-function qualname, root name of the
+# broadcast argument) → why it is size-bounded independent of SF. The
+# qualname pins each CALL SITE: a new unsafe ``F.broadcast`` in the
+# same file that happens to reuse an allowlisted variable name (another
+# ``df`` or ``n``) still re-triggers review because it lives in a
+# different function (round-9 ADVICE). The root name still guards
+# against re-deriving a frame inside the blessed function.
+ALLOWED: dict[tuple[str, str, str], str] = {
     # The cost-based gate itself — the one place a data frame may pass
     # through, guarded by the on-disk size estimate.
-    ("plans/catalog.py", "df"): "inside maybe_broadcast, size-gated",
+    ("plans/catalog.py", "maybe_broadcast", "df"):
+        "inside maybe_broadcast, size-gated",
     # Fixed dimensions: 25 nations / 5 regions at every SF.
-    ("plans/relational.py", "n"): "nation dim, 25 rows",
-    ("plans/relational.py", "r"): "region dim, 5 rows",
-    ("plans/relational2.py", "n"): "nation dim (and nation⋈region)",
-    ("plans/relational2.py", "r"): "region dim, 5 rows",
+    ("plans/relational.py", "q5_local_supplier_volume", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational.py", "q5_local_supplier_volume", "r"):
+        "region dim, 5 rows",
+    ("plans/relational.py", "q10_returned_items", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational.py", "join_theta", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational.py", "agg_rollup", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational.py", "agg_rollup", "r"):
+        "region dim, 5 rows",
+    ("plans/relational2.py", "q2_min_cost_supplier", "n"):
+        "nation dim (⋈region), 25 rows",
+    ("plans/relational2.py", "q2_min_cost_supplier", "r"):
+        "region dim, 5 rows",
+    ("plans/relational2.py", "q8_market_share", "n"):
+        "nation dim, 25 rows (two sites: cust + supp nation)",
+    ("plans/relational2.py", "q8_market_share", "r"):
+        "region dim, 5 rows",
+    ("plans/relational2.py", "q9_product_type_profit", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational2.py", "q11_important_stock", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational2.py", "q20_promotion_suppliers", "n"):
+        "nation dim, 25 rows",
+    ("plans/relational2.py", "q21_waiting_suppliers", "n"):
+        "nation dim, 25 rows",
     # ≤1-row aggregates (global totals / maxima / averages).
-    ("plans/relational2.py", "total"): "1-row global sum (q11)",
-    ("plans/relational2.py", "avg_bal"): "1-row global avg (q22)",
-    ("plans/pipeline_ops3.py", "tot"): "1-row corpus total",
-    ("plans/pipeline_ops5.py", "fk"): "1-row fold constant",
-    ("plans/pipeline_ops5.py", "mx"): "1-row global max",
-    ("operators/retrieval.py", "stats"): "1-row corpus stats (BM25)",
-    ("operators/retrieval.py", "n_docs"): "1-row corpus count",
+    ("plans/relational2.py", "q11_important_stock", "total"):
+        "1-row global sum (q11)",
+    ("plans/relational2.py", "q22_global_sales_opportunity", "avg_bal"):
+        "1-row global avg (q22)",
+    ("plans/pipeline_ops3.py", "pipeline_source_mix", "tot"):
+        "1-row corpus total",
+    ("plans/pipeline_ops5.py", "pipeline_quality_checks", "fk"):
+        "1-row fold constant",
+    ("plans/pipeline_ops5.py", "orders_rfm", "mx"):
+        "1-row global max",
+    ("operators/retrieval.py", "bm25_topk", "stats"):
+        "1-row corpus stats (BM25)",
+    ("operators/retrieval.py", "vocabulary_topk", "n_docs"):
+        "1-row corpus count",
     # Partition-count-bounded frames (P rows, P = shuffle partitions).
-    ("plans/pipeline_ops5.py", "offs"): "P-row prefix offsets (pareto)",
+    ("plans/pipeline_ops5.py", "parts_pareto", "offs"):
+        "P-row prefix offsets (pareto)",
     # Bounded small sets: top-k outputs, per-group shares, query sets,
     # trained vocabularies — cardinality fixed by an operator
     # parameter (k, margin buckets, vocab size), not by SF.
-    ("plans/relational2.py", "top"): "1-row max-revenue agg (q15)",
-    ("plans/pipeline_ops5.py", "sh"): "margin-bucket shares, ≤#buckets",
-    ("operators/similarity.py", "q"): "query-vector set, ≤k·probes",
-    ("operators/retrieval.py", "vocab"): "trained vocab, ≤vocab_size",
+    ("plans/relational2.py", "q15_top_supplier", "top"):
+        "1-row max-revenue agg (q15)",
+    ("plans/pipeline_ops5.py", "pipeline_curriculum_shards", "sh"):
+        "margin-bucket shares, ≤#buckets",
+    ("operators/similarity.py", "brute_force_topk", "q"):
+        "query-vector set, ≤n_queries (operator parameter)",
+    ("operators/similarity.py", "range_search", "q"):
+        "query-vector set, ≤n_queries",
+    ("operators/similarity.py", "lsh_bucketed_topk", "q"):
+        "query-vector set, ≤n_queries·bands",
+    ("operators/similarity.py", "ivf_topk", "q"):
+        "query-vector set, ≤n_queries·probes",
+    ("operators/similarity.py", "ivf_multiprobe_topk", "q"):
+        "query-vector set, ≤n_queries·probes",
+    ("operators/retrieval.py", "oov_stats", "vocab"):
+        "trained vocab, ≤vocab_size",
 }
 
 
-def _broadcast_sites() -> list[tuple[str, str, int]]:
-    """(relative file, argument root name, line) for every
-    ``*.broadcast(...)`` / ``broadcast(...)`` call in the package."""
+def _qualname_index(tree: ast.AST) -> dict[int, str]:
+    """line → dotted qualname of the innermost enclosing function
+    (``<module>`` at top level), built by walking def/class nesting."""
+    spans: list[tuple[int, int, str]] = []
+
+    def visit(node: ast.AST, stack: tuple[str, ...]) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                sub = stack + (child.name,)
+                spans.append(
+                    (child.lineno, child.end_lineno or child.lineno,
+                     ".".join(sub))
+                )
+                visit(child, sub)
+            else:
+                visit(child, stack)
+
+    visit(tree, ())
+    # innermost wins: later (narrower) spans override on lookup
+    index: dict[int, str] = {}
+    for lo, hi, qn in sorted(spans, key=lambda t: (t[0], -t[1])):
+        for ln in range(lo, hi + 1):
+            index[ln] = qn
+    return index
+
+
+def _broadcast_sites() -> list[tuple[str, str, str, int]]:
+    """(relative file, enclosing qualname, argument root name, line)
+    for every ``*.broadcast(...)`` / ``broadcast(...)`` call in the
+    package."""
     sites = []
     for dirpath, _dirs, files in os.walk(PKG_DIR):
         for fname in files:
@@ -69,6 +146,7 @@ def _broadcast_sites() -> list[tuple[str, str, int]]:
             rel = os.path.relpath(path, PKG_DIR).replace(os.sep, "/")
             with open(path) as f:
                 tree = ast.parse(f.read(), filename=path)
+            qualnames = _qualname_index(tree)
             for node in ast.walk(tree):
                 if not isinstance(node, ast.Call):
                     continue
@@ -92,7 +170,8 @@ def _broadcast_sites() -> list[tuple[str, str, int]]:
                 root_name = root.id if isinstance(root, ast.Name) else (
                     ast.dump(root)[:40]
                 )
-                sites.append((rel, root_name, node.lineno))
+                qual = qualnames.get(node.lineno, "<module>")
+                sites.append((rel, qual, root_name, node.lineno))
     return sites
 
 
@@ -100,11 +179,12 @@ def test_every_hard_broadcast_is_on_a_bounded_frame():
     sites = _broadcast_sites()
     assert sites, "no broadcast sites found — walker broken?"
     unreviewed = [
-        f"{rel}:{line} F.broadcast({root}...) — not in the reviewed "
-        "allowlist; prove the frame is SF-independent (fixed dim, "
-        "≤1-row agg, P-row frame, bounded set) or use maybe_broadcast"
-        for rel, root, line in sites
-        if (rel, root) not in ALLOWED
+        f"{rel}:{line} [{qual}] F.broadcast({root}...) — not in the "
+        "reviewed allowlist; prove the frame is SF-independent (fixed "
+        "dim, ≤1-row agg, P-row frame, bounded set) or use "
+        "maybe_broadcast"
+        for rel, qual, root, line in sites
+        if (rel, qual, root) not in ALLOWED
     ]
     assert not unreviewed, "\n".join(unreviewed)
 
@@ -113,6 +193,6 @@ def test_allowlist_has_no_stale_entries():
     """Every allowlist entry must still correspond to a live site —
     dead entries hide re-introductions under a previously-blessed
     name."""
-    live = {(rel, root) for rel, root, _ in _broadcast_sites()}
+    live = {(rel, qual, root) for rel, qual, root, _ in _broadcast_sites()}
     stale = [k for k in ALLOWED if k not in live]
     assert not stale, f"stale allowlist entries: {stale}"
