@@ -300,6 +300,30 @@ def _image_pixels(doc_id: int):
     return ((doc_id * 7 + k) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
+def _image_pixels_tiled(doc_id: int):
+    """Top-down RGB uint8 array for the WebP (VP8L) synthesis
+    contract: the same mod-256 ramp but wrapped at a per-doc vertical
+    TILE period — ``val = (doc_id*7 + (k mod (w*3*tile))) % 256`` with
+    ``tile = 1 + doc_id % 11`` — so rows ``y >= tile`` repeat row
+    ``y - tile`` exactly. That gives the VP8L encoder genuine LZ77
+    backward references at scan distance ``tile*width`` (2D-mapped
+    for tile <= 7, direct distance codes past the 120-entry map for
+    tile >= 8) while keeping the oracle a pure closed form. Dims are
+    webp-specific (taller than the shared contract) so most docs have
+    rows to copy: w in 4..16, h in 2..20."""
+    import numpy as np
+
+    w = 4 + doc_id % 13
+    h = 2 + doc_id % 19
+    tile = 1 + doc_id % 11
+    k = np.arange(w * h * 3, dtype=np.int64)
+    return (
+        ((doc_id * 7 + (k % (w * 3 * tile))) % 256)
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+
+
 def encode_bmp_payload(doc_id: int) -> bytes:
     """A real 24-bit uncompressed (BI_RGB) BMP file: 14-byte file
     header + 40-byte BITMAPINFOHEADER + bottom-up BGR pixel rows each

@@ -12,23 +12,31 @@ specification.
 
 Scope (honest gates, same policy as :mod:`.jpeg` / :mod:`.flac`):
 
-* The encoder emits literal + color-cache streams with the
-  subtract-green transform signalled and real per-channel canonical
-  Huffman codes (simple 1/2-symbol codes where the alphabet allows,
-  full code-length-coded codes otherwise). No LZ77 backward
-  references are emitted.
-* The decoder handles everything the spec's literal/cache plane can
-  contain — simple and normal prefix codes, all five per-group codes,
-  any color-cache size, the subtract-green transform — and raises
-  ``NotImplementedError`` loudly for LZ77 backward references,
-  predictor/color/palette transforms, and Huffman images (spatially
-  varying meta codes), none of which this encoder produces and all of
-  which would need the spec's full tables.
+* The encoder emits literal + color-cache + LZ77 backward-reference
+  streams with the subtract-green transform signalled and real
+  per-channel canonical Huffman codes (simple 1/2-symbol codes where
+  the alphabet allows, full code-length-coded codes otherwise). The
+  matcher is greedy single-candidate (most recent occurrence,
+  extended forward, overlap allowed) — every real-encoder wire
+  feature of the lossless literal plane is exercised: length and
+  distance prefix codes with extra bits, the 120-entry 2D
+  distance-offset map, direct scan-order distances past it.
+* The decoder handles everything that plane can contain — simple and
+  normal prefix codes, all five per-group codes, any color-cache
+  size, LZ77 backward references (both mapped and direct distances,
+  overlapping copies, cache insertion of copied pixels), and the
+  subtract-green transform — and raises ``NotImplementedError``
+  loudly for predictor/color/palette transforms and Huffman images
+  (spatially varying meta codes), which this encoder never produces
+  and which would need the spec's full predictor tables.
 
-Synthesis contract: the shared :func:`.multimodal._image_pixels`
-closed form (same as BMP/PPM/PNG), so the DuckDB oracle is the
-existing closed-form image-statistics SQL with the VP8L payload-size
-expression omitted (payload size is compression-dependent).
+Synthesis contract: a vertically TILED variant of the shared
+:func:`.multimodal._image_pixels` closed form (rows repeat with
+period ``tile = 1 + doc_id % 11``), so real-encoder-style backward
+references arise naturally (row y >= tile copies row y - tile at
+scan distance tile·width) while the DuckDB oracle stays a pure
+closed-form image-statistics SQL (payload size omitted — it is
+compression-dependent).
 """
 
 from __future__ import annotations
@@ -344,6 +352,89 @@ def _cache_index(argb: int, cache_bits: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# LZ77 backward references: the spec's prefix-coded lengths/distances
+# and the 120-entry 2D distance-offset map
+# ---------------------------------------------------------------------------
+
+# The spec's close-neighborhood map: distance codes 1..120 name pixels
+# at these (dx, dy) scan offsets (dy rows up, dx columns left-negative
+# /right-positive); codes > 120 are scan-order distances minus 120.
+DIST_MAP: list[tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+assert len(DIST_MAP) == 120
+_DIST_CODE_BY_OFFSET = {off: idx + 1 for idx, off in enumerate(DIST_MAP)}
+
+MAX_LZ77_LENGTH = 4096  # largest value the 24 length prefix codes carry
+MIN_MATCH = 3
+
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value (>=1) → (prefix_code, n_extra_bits, extra_value), the
+    spec's LZ77 prefix coding shared by lengths and distance codes."""
+    if value < 1:
+        raise ValueError(f"LZ77 prefix values start at 1, got {value}")
+    if value <= 4:
+        return value - 1, 0, 0
+    p = 4
+    while True:
+        eb = (p - 2) >> 1
+        off = (2 + (p & 1)) << eb
+        if off + 1 <= value <= off + (1 << eb):
+            return p, eb, value - off - 1
+        p += 1
+
+
+def _prefix_value(prefix_code: int, br: _LsbBitReader) -> int:
+    """Inverse of :func:`_prefix_encode`: read the extra bits and
+    reassemble the value."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    eb = (prefix_code - 2) >> 1
+    off = (2 + (prefix_code & 1)) << eb
+    return off + br.read(eb) + 1
+
+
+def _dist_to_code(dist: int, width: int) -> int:
+    """Scan-order distance → distance code (close neighbors through
+    the 120-entry map, everything else dist + 120)."""
+    dy, dx = divmod(dist, width)
+    if dx > 8:
+        dx -= width
+        dy += 1
+    code = _DIST_CODE_BY_OFFSET.get((dx, dy))
+    if code is not None:
+        return code
+    return dist + 120
+
+
+def _code_to_dist(code: int, width: int) -> int:
+    """Distance code → scan-order distance (spec: mapped distances
+    clamp to a minimum of 1)."""
+    if code < 1:
+        raise ValueError(f"invalid VP8L distance code {code}")
+    if code > 120:
+        return code - 120
+    dx, dy = DIST_MAP[code - 1]
+    dist = dy * width + dx
+    return dist if dist >= 1 else 1
+
+
+# ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
@@ -352,56 +443,107 @@ NUM_DISTANCE_CODES = 40
 
 
 def encode_webp_payload(doc_id: int) -> bytes:
-    """A real lossless WebP file for the shared image synthesis
-    contract: RIFF/WEBP container, VP8L chunk with the subtract-green
-    transform, a doc-varied color cache, and canonical per-channel
-    prefix codes (full code-length-coded codes for the multi-symbol
-    channels, simple codes for alpha/distance)."""
-    from .multimodal import _image_pixels
+    """A real lossless WebP file for the TILED image synthesis
+    contract (:func:`.multimodal._image_pixels_tiled`): RIFF/WEBP
+    container, VP8L chunk with the subtract-green transform, a
+    doc-varied color cache, LZ77 backward references for the repeated
+    tile rows, and canonical per-channel prefix codes (full
+    code-length-coded codes for the multi-symbol channels, simple
+    codes where the alphabet allows)."""
+    from .multimodal import _image_pixels_tiled
 
-    return encode_vp8l(_image_pixels(doc_id), 1 + doc_id % 6)
+    return encode_vp8l(_image_pixels_tiled(doc_id), 1 + doc_id % 6)
 
 
 def encode_vp8l(px, cache_bits: int) -> bytes:
     """Encode a top-down RGB uint8 array as a lossless WebP (see
-    :func:`encode_webp_payload` for the emitted feature set)."""
+    :func:`encode_webp_payload` for the emitted feature set).
+
+    Backward references: a greedy single-candidate LZ77 matcher over
+    the (subtract-green-transformed) ARGB sequence — most recent
+    occurrence of the current pixel value, extended forward (overlap
+    allowed, length capped at the format's 4096), emitted when it
+    reaches ``MIN_MATCH``. Distances go through the spec's 120-entry
+    2D offset map when the (dx, dy) is a close neighbor, else as
+    direct scan-order codes. The color cache tracks every emitted
+    pixel — including pixels covered by a copy — exactly as the
+    decoder inserts them."""
     h, w, _ = px.shape
     cache_size = 1 << cache_bits
     green_alpha_size = 256 + NUM_LENGTH_CODES + cache_size
 
-    # subtract-green on the encoder side
-    pixels = []
+    # subtract-green on the encoder side; pixels as packed ARGB ints
+    pixels: list[int] = []
     for y in range(h):
         for x in range(w):
             r, g, b = (int(v) for v in px[y, x])
-            pixels.append((255, (r - g) & 0xFF, g, (b - g) & 0xFF))
+            pixels.append(
+                (255 << 24)
+                | (((r - g) & 0xFF) << 16)
+                | (g << 8)
+                | ((b - g) & 0xFF)
+            )
 
-    # token stream with the cache state machine
+    # token stream: greedy LZ77 > cache hit > literal, with the cache
+    # state machine tracking every pixel position
+    n = len(pixels)
     cache = [None] * cache_size
-    tokens: list[tuple[str, tuple[int, int, int, int] | int]] = []
-    for a, r, g, b in pixels:
-        argb = (a << 24) | (r << 16) | (g << 8) | b
+    last_pos: dict[int, int] = {}  # argb -> most recent position
+    tokens: list[tuple[str, tuple]] = []
+    i = 0
+    while i < n:
+        argb = pixels[i]
+        prev = last_pos.get(argb)
+        length = 0
+        if prev is not None:
+            dist = i - prev
+            limit = min(n - i, MAX_LZ77_LENGTH)
+            while length < limit and pixels[i + length] == pixels[
+                i + length - dist
+            ]:
+                length += 1
+        if length >= MIN_MATCH:
+            tokens.append(("copy", (length, dist)))
+            for j in range(i, i + length):
+                cache[_cache_index(pixels[j], cache_bits)] = pixels[j]
+                last_pos[pixels[j]] = j
+            i += length
+            continue
         idx = _cache_index(argb, cache_bits)
         if cache[idx] == argb:
-            tokens.append(("cache", idx))
+            tokens.append(("cache", (idx,)))
         else:
-            tokens.append(("lit", (a, r, g, b)))
+            tokens.append(
+                ("lit", ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                         (argb >> 8) & 0xFF, argb & 0xFF))
+            )
         cache[idx] = argb
+        last_pos[argb] = i
+        i += 1
 
     gfreq: dict[int, int] = {}
     rfreq: dict[int, int] = {}
     bfreq: dict[int, int] = {}
     afreq: dict[int, int] = {}
+    dfreq: dict[int, int] = {}
     for kind, v in tokens:
         if kind == "cache":
-            s = 256 + NUM_LENGTH_CODES + v
+            s = 256 + NUM_LENGTH_CODES + v[0]
             gfreq[s] = gfreq.get(s, 0) + 1
+        elif kind == "copy":
+            length, dist = v
+            lp, _, _ = _prefix_encode(length)
+            gfreq[256 + lp] = gfreq.get(256 + lp, 0) + 1
+            dp, _, _ = _prefix_encode(_dist_to_code(dist, w))
+            dfreq[dp] = dfreq.get(dp, 0) + 1
         else:
             a, r, g, b = v
             gfreq[g] = gfreq.get(g, 0) + 1
             rfreq[r] = rfreq.get(r, 0) + 1
             bfreq[b] = bfreq.get(b, 0) + 1
             afreq[a] = afreq.get(a, 0) + 1
+    if not dfreq:
+        dfreq = {0: 1}  # unused distance tree still needs a code
 
     bw = _LsbBitWriter()
     bw.write(0x2F, 8)  # VP8L signature
@@ -419,11 +561,12 @@ def encode_vp8l(px, cache_bits: int) -> bytes:
     rlen = huffman_lengths(rfreq)
     blen = huffman_lengths(bfreq)
     alen = huffman_lengths(afreq)
+    dlen = huffman_lengths(dfreq)
     _write_prefix_code(bw, glen, green_alpha_size)
     _write_prefix_code(bw, rlen, 256)
     _write_prefix_code(bw, blen, 256)
     _write_prefix_code(bw, alen, 256)
-    _write_prefix_code(bw, {0: 1}, NUM_DISTANCE_CODES)  # unused distances
+    _write_prefix_code(bw, dlen, NUM_DISTANCE_CODES)
     def emit_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
         # a 1-symbol code consumes ZERO bits on the wire (the decoder
         # knows the symbol from the code definition alone)
@@ -435,10 +578,23 @@ def encode_vp8l(px, cache_bits: int) -> bytes:
     rcodes = emit_codes(rlen)
     bcodes = emit_codes(blen)
     acodes = emit_codes(alen)
+    dcodes = emit_codes(dlen)
     for kind, v in tokens:
         if kind == "cache":
-            c, ln = gcodes[256 + NUM_LENGTH_CODES + v]
+            c, ln = gcodes[256 + NUM_LENGTH_CODES + v[0]]
             bw.write_code(c, ln)
+        elif kind == "copy":
+            length, dist = v
+            lp, leb, lex = _prefix_encode(length)
+            c, ln = gcodes[256 + lp]
+            bw.write_code(c, ln)
+            if leb:
+                bw.write(lex, leb)
+            dp, deb, dex = _prefix_encode(_dist_to_code(dist, w))
+            c, ln = dcodes[dp]
+            bw.write_code(c, ln)
+            if deb:
+                bw.write(dex, deb)
         else:
             a, r, g, b = v
             c, ln = gcodes[g]
@@ -523,11 +679,11 @@ def decode_webp(payload: bytes):
     rdec = _read_prefix_code(br, 256)
     bdec = _read_prefix_code(br, 256)
     adec = _read_prefix_code(br, 256)
-    _read_prefix_code(br, NUM_DISTANCE_CODES)  # distances (unused here)
+    ddec = _read_prefix_code(br, NUM_DISTANCE_CODES)
 
     cache = [0] * cache_size
-    out = np.zeros((h, w, 3), dtype=np.uint8)
     n = w * h
+    argbs = [0] * n  # transformed-domain history (LZ77 copies source it)
     i = 0
     while i < n:
         s = gdec.read(br)
@@ -538,17 +694,37 @@ def decode_webp(payload: bytes):
             a = adec.read(br)
             argb = (a << 24) | (r << 16) | (g << 8) | b
         elif s < 256 + NUM_LENGTH_CODES:
-            raise NotImplementedError(
-                "VP8L LZ77 backward references not implemented — the "
-                "short-distance map decode is gated (vp8l module "
-                "docstring)"
-            )
+            length = _prefix_value(s - 256, br)
+            dcode = _prefix_value(ddec.read(br), br)
+            dist = _code_to_dist(dcode, w)
+            if dist > i:
+                raise ValueError(
+                    f"VP8L backward reference before image start "
+                    f"(dist={dist} at pixel {i})"
+                )
+            if i + length > n:
+                raise ValueError(
+                    f"VP8L backward reference overruns image "
+                    f"(len={length} at pixel {i} of {n})"
+                )
+            for _ in range(length):  # overlap-safe pixelwise copy
+                argb = argbs[i - dist]
+                argbs[i] = argb
+                if cache_size:
+                    cache[_cache_index(argb, cache_bits)] = argb
+                i += 1
+            continue
         else:
             if not cache_size:
                 raise ValueError("cache symbol without a color cache")
             argb = cache[s - 256 - NUM_LENGTH_CODES]
         if cache_size:
             cache[_cache_index(argb, cache_bits)] = argb
+        argbs[i] = argb
+        i += 1
+
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for i, argb in enumerate(argbs):
         a = (argb >> 24) & 0xFF
         r = (argb >> 16) & 0xFF
         g = (argb >> 8) & 0xFF
@@ -559,5 +735,4 @@ def decode_webp(payload: bytes):
         if a != 255:
             raise ValueError("non-opaque VP8L pixel outside RGB contract")
         out[i // w, i % w] = (r, g, b)
-        i += 1
     return out, cache_bits

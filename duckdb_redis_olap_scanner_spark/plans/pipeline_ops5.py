@@ -941,23 +941,27 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
 
 @register(
     "multimodal_decode_webp",
-    # Same pixel closed form as BMP/PPM/PNG (val = (doc_id*7 + k) % 256
-    # over the shared _image_pixels contract); cache_bits comes back
-    # from the STREAM (1 + doc_id % 6 by synthesis), pinning that the
-    # color-cache config was parsed. Payload size is compression-
-    # dependent, so unlike BMP/PPM there is no n_bytes column.
+    # TILED pixel closed form (val = (doc_id*7 + (k mod w*3*tile)) %
+    # 256, tile = 1 + doc_id % 11) so the VP8L streams carry genuine
+    # LZ77 backward references (rows >= tile copy row - tile at scan
+    # distance tile*width); cache_bits comes back from the STREAM
+    # (1 + doc_id % 6 by synthesis), pinning that the color-cache
+    # config was parsed. Payload size is compression-dependent, so
+    # unlike BMP/PPM there is no n_bytes column.
     oracle="""
     WITH dims AS (
       SELECT doc_id,
              CAST(4 + doc_id % 13 AS INT) AS width,
-             CAST(2 + doc_id % 7 AS INT) AS height
+             CAST(2 + doc_id % 19 AS INT) AS height,
+             1 + doc_id % 11 AS tile
       FROM documents),
     px AS (
-      SELECT doc_id, width, height,
+      SELECT doc_id, width, height, tile,
              unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
       FROM dims),
     v AS (
-      SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
+      SELECT doc_id, width, height, k,
+             (doc_id * 7 + (k % (width * 3 * tile))) % 256 AS val
       FROM px)
     SELECT doc_id, width, height,
            CAST(1 + doc_id % 6 AS INT) AS cache_bits,
@@ -976,10 +980,14 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
     "bit packing, canonical per-channel prefix codes transmitted "
     "through the DEFLATE-style code-length code (16/17/18 repeats, "
     "the 19-entry reorder table), a doc-varied color cache "
-    "(multiplicative-hash indexed), and the subtract-green transform "
-    "— then decode them back to bit-exact RGB. Decoder additionally "
-    "covers simple 1/2-symbol codes and any cache size; LZ77 "
-    "backrefs / other transforms / Huffman images are loudly gated "
+    "(multiplicative-hash indexed), LZ77 backward references over "
+    "vertically tiled pixel rows (length/distance prefix codes with "
+    "extra bits, the 120-entry 2D distance-offset map for tile <= 7, "
+    "direct scan-order distances for tile >= 8), and the "
+    "subtract-green transform — then decode them back to bit-exact "
+    "RGB. Decoder additionally covers simple 1/2-symbol codes, any "
+    "cache size, and overlapping copies; predictor/color/palette "
+    "transforms and Huffman images remain loudly gated "
     "(operators/vp8l.decode_webp).",
 )
 def multimodal_decode_webp(spark: SparkSession, sf: str):

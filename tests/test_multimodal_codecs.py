@@ -671,26 +671,73 @@ def test_flac_dispatches_through_decode_audio():
 import duckdb_redis_olap_scanner_spark.operators.vp8l as V
 
 
-@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 6, 11, 12, 90, 4999])
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 5, 6, 7, 11, 12, 30, 90,
+                                    4999])
 def test_vp8l_round_trip(doc_id):
     """Bit-exact round trip across cache sizes 2..64, simple and
-    code-length-coded prefix codes, and the subtract-green
-    transform."""
+    code-length-coded prefix codes, the subtract-green transform, and
+    (tile < height) LZ77 backward references — 2D-mapped distances
+    for tile <= 7 (docs 3, 5...), direct scan-order codes for tile >=
+    8 (docs 7, 30), literal-only when tile >= height (doc 4999)."""
     px, cache_bits = V.decode_webp(V.encode_webp_payload(doc_id))
     assert cache_bits == 1 + doc_id % 6
-    assert (px == M._image_pixels(doc_id)).all()
+    assert (px == M._image_pixels_tiled(doc_id)).all()
+
+
+def test_vp8l_overlapping_copy_round_trip():
+    """A constant image collapses to one literal plus a distance-1
+    overlapping copy — the LZ77 copy source overlaps its destination
+    and must be copied pixelwise, not memcpy'd."""
+    const = np.full((4, 6, 3), 77, dtype=np.uint8)
+    payload = V.encode_vp8l(const, 3)
+    px, _ = V.decode_webp(payload)
+    assert (px == const).all()
+    # 24 pixels -> a handful of bytes proves the copy engaged
+    assert len(payload) < 60
+
+
+def test_vp8l_lz77_distance_shapes_round_trip():
+    """Mapped 2D distances (dx != 0, dy = 0 and dx = 0, dy > 1),
+    direct distances past the 120-entry map, and multi-copy streams
+    all round-trip."""
+    # 1-row image with period 5 -> dist 5 = map entry (5, 0)
+    row = (np.arange(50 * 3, dtype=np.int64) % 15).astype(np.uint8)
+    one_row = row.reshape(1, 50, 3)
+    px, _ = V.decode_webp(V.encode_vp8l(one_row, 4))
+    assert (px == one_row).all()
+    # 1-row image with period 9 at width 50 -> (dx=9, dy=0) is past
+    # the map's dx<=8 -> direct distance code 9 + 120
+    row9 = (np.arange(50 * 3, dtype=np.int64) % 27).astype(np.uint8)
+    one_row9 = row9.reshape(1, 50, 3)
+    px, _ = V.decode_webp(V.encode_vp8l(one_row9, 4))
+    assert (px == one_row9).all()
+    # 9-row vertical tile at width 16 -> dist 144, dy=9 past the map
+    block = np.arange(9 * 16 * 3, dtype=np.int64) % 256
+    tall = np.tile(block.astype(np.uint8).reshape(9, 16, 3), (3, 1, 1))
+    px, _ = V.decode_webp(V.encode_vp8l(tall, 6))
+    assert (px == tall).all()
 
 
 def test_vp8l_color_cache_hits_decode():
-    """Constant and tiled images force cache-hit symbols (the
-    synthesis contract never repeats a pixel, so this path needs its
-    own streams)."""
-    const = np.full((4, 6, 3), 77, dtype=np.uint8)
-    px, _ = V.decode_webp(V.encode_vp8l(const, 3))
-    assert (px == const).all()
-    pat = np.tile(np.arange(12, dtype=np.uint8).reshape(1, 4, 3), (7, 1, 1))
-    px, _ = V.decode_webp(V.encode_vp8l(pat, 2))
-    assert (px == pat).all()
+    """Single-pixel repeats below MIN_MATCH force cache-hit symbols
+    (runs of >= 3 become LZ77 copies instead, so this path needs
+    isolated repeats)."""
+    # A recurs every 3 pixels with distinct fillers between, so each
+    # repeat matches for exactly 1 pixel (< MIN_MATCH) and must go
+    # through the color cache where its slot survives.
+    vals = []
+    a = (10, 20, 30)
+    f = 0
+    for i in range(24):
+        if i % 3 == 0:
+            vals.extend(a)
+        else:
+            f += 1
+            vals.extend((40 + f, 80 + f, 120 + f))
+    arr = np.array(vals, dtype=np.uint8).reshape(1, 24, 3)
+    for cache_bits in (2, 6, 10):
+        px, _ = V.decode_webp(V.encode_vp8l(arr, cache_bits))
+        assert (px == arr).all()
 
 
 def test_vp8l_code_length_code_round_trip():
@@ -757,25 +804,43 @@ def test_vp8l_rejects_and_gates():
     with pytest.raises(NotImplementedError, match="Huffman image"):
         V.decode_webp(stream(huffman_image))
 
-    def lz77(bw):
+    def lz77_before_start(bw):
         bw.write(0, 1)  # no transform
         bw.write(0, 1)  # no cache
         bw.write(0, 1)  # no huffman image
-        # green code over {0, 256}: symbol 256 is a length code
+        # green code over {0, 256}: symbol 256 is length prefix 0
         V._write_prefix_code(bw, {0: 1, 256: 1}, 280)
         for _ in range(3):
             V._write_prefix_code(bw, {0: 1}, 256)
         V._write_prefix_code(bw, {0: 1}, 40)
         codes = V.canonical_codes({0: 1, 256: 1})
         c, ln = codes[256]
+        bw.write_code(c, ln)  # copy as the FIRST symbol: nothing behind
+    with pytest.raises(ValueError, match="before image start"):
+        V.decode_webp(stream(lz77_before_start))
+
+    def lz77_overrun(bw):
+        bw.write(0, 1)  # no transform
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no huffman image
+        # symbol 259 = length prefix 3 -> length 4 > the 1 pixel left
+        V._write_prefix_code(bw, {0: 1, 259: 1}, 280)
+        for _ in range(3):
+            V._write_prefix_code(bw, {0: 1}, 256)
+        # distance prefix 1 -> distance code 2 -> map (1, 0) -> dist 1
+        V._write_prefix_code(bw, {1: 1}, 40)
+        codes = V.canonical_codes({0: 1, 259: 1})
+        c, ln = codes[0]
+        bw.write_code(c, ln)  # one literal (r/b/a are zero-bit codes)
+        c, ln = codes[259]
         bw.write_code(c, ln)
-    with pytest.raises(NotImplementedError, match="LZ77"):
-        V.decode_webp(stream(lz77))
+    with pytest.raises(ValueError, match="overruns image"):
+        V.decode_webp(stream(lz77_overrun))
 
 
 def test_vp8l_decode_image_dispatch():
     px = M.decode_image(V.encode_webp_payload(9))
-    assert (px == M._image_pixels(9)).all()
+    assert (px == M._image_pixels_tiled(9)).all()
 
 
 # ---------------------------------------------------------------------------
