@@ -847,32 +847,45 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+# Adam7 pass geometry: (x0, dx, y0, dy) per pass — pass p covers
+# pixels (x0 + j*dx, y0 + i*dy), each pass serialized as its own
+# mini-image (own filter bytes, own prior-row state).
+ADAM7_PASSES = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass; empty passes (small
+    images) are (0, 0)-dimensional and contribute zero scanlines."""
+    return [
+        (max(0, (w - x0 + dx - 1) // dx), max(0, (h - y0 + dy - 1) // dy))
+        for x0, dx, y0, dy in ADAM7_PASSES
+    ]
+
+
 def encode_png_payload(doc_id: int) -> bytes:
-    """A real PNG file (8-bit truecolor RGB, non-interlaced) for the
+    """A real PNG file (8-bit truecolor RGB) for the
     synthesis-contract pixels of ``doc_id`` — see
-    :func:`png_from_array` for the container/filter layout."""
-    return png_from_array(_image_pixels(doc_id))
+    :func:`png_from_array` for the container/filter layout. Every
+    third doc is Adam7-INTERLACED (seven sub-image passes), the rest
+    sequential, so both IHDR interlace modes live in the corpus."""
+    return png_from_array(_image_pixels(doc_id), adam7=doc_id % 3 == 0)
 
 
-def png_from_array(px) -> bytes:
-    """Encode ANY top-down RGB uint8 array (h, w, 3) as a real PNG:
-    zlib-compressed scanlines where row y uses filter type ``y % 5``
-    — all five PNG filters (None/Sub/Up/Average/Paeth) appear on any
-    image with >= 5 rows, so a decoder that fakes an unfilter path
-    cannot round-trip. The IDAT stream is split into TWO chunks
-    (decoders must concatenate before inflating) and every chunk
-    carries its real CRC-32."""
-    import struct
-    import zlib
-
+def _filter_scanlines(raw) -> bytearray:
+    """Serialize a (rows, width*3) int64 array as PNG scanlines where
+    row y uses filter type ``y % 5`` — all five PNG filters
+    (None/Sub/Up/Average/Paeth) appear on any image with >= 5 rows,
+    so a decoder that fakes an unfilter path cannot round-trip."""
     import numpy as np
 
-    h, w, _ = px.shape
     bpp = 3
-    raw = px.reshape(h, w * bpp).astype(np.int64)
+    n_rows, rowbytes = raw.shape
     out = bytearray()
-    prior = np.zeros(w * bpp, dtype=np.int64)
-    for y in range(h):
+    prior = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(n_rows):
         row = raw[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
         upleft = np.concatenate(
@@ -897,8 +910,40 @@ def png_from_array(px) -> bytes:
         out.append(f)
         out.extend((filt % 256).astype(np.uint8).tobytes())
         prior = row
+    return out
+
+
+def png_from_array(px, adam7: bool = False) -> bytes:
+    """Encode ANY top-down RGB uint8 array (h, w, 3) as a real PNG:
+    zlib-compressed scanlines with the y%5 filter cycle (see
+    :func:`_filter_scanlines`). With ``adam7=True`` the seven
+    interlace passes are each filtered as their own mini-image
+    (per-pass prior-row reset, empty passes skipped) and
+    concatenated before compression, per the spec. The IDAT stream
+    is split into TWO chunks (decoders must concatenate before
+    inflating) and every chunk carries its real CRC-32."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.reshape(h, w * bpp).astype(np.int64)
+    if adam7:
+        out = bytearray()
+        for x0, dx, y0, dy in ADAM7_PASSES:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            out.extend(
+                _filter_scanlines(sub.reshape(ph, pw * bpp).astype(np.int64))
+            )
+    else:
+        out = _filter_scanlines(raw)
     comp = zlib.compress(bytes(out), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if adam7 else 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -909,14 +954,16 @@ def png_from_array(px) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """Parse a PNG (8-bit truecolor RGB, non-interlaced) into a
-    top-down RGB uint8 array (h, w, 3) — dependency-free (stdlib zlib
-    + numpy). A full container parse: signature, chunk walk with
-    CRC-32 verification, multi-IDAT concatenation, zlib inflate, and
-    sequential row UNFILTERING for all five PNG filter types. Returns
+    """Parse a PNG (8-bit truecolor RGB, sequential or
+    Adam7-interlaced) into a top-down RGB uint8 array (h, w, 3) —
+    dependency-free (stdlib zlib + numpy). A full container parse:
+    signature, chunk walk with CRC-32 verification, multi-IDAT
+    concatenation, zlib inflate, row UNFILTERING for all five PNG
+    filter types, and (interlace=1) seven-pass Adam7 deinterlacing
+    with per-pass filter state and empty-pass handling. Returns
     (array, n_raw) where n_raw is the decompressed scanline byte
-    count, proving decompression actually ran. Anything interlaced,
-    paletted, or non-8-bit raises loudly."""
+    count, proving decompression actually ran. Anything paletted or
+    non-8-bit raises loudly."""
     import struct
     import zlib
 
@@ -943,23 +990,62 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
-    if (depth, color, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
+    if (depth, color, comp_m, filt_m) != (8, 2, 0, 0) or interlace > 1:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
             f"interlace={interlace}): only 8-bit truecolor "
-            "non-interlaced is decodable here"
+            "(sequential or Adam7) is decodable here"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
     bpp = 3
-    stride = 1 + w * bpp
-    if len(raw) != h * stride:
+    if interlace == 0:
+        stride = 1 + w * bpp
+        if len(raw) != h * stride:
+            raise ValueError(
+                f"PNG scanline stream is {len(raw)} bytes, "
+                f"want {h * stride}"
+            )
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        out = _unfilter_scanlines(lines, w)
+        return out.astype(np.uint8).reshape(h, w, bpp), len(raw)
+    # Adam7: seven sub-images back to back, each with its own filter
+    # bytes and prior-row state, deinterlaced onto the pixel grid.
+    dims = _adam7_pass_dims(w, h)
+    want = sum(ph * (1 + pw * bpp) for pw, ph in dims if pw and ph)
+    if len(raw) != want:
         raise ValueError(
-            f"PNG scanline stream is {len(raw)} bytes, want {h * stride}"
+            f"PNG Adam7 scanline stream is {len(raw)} bytes, want {want}"
         )
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    out = np.zeros((h, w * bpp), dtype=np.int64)
+    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, dx, y0, dy), (pw, ph) in zip(ADAM7_PASSES, dims):
+        if pw == 0 or ph == 0:
+            continue
+        stride = 1 + pw * bpp
+        lines = np.frombuffer(
+            raw[pos : pos + ph * stride], dtype=np.uint8
+        ).reshape(ph, stride)
+        pos += ph * stride
+        sub = _unfilter_scanlines(lines, pw)
+        full[y0::dy, x0::dx] = (
+            sub.astype(np.uint8).reshape(ph, pw, bpp)
+        )
+    return full, len(raw)
+
+
+def _unfilter_scanlines(lines, w: int):
+    """Reverse the five PNG row filters over a (rows, 1 + w*3) uint8
+    scanline block; returns (rows, w*3) int64."""
+    import numpy as np
+
+    bpp = 3
+    n_rows = lines.shape[0]
+    out = np.zeros((n_rows, w * bpp), dtype=np.int64)
     prior = np.zeros(w * bpp, dtype=np.int64)
-    for y in range(h):
+    for y in range(n_rows):
         f = int(lines[y, 0])
         cur = lines[y, 1:].astype(np.int64)
         if f == 0:
@@ -990,7 +1076,7 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = row
         prior = row
-    return out.astype(np.uint8).reshape(h, w, bpp), len(raw)
+    return out
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:

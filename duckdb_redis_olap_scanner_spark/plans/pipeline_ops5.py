@@ -593,16 +593,31 @@ from ..operators import multimodal as M  # noqa: E402
 @register(
     "multimodal_decode_png",
     # Same closed-form pixel synthesis as the BMP/PPM oracles
-    # (pipeline_ops4); n_raw = decompressed scanline bytes h*(1+3w) —
-    # the compressed payload size has no closed form, so the oracle
-    # pins the INFLATED stream length instead, which only a decoder
-    # that actually ran zlib can report.
+    # (pipeline_ops4); n_raw = decompressed scanline bytes — the
+    # compressed payload size has no closed form, so the oracle pins
+    # the INFLATED stream length instead, which only a decoder that
+    # actually ran zlib can report. Every third doc is
+    # Adam7-interlaced, where n_raw = sum over the seven passes of
+    # pass_h*(1+3*pass_w) for non-empty passes — pinning the
+    # deinterlace geometry itself.
     oracle="""
     WITH dims AS (
       SELECT doc_id,
              CAST(4 + doc_id % 13 AS INT) AS width,
              CAST(2 + doc_id % 7 AS INT) AS height
       FROM documents),
+    passes(x0, dx, y0, dy) AS (
+      VALUES (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+             (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)),
+    adam AS (
+      SELECT d.doc_id,
+             SUM(CASE WHEN (d.width - p.x0 + p.dx - 1) // p.dx > 0
+                       AND (d.height - p.y0 + p.dy - 1) // p.dy > 0
+                      THEN ((d.height - p.y0 + p.dy - 1) // p.dy)
+                           * (1 + 3 * ((d.width - p.x0 + p.dx - 1)
+                                       // p.dx))
+                      ELSE 0 END) AS n_raw7
+      FROM dims d CROSS JOIN passes p GROUP BY d.doc_id),
     px AS (
       SELECT doc_id, width, height,
              unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
@@ -610,8 +625,9 @@ from ..operators import multimodal as M  # noqa: E402
     v AS (
       SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
       FROM px)
-    SELECT doc_id, width, height,
-           CAST(height * (1 + 3 * width) AS INT) AS n_raw,
+    SELECT v.doc_id, v.width, v.height,
+           CAST(CASE WHEN v.doc_id % 3 = 0 THEN MIN(a.n_raw7)
+                ELSE v.height * (1 + 3 * v.width) END AS INT) AS n_raw,
            CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
                AS sum_r,
            CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
@@ -619,16 +635,20 @@ from ..operators import multimodal as M  # noqa: E402
            CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
                AS sum_b,
            CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
-    FROM v GROUP BY doc_id, width, height
+    FROM v JOIN adam a ON a.doc_id = v.doc_id
+    GROUP BY v.doc_id, v.width, v.height
     """,
     tags=("multimodal",),
     doc="REAL decode of a COMPRESSED image format, no codec library: "
     "synthesize a true PNG per doc (8-bit RGB, row filter y%5 so all "
-    "five PNG filters appear, TWO IDAT chunks, real CRC-32s), then "
+    "five PNG filters appear, TWO IDAT chunks, real CRC-32s; every "
+    "third doc Adam7-interlaced with per-pass filter state), then "
     "fully parse it back — signature, CRC-verified chunk walk, "
-    "multi-IDAT zlib inflate, sequential five-filter unfiltering — "
-    "in stdlib zlib + numpy inside the same narrow Arrow maps as the "
-    "BMP/PPM twins. n_raw pins that decompression actually ran "
+    "multi-IDAT zlib inflate, five-filter unfiltering, seven-pass "
+    "Adam7 deinterlacing with empty-pass handling — in stdlib zlib + "
+    "numpy inside the same narrow Arrow maps as the BMP/PPM twins. "
+    "n_raw pins that decompression actually ran AND (interlaced "
+    "docs) that the pass geometry was walked exactly "
     "(operators/multimodal.decode_png).",
 )
 def multimodal_decode_png(spark: SparkSession, sf: str):

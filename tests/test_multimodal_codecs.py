@@ -170,19 +170,62 @@ def test_checksum_pins_order():
 
 @pytest.mark.parametrize("doc_id", [0, 1, 4, 9, 17, 64, 123])
 def test_png_round_trip(doc_id):
+    """Docs where doc_id % 3 == 0 (0, 9, 123) are Adam7-interlaced;
+    the rest sequential — both round-trip to the same pixels, with
+    n_raw following each wire format's scanline accounting."""
     px, n_raw = M.decode_png(M.encode_png_payload(doc_id))
     assert (px == M._image_pixels(doc_id)).all()
     w, h = M._image_dims(doc_id)
-    assert n_raw == h * (1 + 3 * w)
+    if doc_id % 3 == 0:
+        want = sum(
+            ph * (1 + 3 * pw)
+            for pw, ph in M._adam7_pass_dims(w, h)
+            if pw and ph
+        )
+    else:
+        want = h * (1 + 3 * w)
+    assert n_raw == want
+
+
+def test_png_adam7_edge_geometries_round_trip():
+    """Adam7 on sizes that empty out various passes (1x1 keeps only
+    pass 1; single-row/column images drop whole pass families) and on
+    sizes exercising all seven passes."""
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (2, 1), (1, 2), (3, 3), (5, 5), (8, 8),
+                 (9, 10), (16, 20), (13, 1), (1, 13)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = M.png_from_array(px, adam7=True)
+        out, _ = M.decode_png(payload)
+        assert np.array_equal(out, px), (w, h)
+
+
+def test_png_adam7_header_flag_is_real():
+    """The IHDR interlace byte decides the scanline layout: decoding
+    an Adam7 stream with the flag patched to 0 must fail the length
+    check, not silently misinterpret the passes."""
+    import struct
+    import zlib
+
+    payload = bytearray(M.encode_png_payload(9))  # 9 % 3 == 0: Adam7
+    ihdr_off = len(M.PNG_SIG) + 8
+    assert payload[ihdr_off + 12] == 1  # interlace byte
+    payload[ihdr_off + 12] = 0
+    body = bytes(payload[ihdr_off : ihdr_off + 13])
+    crc = zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    struct.pack_into(">I", payload, ihdr_off + 13, crc)
+    with pytest.raises(ValueError, match="scanline stream"):
+        M.decode_png(bytes(payload))
 
 
 def test_png_exercises_all_five_filters():
     # Row y uses filter y % 5, so any image with height >= 5 carries
-    # every PNG filter type; doc_id=3 has height 2+3%7 = 5.
+    # every PNG filter type; doc_id=4 has height 2+4%7 = 6 (and is
+    # sequential: 4 % 3 != 0, so filter bytes sit at row strides).
     import struct
     import zlib
 
-    payload = M.encode_png_payload(3)
+    payload = M.encode_png_payload(4)
     pos = len(M.PNG_SIG)
     idat = bytearray()
     n_idat = 0
@@ -194,7 +237,7 @@ def test_png_exercises_all_five_filters():
         pos += 12 + length
     assert n_idat == 2  # the multi-IDAT split is real
     raw = zlib.decompress(bytes(idat))
-    w, h = M._image_dims(3)
+    w, h = M._image_dims(4)
     stride = 1 + 3 * w
     filters = {raw[y * stride] for y in range(h)}
     assert filters == {0, 1, 2, 3, 4}
@@ -925,8 +968,11 @@ def _mutations(payload: bytes, seed: int):
         (lambda d: V.encode_webp_payload(d), V.decode_webp, 202),
         (lambda d: J.encode_jpeg_payload(d, "prog"), J.decode_jpeg, 303),
         (lambda d: J.encode_jpeg_payload(d, "444"), J.decode_jpeg, 304),
+        (lambda d: M.encode_png_payload(d), M.decode_png, 405),
+        (lambda d: M.png_from_array(M._image_pixels(d), adam7=True),
+         M.decode_png, 406),
     ],
-    ids=["flac", "vp8l", "jpeg-prog", "jpeg-444"],
+    ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed):
     ok = bad = 0
