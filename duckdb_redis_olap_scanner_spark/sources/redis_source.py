@@ -17,12 +17,22 @@ Spark-first re-expression of the reference's table-function surface:
 
 Scale design: the SCAN cursor is inherently sequential, so the default is
 ONE input partition (matching the reference's ``MaxThreads()==1``,
-``redduck_extension.cpp:154-156``).  For parallel reads against large
-keyspaces, pass ``shard_patterns`` — a ``;``-separated list of disjoint
-glob patterns (e.g. key prefixes, or cluster-slot-aligned shards); each
-shard becomes its own InputPartition scanned by a separate task with its
-own connection.  Arrow RecordBatches are yielded so rows never pass
-through Python-object row conversion.
+``redduck_extension.cpp:154-156``).  Two parallel paths compose on top:
+
+* ``shard_patterns`` — a ``;``-separated list of disjoint glob patterns
+  (e.g. key prefixes); each shard becomes its own InputPartition
+  scanned by a separate task with its own connection.
+* ``cluster_slots=true`` — the production analog for Redis Cluster
+  (SURVEY §4.1): the driver runs ``CLUSTER SLOTS`` on the seed node
+  once per read and emits one InputPartition per distinct MASTER.
+  Slot ownership makes per-node keyspaces disjoint, so the union of
+  per-node SCANs is exactly-once without client-side slot filtering;
+  with ``shard_patterns`` too, partitions = nodes x patterns.
+  :func:`key_slot` (CRC16-XMODEM + hashtag rule) is exposed for
+  slot-aligned key design and tests.
+
+Arrow RecordBatches are yielded so rows never pass through
+Python-object row conversion.
 """
 
 from __future__ import annotations
@@ -83,6 +93,58 @@ class RedisShard(InputPartition):
         self.count = count
 
 
+def _crc16_xmodem(data: bytes) -> int:
+    """CRC16-CCITT/XMODEM (poly 0x1021, init 0) — the checksum Redis
+    Cluster uses for key→slot mapping."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x1021) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def key_slot(key: str) -> int:
+    """Redis Cluster HASH_SLOT: CRC16 of the key (or of the first
+    non-empty ``{hashtag}`` if present) mod 16384."""
+    k = key.encode("utf-8")
+    i = k.find(b"{")
+    if i >= 0:
+        j = k.find(b"}", i + 1)
+        if j > i + 1:  # only a NON-EMPTY hashtag reroutes the slot
+            k = k[i + 1 : j]
+    return _crc16_xmodem(k) % 16384
+
+
+def _cluster_nodes(host: str, port: int) -> list[tuple[str, int]]:
+    """Distinct master (host, port) pairs from ``CLUSTER SLOTS`` on the
+    seed node, in slot order. A master owning several slot ranges
+    appears ONCE: SCAN on a cluster node covers every slot the node
+    owns, so per-node (not per-range) partitions is what keeps the
+    union of scans exactly-once."""
+    with RedisClient(host, port) as client:
+        entries = client.command("CLUSTER", "SLOTS")
+    masters: list[tuple[str, int]] = []
+    for e in entries or []:
+        node = e[2]  # [ip, port, id, ...] of the range's master
+        ip = node[0].decode() if isinstance(node[0], bytes) else str(node[0])
+        nport = int(node[1])
+        if not ip:  # empty ip = "same address you connected to"
+            ip = host
+        if (ip, nport) not in masters:
+            masters.append((ip, nport))
+    if not masters:
+        raise ValueError(
+            f"cluster_slots=true but CLUSTER SLOTS on {host}:{port} "
+            "returned no slot ranges"
+        )
+    return masters
+
+
 def _shards(options: dict) -> list[RedisShard]:
     host = options.get("host", "127.0.0.1")
     port = int(options.get("port", 6379))
@@ -92,6 +154,18 @@ def _shards(options: dict) -> list[RedisShard]:
         patterns = [p for p in shard_patterns.split(";") if p]
     else:
         patterns = [options.get("pattern", "*")]
+    if str(options.get("cluster_slots", "")).lower() in ("1", "true", "yes"):
+        # Production scale path (SURVEY §4.1): one InputPartition per
+        # cluster MASTER discovered via CLUSTER SLOTS on the seed node
+        # (driver side, once per read). Each task scans its own node —
+        # Redis Cluster keyspaces are disjoint by slot ownership, so
+        # coverage is exactly-once without client-side slot filtering.
+        # Composes with shard_patterns: nodes x patterns partitions.
+        return [
+            RedisShard(ip, nport, p, count)
+            for ip, nport in _cluster_nodes(host, port)
+            for p in patterns
+        ]
     return [RedisShard(host, port, p, count) for p in patterns]
 
 

@@ -67,6 +67,9 @@ class FakeRedisStore:
         self.lock = threading.Lock()
         self._scan_snapshots: dict[int, list[str]] = {}
         self._next_snapshot = 1
+        # (start_slot, end_slot, host, port) rows served by CLUSTER
+        # SLOTS; None = standalone instance (command errors, as real).
+        self.cluster_slots: list[tuple[int, int, str, int]] | None = None
 
     def all_keys(self) -> list[str]:
         return (
@@ -215,6 +218,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _encode(len(store.all_keys()))
             if name == "SCAN":
                 return self._scan(store, args)
+            if name == "CLUSTER" and args and args[0].upper() == "SLOTS":
+                if store.cluster_slots is None:
+                    raise ValueError(
+                        "ERR This instance has cluster support disabled"
+                    )
+                return _encode(
+                    [
+                        [start, end, [host, port, f"node-{port}"]]
+                        for start, end, host, port in store.cluster_slots
+                    ]
+                )
             if name == "XADD":
                 # XADD key <id|*> field value [field value ...].
                 # Explicit ids are 'ms[-seq]' (seq defaults to 0, as in
@@ -372,6 +386,16 @@ class FakeRedisServer:
     def seed_list(self, key: str, elements: list[str]) -> None:
         with self.store.lock:
             self.store.lists.setdefault(key, []).extend(elements)
+
+    def set_cluster_slots(
+        self, entries: list[tuple[int, int, str, int]]
+    ) -> None:
+        """Serve ``CLUSTER SLOTS`` with these (start_slot, end_slot,
+        host, port) rows — lets a handful of FakeRedisServer instances
+        impersonate a Redis Cluster's slot topology for the
+        ``cluster_slots`` source option."""
+        with self.store.lock:
+            self.store.cluster_slots = list(entries)
 
 
 def seed_reference_fixture(server: FakeRedisServer) -> None:

@@ -286,3 +286,127 @@ def test_list_reader_pages_large_container(redis_server):
     pos = [p for b in batches for p in b.column("pos").to_pylist()]
     assert elems == [f"el:{i:03d}" for i in range(23)]
     assert pos == list(range(23))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-slot sharding (SURVEY §4.1's production scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_key_slot_crc16_and_hashtags():
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        _crc16_xmodem,
+        key_slot,
+    )
+
+    # CRC16-CCITT/XMODEM reference vector.
+    assert _crc16_xmodem(b"123456789") == 0x31C3
+    assert key_slot("123456789") == 0x31C3 % 16384
+    # Hashtag rule: only the first non-empty {tag} is hashed.
+    assert key_slot("{user1000}.following") == key_slot("{user1000}.followers")
+    assert key_slot("{user1000}.x") == key_slot("user1000")
+    # Empty hashtag hashes the whole key.
+    assert key_slot("{}x") != key_slot("")
+    assert 0 <= key_slot("") < 16384
+
+
+def test_cluster_slots_scan_covers_nodes_disjointly(spark):
+    """Three fake nodes impersonating a cluster topology: keys live on
+    exactly one node by slot ownership; the cluster_slots scan must
+    return every key exactly once with one partition per master."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import key_slot
+    from duckdb_redis_olap_scanner_spark.testing import FakeRedisServer
+
+    nodes = [FakeRedisServer().start() for _ in range(3)]
+    try:
+        ranges = [(0, 5460), (5461, 10922), (10923, 16383)]
+        keys = [f"ck:{i:04d}" for i in range(60)]
+        owned = [0, 0, 0]
+        for k in keys:
+            s = key_slot(k)
+            for idx, (lo, hi) in enumerate(ranges):
+                if lo <= s <= hi:
+                    nodes[idx].seed_strings({k: f"v:{k}"})
+                    owned[idx] += 1
+        assert all(owned), owned  # every node holds some keys
+        topo = [
+            (lo, hi, n.host, n.port)
+            for (lo, hi), n in zip(ranges, nodes)
+        ]
+        nodes[0].set_cluster_slots(topo)
+        df = (
+            spark.read.format("redis_scan")
+            .option("host", nodes[0].host)
+            .option("port", str(nodes[0].port))
+            .option("pattern", "ck:*")
+            .option("cluster_slots", "true")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3
+        got = sorted(r.key_name for r in df.collect())
+        assert got == sorted(keys)  # complete AND duplicate-free
+
+        # redis_kv rides the same topology (values come from the
+        # owning node's MGET).
+        kv = (
+            spark.read.format("redis_kv")
+            .option("host", nodes[0].host)
+            .option("port", str(nodes[0].port))
+            .option("pattern", "ck:*")
+            .option("cluster_slots", "true")
+            .load()
+        )
+        rows = {r.key: r.value for r in kv.collect()}
+        assert rows == {k: f"v:{k}" for k in keys}
+    finally:
+        for n in nodes:
+            n.stop()
+
+
+def test_cluster_slots_dedupes_multirange_masters():
+    """A master owning several slot ranges appears once in the shard
+    list — scanning it twice would duplicate every key it holds."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        _cluster_nodes,
+        _shards,
+    )
+    from duckdb_redis_olap_scanner_spark.testing import FakeRedisServer
+
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.set_cluster_slots(
+            [
+                (0, 100, a.host, a.port),
+                (101, 200, b.host, b.port),
+                (201, 16383, a.host, a.port),  # a again: second range
+            ]
+        )
+        masters = _cluster_nodes(a.host, a.port)
+        assert masters == [(a.host, a.port), (b.host, b.port)]
+        shards = _shards(
+            {
+                "host": a.host,
+                "port": str(a.port),
+                "cluster_slots": "true",
+                "shard_patterns": "x:*;y:*",
+            }
+        )
+        # nodes x patterns composition
+        assert len(shards) == 4
+        assert {(s.host, s.port, s.pattern) for s in shards} == {
+            (a.host, a.port, "x:*"),
+            (a.host, a.port, "y:*"),
+            (b.host, b.port, "x:*"),
+            (b.host, b.port, "y:*"),
+        }
+
+
+def test_cluster_slots_on_standalone_raises():
+    import pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        _cluster_nodes,
+    )
+    from duckdb_redis_olap_scanner_spark.testing import FakeRedisServer
+
+    with FakeRedisServer() as srv, pytest.raises(Exception):
+        _cluster_nodes(srv.host, srv.port)
