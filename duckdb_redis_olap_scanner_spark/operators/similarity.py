@@ -494,6 +494,16 @@ def brute_force_topk(
     scored = emb.select("vec_id", "embedding").mapInArrow(
         _score, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
+    if emb.rdd.getNumPartitions() == 1:
+        # The scorer ran as ONE task, so its ≤ Q·k candidate rows
+        # already sit in one partition — declaring that (coalesce(1)
+        # reports SinglePartition, which satisfies the rank window's
+        # ClusteredDistribution) lets Catalyst elide the final
+        # exchange entirely. Physically a no-op on the 1-partition
+        # chain; at scale the scorer is scan-wide, this branch is
+        # skipped, and the (tasks·Q·k)-row shuffle merges in
+        # parallel as before.
+        scored = scored.coalesce(1)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
