@@ -10,25 +10,24 @@ transmitted through the DEFLATE-style code-length code (symbols
 and the color cache — from the public WebP lossless bitstream
 specification.
 
-Scope (honest gates, same policy as :mod:`.jpeg` / :mod:`.flac`):
+Scope — as of round 10 this module covers the FULL VP8L feature set
+(no remaining format gates; only lossy VP8 stays codec-library-gated):
 
 * The encoder emits literal + color-cache + LZ77 backward-reference
-  streams with the subtract-green transform signalled and real
-  per-channel canonical Huffman codes (simple 1/2-symbol codes where
-  the alphabet allows, full code-length-coded codes otherwise). The
-  matcher is greedy single-candidate (most recent occurrence,
-  extended forward, overlap allowed) — every real-encoder wire
-  feature of the lossless literal plane is exercised: length and
-  distance prefix codes with extra bits, the 120-entry 2D
-  distance-offset map, direct scan-order distances past it.
-* The decoder handles everything that plane can contain — simple and
-  normal prefix codes, all five per-group codes, any color-cache
-  size, LZ77 backward references (both mapped and direct distances,
-  overlapping copies, cache insertion of copied pixels), and the
-  subtract-green transform — and raises ``NotImplementedError``
-  loudly for predictor/color/palette transforms and Huffman images
-  (spatially varying meta codes), which this encoder never produces
-  and which would need the spec's full predictor tables.
+  streams with real per-channel canonical Huffman codes (simple
+  1/2-symbol codes where the alphabet allows, full code-length-coded
+  codes otherwise; greedy single-candidate matcher, overlap allowed),
+  plus all four transforms — subtract-green, PREDICTOR (any of the 14
+  modes, constant per image), COLOR (constant per-channel elements),
+  and COLOR-INDEXING with pixel bundling — and optional HUFFMAN
+  IMAGES (spatially varying meta prefix-code groups).
+* The decoder handles everything a spec-conformant lossless stream
+  can contain: simple and normal prefix codes, any color-cache size,
+  LZ77 (mapped and direct distances, overlapping copies, cache
+  insertion of copied pixels), meta prefix codes with per-pixel group
+  selection, and all four transforms applied in reverse read order —
+  including the spec's border rules for prediction and delta-coded
+  palettes. Malformed streams raise clean ValueErrors.
 
 Synthesis contract: a vertically TILED variant of the shared
 :func:`.multimodal._image_pixels` closed form (rows repeat with
@@ -445,51 +444,68 @@ NUM_DISTANCE_CODES = 40
 def encode_webp_payload(doc_id: int) -> bytes:
     """A real lossless WebP file for the TILED image synthesis
     contract (:func:`.multimodal._image_pixels_tiled`): RIFF/WEBP
-    container, VP8L chunk with the subtract-green transform, a
-    doc-varied color cache, LZ77 backward references for the repeated
-    tile rows, and canonical per-channel prefix codes (full
-    code-length-coded codes for the multi-symbol channels, simple
-    codes where the alphabet allows)."""
+    container, a doc-varied color cache, LZ77 backward references for
+    the repeated tile rows, and canonical per-channel prefix codes.
+    The WIRE FORMAT rotates across docs through the full VP8L feature
+    set — every variant decodes to the identical pixels (lossless),
+    so the shared closed-form oracle certifies all of them:
+
+    * ``doc_id % 5 == 0`` — subtract-green only (the r9 baseline)
+    * ``1`` — subtract-green + PREDICTOR transform (mode doc_id % 14,
+      block bits 2 + doc_id % 3)
+    * ``2`` — COLOR transform (doc-varied per-channel elements)
+    * ``3`` — COLOR-INDEXING (palette) with pixel bundling (the tiled
+      images have ≤ tile·width ≤ 176 distinct colors, so bundling
+      width varies with the tile period)
+    * ``4`` — subtract-green + a HUFFMAN IMAGE (meta prefix codes,
+      2 + doc_id % 2 groups)
+    """
     from .multimodal import _image_pixels_tiled
 
-    return encode_vp8l(_image_pixels_tiled(doc_id), 1 + doc_id % 6)
+    px = _image_pixels_tiled(doc_id)
+    cache_bits = 1 + doc_id % 6
+    variant = doc_id % 5
+    if variant == 0:
+        return encode_vp8l(px, cache_bits)
+    if variant == 1:
+        return encode_vp8l(
+            px, cache_bits,
+            transforms=("subtract_green",
+                        ("predictor", 2 + doc_id % 3, doc_id % 14)),
+        )
+    if variant == 2:
+        return encode_vp8l(
+            px, cache_bits,
+            transforms=(
+                ("color", 2 + doc_id % 3,
+                 (doc_id % 256, (doc_id * 3) % 256, (doc_id * 7) % 256)),
+            ),
+        )
+    if variant == 3:
+        return encode_vp8l(px, cache_bits, transforms=("palette",))
+    return encode_vp8l(
+        px, cache_bits, transforms=("subtract_green",),
+        meta_spec=(2, 2 + doc_id % 2),
+    )
+
+# ---------------------------------------------------------------------------
+# Image-data layer (tokenizer + writer/reader), shared by the main ARGB
+# image, entropy (meta prefix) images, and transform sub-images
+# ---------------------------------------------------------------------------
 
 
-def encode_vp8l(px, cache_bits: int) -> bytes:
-    """Encode a top-down RGB uint8 array as a lossless WebP (see
-    :func:`encode_webp_payload` for the emitted feature set).
-
-    Backward references: a greedy single-candidate LZ77 matcher over
-    the (subtract-green-transformed) ARGB sequence — most recent
-    occurrence of the current pixel value, extended forward (overlap
-    allowed, length capped at the format's 4096), emitted when it
-    reaches ``MIN_MATCH``. Distances go through the spec's 120-entry
-    2D offset map when the (dx, dy) is a close neighbor, else as
-    direct scan-order codes. The color cache tracks every emitted
-    pixel — including pixels covered by a copy — exactly as the
-    decoder inserts them."""
-    h, w, _ = px.shape
-    cache_size = 1 << cache_bits
-    green_alpha_size = 256 + NUM_LENGTH_CODES + cache_size
-
-    # subtract-green on the encoder side; pixels as packed ARGB ints
-    pixels: list[int] = []
-    for y in range(h):
-        for x in range(w):
-            r, g, b = (int(v) for v in px[y, x])
-            pixels.append(
-                (255 << 24)
-                | (((r - g) & 0xFF) << 16)
-                | (g << 8)
-                | ((b - g) & 0xFF)
-            )
-
-    # token stream: greedy LZ77 > cache hit > literal, with the cache
-    # state machine tracking every pixel position
+def _tokenize(pixels: list[int], cache_bits: int) -> list[tuple]:
+    """Greedy LZ77 > color-cache > literal token stream over packed
+    ARGB ints. Each token is (kind, payload, start_pos): single-
+    candidate matcher (most recent occurrence of the current pixel,
+    extended forward, overlap allowed, 4096 cap), with the cache state
+    machine tracking every pixel position exactly as the decoder
+    inserts them."""
     n = len(pixels)
+    cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
-    last_pos: dict[int, int] = {}  # argb -> most recent position
-    tokens: list[tuple[str, tuple]] = []
+    last_pos: dict[int, int] = {}
+    tokens: list[tuple] = []
     i = 0
     while i < n:
         argb = pixels[i]
@@ -503,189 +519,213 @@ def encode_vp8l(px, cache_bits: int) -> bytes:
             ]:
                 length += 1
         if length >= MIN_MATCH:
-            tokens.append(("copy", (length, dist)))
+            tokens.append(("copy", (length, dist), i))
             for j in range(i, i + length):
-                cache[_cache_index(pixels[j], cache_bits)] = pixels[j]
+                if cache_size:
+                    cache[_cache_index(pixels[j], cache_bits)] = pixels[j]
                 last_pos[pixels[j]] = j
             i += length
             continue
-        idx = _cache_index(argb, cache_bits)
-        if cache[idx] == argb:
-            tokens.append(("cache", (idx,)))
+        if cache_size:
+            idx = _cache_index(argb, cache_bits)
+            if cache[idx] == argb:
+                tokens.append(("cache", (idx,), i))
+            else:
+                tokens.append(
+                    ("lit", ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                             (argb >> 8) & 0xFF, argb & 0xFF), i)
+                )
+            cache[idx] = argb
         else:
             tokens.append(
                 ("lit", ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
-                         (argb >> 8) & 0xFF, argb & 0xFF))
+                         (argb >> 8) & 0xFF, argb & 0xFF), i)
             )
-        cache[idx] = argb
         last_pos[argb] = i
         i += 1
+    return tokens
 
-    gfreq: dict[int, int] = {}
-    rfreq: dict[int, int] = {}
-    bfreq: dict[int, int] = {}
-    afreq: dict[int, int] = {}
-    dfreq: dict[int, int] = {}
-    for kind, v in tokens:
+
+def _emit_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    # a 1-symbol code consumes ZERO bits on the wire (the decoder
+    # knows the symbol from the code definition alone)
+    if len(lengths) == 1:
+        return {next(iter(lengths)): (0, 0)}
+    return canonical_codes(lengths)
+
+
+def _write_image_data(
+    bw: _LsbBitWriter,
+    pixels: list[int],
+    w: int,
+    cache_bits: int,
+    is_argb: bool,
+    meta_spec: tuple[int, int] | None = None,
+) -> None:
+    """Serialize one VP8L image-data stream: optional color cache,
+    optional meta prefix (Huffman) image — ARGB role only, group of
+    block (bx, by) = (bx + by) % n_groups — then per-group canonical
+    prefix codes and the token stream. The prefix group of a token is
+    selected by its START pixel's block, matching the decoder's
+    per-pixel group selection."""
+    h = (len(pixels) + w - 1) // w
+    tokens = _tokenize(pixels, cache_bits)
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    n_groups = 1
+    group_of_pos = None
+    if is_argb:
+        if meta_spec is not None:
+            prefix_bits, n_groups = meta_spec
+            bw.write(1, 1)
+            bw.write(prefix_bits - 2, 3)
+            mw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+            mh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+            block_groups = [
+                (bx + by) % n_groups
+                for by in range(mh)
+                for bx in range(mw)
+            ]
+            # The decoder derives the group count from the meta image
+            # (max index + 1), so only write code groups that actually
+            # appear — a tiny image may have fewer blocks than
+            # requested groups.
+            n_groups = max(block_groups) + 1
+            meta_pixels = [
+                (0xFF << 24) | ((g & 0xFFFF) << 8) for g in block_groups
+            ]
+            _write_image_data(bw, meta_pixels, mw, 0, False)
+
+            def group_of_pos(pos: int) -> int:
+                bx = (pos % w) >> prefix_bits
+                by = (pos // w) >> prefix_bits
+                return (bx + by) % n_groups
+        else:
+            bw.write(0, 1)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_alpha_size = 256 + NUM_LENGTH_CODES + cache_size
+
+    # Per-group frequency tables.
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}}
+        for _ in range(n_groups)
+    ]
+
+    def bump(d: dict, s: int) -> None:
+        d[s] = d.get(s, 0) + 1
+
+    for kind, v, pos in tokens:
+        f = freqs[group_of_pos(pos) if group_of_pos else 0]
         if kind == "cache":
-            s = 256 + NUM_LENGTH_CODES + v[0]
-            gfreq[s] = gfreq.get(s, 0) + 1
+            bump(f["g"], 256 + NUM_LENGTH_CODES + v[0])
         elif kind == "copy":
             length, dist = v
             lp, _, _ = _prefix_encode(length)
-            gfreq[256 + lp] = gfreq.get(256 + lp, 0) + 1
+            bump(f["g"], 256 + lp)
             dp, _, _ = _prefix_encode(_dist_to_code(dist, w))
-            dfreq[dp] = dfreq.get(dp, 0) + 1
+            bump(f["d"], dp)
         else:
             a, r, g, b = v
-            gfreq[g] = gfreq.get(g, 0) + 1
-            rfreq[r] = rfreq.get(r, 0) + 1
-            bfreq[b] = bfreq.get(b, 0) + 1
-            afreq[a] = afreq.get(a, 0) + 1
-    if not dfreq:
-        dfreq = {0: 1}  # unused distance tree still needs a code
+            bump(f["g"], g)
+            bump(f["r"], r)
+            bump(f["b"], b)
+            bump(f["a"], a)
+    # Every tree must carry at least one symbol on the wire.
+    for f in freqs:
+        for key in ("g", "r", "b", "a", "d"):
+            if not f[key]:
+                f[key] = {0: 1}
 
-    bw = _LsbBitWriter()
-    bw.write(0x2F, 8)  # VP8L signature
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    bw.write(1, 1)  # transform present
-    bw.write(2, 2)  # subtract-green (no payload)
-    bw.write(0, 1)  # no more transforms
-    bw.write(1, 1)  # color cache used
-    bw.write(cache_bits, 4)
-    bw.write(0, 1)  # no Huffman image (single meta code group)
-    glen = huffman_lengths(gfreq)
-    rlen = huffman_lengths(rfreq)
-    blen = huffman_lengths(bfreq)
-    alen = huffman_lengths(afreq)
-    dlen = huffman_lengths(dfreq)
-    _write_prefix_code(bw, glen, green_alpha_size)
-    _write_prefix_code(bw, rlen, 256)
-    _write_prefix_code(bw, blen, 256)
-    _write_prefix_code(bw, alen, 256)
-    _write_prefix_code(bw, dlen, NUM_DISTANCE_CODES)
-    def emit_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
-        # a 1-symbol code consumes ZERO bits on the wire (the decoder
-        # knows the symbol from the code definition alone)
-        if len(lengths) == 1:
-            return {next(iter(lengths)): (0, 0)}
-        return canonical_codes(lengths)
+    group_codes = []
+    for f in freqs:
+        lens = {k: huffman_lengths(f[k]) for k in ("g", "r", "b", "a", "d")}
+        _write_prefix_code(bw, lens["g"], green_alpha_size)
+        _write_prefix_code(bw, lens["r"], 256)
+        _write_prefix_code(bw, lens["b"], 256)
+        _write_prefix_code(bw, lens["a"], 256)
+        _write_prefix_code(bw, lens["d"], NUM_DISTANCE_CODES)
+        group_codes.append({k: _emit_codes(lens[k]) for k in lens})
 
-    gcodes = emit_codes(glen)
-    rcodes = emit_codes(rlen)
-    bcodes = emit_codes(blen)
-    acodes = emit_codes(alen)
-    dcodes = emit_codes(dlen)
-    for kind, v in tokens:
+    for kind, v, pos in tokens:
+        codes = group_codes[group_of_pos(pos) if group_of_pos else 0]
         if kind == "cache":
-            c, ln = gcodes[256 + NUM_LENGTH_CODES + v[0]]
+            c, ln = codes["g"][256 + NUM_LENGTH_CODES + v[0]]
             bw.write_code(c, ln)
         elif kind == "copy":
             length, dist = v
             lp, leb, lex = _prefix_encode(length)
-            c, ln = gcodes[256 + lp]
+            c, ln = codes["g"][256 + lp]
             bw.write_code(c, ln)
             if leb:
                 bw.write(lex, leb)
             dp, deb, dex = _prefix_encode(_dist_to_code(dist, w))
-            c, ln = dcodes[dp]
+            c, ln = codes["d"][dp]
             bw.write_code(c, ln)
             if deb:
                 bw.write(dex, deb)
         else:
             a, r, g, b = v
-            c, ln = gcodes[g]
-            bw.write_code(c, ln)
-            c, ln = rcodes[r]
-            bw.write_code(c, ln)
-            c, ln = bcodes[b]
-            bw.write_code(c, ln)
-            c, ln = acodes[a]
-            bw.write_code(c, ln)
-
-    body = bw.getvalue()
-    vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
-    if len(body) & 1:
-        vp8l += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+            for chan, sym in (("g", g), ("r", r), ("b", b), ("a", a)):
+                c, ln = codes[chan][sym]
+                bw.write_code(c, ln)
 
 
-# ---------------------------------------------------------------------------
-# Decoder
-# ---------------------------------------------------------------------------
-
-
-def decode_webp(payload: bytes):
-    """Parse a lossless WebP (VP8L) into (top-down RGB uint8 array
-    (h, w, 3), cache_bits-as-read-from-the-stream) — dependency-free.
-    Supports the literal/color-cache plane with simple and normal
-    (code-length-coded) prefix codes and the subtract-green transform;
-    raises loudly on LZ77 backward references, other transforms,
-    Huffman images, and lossy VP8 chunks (see module docstring)."""
-    import numpy as np
-
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP: missing RIFF/WEBP header")
-    pos = 12
-    body = None
-    while pos + 8 <= len(payload):
-        fourcc = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if fourcc == b"VP8L":
-            body = payload[pos + 8 : pos + 8 + size]
-            break
-        if fourcc in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "lossy/extended WebP requires a codec library; only "
-                "lossless VP8L decodes natively (vp8l.decode_webp)"
-            )
-        pos += 8 + size + (size & 1)
-    if body is None:
-        raise ValueError("WebP missing VP8L chunk")
-    br = _LsbBitReader(body)
-    if br.read(8) != 0x2F:
-        raise ValueError("bad VP8L signature")
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype == 2:
-            subtract_green = True
-        else:
-            raise NotImplementedError(
-                f"VP8L transform {ttype} (predictor/color/palette) not "
-                "implemented — this decoder covers the subtract-green "
-                "literal plane (vp8l module docstring)"
-            )
+def _read_image_data(
+    br: _LsbBitReader, w: int, h: int, is_argb: bool
+) -> tuple[list[int], int]:
+    """Decode one VP8L image-data stream (the inverse of
+    :func:`_write_image_data`): optional color cache, optional meta
+    prefix image (ARGB role only — group index = (red << 8) | green of
+    the entropy image's block pixel), per-group prefix codes, and the
+    literal / LZ77 / cache pixel loop. Returns (packed ARGB ints in
+    scan order — still in the TRANSFORMED domain, caller applies
+    inverse transforms — and the stream's cache_bits)."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid color-cache size {cache_bits}")
+    meta = None
+    n_groups = 1
+    if is_argb and br.read(1):
+        prefix_bits = br.read(3) + 2
+        mw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+        mh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+        meta_px, _ = _read_image_data(br, mw, mh, False)
+        group_idx = [
+            (((p >> 16) & 0xFF) << 8) | ((p >> 8) & 0xFF) for p in meta_px
+        ]
+        n_groups = max(group_idx) + 1
+        meta = (prefix_bits, mw, group_idx)
     cache_size = (1 << cache_bits) if cache_bits else 0
-    if br.read(1):
-        raise NotImplementedError(
-            "VP8L Huffman images (spatial meta codes) not implemented"
-        )
     green_alpha_size = 256 + NUM_LENGTH_CODES + cache_size
-    gdec = _read_prefix_code(br, green_alpha_size)
-    rdec = _read_prefix_code(br, 256)
-    bdec = _read_prefix_code(br, 256)
-    adec = _read_prefix_code(br, 256)
-    ddec = _read_prefix_code(br, NUM_DISTANCE_CODES)
-
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha_size),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, NUM_DISTANCE_CODES),
+            )
+        )
     cache = [0] * cache_size
     n = w * h
     argbs = [0] * n  # transformed-domain history (LZ77 copies source it)
     i = 0
     while i < n:
+        if meta is not None:
+            prefix_bits, mw, group_idx = meta
+            gi = group_idx[
+                ((i // w) >> prefix_bits) * mw + ((i % w) >> prefix_bits)
+            ]
+            gdec, rdec, bdec, adec, ddec = groups[gi]
+        else:
+            gdec, rdec, bdec, adec, ddec = groups[0]
         s = gdec.read(br)
         if s < 256:
             g = s
@@ -722,16 +762,492 @@ def decode_webp(payload: bytes):
             cache[_cache_index(argb, cache_bits)] = argb
         argbs[i] = argb
         i += 1
+    return argbs, cache_bits
+
+
+# ---------------------------------------------------------------------------
+# Transforms: subtract-green, predictor, color, color-indexing (palette)
+# ---------------------------------------------------------------------------
+
+
+def _split(argb: int) -> tuple[int, int, int, int]:
+    return (
+        (argb >> 24) & 0xFF,
+        (argb >> 16) & 0xFF,
+        (argb >> 8) & 0xFF,
+        argb & 0xFF,
+    )
+
+
+def _join(a: int, r: int, g: int, b: int) -> int:
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (
+        b & 0xFF
+    )
+
+
+def _int8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: both bytes as signed int8, product
+    arithmetic-shifted right 5 (Python >> is floor = C arithmetic
+    shift)."""
+    return (_int8(t) * _int8(c & 0xFF)) >> 5
+
+
+def _avg2(p: int, q: int) -> int:
+    """Per-channel (p + q) // 2 on packed ARGB."""
+    return _join(
+        *(((x + y) >> 1) for x, y in zip(_split(p), _split(q)))
+    )
+
+
+def _predict(mode: int, left: int, top: int, topleft: int,
+             topright: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _avg2(_avg2(left, topright), top)
+    if mode == 6:
+        return _avg2(left, topleft)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(topleft, top)
+    if mode == 9:
+        return _avg2(top, topright)
+    if mode == 10:
+        return _avg2(_avg2(left, topleft), _avg2(top, topright))
+    if mode == 11:  # Select
+        ls, ts, tls = _split(left), _split(top), _split(topleft)
+        p = [lc + tc - tlc for lc, tc, tlc in zip(ls, ts, tls)]
+        p_left = sum(abs(pc - lc) for pc, lc in zip(p, ls))
+        p_top = sum(abs(pc - tc) for pc, tc in zip(p, ts))
+        return left if p_left < p_top else top
+    if mode == 12:  # ClampAddSubtractFull
+        return _join(
+            *(
+                max(0, min(255, lc + tc - tlc))
+                for lc, tc, tlc in zip(
+                    _split(left), _split(top), _split(topleft)
+                )
+            )
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        av = _split(_avg2(left, top))
+        tls = _split(topleft)
+        out = []
+        for ac, tlc in zip(av, tls):
+            d = ac - tlc
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C truncation
+            out.append(max(0, min(255, ac + half)))
+        return _join(*out)
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _predictor_mode_at(sub: list[int], size_bits: int, tw: int,
+                       x: int, y: int) -> int:
+    m = sub[(y >> size_bits) * tw + (x >> size_bits)]
+    return (m >> 8) & 0xFF
+
+
+def _predictor_context(recon: list[int], w: int, x: int, y: int,
+                       i: int) -> tuple[int, int, int, int, int | None]:
+    """(left, top, topleft, topright, forced_mode) with the spec's
+    border rules: (0,0) predicts black, top row forces L, left column
+    forces T; TR on the rightmost column is the LEFTMOST pixel of the
+    row above."""
+    if x == 0 and y == 0:
+        return 0, 0, 0, 0, 0
+    if y == 0:
+        return recon[i - 1], 0, 0, 0, 1
+    if x == 0:
+        return 0, recon[i - w], 0, 0, 2
+    left = recon[i - 1]
+    top = recon[i - w]
+    topleft = recon[i - w - 1]
+    topright = recon[i - w + 1] if x + 1 < w else recon[i - w - x]
+    return left, top, topleft, topright, None
+
+
+def _apply_predictor_forward(pixels: list[int], w: int, sub: list[int],
+                             size_bits: int, tw: int) -> list[int]:
+    out = []
+    for i, px in enumerate(pixels):
+        x, y = i % w, i // w
+        left, top, topleft, topright, forced = _predictor_context(
+            pixels, w, x, y, i
+        )
+        mode = forced if forced is not None else _predictor_mode_at(
+            sub, size_bits, tw, x, y
+        )
+        pred = _predict(mode, left, top, topleft, topright)
+        out.append(
+            _join(*((pc - qc) & 0xFF
+                    for pc, qc in zip(_split(px), _split(pred))))
+        )
+    return out
+
+
+def _apply_predictor_inverse(res: list[int], w: int, sub: list[int],
+                             size_bits: int, tw: int) -> list[int]:
+    recon: list[int] = [0] * len(res)
+    for i, rv in enumerate(res):
+        x, y = i % w, i // w
+        left, top, topleft, topright, forced = _predictor_context(
+            recon, w, x, y, i
+        )
+        mode = forced if forced is not None else _predictor_mode_at(
+            sub, size_bits, tw, x, y
+        )
+        pred = _predict(mode, left, top, topleft, topright)
+        recon[i] = _join(
+            *((rc + pc) & 0xFF for rc, pc in zip(_split(rv), _split(pred)))
+        )
+    return recon
+
+
+def _color_elems_at(sub: list[int], size_bits: int, tw: int,
+                    x: int, y: int) -> tuple[int, int, int]:
+    e = sub[(y >> size_bits) * tw + (x >> size_bits)]
+    return e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFF  # gtr, gtb, rtb
+
+
+def _apply_color_forward(pixels: list[int], w: int, sub: list[int],
+                         size_bits: int, tw: int) -> list[int]:
+    out = []
+    for i, px in enumerate(pixels):
+        a, r, g, b = _split(px)
+        gtr, gtb, rtb = _color_elems_at(sub, size_bits, tw, i % w, i // w)
+        nr = (r - _ct_delta(gtr, g)) & 0xFF
+        nb = (b - _ct_delta(gtb, g) - _ct_delta(rtb, r)) & 0xFF
+        out.append(_join(a, nr, g, nb))
+    return out
+
+
+def _apply_color_inverse(pixels: list[int], w: int, sub: list[int],
+                         size_bits: int, tw: int) -> list[int]:
+    out = []
+    for i, px in enumerate(pixels):
+        a, r, g, b = _split(px)
+        gtr, gtb, rtb = _color_elems_at(sub, size_bits, tw, i % w, i // w)
+        nr = (r + _ct_delta(gtr, g)) & 0xFF
+        nb = (b + _ct_delta(gtb, g) + _ct_delta(rtb, nr)) & 0xFF
+        out.append(_join(a, nr, g, nb))
+    return out
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _pack_palette_indices(indices: list[int], w: int,
+                          width_bits: int) -> tuple[list[int], int]:
+    """Bundle per-row indices into green-channel packed pixels
+    (low-order bits = leftmost pixel of the bundle, rows padded
+    independently); returns (packed ARGB pixels, packed width)."""
+    per = 1 << width_bits
+    bits = 8 >> width_bits
+    pw = (w + per - 1) // per
+    h = len(indices) // w
+    out = []
+    for y in range(h):
+        row = indices[y * w : (y + 1) * w]
+        for bx in range(pw):
+            green = 0
+            for j in range(per):
+                x = bx * per + j
+                if x < w:
+                    green |= row[x] << (j * bits)
+            out.append((0xFF << 24) | (green << 8))
+    return out, pw
+
+
+def _apply_palette_inverse(pixels: list[int], packed_w: int, full_w: int,
+                           width_bits: int, palette: list[int]) -> list[int]:
+    per = 1 << width_bits
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    h = len(pixels) // packed_w
+    out = []
+    for y in range(h):
+        for x in range(full_w):
+            packed = pixels[y * packed_w + (x // per)]
+            idx = ((packed >> 8) >> ((x % per) * bits)) & mask
+            if idx >= len(palette):
+                raise ValueError(
+                    f"VP8L palette index {idx} out of range "
+                    f"({len(palette)} colors)"
+                )
+            out.append(palette[idx])
+    return out
+
+
+def _subtract_green_forward(pixels: list[int]) -> list[int]:
+    out = []
+    for px in pixels:
+        a, r, g, b = _split(px)
+        out.append(_join(a, (r - g) & 0xFF, g, (b - g) & 0xFF))
+    return out
+
+
+def _subtract_green_inverse(pixels: list[int]) -> list[int]:
+    out = []
+    for px in pixels:
+        a, r, g, b = _split(px)
+        out.append(_join(a, (r + g) & 0xFF, g, (b + g) & 0xFF))
+    return out
+
+
+def _sub_dims(w: int, h: int, size_bits: int) -> tuple[int, int]:
+    return (
+        (w + (1 << size_bits) - 1) >> size_bits,
+        (h + (1 << size_bits) - 1) >> size_bits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_vp8l(
+    px,
+    cache_bits: int,
+    transforms: tuple = ("subtract_green",),
+    meta_spec: tuple[int, int] | None = None,
+) -> bytes:
+    """Encode a top-down RGB uint8 array as a lossless WebP.
+
+    ``transforms`` applies in the listed (stream) order, each at most
+    once, per the spec's reverse-order inverse application:
+
+    * ``"subtract_green"``
+    * ``("predictor", size_bits, mode)`` — one predictor mode for all
+      blocks (the transform sub-image is a constant entropy image)
+    * ``("color", size_bits, (gtr, gtb, rtb))`` — one color-transform
+      element for all blocks
+    * ``"palette"`` — color indexing with delta-coded palette and
+      pixel bundling (≤16 colors pack 2/4/8 indices per green byte);
+      requires ≤256 distinct colors and shrinks the coded width
+
+    ``meta_spec=(prefix_bits, n_groups)`` emits a Huffman image (meta
+    prefix codes): block (bx, by) uses prefix-code group
+    (bx + by) % n_groups. See :func:`encode_webp_payload` for the
+    synthesis-contract feature set.
+    """
+    h, w, _ = px.shape
+    pixels = [
+        (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for row in px
+        for r, g, b in row
+    ]
+    bw = _LsbBitWriter()
+    bw.write(0x2F, 8)  # VP8L signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    cur_w = w
+    seen = set()
+    for t in transforms:
+        name = t if isinstance(t, str) else t[0]
+        if name in seen:
+            raise ValueError(f"transform {name!r} may appear only once")
+        seen.add(name)
+        bw.write(1, 1)  # transform present
+        if name == "subtract_green":
+            bw.write(2, 2)
+            pixels = _subtract_green_forward(pixels)
+        elif name == "predictor":
+            _, size_bits, mode = t
+            if not 2 <= size_bits <= 9 or not 0 <= mode <= 13:
+                raise ValueError(f"bad predictor spec {t}")
+            bw.write(0, 2)
+            bw.write(size_bits - 2, 3)
+            tw, th = _sub_dims(cur_w, h, size_bits)
+            sub = [(0xFF << 24) | (mode << 8)] * (tw * th)
+            _write_image_data(bw, sub, tw, 0, False)
+            pixels = _apply_predictor_forward(
+                pixels, cur_w, sub, size_bits, tw
+            )
+        elif name == "color":
+            _, size_bits, (gtr, gtb, rtb) = t
+            if not 2 <= size_bits <= 9:
+                raise ValueError(f"bad color-transform spec {t}")
+            bw.write(1, 2)
+            bw.write(size_bits - 2, 3)
+            tw, th = _sub_dims(cur_w, h, size_bits)
+            elem = (0xFF << 24) | ((rtb & 0xFF) << 16) | (
+                (gtb & 0xFF) << 8
+            ) | (gtr & 0xFF)
+            sub = [elem] * (tw * th)
+            _write_image_data(bw, sub, tw, 0, False)
+            pixels = _apply_color_forward(pixels, cur_w, sub, size_bits, tw)
+        elif name == "palette":
+            palette: list[int] = []
+            index_of: dict[int, int] = {}
+            for p in pixels:
+                if p not in index_of:
+                    index_of[p] = len(palette)
+                    palette.append(p)
+            if len(palette) > 256:
+                raise ValueError(
+                    f"palette transform needs <=256 colors, got "
+                    f"{len(palette)}"
+                )
+            bw.write(3, 2)
+            bw.write(len(palette) - 1, 8)
+            # Palette entries are DELTA-coded against the previous
+            # entry, per channel mod 256 (first entry vs 0).
+            deltas = []
+            prev = 0
+            for p in palette:
+                deltas.append(
+                    _join(*((pc - qc) & 0xFF
+                            for pc, qc in zip(_split(p), _split(prev))))
+                )
+                prev = p
+            _write_image_data(bw, deltas, len(palette), 0, False)
+            width_bits = _palette_width_bits(len(palette))
+            indices = [index_of[p] for p in pixels]
+            pixels, cur_w = _pack_palette_indices(
+                indices, cur_w, width_bits
+            )
+        else:
+            raise ValueError(f"unknown transform {t!r}")
+    bw.write(0, 1)  # no more transforms
+
+    _write_image_data(bw, pixels, cur_w, cache_bits, True, meta_spec)
+
+    body = bw.getvalue()
+    vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        vp8l += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_webp(payload: bytes):
+    """Parse a lossless WebP (VP8L) into (top-down RGB uint8 array
+    (h, w, 3), cache_bits of the main image stream) — dependency-free
+    and covering the FULL VP8L feature set: simple and normal
+    (code-length-coded) prefix codes, color cache, LZ77 backward
+    references (2D-mapped and direct distances, overlapping copies),
+    Huffman images (spatially varying meta prefix codes), and all
+    four transforms (subtract-green, predictor, color,
+    color-indexing with pixel bundling), applied in reverse read
+    order per the spec. Lossy VP8 chunks raise the codec-library
+    gate; malformed streams raise ValueError."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP: missing RIFF/WEBP header")
+    pos = 12
+    body = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if fourcc == b"VP8L":
+            body = payload[pos + 8 : pos + 8 + size]
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP requires a codec library; only "
+                "lossless VP8L decodes natively (vp8l.decode_webp)"
+            )
+        pos += 8 + size + (size & 1)
+    if body is None:
+        raise ValueError("WebP missing VP8L chunk")
+    br = _LsbBitReader(body)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    # Transforms, read in stream order; each may appear at most once.
+    # Color-indexing shrinks the effective width for everything read
+    # after it (including other transforms' sub-images).
+    transforms: list[tuple] = []
+    seen_types = set()
+    cur_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen_types:
+            raise ValueError(f"VP8L transform {ttype} repeated")
+        seen_types.add(ttype)
+        if ttype == 2:
+            transforms.append(("subtract_green",))
+        elif ttype in (0, 1):
+            size_bits = br.read(3) + 2
+            tw, th = _sub_dims(cur_w, h, size_bits)
+            sub, _ = _read_image_data(br, tw, th, False)
+            transforms.append(
+                ("predictor" if ttype == 0 else "color", size_bits, tw, sub)
+            )
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            deltas, _ = _read_image_data(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for d in deltas:
+                cur = _join(
+                    *((dc + pc) & 0xFF
+                      for dc, pc in zip(_split(d), _split(prev)))
+                )
+                palette.append(cur)
+                prev = cur
+            width_bits = _palette_width_bits(n_colors)
+            full_w = cur_w
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+            transforms.append(("palette", width_bits, full_w, palette))
+
+    argbs, cache_bits = _read_image_data(br, cur_w, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            argbs = _subtract_green_inverse(argbs)
+        elif t[0] == "predictor":
+            _, size_bits, tw, sub = t
+            argbs = _apply_predictor_inverse(argbs, cur_w, sub, size_bits, tw)
+        elif t[0] == "color":
+            _, size_bits, tw, sub = t
+            argbs = _apply_color_inverse(argbs, cur_w, sub, size_bits, tw)
+        else:  # palette
+            _, width_bits, full_w, palette = t
+            argbs = _apply_palette_inverse(
+                argbs, cur_w, full_w, width_bits, palette
+            )
+            cur_w = full_w
+    if cur_w != w or len(argbs) != w * h:
+        raise ValueError("VP8L transform chain left a mismatched width")
 
     out = np.zeros((h, w, 3), dtype=np.uint8)
     for i, argb in enumerate(argbs):
-        a = (argb >> 24) & 0xFF
-        r = (argb >> 16) & 0xFF
-        g = (argb >> 8) & 0xFF
-        b = argb & 0xFF
-        if subtract_green:
-            r = (r + g) & 0xFF
-            b = (b + g) & 0xFF
+        a, r, g, b = _split(argb)
         if a != 255:
             raise ValueError("non-opaque VP8L pixel outside RGB contract")
         out[i // w, i % w] = (r, g, b)

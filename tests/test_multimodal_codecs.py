@@ -834,18 +834,26 @@ def test_vp8l_rejects_and_gates():
         return (b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP"
                 + vp8l)
 
-    def predictor_transform(bw):
+    def truncated_predictor(bw):
         bw.write(1, 1)  # transform present
-        bw.write(0, 2)  # predictor
-    with pytest.raises(NotImplementedError, match="predictor"):
-        V.decode_webp(stream(predictor_transform))
+        bw.write(0, 2)  # predictor — then nothing: sub-image truncated
+    with pytest.raises(ValueError, match="truncated"):
+        V.decode_webp(stream(truncated_predictor))
 
-    def huffman_image(bw):
+    def repeated_transform(bw):
+        bw.write(1, 1)
+        bw.write(2, 2)  # subtract-green
+        bw.write(1, 1)
+        bw.write(2, 2)  # subtract-green AGAIN — spec: each at most once
+    with pytest.raises(ValueError, match="repeated"):
+        V.decode_webp(stream(repeated_transform))
+
+    def truncated_huffman_image(bw):
         bw.write(0, 1)  # no transform
         bw.write(0, 1)  # no cache
-        bw.write(1, 1)  # huffman image present
-    with pytest.raises(NotImplementedError, match="Huffman image"):
-        V.decode_webp(stream(huffman_image))
+        bw.write(1, 1)  # huffman image present — then nothing
+    with pytest.raises(ValueError, match="truncated"):
+        V.decode_webp(stream(truncated_huffman_image))
 
     def lz77_before_start(bw):
         bw.write(0, 1)  # no transform
@@ -884,6 +892,105 @@ def test_vp8l_rejects_and_gates():
 def test_vp8l_decode_image_dispatch():
     px = M.decode_image(V.encode_webp_payload(9))
     assert (px == M._image_pixels_tiled(9)).all()
+
+
+def test_vp8l_predictor_transform_all_modes():
+    """All 14 predictor modes round-trip, including the Select and
+    clamped add/subtract predictors and the spec border rules (1x1,
+    single row, single column)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for mode in range(14):
+        out, _ = V.decode_webp(
+            V.encode_vp8l(img, 3, transforms=(("predictor", 2, mode),))
+        )
+        assert (out == img).all(), f"mode {mode}"
+    for shape in [(1, 1), (1, 9), (9, 1), (2, 2)]:
+        im = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for mode in (3, 11, 13):
+            out, _ = V.decode_webp(
+                V.encode_vp8l(im, 2, transforms=(("predictor", 2, mode),))
+            )
+            assert (out == im).all(), (shape, mode)
+
+
+def test_vp8l_color_transform_round_trip():
+    """The color transform's signed int8 ColorTransformDelta
+    (arithmetic >> 5) forward/inverse across element values spanning
+    both sign interpretations."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for elems in [(0, 0, 0), (16, 200, 3), (255, 1, 128), (77, 77, 77)]:
+        out, _ = V.decode_webp(
+            V.encode_vp8l(img, 2, transforms=(("color", 3, elems),))
+        )
+        assert (out == img).all(), elems
+
+
+def test_vp8l_palette_transform_all_bundle_widths():
+    """Color indexing with delta-coded palettes across every pixel
+    bundling width (8/4/2 indices per green byte and unbundled)."""
+    rng = np.random.default_rng(7)
+    for ncol in (2, 3, 4, 9, 16, 17, 200):
+        vals = rng.integers(0, 256, size=(ncol, 3))
+        idx = rng.integers(0, ncol, size=(7, 29))
+        pimg = vals[idx].astype(np.uint8)
+        out, _ = V.decode_webp(
+            V.encode_vp8l(pimg, 0, transforms=("palette",))
+        )
+        assert (out == pimg).all(), ncol
+
+
+def test_vp8l_huffman_images_round_trip():
+    """Meta prefix codes: per-block prefix-code groups selected per
+    pixel, including group counts that exceed the block count (the
+    encoder clamps to the groups the meta image can name)."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for ng in (2, 3, 5):
+        out, _ = V.decode_webp(V.encode_vp8l(img, 4, meta_spec=(2, ng)))
+        assert (out == img).all(), ng
+    tiny = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    out, _ = V.decode_webp(V.encode_vp8l(tiny, 1, meta_spec=(2, 3)))
+    assert (out == tiny).all()
+
+
+def test_vp8l_transform_combinations():
+    """Transforms chain in stream order and invert in reverse order;
+    palette composes with meta prefix codes."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    out, _ = V.decode_webp(
+        V.encode_vp8l(
+            img, 3, transforms=("subtract_green", ("predictor", 2, 11))
+        )
+    )
+    assert (out == img).all()
+    out, _ = V.decode_webp(
+        V.encode_vp8l(
+            img, 3,
+            transforms=(("predictor", 3, 12), ("color", 2, (9, 8, 7)),
+                        "subtract_green"),
+        )
+    )
+    assert (out == img).all()
+    vals = rng.integers(0, 256, size=(5, 3))
+    pimg = vals[rng.integers(0, 5, size=(9, 17))].astype(np.uint8)
+    out, _ = V.decode_webp(
+        V.encode_vp8l(pimg, 2, transforms=("palette",), meta_spec=(3, 2))
+    )
+    assert (out == pimg).all()
+
+
+def test_vp8l_contract_rotates_wire_variants():
+    """The synthesis contract rotates doc_id % 5 through all five wire
+    shapes; every variant must decode to the same closed-form pixels
+    (this is what makes the single oracle certify the full feature
+    set)."""
+    for did in (10, 11, 12, 13, 14, 95, 96, 97, 98, 99):
+        px, cb = V.decode_webp(V.encode_webp_payload(did))
+        assert cb == 1 + did % 6
+        assert (px == M._image_pixels_tiled(did)).all(), did
 
 
 # ---------------------------------------------------------------------------
