@@ -10,6 +10,7 @@ def fan_out(
     min_parts: int | None = None,
     key: str | None = None,
     sort_partitions: bool = False,
+    force_layout: bool = False,
 ) -> DataFrame:
     """Ensure a per-row-heavy pipeline isn't bottlenecked by input file
     granularity.
@@ -30,6 +31,12 @@ def fan_out(
     join key makes downstream equi-joins on that key shuffle-free on
     the pre-partitioned side, the same co-location bucketing buys.
 
+    ``force_layout`` (with ``key``) repartitions unconditionally —
+    for cached table LAYOUTS, where hash placement matters and the
+    partition-count shortcut would wrongly accept a wide-but-unkeyed
+    scan. Mid-operator callers leave it off: their fan-out is purely
+    a width fix and must stay a no-op on already-wide inputs.
+
     ``sort_partitions`` additionally local-sorts each hash partition on
     ``key`` — the in-memory analog of a ``bucketBy().sortBy()`` table
     layout: downstream sort-merge joins on the key then sort
@@ -41,6 +48,20 @@ def fan_out(
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    if key is not None and force_layout:
+        # Layout request (the catalog's cached keyed loads): partition
+        # count is NOT the point — hash placement by the join key is.
+        # A scan can be plenty wide yet unkeyed (a 10x-volume file
+        # splits into >= parallelism raw splits), and the
+        # partition-count shortcut below would then hand every
+        # downstream join a full per-query shuffle. The forced
+        # repartition runs ONCE into the cached layout (the in-memory
+        # analog of bucketBy-on-storage); per-query consumers join
+        # exchange-free at every volume.
+        out = df.repartition(target, df[key])
+        if sort_partitions:
+            out = out.sortWithinPartitions(key)
+        return out
     if df.rdd.getNumPartitions() < target:
         if key is not None:
             out = df.repartition(target, df[key])

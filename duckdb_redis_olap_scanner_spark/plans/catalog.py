@@ -651,7 +651,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # narrow plans, cluster-scale inputs get the full width.  All
         # five share ONE count so co-partitioned join sides stay aligned.
         if name in ("documents", "embeddings"):
-            df = fan_out(df, key=part_key)
+            df = fan_out(df, key=part_key, force_layout=True)
         else:
             # sort_partitions: the relational tables feed sort-merge
             # joins on part_key; a key-sorted cached partition makes
@@ -662,6 +662,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 min_parts=_keyed_parts(spark, sf_dir),
                 key=part_key,
                 sort_partitions=True,
+                force_layout=True,
             )
     _TABLE_CACHE[key] = df
     return df
