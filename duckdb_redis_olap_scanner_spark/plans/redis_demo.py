@@ -53,6 +53,39 @@ def redis_scan_golden(spark: SparkSession, sf: str):
 
 
 @register(
+    "redis_cluster_scan",
+    # The golden cluster keyspace (clusterkey:0001..0030) is split
+    # across three fake nodes by REAL CRC16 slot ownership; the scan
+    # must union the per-node SCANs exactly once, so the hash pins
+    # both completeness (a missed node drops rows) and
+    # duplicate-freedom (a double-scanned multi-range master repeats
+    # them).
+    oracle="""
+    SELECT 'clusterkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key_name
+    FROM range(1, 31) t(i)
+    """,
+    tags=("redis",),
+    doc="redis_scan with cluster_slots=true over a three-node fake "
+    "cluster topology — CLUSTER SLOTS discovery, one InputPartition "
+    "per master, disjoint per-node keyspaces (SURVEY §4.1's "
+    "production scale path).",
+)
+def redis_cluster_scan(spark: SparkSession, sf: str):
+    from ..testing import golden_cluster_address
+
+    ship_package(spark)
+    host, port = golden_cluster_address().split(":")
+    return (
+        spark.read.format("redis_scan")
+        .option("host", host)
+        .option("port", port)
+        .option("pattern", "clusterkey:*")
+        .option("cluster_slots", "true")
+        .load()
+    )
+
+
+@register(
     "redis_kv_golden",
     oracle="""
     SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key,

@@ -419,6 +419,36 @@ def seed_reference_fixture(server: FakeRedisServer) -> None:
 
 
 _GOLDEN_SERVER: FakeRedisServer | None = None
+_GOLDEN_CLUSTER: list[FakeRedisServer] | None = None
+
+
+def golden_cluster_address() -> str:
+    """Seed-node address of a process-wide THREE-NODE fake cluster:
+    keys ``clusterkey:0001..0030`` are placed on the node owning their
+    real CRC16 hash slot (three even 16384/3 ranges), and every node
+    serves the full CLUSTER SLOTS topology. A ``cluster_slots=true``
+    scan against the seed must union the three nodes exactly once —
+    the golden oracle hash pins both completeness and
+    duplicate-freedom."""
+    global _GOLDEN_CLUSTER
+    if _GOLDEN_CLUSTER is None:
+        from .sources.redis_source import key_slot
+
+        nodes = [FakeRedisServer().start() for _ in range(3)]
+        ranges = [(0, 5460), (5461, 10922), (10923, 16383)]
+        for i in range(1, 31):
+            k = f"clusterkey:{i:04d}"
+            s = key_slot(k)
+            for (lo, hi), node in zip(ranges, nodes):
+                if lo <= s <= hi:
+                    node.seed_strings({k: f"value:{i:04d}"})
+        topo = [
+            (lo, hi, n.host, n.port) for (lo, hi), n in zip(ranges, nodes)
+        ]
+        for n in nodes:
+            n.set_cluster_slots(topo)
+        _GOLDEN_CLUSTER = nodes
+    return _GOLDEN_CLUSTER[0].address
 
 
 def golden_server_address() -> str:
