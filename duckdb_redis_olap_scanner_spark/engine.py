@@ -16,7 +16,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources.redis_source import ALL_DATASOURCES
-from .functions.redis_fns import make_redis_get, make_redis_hgetall
+from .functions.redis_fns import (
+    make_redis_get,
+    make_redis_hgetall,
+    make_redis_ttl,
+)
 from .transport.resp import RedisClient, parse_host_port
 
 TABLES = [
@@ -238,6 +242,13 @@ class Engine:
     def redis_hgetall_udf(self):
         host, port = self._require_conn()
         return make_redis_hgetall(host, port)
+
+    def redis_ttl_udf(self):
+        """``redis_ttl(key) -> long`` (seconds; -1 no expiry, -2
+        missing) — the RESP integer type surfaced to SQL (SURVEY §3's
+        reserved LongType mapping)."""
+        host, port = self._require_conn()
+        return make_redis_ttl(host, port)
 
     # -- streaming -------------------------------------------------------------
     def redis_stream(self, key: str = "events", **options) -> DataFrame:

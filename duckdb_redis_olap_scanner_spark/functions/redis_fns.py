@@ -60,6 +60,35 @@ def make_redis_get(host: str, port: int, missing: str = "null"):
     return redis_get
 
 
+def make_redis_ttl(host: str, port: int):
+    """Build a ``redis_ttl(key) -> long`` Arrow-vectorized UDF — the
+    LongType surface SURVEY §3 reserved for the RESP integer type
+    (the reference parses ``:`` replies but never exposes one to SQL).
+    Redis semantics pass through untouched: seconds remaining, ``-1``
+    for a key with no expiry, ``-2`` for a missing key. One connection
+    per executor partition, one pipelined round trip per chunk."""
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def redis_ttl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        with RedisClient(host, port) as client:
+            for keys in batches:
+                kl = keys.tolist()
+                out: list[int] = []
+                for i in range(0, len(kl), MGET_CHUNK):
+                    chunk = [
+                        k if k is not None else "" for k in kl[i : i + MGET_CHUNK]
+                    ]
+                    replies = client.pipeline(
+                        [("TTL", k) for k in chunk]
+                    )
+                    out.extend(int(r) for r in replies)
+                yield pd.Series(out, dtype="int64")
+
+    return redis_ttl
+
+
 def make_redis_hgetall(host: str, port: int):
     """Build a ``redis_hgetall(key) -> map<string,string>`` UDF.
 

@@ -120,6 +120,33 @@ def redis_get_over_scan(spark: SparkSession, sf: str):
 
 
 @register(
+    "redis_ttl_over_scan",
+    # The golden keyspace is seeded WITHOUT expirations, so TTL is
+    # deterministically -1 for every key — on the fake server and on
+    # any real Redis seeded per the reference's scan.test alike. The
+    # entry pins the RESP integer type surfacing to LongType (SURVEY
+    # §3 reserved that mapping; the reference parses ':' replies but
+    # never exposes one to SQL). Expiring-key plumbing (-2 missing,
+    # positive seconds) is pinned by unit tests against seeded TTLs.
+    oracle="""
+    SELECT 'testkey:' || lpad(CAST(i AS VARCHAR), 4, '0') AS key_name,
+           CAST(-1 AS BIGINT) AS ttl
+    FROM range(1, 11) t(i)
+    """,
+    tags=("redis",),
+    doc="SELECT key, redis_ttl(key) FROM redis_scan(p) — the RESP "
+    "integer reply surfaced as LongType via an Arrow-vectorized UDF "
+    "with pipelined TTL batching.",
+)
+def redis_ttl_over_scan(spark: SparkSession, sf: str):
+    eng = _engine(spark)
+    t = eng.redis_ttl_udf()
+    return eng.redis_scan("testkey:*").select(
+        "key_name", t("key_name").alias("ttl")
+    )
+
+
+@register(
     "redis_hash_maptype",
     oracle="""
     SELECT * FROM (VALUES

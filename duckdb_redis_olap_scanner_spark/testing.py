@@ -70,6 +70,9 @@ class FakeRedisStore:
         # (start_slot, end_slot, host, port) rows served by CLUSTER
         # SLOTS; None = standalone instance (command errors, as real).
         self.cluster_slots: list[tuple[int, int, str, int]] | None = None
+        # key -> seconds, served STATICALLY by TTL (the fake never
+        # expires keys; tests pin the plumbing, not wall-clock decay)
+        self.ttls: dict[str, int] = {}
 
     def all_keys(self) -> list[str]:
         return (
@@ -216,6 +219,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _simple("OK")
             if name == "DBSIZE":
                 return _encode(len(store.all_keys()))
+            if name == "TTL":
+                k = args[0]
+                if k not in store.all_keys():
+                    return _encode(-2)
+                return _encode(store.ttls.get(k, -1))
+            if name == "EXPIRE":
+                k = args[0]
+                if k not in store.all_keys():
+                    return _encode(0)
+                store.ttls[k] = int(args[1])
+                return _encode(1)
             if name == "SCAN":
                 return self._scan(store, args)
             if name == "CLUSTER" and args and args[0].upper() == "SLOTS":
@@ -386,6 +400,12 @@ class FakeRedisServer:
     def seed_list(self, key: str, elements: list[str]) -> None:
         with self.store.lock:
             self.store.lists.setdefault(key, []).extend(elements)
+
+    def seed_ttls(self, ttls: dict[str, int]) -> None:
+        """Static per-key TTL values served by the TTL command (the
+        fake never expires keys — plumbing, not wall-clock decay)."""
+        with self.store.lock:
+            self.store.ttls.update(ttls)
 
     def set_cluster_slots(
         self, entries: list[tuple[int, int, str, int]]

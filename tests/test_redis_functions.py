@@ -53,3 +53,24 @@ def test_hgetall_udf(engine, spark):
     rows = {r.k: r.m for r in df.select("k", h("k").alias("m")).collect()}
     assert rows["user:1001"] == {"name": "ada", "age": "36"}
     assert rows["nope"] == {}
+
+
+def test_redis_ttl_udf(engine, redis_server):
+    """TTL semantics through the LongType UDF: seeded seconds pass
+    through, no-expiry keys give -1, missing keys give -2."""
+    from pyspark.sql import functions as F
+
+    redis_server.seed_ttls({"testkey:0001": 500, "testkey:0002": 9})
+    t = engine.redis_ttl_udf()
+    df = engine.redis_scan("testkey:*").select(
+        "key_name", t("key_name").alias("ttl")
+    )
+    got = {r.key_name: r.ttl for r in df.collect()}
+    assert got["testkey:0001"] == 500
+    assert got["testkey:0002"] == 9
+    assert got["testkey:0003"] == -1
+    assert dict(df.dtypes)["ttl"] == "bigint"
+    missing = engine.spark.createDataFrame(
+        [("nope:1",)], "key_name string"
+    ).select(t("key_name").alias("ttl"))
+    assert missing.collect()[0].ttl == -2
