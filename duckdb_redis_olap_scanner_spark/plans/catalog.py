@@ -449,9 +449,15 @@ _TABLE_KEYS: dict[str, str] = {
     "part": "p_partkey",
     "documents": "doc_id",
     "embeddings": "vec_id",
-    # events is NOT keyed: its consumers (sessionize, temporal joins,
-    # streaming replay) each shuffle by their own key (user_id, window)
-    # immediately, so a table-level repartition would be a wasted shuffle.
+    # events keys by user_id (r10): the family's dominant consumers —
+    # sessionize, funnel, retention, dau_wau, running-distinct, SCD2,
+    # per-user windows — all cluster/shuffle on user_id, so the
+    # one-time keyed layout makes their widest exchange disappear
+    # (measured at 10×: running_distinct −85%, retention −61%,
+    # sessionize −52%, dau_wau −38%). Consumers keying on other
+    # columns (hour buckets, event_type) still shuffle their own
+    # (post-aggregation, much smaller) keys.
+    "events": "user_id",
 }
 
 

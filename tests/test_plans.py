@@ -269,11 +269,15 @@ def test_round7_curation_plans_are_clean(spark):
     pruned to referenced columns, and the intended operator shapes
     (single agg for the histogram, Arrow map for the projection,
     join-free narrow map for the classifier)."""
-    # Histogram: one aggregation, no join, pruned events scan.
+    # Histogram: one aggregation, no join, pruned events scan. The
+    # r10 user_id-keyed events layout adds its key column to the scan
+    # (the one-time repartition into the cached layout needs it —
+    # same trade as the relational keyed loads); every OTHER unused
+    # column must still prune out.
     plan = plan_of(spark, "events_value_histogram")
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "event_type" in read and "value" in read
-    for col in ("props", "user_id", "ts"):
+    for col in ("props", "ts", "event_id"):
         assert col not in read
     assert "Join" not in plan and "BatchEvalPython" not in plan
 
