@@ -537,12 +537,13 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "wav_adpcm": lambda did: encode_wav_adpcm_payload(did),
         "flac": _encode_flac,
         "webp": _encode_webp,
+        "jpeg_lossless": lambda did: _jpeg.encode_jpeg_lossless_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
-            "jpeg_prog": "image/jpeg",
+            "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
             "wav_adpcm": "audio/wav", "flac": "audio/flac",
             "webp": "image/webp"}[kind]
 
@@ -674,6 +675,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_png_features(media)
     if kind == "webp":
         return decode_webp_features(media)
+    if kind == "jpeg_lossless":
+        return decode_jpeg_lossless_features(media)
     if kind == "avi":
         return decode_avi_features(media)
     if kind in ("jpeg", "jpeg420", "jpeg_prog"):
@@ -1123,6 +1126,63 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=PNG_DECODED_SCHEMA)
+
+
+JPEG_LOSSLESS_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, predictor int, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def decode_jpeg_lossless_features(media: DataFrame) -> DataFrame:
+    """REAL lossless-JPEG (SOF3) decode over a binary column:
+    predictive DPCM with the scan-selected predictor, Huffman-coded
+    difference categories, byte unstuffing — and because the format
+    is LOSSLESS, the oracle is the exact closed-form pixel statistics
+    (same as BMP/PPM), with the predictor byte read back from the
+    stream (1 + doc_id % 7 by synthesis) pinning that the SOS header
+    was parsed. See operators/jpeg.py."""
+    from ..engine import ship_package
+
+    decode_jpeg = _jpeg.decode_jpeg
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, st = decode_jpeg(bytes(payload))
+                if st.get("mode") != "lossless":
+                    raise ValueError("expected a lossless (SOF3) stream")
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h, int(st["predictor"]),
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "predictor",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("predictor", "int32"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64"), ("checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=JPEG_LOSSLESS_DECODED_SCHEMA)
 
 
 WEBP_DECODED_SCHEMA = (

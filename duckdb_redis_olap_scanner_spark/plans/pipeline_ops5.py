@@ -1015,6 +1015,53 @@ def multimodal_decode_webp(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_jpeg_lossless",
+    # SOF3 is LOSSLESS, so unlike the DCT entries the oracle is the
+    # exact closed-form pixel statistics (same val formula as
+    # BMP/PPM); the predictor column is read back from the SOS
+    # header (1 + doc_id % 7 by synthesis), pinning that all seven
+    # T.81 predictors decode across the corpus.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(1 + doc_id % 7 AS INT) AS predictor,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of LOSSLESS JPEG (SOF3), no codec library: "
+    "synthesize genuine SOF3 streams per doc — three interleaved RGB "
+    "components, predictive DPCM with the scan-selected predictor "
+    "rotating through all seven T.81 predictors, Huffman-coded "
+    "difference categories with EXTEND bits, byte stuffing, standard "
+    "edge-prediction rules — then decode them back to bit-exact "
+    "pixels (operators/jpeg.decode_jpeg, mode='lossless'). The "
+    "remaining JPEG gates narrow to arithmetic/extended/hierarchical.",
+)
+def multimodal_decode_jpeg_lossless(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(
+        table(spark, sf, "documents"), "jpeg_lossless"
+    )
+
+
+@register(
     "multimodal_decode_jpeg_prog",
     # Identical coefficient contract (and therefore oracle) to
     # multimodal_decode_jpeg — what changes is the WIRE FORMAT: ten

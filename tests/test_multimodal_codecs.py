@@ -994,6 +994,42 @@ def test_vp8l_contract_rotates_wire_variants():
 
 
 # ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 6, 13, 90, 4999])
+def test_jpeg_lossless_round_trip(doc_id):
+    """Bit-exact pixels through all seven T.81 predictors (doc_id % 7
+    rotates the scan's Ss selector) and the edge-prediction rules."""
+    import duckdb_redis_olap_scanner_spark.operators.jpeg as J
+
+    px, st = J.decode_jpeg(J.encode_jpeg_lossless_payload(doc_id))
+    assert st["mode"] == "lossless"
+    assert st["predictor"] == 1 + doc_id % 7
+    assert (px == M._image_pixels(doc_id)).all()
+
+
+def test_jpeg_lossless_rejects_malformed():
+    import duckdb_redis_olap_scanner_spark.operators.jpeg as J
+
+    payload = bytearray(J.encode_jpeg_lossless_payload(3))
+    # Ss (predictor selector) is the 3rd-from-last SOS header byte.
+    sos = payload.find(b"\xff\xda")
+    ln = struct.unpack_from(">H", payload, sos + 2)[0]
+    ss_at = sos + 2 + ln - 3
+    good = payload[ss_at]
+    payload[ss_at] = 0
+    with pytest.raises(ValueError, match="predictor"):
+        J.decode_jpeg(bytes(payload))
+    payload[ss_at] = good
+    # Point transform (Al) nonzero -> loud gate.
+    payload[ss_at + 2] = 1
+    with pytest.raises(NotImplementedError, match="point transform"):
+        J.decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
 # Progressive JPEG (SOF2)
 # ---------------------------------------------------------------------------
 
@@ -1078,8 +1114,10 @@ def _mutations(payload: bytes, seed: int):
         (lambda d: M.encode_png_payload(d), M.decode_png, 405),
         (lambda d: M.png_from_array(M._image_pixels(d), adam7=True),
          M.decode_png, 406),
+        (lambda d: J.encode_jpeg_lossless_payload(d), J.decode_jpeg, 507),
     ],
-    ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7"],
+    ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7",
+         "jpeg-lossless"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed):
     ok = bad = 0
