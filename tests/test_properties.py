@@ -178,3 +178,115 @@ def test_png_roundtrip_arbitrary_images(w, h, seed):
     got, n_raw = M.decode_png(M.png_from_array(px))
     assert n_raw == h * (1 + 3 * w)
     assert (got == px).all()
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties: ANY image must survive the full VP8L
+# transform surface and lossless JPEG bit-exactly
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _rgb_images(draw, max_side=12):
+    import numpy as np
+
+    w = draw(st.integers(1, max_side))
+    h = draw(st.integers(1, max_side))
+    data = draw(
+        st.lists(
+            st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+        )
+    )
+    return np.array(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@given(
+    px=_rgb_images(),
+    cache_bits=st.integers(0, 8),
+    transform=st.sampled_from(
+        ["none", "subtract_green", "predictor", "color", "palette"]
+    ),
+    mode=st.integers(0, 13),
+    meta=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_vp8l_roundtrip_any_image_any_transform(
+    px, cache_bits, transform, mode, meta
+):
+    import numpy as np
+
+    from duckdb_redis_olap_scanner_spark.operators import vp8l as V
+
+    transforms: tuple = ()
+    if transform == "subtract_green":
+        transforms = ("subtract_green",)
+    elif transform == "predictor":
+        transforms = (("predictor", 2, mode),)
+    elif transform == "color":
+        transforms = (("color", 2, (mode * 17, 255 - mode, mode)),)
+    elif transform == "palette":
+        transforms = ("palette",)
+    meta_spec = (2, 2) if meta else None
+    payload = V.encode_vp8l(
+        px, cache_bits, transforms=transforms, meta_spec=meta_spec
+    )
+    out, cb = V.decode_webp(payload)
+    assert cb == cache_bits
+    assert np.array_equal(out, px)
+
+
+@given(px=_rgb_images(), predictor=st.integers(1, 7))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_lossless_roundtrip_any_image(px, predictor):
+    import numpy as np
+
+    from duckdb_redis_olap_scanner_spark.operators import jpeg as J
+
+    # Build the SOF3 stream directly from the arbitrary pixels using
+    # the module's own primitives (the public payload helper is bound
+    # to the synthesis contract's pixel source).
+    h, w, _ = px.shape
+    arr = px.astype(int)
+    diffs = []
+    freqs: dict[int, int] = {}
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                pred = J._lossless_predict(arr[:, :, c], x, y, predictor)
+                d = int(arr[y, x, c]) - pred
+                diffs.append(d)
+                s = J._category(d)
+                freqs[s] = freqs.get(s, 0) + 1
+    table = J._build_huffman(freqs)
+    bw = J._BitWriter()
+    for d in diffs:
+        s = J._category(d)
+        code, ln = table[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+    bw.align()
+    import struct as _st
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _st.pack(">H", len(payload) + 2) + payload
+
+    sofp = _st.pack(">BHHB", 8, h, w, 3) + b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(3)
+    )
+    sosp = (
+        bytes([3])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(3))
+        + bytes([predictor, 0, 0])
+    )
+    payload = (
+        b"\xff\xd8"
+        + seg(0xC4, J._dht_payload(0, 0, table))
+        + seg(0xC3, sofp)
+        + seg(0xDA, sosp)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+    out, stats = J.decode_jpeg(payload)
+    assert stats["predictor"] == predictor
+    assert np.array_equal(out, px)
