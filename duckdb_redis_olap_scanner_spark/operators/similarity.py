@@ -1382,3 +1382,257 @@ def random_projection(
     if scorer_parts is not None and scorer_parts < base.rdd.getNumPartitions():
         base = base.coalesce(scorer_parts)
     return base.mapInArrow(_project, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + asymmetric-distance
+# search — the 100 TB ANN compression path (IVF-PQ's PQ half)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_KS = 8  # centroids per subspace (3-bit codes)
+
+
+def _pq_centroids(
+    embeddings: DataFrame, m: int, ks: int
+) -> tuple[list[list[list[int]]], int]:
+    """Train per-subspace codebooks: seed centroids are the first
+    ``ks`` vectors' subvectors (vec_id < ks, deterministic), refined
+    by ONE integer-mean Lloyd's step (exact int64 sums, truncating
+    division — the :func:`kmeans_refine` mechanics per subspace).
+    Returns (centroids[j][cell] -> int list, subspace_dim).
+
+    Scale shape: one distributed pass — assignment is a pure
+    column expression against seed-centroid literals (no shuffle),
+    the update a posexplode whose groupBy is map-side combined down
+    to m*ks*sub_dim rows before a bounded driver collect; empty
+    cells keep their seed (mirrored by the oracle's LEFT JOIN)."""
+    if ks > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"ks={ks} exceeds MAX_DRIVER_QUERY_ROWS={MAX_DRIVER_QUERY_ROWS}"
+        )
+    seeds = sorted(
+        embeddings.filter(F.col("vec_id") < ks)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not seeds:
+        raise ValueError("PQ training needs at least one seed vector")
+    d = len(seeds[0].v)
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sd = d // m
+    seed_cent = [
+        [list(r.v[j * sd : (j + 1) * sd]) for r in seeds] for j in range(m)
+    ]
+
+    def _sub(j: int) -> Column:
+        return F.slice(F.col("v"), j * sd + 1, sd)
+
+    def _l2(sub: Column, cent: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(c).cast("long") for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = embeddings.select("vec_id", quantized().alias("v"))
+    # Materialize subvectors once (projection barrier: referencing a
+    # Column twice inlines its tree twice; see operators/util.let_bind).
+    base = base.select(
+        "vec_id", *[_sub(j).alias(f"s{j}") for j in range(m)]
+    )
+    assign_cols = []
+    for j in range(m):
+        dists = F.array(
+            *[_l2(F.col(f"s{j}"), seed_cent[j][c]) for c in range(len(seeds))]
+        )
+        assign_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias(f"c{j}")
+        )
+    assigned = base.select(
+        "vec_id", *[F.col(f"s{j}") for j in range(m)], *assign_cols
+    )
+    stacked = assigned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"c{j}").alias("cell"),
+                        F.col(f"s{j}").alias("s"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.cell", F.posexplode("e.s").alias("pos", "val"))
+    sums = (
+        stacked.groupBy("j", "cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    cent = [[list(c) for c in seed_cent[j]] for j in range(m)]
+    acc: dict[tuple[int, int], tuple[list[int], int]] = {}
+    for r in sums:
+        key = (int(r.j), int(r.cell))
+        if key not in acc:
+            acc[key] = ([0] * sd, 0)
+        vec, _ = acc[key]
+        vec[int(r.pos)] = int(r.s)
+        acc[key] = (vec, int(r.cnt))
+    for (j, cell), (vec, cnt) in acc.items():
+        # truncating division toward zero (matches DuckDB //, and the
+        # kmeans_refine pairing already hash-validated it)
+        cent[j][cell] = [
+            (abs(s) // cnt) * (1 if s >= 0 else -1) for s in vec
+        ]
+    return cent, sd
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS
+) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, subspace, code, sub_dist) — each
+    vector's per-subspace nearest-codebook-centroid index (ties break
+    to the lowest cell, the array_position-first-min == ORDER BY dist,
+    cid contract) plus the exact integer L2 residual to it.
+
+    After the bounded training pass, encoding is a PURE column
+    expression against centroid literals — no shuffle, no Python: the
+    plan that runs at scan speed over 100 TB of vectors. m*ks codes of
+    log2(ks) bits compress a 64-dim float vector ~85x; sub_dist pins
+    the DISTANCES (not just the argmins) against the oracle."""
+    cent, sd = _pq_centroids(embeddings, m, ks)
+
+    def _l2(sub: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id",
+        *[F.slice("v", j * sd + 1, sd).alias(f"s{j}") for j in range(m)],
+    )
+    per_j = []
+    for j in range(m):
+        dists = F.array(*[_l2(F.col(f"s{j}"), c) for c in cent[j]])
+        per_j.append(
+            F.struct(
+                F.lit(j).cast("int").alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1).alias(
+                    "code"
+                ),
+                F.array_min(dists).alias("sub_dist"),
+            )
+        )
+    return base.select(
+        "vec_id", F.explode(F.array(*per_j)).alias("e")
+    ).select("vec_id", "e.subspace", "e.code", "e.sub_dist")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    query_max_id: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: for each query
+    (vec_id < query_max_id), approx_dist(q, x) = sum_j
+    L2(q_sub_j, codebook_j[code_j(x)]) — the query stays exact, the
+    corpus is represented by its codes. Returns (query_id,
+    neighbor_id, adc_dist, rank), self excluded, ties on (dist,
+    neighbor_id).
+
+    Scale shape: codes are computed inline (scan-speed expressions);
+    each corpus row cross-joins only the BROADCAST Q-row query frame
+    carrying per-query distance lookup tables (m x ks ints — the
+    classic ADC LUT), and the final per-query top-k is a
+    WindowGroupLimit-bounded rank window over N x Q scored rows —
+    never a re-scan, never a corpus shuffle."""
+    if query_max_id > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query_max_id={query_max_id} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}"
+        )
+    cent, sd = _pq_centroids(embeddings, m, ks)
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    luts = []
+    for r in qrows:
+        lut = [
+            [
+                sum(
+                    (int(r.v[j * sd + i]) - c[i]) ** 2 for i in range(sd)
+                )
+                for c in cent[j]
+            ]
+            for j in range(m)
+        ]
+        luts.append((int(r.vec_id), lut))
+    spark = embeddings.sparkSession
+    qlut = spark.createDataFrame(
+        luts, "query_id bigint, lut array<array<bigint>>"
+    )
+
+    def _l2(sub: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id",
+        *[F.slice("v", j * sd + 1, sd).alias(f"s{j}") for j in range(m)],
+    )
+    code_cols = []
+    for j in range(m):
+        dists = F.array(*[_l2(F.col(f"s{j}"), c) for c in cent[j]])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias(
+                f"code{j}"
+            )
+        )
+    coded = base.select("vec_id", F.array(*code_cols).alias("codes"))
+    scored = coded.crossJoin(F.broadcast(qlut)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                "lut",
+                lambda c, l: F.element_at(l, (c + 1).cast("int")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -362,6 +362,143 @@ def ann_cosine_topk(spark: SparkSession, sf: str):
 
 
 @register(
+    "pipeline_pq_encode",
+    # Product-quantization codebooks trained per subspace (seed =
+    # first 8 vectors' subvectors, one integer-mean Lloyd step with
+    # truncating division, empty cells keep their seed) and the
+    # corpus encoded to (subspace, code, residual). sub_dist pins the
+    # exact integer L2 residuals, not just the argmins.
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+    prm AS (SELECT CAST(len(v) / 4 AS BIGINT) AS sd FROM base LIMIT 1),
+    subs AS (
+      SELECT b.vec_id, t.j,
+             list_slice(b.v, t.j * p.sd + 1, (t.j + 1) * p.sd) AS s
+      FROM base b CROSS JOIN prm p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+    seeds AS (SELECT j, vec_id AS cid, s AS cv FROM subs
+              WHERE vec_id < 8),
+    d0 AS (SELECT sub.vec_id, sub.j, sd.cid,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - sd.cv[i+1]) * (sub.s[i+1] - sd.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN seeds sd ON sd.j = sub.j),
+    a0 AS (SELECT vec_id, j, cid AS cell
+           FROM (SELECT vec_id, j, cid, d,
+                        row_number() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d ASC, cid ASC) AS rn
+                 FROM d0)
+           WHERE rn = 1),
+    ex AS (SELECT a0.j, a0.cell, r.pos, sub.s[r.pos + 1] AS val
+           FROM a0 JOIN subs sub
+             ON sub.vec_id = a0.vec_id AND sub.j = a0.j
+           CROSS JOIN prm p
+           CROSS JOIN LATERAL (SELECT unnest(range(0, p.sd)) AS pos) r),
+    sv AS (SELECT j, cell, pos, CAST(SUM(val) AS BIGINT) AS sm,
+                  COUNT(*) AS cnt
+           FROM ex GROUP BY j, cell, pos),
+    mean AS (SELECT j, cell, list(sm // cnt ORDER BY pos) AS mv
+             FROM sv GROUP BY j, cell),
+    cents AS (SELECT sd.j, sd.cid AS cell, coalesce(m.mv, sd.cv) AS cv
+              FROM seeds sd LEFT JOIN mean m
+                ON m.j = sd.j AND m.cell = sd.cid),
+    d1 AS (SELECT sub.vec_id, sub.j, c.cell,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - c.cv[i+1]) * (sub.s[i+1] - c.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN cents c ON c.j = sub.j),
+    enc AS (SELECT vec_id, j, cell AS code, d AS sub_dist
+            FROM (SELECT vec_id, j, cell, d,
+                         row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d ASC, cell ASC) AS rn
+                  FROM d1)
+            WHERE rn = 1)
+    SELECT vec_id, CAST(j AS INT) AS subspace, code, sub_dist
+    FROM enc
+    """,
+    tags=("similarity", "pipeline"),
+    doc="PQ-encode the embedding corpus: 4 subspaces x 8 "
+    "centroids (3-bit codes, ~85x compression of a 64-dim float "
+    "vector). Training is one bounded distributed pass "
+    "(kmeans_refine mechanics per subspace); encoding is a pure "
+    "column expression against centroid literals — scan-speed at "
+    "100 TB, zero shuffles (operators/similarity.pq_encode).",
+)
+def pipeline_pq_encode(spark: SparkSession, sf: str):
+    return S.pq_encode(table(spark, sf, "embeddings"))
+
+
+@register(
+    "ann_pq_adc",
+    # Asymmetric-distance search: exact query subvectors against the
+    # codebook entries the corpus codes name — the classic ADC lookup
+    # table, summed per (query, vector), ranked with (dist, id) ties.
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+    prm AS (SELECT CAST(len(v) / 4 AS BIGINT) AS sd FROM base LIMIT 1),
+    subs AS (
+      SELECT b.vec_id, t.j,
+             list_slice(b.v, t.j * p.sd + 1, (t.j + 1) * p.sd) AS s
+      FROM base b CROSS JOIN prm p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+    seeds AS (SELECT j, vec_id AS cid, s AS cv FROM subs
+              WHERE vec_id < 8),
+    d0 AS (SELECT sub.vec_id, sub.j, sd.cid,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - sd.cv[i+1]) * (sub.s[i+1] - sd.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN seeds sd ON sd.j = sub.j),
+    a0 AS (SELECT vec_id, j, cid AS cell
+           FROM (SELECT vec_id, j, cid, d,
+                        row_number() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d ASC, cid ASC) AS rn
+                 FROM d0)
+           WHERE rn = 1),
+    ex AS (SELECT a0.j, a0.cell, r.pos, sub.s[r.pos + 1] AS val
+           FROM a0 JOIN subs sub
+             ON sub.vec_id = a0.vec_id AND sub.j = a0.j
+           CROSS JOIN prm p
+           CROSS JOIN LATERAL (SELECT unnest(range(0, p.sd)) AS pos) r),
+    sv AS (SELECT j, cell, pos, CAST(SUM(val) AS BIGINT) AS sm,
+                  COUNT(*) AS cnt
+           FROM ex GROUP BY j, cell, pos),
+    mean AS (SELECT j, cell, list(sm // cnt ORDER BY pos) AS mv
+             FROM sv GROUP BY j, cell),
+    cents AS (SELECT sd.j, sd.cid AS cell, coalesce(m.mv, sd.cv) AS cv
+              FROM seeds sd LEFT JOIN mean m
+                ON m.j = sd.j AND m.cell = sd.cid),
+    d1 AS (SELECT sub.vec_id, sub.j, c.cell,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - c.cv[i+1]) * (sub.s[i+1] - c.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN cents c ON c.j = sub.j),
+    enc AS (SELECT vec_id, j, cell AS code, d AS sub_dist
+            FROM (SELECT vec_id, j, cell, d,
+                         row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d ASC, cell ASC) AS rn
+                  FROM d1)
+            WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, j, s AS qsv FROM subs
+           WHERE vec_id < 3),
+    lut AS (SELECT q.query_id, q.j, c.cell,
+                   CAST(list_sum(list_transform(range(0, len(q.qsv)), i -> (q.qsv[i+1] - c.cv[i+1]) * (q.qsv[i+1] - c.cv[i+1]))) AS BIGINT) AS dl
+            FROM qs q JOIN cents c ON c.j = q.j),
+    adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(SUM(l.dl) AS BIGINT) AS adc_dist
+            FROM enc e JOIN lut l ON l.j = e.j AND l.cell = e.code
+            GROUP BY l.query_id, e.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC)
+                 AS rank
+      FROM adc WHERE neighbor_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+    doc="PQ asymmetric-distance (ADC) top-5 for 3 queries: "
+    "per-query m x ks distance LUTs broadcast to the corpus, "
+    "approx_dist = sum over subspaces of LUT[code], "
+    "WindowGroupLimit-bounded rank — the IVF-PQ search half "
+    "(operators/similarity.pq_adc_topk).",
+)
+def ann_pq_adc(spark: SparkSession, sf: str):
+    return S.pq_adc_topk(table(spark, sf, "embeddings"))
+
+
+@register(
     "ann_range_search",
     oracle=f"""
     WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),

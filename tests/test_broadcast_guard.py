@@ -100,6 +100,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "query-vector set, ≤n_queries·probes",
     ("operators/similarity.py", "ivf_multiprobe_topk", "q"):
         "query-vector set, ≤n_queries·probes",
+    ("operators/similarity.py", "pq_adc_topk", "qlut"):
+        "Q-row query LUT frame, ≤query_max_id rows (m·ks ints each)",
     ("operators/retrieval.py", "oov_stats", "vocab"):
         "trained vocab, ≤vocab_size",
 }

@@ -75,3 +75,45 @@ def test_lsh_bucket_plane_count_guard(spark):
     too_many = [[[1] * S.EMB_DIM for _ in range(31)]]
     with pytest.raises(ValueError, match="at most 30"):
         S.arrow_lsh_buckets(df, too_many)
+
+
+def test_pq_encode_plan_is_shuffle_free_and_exact_shapes(spark):
+    """After the bounded training pass, PQ encoding must be a pure
+    expression plan — zero shuffle exchanges — and ADC search must be
+    a broadcast join with a WindowGroupLimit-bounded rank."""
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = S.pq_encode(emb)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+        == 0
+    )
+    n = emb.count()
+    assert enc.count() == n * S.PQ_M
+    codes = enc.agg({"code": "max"}).collect()[0][0]
+    assert 0 <= codes < S.PQ_KS
+
+    adc = S.pq_adc_topk(emb, query_max_id=2, k=3)
+    plan2 = adc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan2
+    assert "WindowGroupLimit" in plan2
+    rows = adc.collect()
+    assert len(rows) == 2 * 3
+    for r in rows:
+        assert r.neighbor_id != r.query_id and 1 <= r.rank <= 3
+
+
+def test_pq_guards(spark):
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_encode(emb, m=5)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        S.pq_encode(emb, ks=S.MAX_DRIVER_QUERY_ROWS + 1)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        S.pq_adc_topk(emb, query_max_id=S.MAX_DRIVER_QUERY_ROWS + 1)
