@@ -1636,3 +1636,142 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    query_max_id: int = 3,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The composed production ANN stack: IVF coarse cells gate the
+    candidate set (each query probes its ``n_probe`` nearest cells),
+    PQ codes + per-query ADC lookup tables rank inside it — IVF-PQ's
+    plan shape. (Codes quantize the FULL vectors; classical residual
+    encoding is a refinement of the same shape.)
+
+    Everything after the two bounded training passes is a pure
+    column-expression frame (vec_id, cell, codes) — zero corpus
+    shuffles — cross-joined against the broadcast Q-row query frame
+    carrying (probed cells, LUT) and ranked under WindowGroupLimit.
+    Returns (query_id, neighbor_id, cell, adc_dist, rank)."""
+    if query_max_id > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query_max_id={query_max_id} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}"
+        )
+    if n_cells > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}"
+        )
+    cent, sd = _pq_centroids(embeddings, m, ks)
+    coarse_rows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    coarse = [list(r.v) for r in coarse_rows]
+
+    def _dot_lit(col: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _l2(sub: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = embeddings.select("vec_id", quantized().alias("v")).select(
+        "vec_id",
+        F.col("v"),
+        *[F.slice("v", j * sd + 1, sd).alias(f"s{j}") for j in range(m)],
+    )
+    dots = F.array(*[_dot_lit(F.col("v"), c) for c in coarse])
+    cell_col = (F.array_position(dots, F.array_max(dots)) - 1).alias("cell")
+    code_cols = []
+    for j in range(m):
+        dj = F.array(*[_l2(F.col(f"s{j}"), c) for c in cent[j]])
+        code_cols.append(
+            (F.array_position(dj, F.array_min(dj)) - 1).alias(f"code{j}")
+        )
+    coded = base.select("vec_id", cell_col, *code_cols).select(
+        "vec_id", "cell", F.array(*[f"code{j}" for j in range(m)]).alias(
+            "codes"
+        )
+    )
+
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qdata = []
+    for r in qrows:
+        v = [int(x) for x in r.v]
+        cdots = [
+            (sum(a * b for a, b in zip(v, c)), cid)
+            for cid, c in enumerate(coarse)
+        ]
+        # top n_probe cells: dot DESC, cid ASC — the assignment order
+        probed = [
+            cid for _d, cid in sorted(cdots, key=lambda t: (-t[0], t[1]))
+        ][:n_probe]
+        lut = [
+            [
+                sum((v[j * sd + i] - c[i]) ** 2 for i in range(sd))
+                for c in cent[j]
+            ]
+            for j in range(m)
+        ]
+        qdata.append((int(r.vec_id), probed, lut))
+    spark = embeddings.sparkSession
+    qf = spark.createDataFrame(
+        qdata,
+        "query_id bigint, probed array<bigint>, lut array<array<bigint>>",
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qf))
+        .filter(F.array_contains("probed", F.col("cell")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    "lut",
+                    lambda c, l: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
+    )

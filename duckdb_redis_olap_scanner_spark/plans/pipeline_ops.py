@@ -499,6 +499,106 @@ def ann_pq_adc(spark: SparkSession, sf: str):
 
 
 @register(
+    "ann_ivf_pq",
+    # The composed IVF-PQ plan: coarse max-dot cells (same contract as
+    # ann_ivf_topk) gate candidates to each query's 2 probed
+    # cells; PQ codes (same training as pipeline_pq_encode) rank them
+    # by summed ADC lookup distances with (dist, id) ties.
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+    prm AS (SELECT CAST(len(v) / 4 AS BIGINT) AS sd FROM base LIMIT 1),
+    coarse AS (SELECT vec_id AS ccid, v AS ccv FROM base
+               WHERE vec_id < 16),
+    cscore AS (SELECT b.vec_id, c.ccid,
+                      CAST(list_sum(list_transform(range(0, len(b.v)), i -> b.v[i+1] * c.ccv[i+1])) AS BIGINT) AS cdot
+               FROM base b CROSS JOIN coarse c),
+    cellof AS (SELECT vec_id, ccid AS cell
+               FROM (SELECT vec_id, ccid, cdot,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cdot DESC, ccid)
+                                AS rn
+                     FROM cscore)
+               WHERE rn = 1),
+    subs AS (
+      SELECT b.vec_id, t.j,
+             list_slice(b.v, t.j * p.sd + 1, (t.j + 1) * p.sd) AS s
+      FROM base b CROSS JOIN prm p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+    seeds AS (SELECT j, vec_id AS cid, s AS cv FROM subs
+              WHERE vec_id < 8),
+    d0 AS (SELECT sub.vec_id, sub.j, sd.cid,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - sd.cv[i+1]) * (sub.s[i+1] - sd.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN seeds sd ON sd.j = sub.j),
+    a0 AS (SELECT vec_id, j, cid AS cell
+           FROM (SELECT vec_id, j, cid, d,
+                        row_number() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d ASC, cid ASC) AS rn
+                 FROM d0)
+           WHERE rn = 1),
+    ex AS (SELECT a0.j, a0.cell, r.pos, sub.s[r.pos + 1] AS val
+           FROM a0 JOIN subs sub
+             ON sub.vec_id = a0.vec_id AND sub.j = a0.j
+           CROSS JOIN prm p
+           CROSS JOIN LATERAL (SELECT unnest(range(0, p.sd)) AS pos) r),
+    sv AS (SELECT j, cell, pos, CAST(SUM(val) AS BIGINT) AS sm,
+                  COUNT(*) AS cnt
+           FROM ex GROUP BY j, cell, pos),
+    mean AS (SELECT j, cell, list(sm // cnt ORDER BY pos) AS mv
+             FROM sv GROUP BY j, cell),
+    cents AS (SELECT sd.j, sd.cid AS cell, coalesce(m.mv, sd.cv) AS cv
+              FROM seeds sd LEFT JOIN mean m
+                ON m.j = sd.j AND m.cell = sd.cid),
+    d1 AS (SELECT sub.vec_id, sub.j, c.cell,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - c.cv[i+1]) * (sub.s[i+1] - c.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN cents c ON c.j = sub.j),
+    enc AS (SELECT vec_id, j, cell AS code
+            FROM (SELECT vec_id, j, cell, d,
+                         row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d ASC, cell ASC) AS rn
+                  FROM d1)
+            WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, ccid AS cell
+               FROM (SELECT vec_id, ccid, cdot,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cdot DESC, ccid)
+                                AS rn
+                     FROM cscore WHERE vec_id < 3)
+               WHERE rn <= 2),
+    qs AS (SELECT vec_id AS query_id, j, s AS qsv FROM subs
+           WHERE vec_id < 3),
+    lut AS (SELECT q.query_id, q.j, c.cell,
+                   CAST(list_sum(list_transform(range(0, len(q.qsv)), i -> (q.qsv[i+1] - c.cv[i+1]) * (q.qsv[i+1] - c.cv[i+1]))) AS BIGINT) AS dl
+            FROM qs q JOIN cents c ON c.j = q.j),
+    cand AS (SELECT p.query_id, co.vec_id AS neighbor_id, co.cell
+             FROM qprobe p JOIN cellof co ON co.cell = p.cell
+             WHERE co.vec_id <> p.query_id),
+    adc AS (SELECT ca.query_id, ca.neighbor_id, ca.cell,
+                   CAST(SUM(l.dl) AS BIGINT) AS adc_dist
+            FROM cand ca
+            JOIN enc e ON e.vec_id = ca.neighbor_id
+            JOIN lut l ON l.query_id = ca.query_id
+                      AND l.j = e.j AND l.cell = e.code
+            GROUP BY ca.query_id, ca.neighbor_id, ca.cell)
+    SELECT query_id, neighbor_id, cell, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, cell, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC)
+                 AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+    doc="IVF-PQ search: 16 coarse cells probed 2-deep per "
+    "query, candidates ranked by PQ asymmetric distance (4x8 "
+    "codebooks) — the production ANN stack's plan shape, with the "
+    "corpus side a zero-shuffle expression frame and the query side a "
+    "broadcast Q-row frame (operators/similarity.ivf_pq_topk).",
+)
+def ann_ivf_pq(spark: SparkSession, sf: str):
+    return S.ivf_pq_topk(table(spark, sf, "embeddings"))
+
+
+@register(
     "ann_range_search",
     oracle=f"""
     WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),

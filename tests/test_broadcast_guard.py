@@ -102,6 +102,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "query-vector set, ≤n_queries·probes",
     ("operators/similarity.py", "pq_adc_topk", "qlut"):
         "Q-row query LUT frame, ≤query_max_id rows (m·ks ints each)",
+    ("operators/similarity.py", "ivf_pq_topk", "qf"):
+        "Q-row query frame (probed cells + LUT), ≤query_max_id rows",
     ("operators/retrieval.py", "oov_stats", "vocab"):
         "trained vocab, ≤vocab_size",
 }

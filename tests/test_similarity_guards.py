@@ -117,3 +117,25 @@ def test_pq_guards(spark):
         S.pq_encode(emb, ks=S.MAX_DRIVER_QUERY_ROWS + 1)
     with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
         S.pq_adc_topk(emb, query_max_id=S.MAX_DRIVER_QUERY_ROWS + 1)
+
+
+def test_ivf_pq_plan_and_probe_containment(spark):
+    """IVF-PQ: the corpus frame stays a zero-shuffle expression plan
+    before the broadcast query join; every returned neighbor sits in
+    one of its query's probed cells."""
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = S.ivf_pq_topk(emb, query_max_id=2, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The only exchange is the rank window's (tiny, k*Q rows).
+    assert (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+        <= 1
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    assert rows and all(r.neighbor_id != r.query_id for r in rows)
+    assert all(1 <= r.rank <= 3 for r in rows)
