@@ -1775,3 +1775,244 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
     )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    query_max_id: int = 3,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """CLASSICAL IVF-PQ: codes quantize the RESIDUAL ``x − coarse
+    centroid(cell(x))`` rather than the raw vector, and each query
+    carries one ADC lookup table PER PROBED CELL (the query residual
+    differs per cell) — the textbook refinement over
+    :func:`ivf_pq_topk`, with the same plan shape: corpus side one
+    zero-shuffle expression frame (cell, residual codes), query side
+    a broadcast Q-row frame of (probed cells, per-cell LUTs), ranked
+    under WindowGroupLimit. Returns (query_id, neighbor_id, cell,
+    adc_dist, rank)."""
+    if query_max_id > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query_max_id={query_max_id} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{MAX_DRIVER_QUERY_ROWS}"
+        )
+    if n_cells > MAX_DRIVER_QUERY_ROWS or ks > MAX_DRIVER_QUERY_ROWS:
+        raise ValueError("n_cells/ks exceed MAX_DRIVER_QUERY_ROWS")
+    coarse_rows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not coarse_rows:
+        raise ValueError("IVF-PQ needs at least one coarse seed vector")
+    coarse = [[int(x) for x in r.v] for r in coarse_rows]
+    d = len(coarse[0])
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sd = d // m
+
+    def _cell_of(v: list[int]) -> int:
+        dots = [
+            (sum(a * b for a, b in zip(v, c)), cid)
+            for cid, c in enumerate(coarse)
+        ]
+        return min(dots, key=lambda t: (-t[0], t[1]))[1]
+
+    # --- PQ codebooks over RESIDUAL subvectors -------------------------
+    seed_rows = sorted(
+        embeddings.filter(F.col("vec_id") < ks)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    seed_res = []
+    for r in seed_rows:
+        v = [int(x) for x in r.v]
+        c = coarse[_cell_of(v)]
+        seed_res.append([a - b for a, b in zip(v, c)])
+    seed_cent = [
+        [sr[j * sd : (j + 1) * sd] for sr in seed_res] for j in range(m)
+    ]
+
+    coarse_lit = F.array(
+        *[
+            F.array(*[F.lit(x).cast("long") for x in c])
+            for c in coarse
+        ]
+    )
+
+    def _dot_lit(col: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _l2_col(a: Column, c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a,
+                F.array(*[F.lit(x).cast("long") for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base0 = embeddings.select("vec_id", quantized().alias("v"))
+    dots = F.array(*[_dot_lit(F.col("v"), c) for c in coarse])
+    with_cell = base0.select(
+        "vec_id", "v",
+        (F.array_position(dots, F.array_max(dots)) - 1).alias("cell"),
+    )
+    # residual bound once behind a projection barrier (cell is a
+    # materialized attribute here, so element_at evaluates once)
+    with_res = with_cell.select(
+        "vec_id", "cell",
+        F.zip_with(
+            "v",
+            F.element_at(coarse_lit, (F.col("cell") + 1).cast("int")),
+            lambda x, y: x - y,
+        ).alias("r"),
+    ).select(
+        "vec_id", "cell",
+        *[F.slice("r", j * sd + 1, sd).alias(f"s{j}") for j in range(m)],
+    )
+
+    # training pass: assignment against seed-residual literals, then
+    # per-(j, cell) integer means (map-side combined, bounded collect)
+    assign_cols = []
+    for j in range(m):
+        dj = F.array(*[_l2_col(F.col(f"s{j}"), c) for c in seed_cent[j]])
+        assign_cols.append(
+            (F.array_position(dj, F.array_min(dj)) - 1).alias(f"c{j}")
+        )
+    assigned = with_res.select(
+        *[F.col(f"s{j}") for j in range(m)], *assign_cols
+    )
+    stacked = assigned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"c{j}").alias("cell"),
+                        F.col(f"s{j}").alias("s"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.cell", F.posexplode("e.s").alias("pos", "val"))
+    sums = (
+        stacked.groupBy("j", "cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    cent = [[list(c) for c in seed_cent[j]] for j in range(m)]
+    acc: dict[tuple[int, int], tuple[list[int], int]] = {}
+    for rr in sums:
+        key = (int(rr.j), int(rr.cell))
+        if key not in acc:
+            acc[key] = ([0] * sd, 0)
+        vec, _ = acc[key]
+        vec[int(rr.pos)] = int(rr.s)
+        acc[key] = (vec, int(rr.cnt))
+    for (j, cell), (vec, cnt) in acc.items():
+        cent[j][cell] = [
+            (abs(x) // cnt) * (1 if x >= 0 else -1) for x in vec
+        ]
+
+    # encode: residual codes by pure expressions
+    code_cols = []
+    for j in range(m):
+        dj = F.array(*[_l2_col(F.col(f"s{j}"), c) for c in cent[j]])
+        code_cols.append(
+            (F.array_position(dj, F.array_min(dj)) - 1).alias(f"code{j}")
+        )
+    coded = with_res.select("vec_id", "cell", *code_cols).select(
+        "vec_id", "cell",
+        F.array(*[f"code{j}" for j in range(m)]).alias("codes"),
+    )
+
+    # queries: probed cells + one LUT per probed cell (query residual
+    # differs per cell)
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qdata = []
+    for r in qrows:
+        v = [int(x) for x in r.v]
+        cdots = [
+            (sum(a * b for a, b in zip(v, c)), cid)
+            for cid, c in enumerate(coarse)
+        ]
+        probed = [
+            cid for _dd, cid in sorted(cdots, key=lambda t: (-t[0], t[1]))
+        ][:n_probe]
+        luts = []
+        for cell in probed:
+            qr = [a - b for a, b in zip(v, coarse[cell])]
+            luts.append(
+                [
+                    [
+                        sum(
+                            (qr[j * sd + i] - c[i]) ** 2
+                            for i in range(sd)
+                        )
+                        for c in cent[j]
+                    ]
+                    for j in range(m)
+                ]
+            )
+        qdata.append((int(r.vec_id), probed, luts))
+    spark = embeddings.sparkSession
+    qf2 = spark.createDataFrame(
+        qdata,
+        "query_id bigint, probed array<bigint>, "
+        "luts array<array<array<bigint>>>",
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qf2))
+        .filter(F.array_contains("probed", F.col("cell")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    F.element_at(
+                        "luts",
+                        F.array_position("probed", F.col("cell")).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda c, l: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc_, x: acc_ + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
+    )

@@ -599,6 +599,122 @@ def ann_ivf_pq(spark: SparkSession, sf: str):
 
 
 @register(
+    "ann_ivf_pq_residual",
+    # CLASSICAL IVF-PQ: codebooks trained on and codes quantizing the
+    # RESIDUAL x - coarse_centroid(cell(x)); each query carries one
+    # ADC LUT per probed cell (its residual differs per cell). The
+    # oracle replays residual computation, training, encoding, and
+    # the per-(query, probed-cell) LUT sums.
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings),
+    prm AS (SELECT CAST(len(v) / 4 AS BIGINT) AS sd FROM base LIMIT 1),
+    coarse AS (SELECT vec_id AS ccid, v AS ccv FROM base
+               WHERE vec_id < 16),
+    cscore AS (SELECT b.vec_id, c.ccid,
+                      CAST(list_sum(list_transform(range(0, len(b.v)), i -> b.v[i+1] * c.ccv[i+1])) AS BIGINT) AS cdot
+               FROM base b CROSS JOIN coarse c),
+    cellof AS (SELECT vec_id, ccid AS cell
+               FROM (SELECT vec_id, ccid, cdot,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cdot DESC, ccid)
+                                AS rn
+                     FROM cscore)
+               WHERE rn = 1),
+    res AS (SELECT b.vec_id, cf.cell,
+                   list_transform(range(0, len(b.v)),
+                                  i -> b.v[i+1] - c.ccv[i+1]) AS rv
+            FROM base b
+            JOIN cellof cf ON cf.vec_id = b.vec_id
+            JOIN coarse c ON c.ccid = cf.cell),
+    subs AS (
+      SELECT r.vec_id, r.cell, t.j,
+             list_slice(r.rv, t.j * p.sd + 1, (t.j + 1) * p.sd) AS s
+      FROM res r CROSS JOIN prm p
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+    seeds AS (SELECT j, vec_id AS cid, s AS cv FROM subs
+              WHERE vec_id < 8),
+    d0 AS (SELECT sub.vec_id, sub.j, sd.cid,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - sd.cv[i+1]) * (sub.s[i+1] - sd.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN seeds sd ON sd.j = sub.j),
+    a0 AS (SELECT vec_id, j, cid AS cell
+           FROM (SELECT vec_id, j, cid, d,
+                        row_number() OVER (PARTITION BY vec_id, j
+                                           ORDER BY d ASC, cid ASC) AS rn
+                 FROM d0)
+           WHERE rn = 1),
+    ex AS (SELECT a0.j, a0.cell, rr.pos, sub.s[rr.pos + 1] AS val
+           FROM a0 JOIN subs sub
+             ON sub.vec_id = a0.vec_id AND sub.j = a0.j
+           CROSS JOIN prm p
+           CROSS JOIN LATERAL (SELECT unnest(range(0, p.sd)) AS pos) rr),
+    sv AS (SELECT j, cell, pos, CAST(SUM(val) AS BIGINT) AS sm,
+                  COUNT(*) AS cnt
+           FROM ex GROUP BY j, cell, pos),
+    mean AS (SELECT j, cell, list(sm // cnt ORDER BY pos) AS mv
+             FROM sv GROUP BY j, cell),
+    cents AS (SELECT sd.j, sd.cid AS cell, coalesce(m.mv, sd.cv) AS cv
+              FROM seeds sd LEFT JOIN mean m
+                ON m.j = sd.j AND m.cell = sd.cid),
+    d1 AS (SELECT sub.vec_id, sub.j, c.cell,
+                  CAST(list_sum(list_transform(range(0, len(sub.s)), i -> (sub.s[i+1] - c.cv[i+1]) * (sub.s[i+1] - c.cv[i+1]))) AS BIGINT) AS d
+           FROM subs sub JOIN cents c ON c.j = sub.j),
+    enc AS (SELECT vec_id, j, cell AS code
+            FROM (SELECT vec_id, j, cell, d,
+                         row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d ASC, cell ASC) AS rn
+                  FROM d1)
+            WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, ccid AS pcell
+               FROM (SELECT vec_id, ccid, cdot,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cdot DESC, ccid)
+                                AS rn
+                     FROM cscore WHERE vec_id < 3)
+               WHERE rn <= 2),
+    qres AS (SELECT p.query_id, p.pcell, t.j,
+                    list_slice(
+                      list_transform(range(0, len(b.v)),
+                                     i -> b.v[i+1] - c.ccv[i+1]),
+                      t.j * pr.sd + 1, (t.j + 1) * pr.sd) AS qsv
+             FROM qprobe p
+             JOIN base b ON b.vec_id = p.query_id
+             JOIN coarse c ON c.ccid = p.pcell
+             CROSS JOIN prm pr
+             CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+    lut AS (SELECT q.query_id, q.pcell, q.j, c.cell,
+                   CAST(list_sum(list_transform(range(0, len(q.qsv)), i -> (q.qsv[i+1] - c.cv[i+1]) * (q.qsv[i+1] - c.cv[i+1]))) AS BIGINT) AS dl
+            FROM qres q JOIN cents c ON c.j = q.j),
+    cand AS (SELECT p.query_id, r.vec_id AS neighbor_id, r.cell
+             FROM qprobe p JOIN res r ON r.cell = p.pcell
+             WHERE r.vec_id <> p.query_id),
+    adc AS (SELECT ca.query_id, ca.neighbor_id, ca.cell,
+                   CAST(SUM(l.dl) AS BIGINT) AS adc_dist
+            FROM cand ca
+            JOIN enc e ON e.vec_id = ca.neighbor_id
+            JOIN lut l ON l.query_id = ca.query_id
+                      AND l.pcell = ca.cell
+                      AND l.j = e.j AND l.cell = e.code
+            GROUP BY ca.query_id, ca.neighbor_id, ca.cell)
+    SELECT query_id, neighbor_id, cell, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, cell, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC)
+                 AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity",),
+    doc="Classical residual IVF-PQ search: 16 coarse cells "
+    "probed 2-deep, residual-trained 4x8 codebooks, "
+    "per-probed-cell ADC lookup tables — the textbook refinement of "
+    "ann_ivf_pq with the same zero-corpus-shuffle plan shape "
+    "(operators/similarity.ivf_pq_residual_topk).",
+)
+def ann_ivf_pq_residual(spark: SparkSession, sf: str):
+    return S.ivf_pq_residual_topk(table(spark, sf, "embeddings"))
+
+
+@register(
     "ann_range_search",
     oracle=f"""
     WITH base AS (SELECT vec_id, {_SQL_QUANT_EMB} AS v FROM embeddings),

@@ -104,6 +104,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "Q-row query LUT frame, ≤query_max_id rows (m·ks ints each)",
     ("operators/similarity.py", "ivf_pq_topk", "qf"):
         "Q-row query frame (probed cells + LUT), ≤query_max_id rows",
+    ("operators/similarity.py", "ivf_pq_residual_topk", "qf2"):
+        "Q-row query frame (probed cells + per-cell LUTs), "
+        "≤query_max_id rows",
     ("operators/retrieval.py", "oov_stats", "vocab"):
         "trained vocab, ≤vocab_size",
 }

@@ -139,3 +139,22 @@ def test_ivf_pq_plan_and_probe_containment(spark):
     rows = df.collect()
     assert rows and all(r.neighbor_id != r.query_id for r in rows)
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_ivf_pq_residual_plan_and_shapes(spark):
+    """Residual IVF-PQ keeps the zero-corpus-shuffle contract (only
+    the rank window's tiny exchange) and per-cell LUT selection."""
+    from duckdb_redis_olap_scanner_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = S.ivf_pq_residual_topk(emb, query_max_id=2, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+        <= 1
+    )
+    rows = df.collect()
+    assert rows and all(r.neighbor_id != r.query_id for r in rows)
+    assert all(1 <= r.rank <= 3 for r in rows)
