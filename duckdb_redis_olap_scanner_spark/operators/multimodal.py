@@ -460,7 +460,8 @@ def decode_wav(payload: bytes):
     samples[int16 interleaved]) — dependency-free. Walks the chunk
     list (honoring the even-padding rule) so files with extra
     LIST/fact chunks parse correctly. PCM16 (format 1), G.711 mu-law
-    (format 7) and mono IMA ADPCM (format 17) decode natively."""
+    (format 7) and mono/stereo IMA ADPCM (format 17) decode
+    natively."""
     import struct
 
     import numpy as np
@@ -491,13 +492,23 @@ def decode_wav(payload: bytes):
         # with the standard integer formula (see mulaw_expand).
         enc = np.frombuffer(data, dtype=np.uint8)
         return ch, sr, bits, mulaw_expand(enc).astype(np.int16)
-    if audio_format == 17 and bits == 4 and ch == 1:
-        # IMA/DVI ADPCM (mono): per-block predictor header + 4-bit
-        # deltas through the step-table state machine.
+    if audio_format == 17 and bits == 4 and ch in (1, 2):
+        # IMA/DVI ADPCM: per-block predictor header(s) + 4-bit deltas
+        # through the step-table state machine; stereo interleaves
+        # 4-byte nibble groups per channel.
         if len(fmt_raw) >= 20:
             (spb,) = struct.unpack_from("<H", fmt_raw, 18)
         else:
-            spb = (block_align - 4) * 2 + 1
+            spb = (block_align - 4 * ch) * 2 // ch + 1
+        if ch == 2:
+            if fact_samples is None:
+                raise ValueError(
+                    "stereo IMA ADPCM needs a fact chunk (padded "
+                    "groups make the frame count ambiguous otherwise)"
+                )
+            return ch, sr, bits, adpcm_expand_stereo(
+                data, spb, fact_samples
+            )
         n_total = (
             fact_samples
             if fact_samples is not None
@@ -535,6 +546,8 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
         "jpeg_prog": lambda did: encode_jpeg_payload(did, "prog"),
         "wav_adpcm": lambda did: encode_wav_adpcm_payload(did),
+        "wav_adpcm_stereo":
+            lambda did: encode_wav_adpcm_stereo_payload(did),
         "flac": _encode_flac,
         "webp": _encode_webp,
         "jpeg_lossless": lambda did: _jpeg.encode_jpeg_lossless_payload(did),
@@ -544,7 +557,8 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
             "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
             "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
-            "wav_adpcm": "audio/wav", "flac": "audio/flac",
+            "wav_adpcm": "audio/wav", "wav_adpcm_stereo": "audio/wav",
+            "flac": "audio/flac",
             "webp": "image/webp"}[kind]
 
     def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -669,7 +683,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     driver materialization — the 100 TB shape for media feature
     extraction."""
     media = synthesize_media(docs, kind)
-    if kind in ("wav", "wav_mulaw", "wav_adpcm", "flac"):
+    if kind in ("wav", "wav_mulaw", "wav_adpcm", "wav_adpcm_stereo",
+                "flac"):
         return decode_audio_features(media)
     if kind == "png":
         return decode_png_features(media)
@@ -1371,6 +1386,126 @@ def encode_wav_adpcm_payload(doc_id: int) -> bytes:
         + (b"\x00" if len(body) & 1 else b"")
     )
     return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def _adpcm_stereo_header(doc_id: int, b: int, c: int) -> tuple[int, int]:
+    return (
+        ((doc_id * 11 + b * 29 + c * 17) % 65536) - 32768,
+        (doc_id + b * 7 + c * 3) % 89,
+    )
+
+
+def _adpcm_stereo_nibble(doc_id: int, s: int, c: int) -> int:
+    return (doc_id * 7 + s * 13 + c * 5) % 16
+
+
+def encode_wav_adpcm_stereo_payload(doc_id: int) -> bytes:
+    """A real STEREO RIFF/WAVE IMA ADPCM (format 17, nChannels=2)
+    file: per block, one 4-byte [pred:int16, idx:u8, rsvd:u8] header
+    PER CHANNEL, then the data region interleaved in 4-byte words per
+    channel (8 nibbles ch0, 8 nibbles ch1, ...), low nibble first —
+    the standard stereo IMA layout. block_align 24 = 8 header bytes +
+    two 4-byte groups per channel (spb 17 per channel); the fact
+    chunk carries the true per-channel frame count so the padded last
+    block stays unambiguous."""
+    import struct
+
+    sr, n = _adpcm_params(doc_id)  # n = frames per channel
+    body = bytearray()
+    s = 0
+    b = 0
+    while s < n:
+        for c in (0, 1):
+            samp0, idx = _adpcm_stereo_header(doc_id, b, c)
+            body += struct.pack("<hBB", samp0, idx, 0)
+        s += 1
+        k = min(ADPCM_SPB, n - s + 1) - 1  # nibbles per channel
+        groups = (k + 7) // 8
+        for g in range(groups):
+            for c in (0, 1):
+                nibs = [
+                    _adpcm_stereo_nibble(doc_id, s + g * 8 + j, c)
+                    if g * 8 + j < k
+                    else 0
+                    for j in range(8)
+                ]
+                for j in range(0, 8, 2):
+                    body.append(nibs[j] | (nibs[j + 1] << 4))
+        s += k
+        b += 1
+    block_align = 8 + 2 * ((ADPCM_SPB - 1) // 2)  # 24
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 2, sr, sr * block_align // ADPCM_SPB,
+        block_align, 4, 2, ADPCM_SPB,
+    )
+    chunks = (
+        struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sII", b"fact", 4, n)
+        + struct.pack("<4sI", b"data", len(body)) + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state-machine step (shared by the mono and
+    stereo expanders): returns (new_pred, new_idx)."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_ADJUST[nib & 7]))
+    return pred, idx
+
+
+def adpcm_expand_stereo(data: bytes, spb: int, n_frames: int):
+    """Stereo IMA ADPCM block stream → int16 INTERLEAVED samples
+    (L0, R0, L1, R1, ...): per block, one header per channel, then
+    4-byte nibble groups alternating channels; each channel runs its
+    own independent state machine."""
+    import struct
+
+    import numpy as np
+
+    out = np.empty(n_frames * 2, dtype=np.int16)
+    pos = 0
+    s = 0  # frames emitted
+    while s < n_frames:
+        state = []
+        for c in (0, 1):
+            pred, idx = struct.unpack_from("<hB", data, pos + 4 * c)
+            if not 0 <= idx <= 88:
+                raise ValueError(f"ADPCM step index {idx} out of range")
+            out[2 * s + c] = pred
+            state.append((pred, idx))
+        pos += 8
+        s += 1
+        k = min(spb, n_frames - s + 1) - 1  # nibbles per channel
+        groups = (k + 7) // 8
+        for g in range(groups):
+            for c in (0, 1):
+                pred, idx = state[c]
+                chunk = data[pos : pos + 4]
+                if len(chunk) < 4:
+                    raise ValueError("ADPCM stereo block truncated")
+                for j in range(8):
+                    t = g * 8 + j
+                    if t >= k:
+                        break
+                    byte = chunk[j // 2]
+                    nib = (byte & 0x0F) if j % 2 == 0 else (byte >> 4)
+                    pred, idx = _ima_step(pred, idx, nib)
+                    out[2 * (s + t) + c] = pred
+                state[c] = (pred, idx)
+                pos += 4
+        s += k
+    return out
 
 
 def adpcm_expand(data: bytes, spb: int, n_total: int):

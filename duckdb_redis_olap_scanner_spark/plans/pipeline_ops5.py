@@ -792,6 +792,9 @@ def multimodal_decode_jpeg420(spark: SparkSession, sf: str):
 _ADPCM_STEP_SQL = "[" + ",".join(str(v) for v in M.IMA_STEP_TABLE) + "]"
 
 _ADPCM_HEAD = "((doc_id * 11 + ((s + 1) // 17) * 29) % 65536) - 32768"
+_ADPCM_HEAD2 = (
+    "((doc_id * 11 + ((s + 1) // 17) * 29 + c * 17) % 65536) - 32768"
+)
 
 
 @register(
@@ -858,6 +861,85 @@ _ADPCM_HEAD = "((doc_id * 11 + ((s + 1) // 17) * 29) % 65536) - 32768"
 )
 def multimodal_decode_wav_adpcm(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "wav_adpcm")
+
+
+@register(
+    "multimodal_decode_wav_adpcm_stereo",
+    # The STEREO twin: two independent state machines (per-channel
+    # block headers offset by c*17 / c*3, nibbles by c*5), samples
+    # interleaved L0 R0 L1 R1 so the checksum weight of channel c
+    # sample s is 2s + c + 1 — pinning the interleave order itself.
+    oracle=f"""
+    WITH RECURSIVE prm AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             16 + doc_id % 33 AS n
+      FROM documents),
+    chans AS (
+      SELECT p.doc_id, p.sample_rate, p.n, t.c
+      FROM prm p CROSS JOIN (SELECT unnest(range(0, 2)) AS c) t),
+    st AS (
+      SELECT doc_id, sample_rate, n, c, 0 AS s,
+             ((doc_id * 11 + c * 17) % 65536) - 32768 AS pred,
+             (doc_id + c * 3) % 89 AS idx,
+             CAST(((doc_id * 11 + c * 17) % 65536) - 32768 AS BIGINT)
+                 AS ssum,
+             CAST((c + 1) * (((doc_id * 11 + c * 17) % 65536) - 32768)
+                  AS BIGINT) AS ck
+      FROM chans
+      UNION ALL
+      SELECT doc_id, sample_rate, n, c, s + 1,
+             CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD2}
+                  ELSE new_pred END,
+             CASE WHEN (s + 1) % 17 = 0
+                  THEN (doc_id + ((s + 1) // 17) * 7 + c * 3) % 89
+                  ELSE new_idx END,
+             ssum + CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD2}
+                  ELSE new_pred END,
+             ck + (2 * (s + 1) + c + 1)
+                  * CASE WHEN (s + 1) % 17 = 0 THEN {_ADPCM_HEAD2}
+                         ELSE new_pred END
+      FROM (
+        SELECT doc_id, sample_rate, n, c, s, ssum, ck, idx, nib,
+               GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN nib >= 8 THEN -dlt ELSE dlt END))
+                   AS new_pred,
+               GREATEST(0, LEAST(88,
+                 idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+                   AS new_idx
+        FROM (
+          SELECT *,
+                 step // 8 + ((nib // 4) % 2) * step
+                 + ((nib // 2) % 2) * (step // 2)
+                 + (nib % 2) * (step // 4) AS dlt
+          FROM (
+            SELECT *,
+                   (doc_id * 7 + (s + 1) * 13 + c * 5) % 16 AS nib,
+                   ({_ADPCM_STEP_SQL})[idx + 1] AS step
+            FROM st WHERE s + 1 < n))))
+    SELECT doc_id, CAST(2 AS INT) AS n_channels, sample_rate,
+           CAST(4 AS INT) AS bits, CAST(n AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN c = 0 THEN ssum ELSE 0 END) AS BIGINT)
+               AS sum_ch0,
+           CAST(SUM(CASE WHEN c = 1 THEN ssum ELSE 0 END) AS BIGINT)
+               AS sum_ch1,
+           CAST(SUM(ck) AS BIGINT) AS checksum
+    FROM st WHERE s = n - 1
+    GROUP BY doc_id, sample_rate, n
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of STEREO IMA ADPCM (format 17, nChannels=2): "
+    "per-block per-channel headers, data interleaved in 4-byte "
+    "nibble groups per channel (the standard stereo IMA layout), "
+    "fact-chunk-bounded padded last block; two independent "
+    "state machines replayed by the oracle as one two-channel "
+    "recursive CTE, with interleave-order-pinning checksum weights "
+    "(operators/multimodal.adpcm_expand_stereo).",
+)
+def multimodal_decode_wav_adpcm_stereo(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(
+        table(spark, sf, "documents"), "wav_adpcm_stereo"
+    )
 
 
 @register(

@@ -255,6 +255,44 @@ def test_png_rejects_corruption_and_imposters():
         M.decode_png(bytes(M.encode_png_payload(7))[:40])
 
 
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 16, 17, 33, 48])
+def test_wav_adpcm_stereo_round_trip(doc_id):
+    """Stereo IMA ADPCM: two independent state machines over
+    interleaved 4-byte nibble groups, verified against a direct
+    Python replay of the synthesis closed form (includes docs whose
+    last block is partial and single-block docs)."""
+    ch, sr, bits, samples = M.decode_wav(
+        M.encode_wav_adpcm_stereo_payload(doc_id)
+    )
+    _sr, n = M._adpcm_params(doc_id)
+    assert (ch, sr, bits) == (2, _sr, 4)
+    assert len(samples) == n * 2
+    for c in (0, 1):
+        s = 0
+        b = 0
+        pred = idx = None
+        while s < n:
+            pred, idx = M._adpcm_stereo_header(doc_id, b, c)
+            assert samples[2 * s + c] == pred
+            s += 1
+            k = min(M.ADPCM_SPB, n - s + 1) - 1
+            for j in range(k):
+                nib = M._adpcm_stereo_nibble(doc_id, s + j, c)
+                pred, idx = M._ima_step(pred, idx, nib)
+                assert samples[2 * (s + j) + c] == pred
+            s += k
+            b += 1
+
+
+def test_wav_adpcm_stereo_requires_fact():
+    payload = bytearray(M.encode_wav_adpcm_stereo_payload(3))
+    fact = payload.find(b"fact")
+    # rename the fact chunk so the parser cannot see the frame count
+    payload[fact : fact + 4] = b"junk"
+    with pytest.raises(ValueError, match="fact chunk"):
+        M.decode_wav(bytes(payload))
+
+
 def test_mulaw_expansion_reference_values():
     """Known G.711 mu-law landmarks: 0xFF/0x7F are plus/minus zero,
     0x80 is full-scale positive, 0x00 full-scale negative (+-32124)."""
@@ -1115,9 +1153,11 @@ def _mutations(payload: bytes, seed: int):
         (lambda d: M.png_from_array(M._image_pixels(d), adam7=True),
          M.decode_png, 406),
         (lambda d: J.encode_jpeg_lossless_payload(d), J.decode_jpeg, 507),
+        (lambda d: M.encode_wav_adpcm_stereo_payload(d), M.decode_wav,
+         608),
     ],
     ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7",
-         "jpeg-lossless"],
+         "jpeg-lossless", "adpcm-stereo"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed):
     ok = bad = 0
