@@ -492,6 +492,10 @@ def decode_wav(payload: bytes):
         # with the standard integer formula (see mulaw_expand).
         enc = np.frombuffer(data, dtype=np.uint8)
         return ch, sr, bits, mulaw_expand(enc).astype(np.int16)
+    if audio_format == 6 and bits == 8:
+        # G.711 A-law: the companion integer expansion (alaw_expand).
+        enc = np.frombuffer(data, dtype=np.uint8)
+        return ch, sr, bits, alaw_expand(enc).astype(np.int16)
     if audio_format == 17 and bits == 4 and ch in (1, 2):
         # IMA/DVI ADPCM: per-block predictor header(s) + 4-bit deltas
         # through the step-table state machine; stereo interleaves
@@ -541,6 +545,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "wav": encode_wav_payload,
         "png": lambda did: encode_png_payload(did),
         "wav_mulaw": lambda did: encode_wav_mulaw_payload(did),
+        "wav_alaw": lambda did: encode_wav_alaw_payload(did),
         "avi": lambda did: encode_avi_payload(did),
         "jpeg": lambda did: encode_jpeg_payload(did),
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
@@ -554,7 +559,8 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
-            "wav_mulaw": "audio/wav", "avi": "video/x-msvideo",
+            "wav_mulaw": "audio/wav", "wav_alaw": "audio/wav",
+            "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
             "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
             "wav_adpcm": "audio/wav", "wav_adpcm_stereo": "audio/wav",
@@ -683,8 +689,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     driver materialization — the 100 TB shape for media feature
     extraction."""
     media = synthesize_media(docs, kind)
-    if kind in ("wav", "wav_mulaw", "wav_adpcm", "wav_adpcm_stereo",
-                "flac"):
+    if kind in ("wav", "wav_mulaw", "wav_alaw", "wav_adpcm",
+                "wav_adpcm_stereo", "flac"):
         return decode_audio_features(media)
     if kind == "png":
         return decode_png_features(media)
@@ -1288,6 +1294,56 @@ def encode_wav_mulaw_payload(doc_id: int) -> bytes:
         + (b"\x00" if len(data) & 1 else b"")
     )
     return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def _alaw_samples(doc_id: int):
+    """Encoded A-law BYTES per the synthesis contract: b_i =
+    (doc_id*19 + i*23) % 256 — like the mu-law twin, the payload IS
+    the ground truth; the oracle expands the same closed form with
+    the same integer formula."""
+    import numpy as np
+
+    ch, _sr, f = _audio_params(doc_id)
+    i = np.arange(f * ch, dtype=np.int64)
+    return ((doc_id * 19 + i * 23) % 256).astype(np.uint8)
+
+
+def encode_wav_alaw_payload(doc_id: int) -> bytes:
+    """A real RIFF/WAVE G.711 A-law file: fmt chunk with
+    audio_format=6, 8 bits/sample, then the encoded byte stream."""
+    import struct
+
+    ch, sr, _f = _audio_params(doc_id)
+    data = _alaw_samples(doc_id).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, ch, sr, sr * ch, ch, 8)
+    chunks = (
+        struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def alaw_expand(enc):
+    """G.711 A-law byte → linear 16-bit sample, the standard integer
+    expansion (XOR 0x55, 4-bit mantissa, 3-bit segment): seg 0 →
+    t = m*16 + 8; seg ≥ 1 → t = (m*16 + 0x108) << (seg-1); the sign
+    bit (untouched by the 0x55 toggle) selects ±t. Landmarks:
+    0x55/0xD5 → ∓8, 0x2A/0xAA → ∓32256 full scale. Pure integer —
+    the oracle evaluates the identical formula in SQL."""
+    import numpy as np
+
+    a = enc.astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(
+        seg == 0,
+        mant * 16 + 8,
+        np.left_shift(mant * 16 + 0x108, np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t)
 
 
 def mulaw_expand(enc):

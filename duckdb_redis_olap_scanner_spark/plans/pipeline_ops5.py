@@ -943,6 +943,58 @@ def multimodal_decode_wav_adpcm_stereo(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_wav_alaw",
+    # The G.711 companion: payload bytes b_i = (doc_id*19+i*23)%256;
+    # a = b XOR 0x55; seg 0 -> t = m*16+8, else (m*16+264) << (seg-1);
+    # the sign bit (untouched by the toggle) selects +-t.
+    oracle="""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS INT) AS n_frames
+      FROM documents),
+    sm AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT) * n_channels)) AS i
+      FROM prm),
+    u AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             xor((doc_id * 19 + i * 23) % 256, 85) AS a
+      FROM sm),
+    t AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i, a,
+             CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                  ELSE ((a % 16) * 16 + 264) << (((a // 16) % 8) - 1)
+             END AS mag
+      FROM u),
+    v AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             CASE WHEN a >= 128 THEN mag ELSE -mag END AS s
+      FROM t)
+    SELECT doc_id, n_channels, sample_rate,
+           CAST(8 AS INT) AS bits, n_frames,
+           CAST(SUM(CASE WHEN i % n_channels = 0 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN i % n_channels = 1 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch1,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of the G.711 A-LAW companion format "
+    "(audio_format=6, 8 bits/sample): XOR-0x55 toggle, 4-bit "
+    "mantissa, 3-bit segment, full-scale +-32256 — the oracle "
+    "evaluates the identical integer expansion in SQL "
+    "(operators/multimodal.alaw_expand).",
+)
+def multimodal_decode_wav_alaw(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(
+        table(spark, sf, "documents"), "wav_alaw"
+    )
+
+
+@register(
     "multimodal_decode_wav_mulaw",
     # The payload bytes ARE the closed form (b_i = (doc_id*13+i*31)%256);
     # the oracle expands them with the same standard G.711 integer

@@ -293,6 +293,29 @@ def test_wav_adpcm_stereo_requires_fact():
         M.decode_wav(bytes(payload))
 
 
+def test_alaw_expansion_reference_values():
+    """Known G.711 A-law landmarks: 0x55/0xD5 are minus/plus 8 (the
+    quiet codes), 0x2A/0xAA full scale -/+32256; complementary sign
+    pairs are symmetric."""
+    import numpy as np
+
+    got = M.alaw_expand(np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8))
+    assert list(got) == [-8, 8, -32256, 32256]
+    b = np.arange(128, dtype=np.uint8)
+    assert (M.alaw_expand(b) == -M.alaw_expand(b | 0x80)).all()
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 33])
+def test_wav_alaw_round_trip(doc_id):
+    ch, sr, f = M._audio_params(doc_id)
+    got_ch, got_sr, bits, samples = M.decode_wav(
+        M.encode_wav_alaw_payload(doc_id)
+    )
+    assert (got_ch, got_sr, bits) == (ch, sr, 8)
+    ref = M.alaw_expand(M._alaw_samples(doc_id))
+    assert (samples.astype("int64") == ref).all()
+
+
 def test_mulaw_expansion_reference_values():
     """Known G.711 mu-law landmarks: 0xFF/0x7F are plus/minus zero,
     0x80 is full-scale positive, 0x00 full-scale negative (+-32124)."""
