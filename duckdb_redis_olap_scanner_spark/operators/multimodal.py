@@ -519,10 +519,19 @@ def decode_wav(payload: bytes):
             else _adpcm_capacity(len(data), block_align, spb)
         )
         return ch, sr, bits, adpcm_expand(data, spb, n_total)
+    if audio_format == 1 and bits == 24:
+        # 24-bit PCM: 3-byte little-endian two's-complement samples,
+        # widened via a zero low byte + arithmetic int32 shift.
+        raw = np.frombuffer(data, dtype=np.uint8)
+        if raw.size % 3:
+            raise ValueError("24-bit PCM data not a multiple of 3 bytes")
+        b = raw.reshape(-1, 3).astype(np.uint32)
+        u = (b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)
+        return ch, sr, bits, (u.astype(np.int32) >> 8)
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}): "
-            "only 16-bit PCM, 8-bit mu-law, and mono IMA ADPCM are "
+            "only 16/24-bit PCM, 8-bit G.711, and IMA ADPCM are "
             "decodable without a codec library"
         )
     return ch, sr, bits, np.frombuffer(data, dtype="<i2")
@@ -546,6 +555,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "png": lambda did: encode_png_payload(did),
         "wav_mulaw": lambda did: encode_wav_mulaw_payload(did),
         "wav_alaw": lambda did: encode_wav_alaw_payload(did),
+        "wav24": lambda did: encode_wav_pcm24_payload(did),
         "avi": lambda did: encode_avi_payload(did),
         "jpeg": lambda did: encode_jpeg_payload(did),
         "jpeg420": lambda did: encode_jpeg_payload(did, "420"),
@@ -560,6 +570,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
             "wav_mulaw": "audio/wav", "wav_alaw": "audio/wav",
+            "wav24": "audio/wav",
             "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
             "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
@@ -689,7 +700,7 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
     driver materialization — the 100 TB shape for media feature
     extraction."""
     media = synthesize_media(docs, kind)
-    if kind in ("wav", "wav_mulaw", "wav_alaw", "wav_adpcm",
+    if kind in ("wav", "wav_mulaw", "wav_alaw", "wav24", "wav_adpcm",
                 "wav_adpcm_stereo", "flac"):
         return decode_audio_features(media)
     if kind == "png":
@@ -1286,6 +1297,41 @@ def encode_wav_mulaw_payload(doc_id: int) -> bytes:
     ch, sr, _f = _audio_params(doc_id)
     data = _mulaw_samples(doc_id).tobytes()
     fmt = struct.pack("<HHIIHH", 7, ch, sr, sr * ch, ch, 8)
+    chunks = (
+        struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def _pcm24_samples(doc_id: int):
+    """Signed 24-bit samples per the synthesis contract:
+    s_i = ((doc_id*29 + i*5999471) % 16777216) - 8388608 — the large
+    odd stride wraps the full 24-bit range within one clip, so both
+    sign regions and all three bytes vary."""
+    import numpy as np
+
+    ch, _sr, f = _audio_params(doc_id)
+    i = np.arange(f * ch, dtype=np.int64)
+    return ((doc_id * 29 + i * 5999471) % 16777216) - 8388608
+
+
+def encode_wav_pcm24_payload(doc_id: int) -> bytes:
+    """A real RIFF/WAVE 24-bit PCM file: format 1, 3-byte
+    little-endian two's-complement samples."""
+    import struct
+
+    import numpy as np
+
+    ch, sr, _f = _audio_params(doc_id)
+    vals = (_pcm24_samples(doc_id) & 0xFFFFFF).astype(np.uint32)
+    data = np.stack(
+        [vals & 0xFF, (vals >> 8) & 0xFF, (vals >> 16) & 0xFF], axis=1
+    ).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 3, ch * 3, 24)
     chunks = (
         struct.pack("<4sI", b"fmt ", len(fmt))
         + fmt

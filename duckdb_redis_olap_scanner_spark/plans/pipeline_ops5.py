@@ -943,6 +943,47 @@ def multimodal_decode_wav_adpcm_stereo(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_wav_pcm24",
+    # 24-bit PCM: the closed form IS the sample value; the oracle
+    # checks the 3-byte two's-complement widening (a decoder that
+    # reads the bytes big-endian, drops the sign, or misaligns the
+    # triplets cannot hash-match).
+    oracle="""
+    WITH prm AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS INT) AS n_frames
+      FROM documents),
+    sm AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT) * n_channels)) AS i
+      FROM prm),
+    v AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames, i,
+             ((doc_id * 29 + i * 5999471) % 16777216) - 8388608 AS s
+      FROM sm)
+    SELECT doc_id, n_channels, sample_rate,
+           CAST(24 AS INT) AS bits, n_frames,
+           CAST(SUM(CASE WHEN i % n_channels = 0 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch0,
+           CAST(SUM(CASE WHEN i % n_channels = 1 THEN s ELSE 0 END)
+                AS BIGINT) AS sum_ch1,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, n_channels, sample_rate, n_frames
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of 24-bit PCM WAV (format 1, bits=24): 3-byte "
+    "little-endian two's-complement samples widened via zero-low-byte "
+    "+ arithmetic int32 shift; the synthesis stride wraps the full "
+    "24-bit range so both sign regions and all three bytes vary "
+    "(operators/multimodal.decode_wav).",
+)
+def multimodal_decode_wav_pcm24(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "wav24")
+
+
+@register(
     "multimodal_decode_wav_alaw",
     # The G.711 companion: payload bytes b_i = (doc_id*19+i*23)%256;
     # a = b XOR 0x55; seg 0 -> t = m*16+8, else (m*16+264) << (seg-1);

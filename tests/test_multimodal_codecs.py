@@ -293,6 +293,35 @@ def test_wav_adpcm_stereo_requires_fact():
         M.decode_wav(bytes(payload))
 
 
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 33])
+def test_wav_pcm24_round_trip(doc_id):
+    """3-byte two's-complement widening: both sign regions appear
+    (the synthesis stride wraps the 24-bit range)."""
+    import numpy as np
+
+    ch, sr, f = M._audio_params(doc_id)
+    got_ch, got_sr, bits, samples = M.decode_wav(
+        M.encode_wav_pcm24_payload(doc_id)
+    )
+    assert (got_ch, got_sr, bits) == (ch, sr, 24)
+    ref = M._pcm24_samples(doc_id)
+    assert (samples.astype(np.int64) == ref).all()
+    assert (ref < 0).any() and (ref > 0).any()
+
+
+def test_wav_pcm24_rejects_misaligned_data():
+    payload = bytearray(M.encode_wav_pcm24_payload(3))
+    # shrink the data chunk by one byte -> not a multiple of 3
+    data_at = payload.find(b"data")
+    import struct as _st
+
+    (n,) = _st.unpack_from("<I", payload, data_at + 4)
+    _st.pack_into("<I", payload, data_at + 4, n - 1)
+    del payload[data_at + 8 + n - 1]
+    with pytest.raises(ValueError, match="multiple of 3"):
+        M.decode_wav(bytes(payload))
+
+
 def test_alaw_expansion_reference_values():
     """Known G.711 A-law landmarks: 0x55/0xD5 are minus/plus 8 (the
     quiet codes), 0x2A/0xAA full scale -/+32256; complementary sign
