@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 # multimodal at module scope, so there is no cycle.
 from . import flac as _flac
 from . import jpeg as _jpeg
+from . import gif as _gif
 from . import vp8l as _vp8l
 
 DECODED_SCHEMA = (
@@ -566,6 +567,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "flac": _encode_flac,
         "webp": _encode_webp,
         "jpeg_lossless": lambda did: _jpeg.encode_jpeg_lossless_payload(did),
+        "gif": lambda did: _gif.encode_gif_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
@@ -574,6 +576,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
             "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
             "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
+            "gif": "image/gif",
             "wav_adpcm": "audio/wav", "wav_adpcm_stereo": "audio/wav",
             "flac": "audio/flac",
             "webp": "image/webp"}[kind]
@@ -709,6 +712,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_webp_features(media)
     if kind == "jpeg_lossless":
         return decode_jpeg_lossless_features(media)
+    if kind == "gif":
+        return decode_gif_features(media)
     if kind == "avi":
         return decode_avi_features(media)
     if kind in ("jpeg", "jpeg420", "jpeg_prog"):
@@ -1158,6 +1163,61 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=PNG_DECODED_SCHEMA)
+
+
+GIF_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, table_n int, interlaced boolean, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over a binary column: container walk, LZW
+    decompression across sub-block boundaries, color-table lookup,
+    4-pass deinterlace (every second doc) — then the BMP-style exact
+    pixel statistics, plus the color-table size (the next power of two
+    above w*h distinct contract colors) and the interlace flag read
+    back from the stream. See operators/gif.py."""
+    from ..engine import ship_package
+
+    decode_gif = _gif.decode_gif
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, table_n, interlaced = decode_gif(bytes(payload))
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h, int(table_n), bool(interlaced),
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "table_n", "interlaced",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("table_n", "int32"),
+                         ("interlaced", "bool"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64"), ("checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=GIF_DECODED_SCHEMA)
 
 
 JPEG_LOSSLESS_DECODED_SCHEMA = (

@@ -1135,6 +1135,54 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_gif",
+    # Same pixel closed form as BMP/PPM (every contract pixel
+    # distinct, so the palette holds w*h colors and the table size is
+    # the next power of two — ceil(log2(w*h)), exact in SQL since
+    # w*h <= 128); the interlace flag (every second doc) comes back
+    # from the STREAM.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, k, (doc_id * 7 + k) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(POWER(2, GREATEST(1,
+                CAST(CEIL(LOG2(width * height)) AS INT))) AS INT)
+               AS table_n,
+           doc_id % 2 = 0 AS interlaced,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of GIF (LZW), no codec library: synthesize "
+    "genuine GIF87a streams per doc — global color table in "
+    "first-appearance order, variable-width LZW codes (3..12 bits, "
+    "LSB-first, clear/EOI, KwKwK, the standard width-bump "
+    "alignment), 255-byte sub-blocks, 4-pass interlacing on every "
+    "second doc — then decode them back to bit-exact RGB "
+    "(operators/gif.decode_gif). 89a extension blocks are "
+    "sub-block-skipped.",
+)
+def multimodal_decode_gif(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "gif")
+
+
+@register(
     "multimodal_decode_webp",
     # TILED pixel closed form (val = (doc_id*7 + (k mod w*3*tile)) %
     # 256, tile = 1 + doc_id % 11) so the VP8L streams carry genuine
