@@ -1594,6 +1594,68 @@ def pipeline_bpe_encode(spark: SparkSession, sf: str):
 
 
 @register(
+    "pipeline_webdataset_ingest",
+    # The oracle replays the ustar block arithmetic exactly: tar size
+    # = 512 * (2 trailer blocks + per member (1 header block +
+    # ceil(size/512) data blocks)); the json member is the same
+    # string concatenation the worker builds, so its length AND md5
+    # are closed-form.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             coalesce(octet_length(encode(text)), 0) AS txt_len,
+             octet_length(encode(
+               '{"lang": "' || coalesce(lang, '') || '", "source": "'
+               || coalesce(source, '') || '"}')) AS json_len,
+             md5(coalesce(text, '')) AS txt_md5,
+             md5('{"lang": "' || coalesce(lang, '') || '", "source": "'
+                 || coalesce(source, '') || '"}') AS json_md5
+      FROM documents)
+    SELECT doc_id, CAST(2 AS INT) AS n_members,
+           -- ustar block arithmetic + the 20-block (10240-byte)
+           -- RECORD padding tarfile applies to the archive tail
+           CAST(10240 * CEIL(
+                512 * (2 + 1 + CAST(CEIL(txt_len / 512.0) AS BIGINT)
+                         + 1 + CAST(CEIL(json_len / 512.0) AS BIGINT))
+                / 10240.0) AS INT) AS tar_bytes,
+           txt_md5, json_md5,
+           CAST(txt_len + json_len AS INT) AS n_payload_bytes
+    FROM m
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="WebDataset-style shard ingestion: pack each doc as a REAL "
+    "ustar archive ({id}.txt + {id}.json per the sample-naming "
+    "convention, deterministic headers), read it back with tarfile, "
+    "and verify — member count, EXACT tar size (512-byte member blocks + the 10240-byte record padding), and md5s "
+    "of the recovered members, all replayed by the oracle in closed "
+    "form. The training-shard ingest hop: tar blobs through Arrow, "
+    "nothing on the driver (operators/multimodal.webdataset_ingest).",
+)
+def pipeline_webdataset_ingest(spark: SparkSession, sf: str):
+    return M.webdataset_ingest(table(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_xz_bz2_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(coalesce(octet_length(encode(text)), 0) AS INT) AS n_raw,
+           TRUE AS xz_ok, TRUE AS bz2_ok,
+           md5(coalesce(text, '')) AS raw_md5
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="The gzip_ingest twins for the other stdlib corpus codecs: "
+    "each doc's text through a REAL .xz member (lzma container, "
+    "CRC64) AND a real bzip2 member, decompressed back and verified "
+    "— magic bytes + recovered-md5 pinned against the source column "
+    "(operators/multimodal.xz_bz2_ingest).",
+)
+def pipeline_xz_bz2_ingest(spark: SparkSession, sf: str):
+    return M.xz_bz2_ingest(table(spark, sf, "documents"))
+
+
+@register(
     "pipeline_gzip_ingest",
     oracle="""
     SELECT doc_id,

@@ -198,3 +198,27 @@ def test_pack_manifest_sequences_full_except_bucket_tail(spark, tables):
     )
     assert bad.count() == 0
     assert m.filter(F.col("fill_frac") > 1.0).count() == 0
+
+
+def test_webdataset_ingest_multi_record_tar(spark):
+    """A document longer than one 10240-byte tar record must produce
+    a two-record archive (the block arithmetic, not just the
+    single-record constant the sf0.01 corpus lands on)."""
+    from duckdb_redis_olap_scanner_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 15000, "en", "web"), (2, "short", "de", "book")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.doc_id: r for r in M.webdataset_ingest(docs).collect()}
+    # doc 1: txt 15000 -> 30 data blocks; json 30B -> 1; headers 2;
+    # trailer 2 -> 35 blocks = 17920B -> 2 records = 20480
+    assert rows[1].tar_bytes == 20480
+    assert rows[2].tar_bytes == 10240
+    assert rows[1].n_members == 2
+    import hashlib
+
+    assert rows[1].txt_md5 == hashlib.md5(b"x" * 15000).hexdigest()
+    assert rows[2].json_md5 == hashlib.md5(
+        b'{"lang": "de", "source": "book"}'
+    ).hexdigest()
