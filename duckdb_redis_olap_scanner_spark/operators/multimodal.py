@@ -325,6 +325,196 @@ def _image_pixels_tiled(doc_id: int):
     )
 
 
+def encode_tiff_payload(doc_id: int) -> bytes:
+    """A real baseline TIFF (little-endian "II*", uncompressed chunky
+    RGB) for the synthesis-contract pixels: one IFD carrying the nine
+    baseline tags (width/length, 8-8-8 BitsPerSample, Compression=1,
+    Photometric=RGB, SamplesPerPixel=3) and MULTIPLE strips
+    (RowsPerStrip = 1 + doc_id % 3), so strip assembly — offsets and
+    byte counts read through their LONG arrays — is exercised, not
+    just a single blob."""
+    import struct
+
+    px = _image_pixels(doc_id)
+    h, w, _ = px.shape
+    rps = 1 + doc_id % 3
+    strips = [
+        px[y : y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+
+    # Layout: header(8) + IFD + [bits array][offsets][counts] + strips
+    n_tags = 9
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    bits_off = ifd_off + ifd_size
+    offs_off = bits_off + 6
+    cnts_off = offs_off + 4 * n_strips
+    data_off = cnts_off + 4 * n_strips
+    strip_offs = []
+    pos = data_off
+    for sdata in strips:
+        strip_offs.append(pos)
+        pos += len(sdata)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, w),              # ImageWidth
+        entry(257, 4, 1, h),              # ImageLength
+        entry(258, 3, 3, bits_off),       # BitsPerSample -> offset
+        entry(259, 3, 1, 1),              # Compression: none
+        entry(262, 3, 1, 2),              # Photometric: RGB
+        entry(273, 4, n_strips,
+              strip_offs[0] if n_strips == 1 else offs_off),
+        entry(277, 3, 1, 3),              # SamplesPerPixel
+        entry(278, 4, 1, rps),            # RowsPerStrip
+        entry(279, 4, n_strips,
+              len(strips[0]) if n_strips == 1 else cnts_off),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_tags)
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<HHH", 8, 8, 8)
+    out += b"".join(struct.pack("<I", o) for o in strip_offs)
+    out += b"".join(struct.pack("<I", len(sd)) for sd in strips)
+    for sdata in strips:
+        out += sdata
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """Parse a baseline TIFF (II little-endian, uncompressed chunky
+    8-bit RGB) into (top-down RGB uint8 array (h, w, 3), n_strips) —
+    dependency-free: header + IFD walk, inline-vs-offset tag values
+    (SHORT/LONG), multi-strip assembly via StripOffsets/ByteCounts.
+    Big-endian ("MM"), compressed, paletted, planar, and tiled
+    variants raise loudly."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"MM":
+        raise NotImplementedError(
+            "big-endian (MM) TIFF unsupported; II baseline decodes "
+            "natively"
+        )
+    if payload[:4] != b"II*\x00":
+        raise ValueError("not a TIFF: bad header")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_tags,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_tags):
+        tag, typ, count, value = struct.unpack_from(
+            "<HHII", payload, ifd_off + 2 + i * 12
+        )
+        tags[tag] = (typ, count, value)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"TIFF missing required tag {tag}")
+        typ, count, value = tags[tag]
+        if typ == 3:  # SHORT
+            if count <= 2:
+                return [value & 0xFFFF, (value >> 16) & 0xFFFF][:count]
+            return [
+                struct.unpack_from("<H", payload, value + 2 * i)[0]
+                for i in range(count)
+            ]
+        if typ == 4:  # LONG
+            if count == 1:
+                return [value]
+            return [
+                struct.unpack_from("<I", payload, value + 4 * i)[0]
+                for i in range(count)
+            ]
+        raise ValueError(f"unsupported TIFF tag type {typ} for {tag}")
+
+    w = values(256)[0]
+    h = values(257)[0]
+    if values(259, [1])[0] != 1:
+        raise NotImplementedError(
+            "compressed TIFF needs a codec library; only baseline "
+            "uncompressed decodes natively"
+        )
+    if values(262)[0] != 2:
+        raise NotImplementedError("non-RGB TIFF photometric unsupported")
+    if values(277, [1])[0] != 3 or values(258, [1])[:3] != [8, 8, 8]:
+        raise NotImplementedError("only 8-bit chunky RGB TIFF supported")
+    offs = values(273)
+    cnts = values(279)
+    if len(offs) != len(cnts):
+        raise ValueError("TIFF strip offset/count arrays disagree")
+    raw = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip outside file")
+        raw += payload[o : o + c]
+    if len(raw) != w * h * 3:
+        raise ValueError(
+            f"TIFF strips hold {len(raw)} bytes, want {w * h * 3}"
+        )
+    return (
+        np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3),
+        len(offs),
+    )
+
+
+TIFF_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_strips int, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def decode_tiff_features(media: DataFrame) -> DataFrame:
+    """REAL TIFF decode over a binary column: IFD walk + multi-strip
+    assembly, then the BMP-style exact pixel statistics plus the
+    strip count read back from the stream (ceil(h / (1 + doc%3)) by
+    synthesis — pinning that RowsPerStrip was honored)."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, n_strips = decode_tiff(bytes(payload))
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(did), w, h, int(n_strips),
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((np.arange(flat.size, dtype=np.int64) + 1)
+                             * flat).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_strips",
+                         "sum_r", "sum_g", "sum_b", "checksum"],
+            )
+            for c, t in (("doc_id", "int64"), ("width", "int32"),
+                         ("height", "int32"), ("n_strips", "int32"),
+                         ("sum_r", "int64"), ("sum_g", "int64"),
+                         ("sum_b", "int64"), ("checksum", "int64")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=TIFF_DECODED_SCHEMA)
+
+
 def encode_bmp_payload(doc_id: int) -> bytes:
     """A real 24-bit uncompressed (BI_RGB) BMP file: 14-byte file
     header + 40-byte BITMAPINFOHEADER + bottom-up BGR pixel rows each
@@ -568,6 +758,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
         "webp": _encode_webp,
         "jpeg_lossless": lambda did: _jpeg.encode_jpeg_lossless_payload(did),
         "gif": lambda did: _gif.encode_gif_payload(did),
+        "tiff": lambda did: encode_tiff_payload(did),
     }[kind]
     mime = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap",
             "wav": "audio/wav", "png": "image/png",
@@ -576,7 +767,7 @@ def synthesize_media(docs: DataFrame, kind: str) -> DataFrame:
             "avi": "video/x-msvideo",
             "jpeg": "image/jpeg", "jpeg420": "image/jpeg",
             "jpeg_prog": "image/jpeg", "jpeg_lossless": "image/jpeg",
-            "gif": "image/gif",
+            "gif": "image/gif", "tiff": "image/tiff",
             "wav_adpcm": "audio/wav", "wav_adpcm_stereo": "audio/wav",
             "flac": "audio/flac",
             "webp": "image/webp"}[kind]
@@ -714,6 +905,8 @@ def decode_media_pipeline(docs: DataFrame, kind: str) -> DataFrame:
         return decode_jpeg_lossless_features(media)
     if kind == "gif":
         return decode_gif_features(media)
+    if kind == "tiff":
+        return decode_tiff_features(media)
     if kind == "avi":
         return decode_avi_features(media)
     if kind in ("jpeg", "jpeg420", "jpeg_prog"):

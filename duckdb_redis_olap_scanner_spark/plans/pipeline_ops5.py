@@ -1135,6 +1135,49 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_decode_tiff",
+    # Same pixel closed form as BMP/PPM; n_strips = ceil(height /
+    # (1 + doc_id % 3)) comes back from the STREAM, pinning that the
+    # IFD's RowsPerStrip/StripOffsets/ByteCounts were walked.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height,
+             1 + doc_id % 3 AS rps
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height, rps,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM dims),
+    v AS (
+      SELECT doc_id, width, height, rps, k,
+             (doc_id * 7 + k) % 256 AS val
+      FROM px)
+    SELECT doc_id, width, height,
+           CAST(CEIL(height / CAST(rps AS DOUBLE)) AS INT) AS n_strips,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((k + 1) * val) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, width, height, rps
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of baseline TIFF (II little-endian, "
+    "uncompressed chunky 8-bit RGB): header + IFD walk with "
+    "inline-vs-offset SHORT/LONG tag values, multi-strip assembly "
+    "via StripOffsets/StripByteCounts (RowsPerStrip rotates 1..3 so "
+    "strip boundaries move per doc); MM/compressed/planar variants "
+    "gate loudly (operators/multimodal.decode_tiff).",
+)
+def multimodal_decode_tiff(spark: SparkSession, sf: str):
+    return M.decode_media_pipeline(table(spark, sf, "documents"), "tiff")
+
+
+@register(
     "multimodal_decode_gif",
     # Same pixel closed form as BMP/PPM (every contract pixel
     # distinct, so the palette holds w*h colors and the table size is

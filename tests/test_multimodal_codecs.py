@@ -1084,6 +1084,41 @@ def test_vp8l_contract_rotates_wire_variants():
 
 
 # ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 12, 90, 4999])
+def test_tiff_round_trip(doc_id):
+    """Multi-strip assembly: RowsPerStrip rotates 1..3, so strip
+    boundaries move per doc and the offset/count arrays are real."""
+    px, n_strips = M.decode_tiff(M.encode_tiff_payload(doc_id))
+    assert (px == M._image_pixels(doc_id)).all()
+    w, h = M._image_dims(doc_id)
+    rps = 1 + doc_id % 3
+    assert n_strips == (h + rps - 1) // rps
+
+
+def test_tiff_rejects_and_gates():
+    payload = bytearray(M.encode_tiff_payload(5))
+    with pytest.raises(ValueError, match="bad header"):
+        M.decode_tiff(b"XX" + bytes(payload[2:]))
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        M.decode_tiff(b"MM" + bytes(payload[2:]))
+    # Compression tag (259) patched to LZW(5) -> loud gate.
+    import struct as _st
+
+    (n_tags,) = _st.unpack_from("<H", payload, 8)
+    for i in range(n_tags):
+        off = 10 + i * 12
+        tag, typ, cnt, _val = _st.unpack_from("<HHII", payload, off)
+        if tag == 259:
+            _st.pack_into("<HHII", payload, off, tag, typ, cnt, 5)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        M.decode_tiff(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
 # GIF (LZW)
 # ---------------------------------------------------------------------------
 
@@ -1267,9 +1302,12 @@ def _mutations(payload: bytes, seed: int):
         # flips decode to wrong-but-well-formed pixels; the bar there
         # is never-hang plus structural validation firing at all.
         (lambda d: GI.encode_gif_payload(d), GI.decode_gif, 709, False),
+        # TIFF is also integrity-check-free (no CRCs): never-hang +
+        # structural validation firing is the bar.
+        (lambda d: M.encode_tiff_payload(d), M.decode_tiff, 810, False),
     ],
     ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7",
-         "jpeg-lossless", "adpcm-stereo", "gif"],
+         "jpeg-lossless", "adpcm-stereo", "gif", "tiff"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed, strict):
     ok = bad = 0
