@@ -136,12 +136,31 @@ def register_datasources(spark: SparkSession) -> None:
     # the conf is off, so foreign sessions (e.g. the test driver's) must
     # have it flipped here, not only in get_spark().
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    for ds in ALL_DATASOURCES:
-        try:
+    # Registration must consult THIS session's DataSourceManager, not the
+    # thread's active one: the JVM-side existence probe
+    # (DataSourceRegistration.checkDataSourceExists → lookupDataSource)
+    # resolves Python data sources through the ACTIVE session, so
+    # registering on a non-active session (spark.newSession(), a foreign
+    # driver session) raises a spurious DATA_SOURCE_ALREADY_EXISTS while
+    # leaving the receiver's manager empty — the r10 cluster-scan red's
+    # silent sibling. Pin the receiver active for the duration, and check
+    # per-session existence explicitly instead of swallowing exceptions.
+    jsess = spark._jsparkSession
+    jdm = jsess.sessionState().dataSourceManager()
+    pending = [ds for ds in ALL_DATASOURCES if not jdm.dataSourceExists(ds.name())]
+    if not pending:
+        return
+    jcls = getattr(spark._jvm, "org.apache.spark.sql.classic.SparkSession")
+    prev = jcls.getActiveSession()
+    jcls.setActiveSession(jsess)
+    try:
+        for ds in pending:
             spark.dataSource.register(ds)
-        except Exception:
-            # Already registered in this session — idempotent.
-            pass
+    finally:
+        if prev.isDefined():
+            jcls.setActiveSession(prev.get())
+        else:
+            jcls.clearActiveSession()
 
 
 class Engine:

@@ -71,9 +71,14 @@ def redis_scan_golden(spark: SparkSession, sf: str):
     "production scale path).",
 )
 def redis_cluster_scan(spark: SparkSession, sf: str):
+    from ..engine import register_datasources
     from ..testing import golden_cluster_address
 
+    # Fresh-session safe: unlike the _engine() entries this one reads the
+    # data source directly, so it must register it itself — relying on a
+    # sibling entry having run first is an ordering bug (r10's only red).
     ship_package(spark)
+    register_datasources(spark)
     host, port = golden_cluster_address().split(":")
     return (
         spark.read.format("redis_scan")
