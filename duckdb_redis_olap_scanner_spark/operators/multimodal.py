@@ -325,22 +325,85 @@ def _image_pixels_tiled(doc_id: int):
     )
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF Compression=32773): control byte n in
+    0..127 copies n+1 literals; 129..255 repeats the next byte
+    257-n times; 128 is a no-op. Greedy: runs of >=3 become repeat
+    records, everything else literal records of <=128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        lit = data[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(lit)
+        out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`packbits_encode`, bounded by ``expected``
+    output bytes so corrupt control bytes can't balloon memory."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c == 128:  # no-op
+            continue
+        if c < 128:  # literal run of c+1
+            if i + c + 1 > n:
+                raise ValueError("PackBits literal run past end of strip")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("PackBits repeat run missing byte")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip expanded to {len(out)} bytes, want {expected}"
+        )
+    return bytes(out)
+
+
 def encode_tiff_payload(doc_id: int) -> bytes:
-    """A real baseline TIFF (little-endian "II*", uncompressed chunky
-    RGB) for the synthesis-contract pixels: one IFD carrying the nine
-    baseline tags (width/length, 8-8-8 BitsPerSample, Compression=1,
-    Photometric=RGB, SamplesPerPixel=3) and MULTIPLE strips
-    (RowsPerStrip = 1 + doc_id % 3), so strip assembly — offsets and
-    byte counts read through their LONG arrays — is exercised, not
-    just a single blob."""
+    """A real baseline TIFF for the synthesis-contract pixels: one IFD
+    carrying the nine baseline tags (width/length, 8-8-8
+    BitsPerSample, Photometric=RGB, SamplesPerPixel=3) and MULTIPLE
+    strips (RowsPerStrip = 1 + doc_id % 3), so strip assembly —
+    offsets and byte counts read through their LONG arrays — is
+    exercised, not just a single blob. The variant rotates per doc
+    (doc_id % 4): II/MM byte order x none/PackBits compression — the
+    two axes real-world scanners vary most — so both byte orders and
+    the RLE strip codec are pinned by the stream itself."""
     import struct
 
+    endian = "<" if doc_id % 2 == 0 else ">"
+    compress = doc_id % 4 >= 2
     px = _image_pixels(doc_id)
     h, w, _ = px.shape
     rps = 1 + doc_id % 3
     strips = [
         px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
+    if compress:
+        strips = [packbits_encode(s) for s in strips]
     n_strips = len(strips)
 
     # Layout: header(8) + IFD + [bits array][offsets][counts] + strips
@@ -358,91 +421,111 @@ def encode_tiff_payload(doc_id: int) -> bytes:
         pos += len(sdata)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+        return struct.pack(f"{endian}HHII", tag, typ, count, value)
+
+    def entry_short1(tag: int, value: int) -> bytes:
+        # Inline SHORT values sit LEFT-JUSTIFIED in the 4-byte value
+        # slot — under MM that is the HIGH-order half, not a 32-bit
+        # integer (TIFF 6.0 §2, the classic big-endian pitfall).
+        return struct.pack(f"{endian}HHIHH", tag, 3, 1, value, 0)
 
     entries = [
         entry(256, 4, 1, w),              # ImageWidth
         entry(257, 4, 1, h),              # ImageLength
         entry(258, 3, 3, bits_off),       # BitsPerSample -> offset
-        entry(259, 3, 1, 1),              # Compression: none
-        entry(262, 3, 1, 2),              # Photometric: RGB
+        entry_short1(259, 32773 if compress else 1),  # Compression
+        entry_short1(262, 2),             # Photometric: RGB
         entry(273, 4, n_strips,
               strip_offs[0] if n_strips == 1 else offs_off),
-        entry(277, 3, 1, 3),              # SamplesPerPixel
+        entry_short1(277, 3),             # SamplesPerPixel
         entry(278, 4, 1, rps),            # RowsPerStrip
         entry(279, 4, n_strips,
               len(strips[0]) if n_strips == 1 else cnts_off),
     ]
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", n_tags)
+    magic = b"II" if endian == "<" else b"MM"
+    out = bytearray(struct.pack(f"{endian}2sHI", magic, 42, ifd_off))
+    out += struct.pack(f"{endian}H", n_tags)
     for e in entries:
         out += e
-    out += struct.pack("<I", 0)  # no next IFD
-    out += struct.pack("<HHH", 8, 8, 8)
-    out += b"".join(struct.pack("<I", o) for o in strip_offs)
-    out += b"".join(struct.pack("<I", len(sd)) for sd in strips)
+    out += struct.pack(f"{endian}I", 0)  # no next IFD
+    out += struct.pack(f"{endian}HHH", 8, 8, 8)
+    out += b"".join(struct.pack(f"{endian}I", o) for o in strip_offs)
+    out += b"".join(struct.pack(f"{endian}I", len(sd)) for sd in strips)
     for sdata in strips:
         out += sdata
     return bytes(out)
 
 
 def decode_tiff(payload: bytes):
-    """Parse a baseline TIFF (II little-endian, uncompressed chunky
-    8-bit RGB) into (top-down RGB uint8 array (h, w, 3), n_strips) —
+    """Parse a baseline TIFF (II little-endian OR MM big-endian,
+    uncompressed or PackBits chunky 8-bit RGB) into (top-down RGB
+    uint8 array (h, w, 3), n_strips, byte_order, compression) —
     dependency-free: header + IFD walk, inline-vs-offset tag values
-    (SHORT/LONG), multi-strip assembly via StripOffsets/ByteCounts.
-    Big-endian ("MM"), compressed, paletted, planar, and tiled
-    variants raise loudly."""
+    with spec-correct LEFT-JUSTIFIED inline SHORTs (TIFF 6.0 §2),
+    per-strip PackBits expansion, multi-strip assembly via
+    StripOffsets/ByteCounts. LZW/JPEG/deflate compression, paletted,
+    planar, and tiled variants raise loudly."""
     import struct
 
     import numpy as np
 
-    if payload[:2] == b"MM":
-        raise NotImplementedError(
-            "big-endian (MM) TIFF unsupported; II baseline decodes "
-            "natively"
-        )
-    if payload[:4] != b"II*\x00":
+    if payload[:2] == b"II":
+        endian, byte_order = "<", "II"
+    elif payload[:2] == b"MM":
+        endian, byte_order = ">", "MM"
+    else:
         raise ValueError("not a TIFF: bad header")
-    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    if struct.unpack_from(f"{endian}H", payload, 2)[0] != 42:
+        raise ValueError("not a TIFF: bad header")
+    (ifd_off,) = struct.unpack_from(f"{endian}I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF IFD offset out of range")
-    (n_tags,) = struct.unpack_from("<H", payload, ifd_off)
+    (n_tags,) = struct.unpack_from(f"{endian}H", payload, ifd_off)
+    if ifd_off + 2 + n_tags * 12 > len(payload):
+        raise ValueError("TIFF IFD runs past end of file")
     tags: dict[int, tuple[int, int, int]] = {}
     for i in range(n_tags):
-        tag, typ, count, value = struct.unpack_from(
-            "<HHII", payload, ifd_off + 2 + i * 12
-        )
-        tags[tag] = (typ, count, value)
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(f"{endian}HHI", payload, off)
+        # The 4-byte value slot: inline values are left-justified, so
+        # an inline SHORT is the first H (high half under MM), while
+        # LONGs and offsets use the whole I.
+        tags[tag] = (typ, count, off + 8)
 
     def values(tag: int, default=None) -> list[int]:
         if tag not in tags:
             if default is not None:
                 return default
             raise ValueError(f"TIFF missing required tag {tag}")
-        typ, count, value = tags[tag]
+        typ, count, slot = tags[tag]
         if typ == 3:  # SHORT
             if count <= 2:
-                return [value & 0xFFFF, (value >> 16) & 0xFFFF][:count]
+                return [
+                    struct.unpack_from(f"{endian}H", payload, slot + 2 * i)[0]
+                    for i in range(count)
+                ]
+            (ptr,) = struct.unpack_from(f"{endian}I", payload, slot)
             return [
-                struct.unpack_from("<H", payload, value + 2 * i)[0]
+                struct.unpack_from(f"{endian}H", payload, ptr + 2 * i)[0]
                 for i in range(count)
             ]
         if typ == 4:  # LONG
             if count == 1:
-                return [value]
+                return [struct.unpack_from(f"{endian}I", payload, slot)[0]]
+            (ptr,) = struct.unpack_from(f"{endian}I", payload, slot)
             return [
-                struct.unpack_from("<I", payload, value + 4 * i)[0]
+                struct.unpack_from(f"{endian}I", payload, ptr + 4 * i)[0]
                 for i in range(count)
             ]
         raise ValueError(f"unsupported TIFF tag type {typ} for {tag}")
 
     w = values(256)[0]
     h = values(257)[0]
-    if values(259, [1])[0] != 1:
+    compression = values(259, [1])[0]
+    if compression not in (1, 32773):
         raise NotImplementedError(
             "compressed TIFF needs a codec library; only baseline "
-            "uncompressed decodes natively"
+            "uncompressed and PackBits decode natively"
         )
     if values(262)[0] != 2:
         raise NotImplementedError("non-RGB TIFF photometric unsupported")
@@ -452,11 +535,18 @@ def decode_tiff(payload: bytes):
     cnts = values(279)
     if len(offs) != len(cnts):
         raise ValueError("TIFF strip offset/count arrays disagree")
+    rps = values(278, [h])[0]
+    if rps < 1:
+        raise ValueError("TIFF RowsPerStrip must be positive")
     raw = bytearray()
-    for o, c in zip(offs, cnts):
+    for i, (o, c) in enumerate(zip(offs, cnts)):
         if o + c > len(payload):
             raise ValueError("TIFF strip outside file")
-        raw += payload[o : o + c]
+        strip = payload[o : o + c]
+        if compression == 32773:
+            rows = min(rps, h - i * rps)
+            strip = packbits_decode(strip, rows * w * 3)
+        raw += strip
     if len(raw) != w * h * 3:
         raise ValueError(
             f"TIFF strips hold {len(raw)} bytes, want {w * h * 3}"
@@ -464,20 +554,26 @@ def decode_tiff(payload: bytes):
     return (
         np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3),
         len(offs),
+        byte_order,
+        compression,
     )
 
 
 TIFF_DECODED_SCHEMA = (
     "doc_id long, width int, height int, n_strips int, "
+    "byte_order string, compression int, "
     "sum_r long, sum_g long, sum_b long, checksum long"
 )
 
 
 def decode_tiff_features(media: DataFrame) -> DataFrame:
     """REAL TIFF decode over a binary column: IFD walk + multi-strip
-    assembly, then the BMP-style exact pixel statistics plus the
-    strip count read back from the stream (ceil(h / (1 + doc%3)) by
-    synthesis — pinning that RowsPerStrip was honored)."""
+    assembly (PackBits-expanded where Compression=32773), then the
+    BMP-style exact pixel statistics plus the strip count, byte order
+    and compression read back from the STREAM (ceil(h / (1 + doc%3)),
+    II/MM by doc parity, PackBits on doc_id%4>=2 by synthesis —
+    pinning that RowsPerStrip, the endianness switch, and the strip
+    codec were all honored)."""
     from ..engine import ship_package
 
     def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,12 +582,15 @@ def decode_tiff_features(media: DataFrame) -> DataFrame:
         for pdf in batch_iter:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px, n_strips = decode_tiff(bytes(payload))
+                px, n_strips, byte_order, compression = decode_tiff(
+                    bytes(payload)
+                )
                 h, w, _ = px.shape
                 flat = px.reshape(-1).astype(np.int64)
                 rows.append(
                     (
                         int(did), w, h, int(n_strips),
+                        byte_order, int(compression),
                         int(flat[0::3].sum()),
                         int(flat[1::3].sum()),
                         int(flat[2::3].sum()),
@@ -502,10 +601,12 @@ def decode_tiff_features(media: DataFrame) -> DataFrame:
             out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "n_strips",
+                         "byte_order", "compression",
                          "sum_r", "sum_g", "sum_b", "checksum"],
             )
             for c, t in (("doc_id", "int64"), ("width", "int32"),
                          ("height", "int32"), ("n_strips", "int32"),
+                         ("compression", "int32"),
                          ("sum_r", "int64"), ("sum_g", "int64"),
                          ("sum_b", "int64"), ("checksum", "int64")):
                 out[c] = out[c].astype(t)

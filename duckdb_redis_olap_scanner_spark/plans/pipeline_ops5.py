@@ -1137,8 +1137,11 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
 @register(
     "multimodal_decode_tiff",
     # Same pixel closed form as BMP/PPM; n_strips = ceil(height /
-    # (1 + doc_id % 3)) comes back from the STREAM, pinning that the
-    # IFD's RowsPerStrip/StripOffsets/ByteCounts were walked.
+    # (1 + doc_id % 3)), byte_order = II/MM by doc parity, and
+    # compression = PackBits on doc_id % 4 >= 2 all come back from
+    # the STREAM, pinning that the IFD's RowsPerStrip/StripOffsets/
+    # ByteCounts were walked in the right endianness and the RLE
+    # strips were really expanded.
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1156,6 +1159,9 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
       FROM px)
     SELECT doc_id, width, height,
            CAST(CEIL(height / CAST(rps AS DOUBLE)) AS INT) AS n_strips,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(CASE WHEN doc_id % 4 >= 2 THEN 32773 ELSE 1 END AS INT)
+               AS compression,
            CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
                AS sum_r,
            CAST(SUM(CASE WHEN k % 3 = 1 THEN val ELSE 0 END) AS BIGINT)
@@ -1166,12 +1172,14 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
     FROM v GROUP BY doc_id, width, height, rps
     """,
     tags=("multimodal",),
-    doc="REAL decode of baseline TIFF (II little-endian, "
-    "uncompressed chunky 8-bit RGB): header + IFD walk with "
-    "inline-vs-offset SHORT/LONG tag values, multi-strip assembly "
-    "via StripOffsets/StripByteCounts (RowsPerStrip rotates 1..3 so "
-    "strip boundaries move per doc); MM/compressed/planar variants "
-    "gate loudly (operators/multimodal.decode_tiff).",
+    doc="REAL decode of baseline TIFF in BOTH byte orders (II and MM "
+    "rotate by doc parity) and both scanner-common strip codecs "
+    "(uncompressed and PackBits RLE rotate by doc_id % 4): header + "
+    "IFD walk with spec-correct left-justified inline SHORTs, "
+    "multi-strip assembly via StripOffsets/StripByteCounts "
+    "(RowsPerStrip rotates 1..3 so strip boundaries move per doc); "
+    "LZW/deflate/planar variants gate loudly "
+    "(operators/multimodal.decode_tiff).",
 )
 def multimodal_decode_tiff(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "tiff")

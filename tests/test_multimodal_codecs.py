@@ -1084,28 +1084,52 @@ def test_vp8l_contract_rotates_wire_variants():
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline, uncompressed)
+# TIFF (baseline: II/MM byte orders, uncompressed/PackBits)
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 12, 90, 4999])
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 12, 90, 101, 4999])
 def test_tiff_round_trip(doc_id):
-    """Multi-strip assembly: RowsPerStrip rotates 1..3, so strip
-    boundaries move per doc and the offset/count arrays are real."""
-    px, n_strips = M.decode_tiff(M.encode_tiff_payload(doc_id))
+    """Multi-strip assembly across all four synthesis variants
+    (doc_id % 4: II/MM x none/PackBits): RowsPerStrip rotates 1..3,
+    so strip boundaries move per doc and the offset/count arrays are
+    real; PackBits strips must re-expand bit-exact."""
+    px, n_strips, byte_order, compression = M.decode_tiff(
+        M.encode_tiff_payload(doc_id)
+    )
     assert (px == M._image_pixels(doc_id)).all()
     w, h = M._image_dims(doc_id)
     rps = 1 + doc_id % 3
     assert n_strips == (h + rps - 1) // rps
+    assert byte_order == ("II" if doc_id % 2 == 0 else "MM")
+    assert compression == (32773 if doc_id % 4 >= 2 else 1)
+
+
+def test_packbits_round_trip_and_bounds():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randrange(0, 400)
+        # runs + literals mixed: low-cardinality bytes make real runs
+        data = bytes(rng.choice((0, 0, 0, 1, 2, 255)) for _ in range(n))
+        enc = M.packbits_encode(data)
+        assert M.packbits_decode(enc, n) == data
+    # a 300-byte run must use maximal 128-repeat records
+    run = b"\x42" * 300
+    enc = M.packbits_encode(run)
+    assert len(enc) <= 6 and M.packbits_decode(enc, 300) == run
+    with pytest.raises(ValueError, match="PackBits"):
+        M.packbits_decode(b"\x05ab", 6)  # literal run past end
+    with pytest.raises(ValueError, match="PackBits"):
+        M.packbits_decode(b"\x81", 4)  # repeat run missing byte
 
 
 def test_tiff_rejects_and_gates():
-    payload = bytearray(M.encode_tiff_payload(5))
+    payload = bytearray(M.encode_tiff_payload(4))  # II, uncompressed
     with pytest.raises(ValueError, match="bad header"):
         M.decode_tiff(b"XX" + bytes(payload[2:]))
-    with pytest.raises(NotImplementedError, match="big-endian"):
-        M.decode_tiff(b"MM" + bytes(payload[2:]))
-    # Compression tag (259) patched to LZW(5) -> loud gate.
+    # Compression tag (259, inline SHORT) patched to LZW(5) -> loud gate.
     import struct as _st
 
     (n_tags,) = _st.unpack_from("<H", payload, 8)
@@ -1113,9 +1137,28 @@ def test_tiff_rejects_and_gates():
         off = 10 + i * 12
         tag, typ, cnt, _val = _st.unpack_from("<HHII", payload, off)
         if tag == 259:
-            _st.pack_into("<HHII", payload, off, tag, typ, cnt, 5)
+            _st.pack_into("<HHIHH", payload, off, tag, typ, cnt, 5, 0)
     with pytest.raises(NotImplementedError, match="compressed"):
         M.decode_tiff(bytes(payload))
+
+
+def test_tiff_mm_inline_shorts_left_justified():
+    """The MM pitfall: inline SHORT values live in the HIGH half of
+    the 4-byte slot. A decoder that reads them as 32-bit ints sees
+    Photometric=131072 instead of 2 and rejects every MM file — so a
+    correct decode of an MM stream pins the layout."""
+    import struct as _st
+
+    payload = M.encode_tiff_payload(1)  # MM, uncompressed
+    assert payload[:2] == b"MM"
+    (n_tags,) = _st.unpack_from(">H", payload, 8)
+    seen = {}
+    for i in range(n_tags):
+        off = 10 + i * 12
+        tag, typ, cnt = _st.unpack_from(">HHI", payload, off)
+        if tag in (259, 262, 277):
+            seen[tag] = _st.unpack_from(">H", payload, off + 8)[0]
+    assert seen == {259: 1, 262: 2, 277: 3}
 
 
 # ---------------------------------------------------------------------------
