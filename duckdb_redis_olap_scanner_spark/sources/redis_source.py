@@ -314,12 +314,18 @@ _HASH_ARROW_SCHEMA = pa.schema(
 class RedisHashReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = options
+        # HGETALL is the one reply this engine consumes whose shape
+        # changed in RESP3 (flat array -> % map), so the hash source
+        # negotiates RESP3 by default and falls back to RESP2 against
+        # pre-6.0 servers (SURVEY §1.2's reserved map-type row). Set
+        # protocol=2 to pin the legacy wire form.
+        self.protocol = int(options.get("protocol", 3))
 
     def partitions(self) -> list[InputPartition]:
         return _shards(self.options)
 
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
-        with RedisClient(part.host, part.port) as client:
+        with RedisClient(part.host, part.port, protocol=self.protocol) as client:
             for keys in client.scan_iter(match=part.pattern, count=part.count):
                 maps = client.hgetall_pipelined(keys)  # one RTT per batch
                 rows = [list(m.items()) for m in maps]

@@ -46,6 +46,22 @@ def _simple(s: str) -> bytes:
     return b"+" + s.encode("utf-8") + CRLF
 
 
+def _encode_map(d: dict, proto: int) -> bytes:
+    """A key/value reply in the connection's protocol: RESP3 ``%`` map
+    when negotiated, else the RESP2 flat field/value array — exactly
+    the HGETALL shape switch real Redis performs after HELLO 3."""
+    if proto >= 3:
+        out = [b"%%%d\r\n" % len(d)]
+        for k, v in d.items():
+            out.append(_encode(k))
+            out.append(_encode(v))
+        return b"".join(out)
+    flat: list = []
+    for k, v in d.items():
+        flat += [k, v]
+    return _encode(flat)
+
+
 def _glob_match(pattern: str, key: str) -> bool:
     # Redis globs and fnmatch agree on * ? [...]; fnmatch.translate is
     # case-sensitive via fnmatchcase.
@@ -88,6 +104,9 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901 - command dispatch
         store: FakeRedisStore = self.server.store  # type: ignore[attr-defined]
         reader = _SocketReader(self.request)
+        # Per-connection negotiated protocol (HELLO switches it), as in
+        # real Redis — other connections stay on RESP2.
+        self.proto = 2
         while True:
             try:
                 cmd = self._read_command(reader)
@@ -122,6 +141,23 @@ class _Handler(socketserver.BaseRequestHandler):
         with store.lock:
             if name == "PING":
                 return _simple("PONG")
+            if name == "HELLO":
+                if args:
+                    want = int(args[0])
+                    if want not in (2, 3):
+                        return _encode(
+                            ValueError("unsupported protocol version")
+                        )
+                    self.proto = want
+                info = {
+                    "server": "fake-redis",
+                    "version": "7.4.0",
+                    "proto": self.proto,
+                    "id": 1,
+                    "mode": "standalone",
+                    "role": "master",
+                }
+                return _encode_map(info, self.proto)
             if name == "SET":
                 store.strings[args[0]] = args[1]
                 store.hashes.pop(args[0], None)
@@ -139,10 +175,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _encode(added)
             if name == "HGETALL":
                 h = store.hashes.get(args[0], {})
-                flat: list[str] = []
-                for f, v in h.items():
-                    flat += [f, v]
-                return _encode(flat)
+                return _encode_map(h, self.proto)
             if name == "TYPE":
                 if args[0] in store.strings:
                     return _simple("string")

@@ -141,10 +141,22 @@ class RedisClient:
     with mutexes — we instead give each task its own connection).
     """
 
-    def __init__(self, host: str, port: int, timeout: float = 5.0) -> None:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 5.0,
+        protocol: int = 2,
+    ) -> None:
         self.host = host
         self.port = int(port)
         self.timeout = timeout
+        if protocol not in (2, 3):
+            raise ValueError(f"RESP protocol must be 2 or 3, got {protocol}")
+        self.protocol = protocol
+        # What the server actually agreed to: stays 2 when a RESP3
+        # request lands on a pre-6.0 server (HELLO -> error).
+        self.negotiated_protocol = 2
         self._sock: socket.socket | None = None
         self._reader: _SocketReader | None = None
 
@@ -155,6 +167,17 @@ class RedisClient:
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._sock = sock
         self._reader = _SocketReader(sock)
+        self.negotiated_protocol = 2
+        if self.protocol == 3:
+            try:
+                reply = self.command("HELLO", 3)
+                got = reply.get("proto") if isinstance(reply, dict) else None
+                if got == 3:
+                    self.negotiated_protocol = 3
+            except RespError:
+                # Pre-RESP3 server (no HELLO): stay on RESP2 — every
+                # reply shape the client consumes handles both forms.
+                pass
         if self.command("PING") != "PONG":
             raise RespProtocolError("PING handshake failed")
 

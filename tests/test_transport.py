@@ -53,13 +53,87 @@ def test_scan_batching_and_glob(redis_server):
         assert [k for b in c.scan_iter("zzz:*") for k in b] == []
 
 
-def test_hgetall(redis_server):
-    with RedisClient(redis_server.host, redis_server.port) as c:
+@pytest.mark.parametrize("protocol", [2, 3])
+def test_hgetall(redis_server, protocol):
+    """Same dict surface over both wire forms: RESP2 flat field/value
+    arrays and the RESP3 % map replies HELLO 3 switches on."""
+    with RedisClient(
+        redis_server.host, redis_server.port, protocol=protocol
+    ) as c:
+        assert c.negotiated_protocol == protocol
         assert c.hgetall("user:1001") == {"name": "ada", "age": "36"}
         assert c.hgetall("no-such-hash") == {}
         maps = c.hgetall_pipelined(["user:1001", "user:1002", "nope"])
         assert maps[1] == {"name": "grace", "city": "nyc"}
         assert maps[2] == {}
+
+
+def test_hello_wire_shape(redis_server):
+    """The protocol switch is observable on the wire: HGETALL comes
+    back as a dict from _parse only when this connection sent HELLO 3
+    (per-connection state, as in real Redis)."""
+    with RedisClient(redis_server.host, redis_server.port) as c2, RedisClient(
+        redis_server.host, redis_server.port, protocol=3
+    ) as c3:
+        assert c2.negotiated_protocol == 2
+        assert c3.negotiated_protocol == 3
+        # raw replies, pre-normalization: array vs map
+        assert isinstance(c2.command("HGETALL", "user:1001"), list)
+        assert isinstance(c3.command("HGETALL", "user:1001"), dict)
+        info = c3.command("HELLO")
+        assert info["proto"] == 3
+
+
+def test_hello_unsupported_protocol_version(redis_server):
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        with pytest.raises(RespError):
+            c.command("HELLO", 4)
+
+
+def test_resp3_falls_back_on_resp2_only_server():
+    """A server without HELLO (pre-6.0) answers it with an error; the
+    client must degrade to RESP2 instead of failing to connect."""
+    import socketserver
+    import threading
+
+    from duckdb_redis_olap_scanner_spark.transport.resp import _SocketReader
+
+    class Resp2Only(socketserver.BaseRequestHandler):
+        def handle(self):
+            reader = _SocketReader(self.request)
+            while True:
+                try:
+                    line = reader.read_line()
+                except Exception:
+                    return
+                n = int(line[1:])
+                args = []
+                for _ in range(n):
+                    hdr = reader.read_line()
+                    args.append(
+                        reader.read_exact(int(hdr[1:])).decode()
+                    )
+                cmd = args[0].upper()
+                if cmd == "PING":
+                    self.request.sendall(b"+PONG\r\n")
+                else:
+                    self.request.sendall(
+                        b"-ERR unknown command '" + cmd.encode() + b"'\r\n"
+                    )
+
+    class Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), Resp2Only)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        with RedisClient(host, port, protocol=3) as c:
+            assert c.negotiated_protocol == 2
+            assert c.ping()
+    finally:
+        srv.shutdown()
 
 
 def test_error_reply(redis_server):
