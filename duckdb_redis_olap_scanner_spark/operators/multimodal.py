@@ -382,6 +382,134 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+TIFF_LZW_CLEAR, TIFF_LZW_EOI = 256, 257
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing (GIF is
+    LSB-first), 9-bit start, Clear=256/EOI=257, and the libtiff
+    "early change" — code width bumps when the next free code reaches
+    2^w - 1, one code earlier than GIF."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(TIFF_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full -> clear, as libtiff
+            emit(TIFF_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(TIFF_LZW_EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`tiff_lzw_encode`, bounded by ``expected``
+    output bytes. The decoder's string table lags the encoder's by one
+    entry (the first code after Clear appends nothing), so its early
+    change fires at 2^w - 2 where the encoder's fires at 2^w - 1."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, acc, nacc, pos = 9, 0, 0, 0
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal acc, nacc, pos
+        while nacc < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        nacc -= width
+        return (acc >> nacc) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code is None:
+            raise ValueError("TIFF LZW stream ended without EOI")
+        if code == TIFF_LZW_EOI:
+            break
+        if code == TIFF_LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    "TIFF LZW: first code after clear not a literal"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code beyond table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW output exceeds strip size")
+        prev = entry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW expanded to {len(out)} bytes, want {expected}"
+        )
+    return bytes(out)
+
+
+def _tiff_predict2(strip: bytes, width: int) -> bytes:
+    """Apply horizontal differencing (Predictor tag 317 = 2) to whole
+    RGB rows: each byte minus the same channel's byte one pixel left,
+    mod 256 — the standard pairing with LZW that turns smooth
+    gradients into near-zero runs."""
+    import numpy as np
+
+    arr = np.frombuffer(strip, dtype=np.uint8).reshape(-1, width, 3)
+    d = arr.astype(np.int16)
+    d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 256
+    return d.astype(np.uint8).tobytes()
+
+
+def _tiff_unpredict2(strip: bytes, width: int) -> bytes:
+    """Undo horizontal differencing: per-row per-channel cumulative
+    sum mod 256."""
+    import numpy as np
+
+    arr = np.frombuffer(strip, dtype=np.uint8).reshape(-1, width, 3)
+    return (
+        np.cumsum(arr.astype(np.int64), axis=1) % 256
+    ).astype(np.uint8).tobytes()
+
+
 def encode_tiff_payload(doc_id: int) -> bytes:
     """A real baseline TIFF for the synthesis-contract pixels: one IFD
     carrying the nine baseline tags (width/length, 8-8-8
@@ -389,25 +517,30 @@ def encode_tiff_payload(doc_id: int) -> bytes:
     strips (RowsPerStrip = 1 + doc_id % 3), so strip assembly —
     offsets and byte counts read through their LONG arrays — is
     exercised, not just a single blob. The variant rotates per doc
-    (doc_id % 4): II/MM byte order x none/PackBits compression — the
-    two axes real-world scanners vary most — so both byte orders and
-    the RLE strip codec are pinned by the stream itself."""
+    (doc_id % 6): II/MM byte order x none/PackBits/LZW compression —
+    the axes real-world scanners vary most — so both byte orders and
+    both strip codecs are pinned by the stream itself; LZW variants
+    carry Predictor=2 (horizontal differencing), its standard
+    pairing."""
     import struct
 
     endian = "<" if doc_id % 2 == 0 else ">"
-    compress = doc_id % 4 >= 2
+    variant = doc_id % 6
+    compression = 32773 if variant in (2, 3) else 5 if variant in (4, 5) else 1
     px = _image_pixels(doc_id)
     h, w, _ = px.shape
     rps = 1 + doc_id % 3
     strips = [
         px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
-    if compress:
+    if compression == 32773:
         strips = [packbits_encode(s) for s in strips]
+    elif compression == 5:
+        strips = [tiff_lzw_encode(_tiff_predict2(s, w)) for s in strips]
     n_strips = len(strips)
 
     # Layout: header(8) + IFD + [bits array][offsets][counts] + strips
-    n_tags = 9
+    n_tags = 9 + (1 if compression == 5 else 0)  # +Predictor for LZW
     ifd_off = 8
     ifd_size = 2 + n_tags * 12 + 4
     bits_off = ifd_off + ifd_size
@@ -433,7 +566,7 @@ def encode_tiff_payload(doc_id: int) -> bytes:
         entry(256, 4, 1, w),              # ImageWidth
         entry(257, 4, 1, h),              # ImageLength
         entry(258, 3, 3, bits_off),       # BitsPerSample -> offset
-        entry_short1(259, 32773 if compress else 1),  # Compression
+        entry_short1(259, compression),   # Compression
         entry_short1(262, 2),             # Photometric: RGB
         entry(273, 4, n_strips,
               strip_offs[0] if n_strips == 1 else offs_off),
@@ -442,6 +575,8 @@ def encode_tiff_payload(doc_id: int) -> bytes:
         entry(279, 4, n_strips,
               len(strips[0]) if n_strips == 1 else cnts_off),
     ]
+    if compression == 5:
+        entries.append(entry_short1(317, 2))  # Predictor: horizontal
     magic = b"II" if endian == "<" else b"MM"
     out = bytearray(struct.pack(f"{endian}2sHI", magic, 42, ifd_off))
     out += struct.pack(f"{endian}H", n_tags)
@@ -522,10 +657,15 @@ def decode_tiff(payload: bytes):
     w = values(256)[0]
     h = values(257)[0]
     compression = values(259, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 32773, 5):
         raise NotImplementedError(
-            "compressed TIFF needs a codec library; only baseline "
-            "uncompressed and PackBits decode natively"
+            "deflate/JPEG-in-TIFF need a codec library; baseline "
+            "uncompressed, PackBits, and LZW decode natively"
+        )
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            "only Predictor 1 (none) / 2 (horizontal) supported"
         )
     if values(262)[0] != 2:
         raise NotImplementedError("non-RGB TIFF photometric unsupported")
@@ -543,9 +683,15 @@ def decode_tiff(payload: bytes):
         if o + c > len(payload):
             raise ValueError("TIFF strip outside file")
         strip = payload[o : o + c]
+        rows = min(rps, h - i * rps)
         if compression == 32773:
-            rows = min(rps, h - i * rps)
             strip = packbits_decode(strip, rows * w * 3)
+        elif compression == 5:
+            strip = tiff_lzw_decode(strip, rows * w * 3)
+        if predictor == 2:
+            if len(strip) != rows * w * 3:
+                raise ValueError("TIFF predictor needs whole rows")
+            strip = _tiff_unpredict2(strip, w)
         raw += strip
     if len(raw) != w * h * 3:
         raise ValueError(

@@ -1088,12 +1088,13 @@ def test_vp8l_contract_rotates_wire_variants():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 12, 90, 101, 4999])
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 12, 90, 101, 4999])
 def test_tiff_round_trip(doc_id):
-    """Multi-strip assembly across all four synthesis variants
-    (doc_id % 4: II/MM x none/PackBits): RowsPerStrip rotates 1..3,
-    so strip boundaries move per doc and the offset/count arrays are
-    real; PackBits strips must re-expand bit-exact."""
+    """Multi-strip assembly across all six synthesis variants
+    (doc_id % 6: II/MM x none/PackBits/LZW+Predictor2): RowsPerStrip
+    rotates 1..3, so strip boundaries move per doc and the
+    offset/count arrays are real; compressed strips must re-expand
+    (and un-difference) bit-exact."""
     px, n_strips, byte_order, compression = M.decode_tiff(
         M.encode_tiff_payload(doc_id)
     )
@@ -1102,7 +1103,49 @@ def test_tiff_round_trip(doc_id):
     rps = 1 + doc_id % 3
     assert n_strips == (h + rps - 1) // rps
     assert byte_order == ("II" if doc_id % 2 == 0 else "MM")
-    assert compression == (32773 if doc_id % 4 >= 2 else 1)
+    v = doc_id % 6
+    assert compression == (32773 if v in (2, 3) else 5 if v in (4, 5) else 1)
+
+
+def test_tiff_lzw_round_trip_and_widths():
+    """MSB-first packing, early change through every code width, and
+    a table-full Clear: a 50 kB structured stream forces the table
+    past 9->10->11->12 bits and a reset."""
+    data = bytes((i * 7 + (i // 3)) % 256 for i in range(50000))
+    enc = M.tiff_lzw_encode(data)
+    assert M.tiff_lzw_decode(enc, len(data)) == data
+    import random
+
+    rng = random.Random(1)
+    for trial in range(60):
+        n = rng.randrange(0, 2000)
+        style = trial % 3
+        if style == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif style == 1:
+            d = bytes(rng.choice((0, 1, 2, 255)) for _ in range(n))
+        else:
+            d = (b"abcab" * (n // 5 + 1))[:n]
+        assert M.tiff_lzw_decode(M.tiff_lzw_encode(d), n) == d
+    with pytest.raises(ValueError, match="LZW"):
+        M.tiff_lzw_decode(b"", 4)  # no EOI
+    with pytest.raises(ValueError, match="LZW"):
+        # first code after clear must be a literal: 9-bit stream
+        # Clear(256)=100000000, then 258 -> invalid
+        M.tiff_lzw_decode(bytes([0b10000000, 0b01000000, 0b10000000]), 4)
+
+
+def test_tiff_predictor_round_trip():
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    for w in (1, 2, 5, 16):
+        for rows in (1, 3):
+            strip = rng.integers(0, 256, size=rows * w * 3,
+                                 dtype=np.uint8).tobytes()
+            assert M._tiff_unpredict2(
+                M._tiff_predict2(strip, w), w
+            ) == strip
 
 
 def test_packbits_round_trip_and_bounds():
@@ -1126,10 +1169,10 @@ def test_packbits_round_trip_and_bounds():
 
 
 def test_tiff_rejects_and_gates():
-    payload = bytearray(M.encode_tiff_payload(4))  # II, uncompressed
+    payload = bytearray(M.encode_tiff_payload(6))  # II, uncompressed
     with pytest.raises(ValueError, match="bad header"):
         M.decode_tiff(b"XX" + bytes(payload[2:]))
-    # Compression tag (259, inline SHORT) patched to LZW(5) -> loud gate.
+    # Compression tag (259, inline SHORT) patched to deflate(8) -> gate.
     import struct as _st
 
     (n_tags,) = _st.unpack_from("<H", payload, 8)
@@ -1137,8 +1180,8 @@ def test_tiff_rejects_and_gates():
         off = 10 + i * 12
         tag, typ, cnt, _val = _st.unpack_from("<HHII", payload, off)
         if tag == 259:
-            _st.pack_into("<HHIHH", payload, off, tag, typ, cnt, 5, 0)
-    with pytest.raises(NotImplementedError, match="compressed"):
+            _st.pack_into("<HHIHH", payload, off, tag, typ, cnt, 8, 0)
+    with pytest.raises(NotImplementedError, match="codec library"):
         M.decode_tiff(bytes(payload))
 
 
@@ -1348,9 +1391,12 @@ def _mutations(payload: bytes, seed: int):
         # TIFF is also integrity-check-free (no CRCs): never-hang +
         # structural validation firing is the bar.
         (lambda d: M.encode_tiff_payload(d), M.decode_tiff, 810, False),
+        # force the LZW+predictor variant (6d+4 ≡ 4 mod 6)
+        (lambda d: M.encode_tiff_payload(6 * d + 4), M.decode_tiff, 811,
+         False),
     ],
     ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7",
-         "jpeg-lossless", "adpcm-stereo", "gif", "tiff"],
+         "jpeg-lossless", "adpcm-stereo", "gif", "tiff", "tiff-lzw"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed, strict):
     ok = bad = 0
