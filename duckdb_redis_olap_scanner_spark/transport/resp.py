@@ -118,6 +118,12 @@ def _parse(reader: _SocketReader) -> Any:
     if tag == b"%":  # RESP3 map
         n = int(rest)
         return {_as_key(_parse(reader)): _parse(reader) for _ in range(n)}
+    if tag == b"|":  # RESP3 attribute: metadata map PRECEDING the reply
+        n = int(rest)
+        for _ in range(n):  # consume and discard key/value pairs
+            _parse(reader)
+            _parse(reader)
+        return _parse(reader)  # the actual reply follows
     raise RespProtocolError(f"unknown RESP tag {tag!r}")
 
 

@@ -168,5 +168,10 @@ def test_resp3_parse_branches():
     assert parse(b"~2\r\n:1\r\n:2\r\n") == [1, 2]
     assert parse(b">2\r\n+pub\r\n:7\r\n") == ["pub", 7]
     assert parse(b"%2\r\n$1\r\na\r\n:1\r\n$1\r\nb\r\n:2\r\n") == {"a": 1, "b": 2}
+    # attribute: metadata map consumed, following reply returned
+    assert parse(
+        b"|1\r\n$7\r\nkey-pop\r\n,0.5\r\n*2\r\n:1\r\n:2\r\n"
+    ) == [1, 2]
+    assert parse(b"|0\r\n:7\r\n") == 7
     assert parse(b"$-1\r\n") is None
     assert parse(b"*-1\r\n") is None
