@@ -517,16 +517,17 @@ def encode_tiff_payload(doc_id: int) -> bytes:
     strips (RowsPerStrip = 1 + doc_id % 3), so strip assembly —
     offsets and byte counts read through their LONG arrays — is
     exercised, not just a single blob. The variant rotates per doc
-    (doc_id % 6): II/MM byte order x none/PackBits/LZW compression —
-    the axes real-world scanners vary most — so both byte orders and
-    both strip codecs are pinned by the stream itself; LZW variants
-    carry Predictor=2 (horizontal differencing), its standard
-    pairing."""
+    (doc_id % 8): II/MM byte order x none/PackBits/LZW/deflate
+    compression — the axes real-world scanners vary most — so both
+    byte orders and all three strip codecs are pinned by the stream
+    itself; LZW and deflate variants carry Predictor=2 (horizontal
+    differencing), its standard pairing."""
     import struct
+    import zlib
 
     endian = "<" if doc_id % 2 == 0 else ">"
-    variant = doc_id % 6
-    compression = 32773 if variant in (2, 3) else 5 if variant in (4, 5) else 1
+    variant = doc_id % 8
+    compression = {2: 32773, 3: 32773, 4: 5, 5: 5, 6: 8, 7: 8}.get(variant, 1)
     px = _image_pixels(doc_id)
     h, w, _ = px.shape
     rps = 1 + doc_id % 3
@@ -537,10 +538,12 @@ def encode_tiff_payload(doc_id: int) -> bytes:
         strips = [packbits_encode(s) for s in strips]
     elif compression == 5:
         strips = [tiff_lzw_encode(_tiff_predict2(s, w)) for s in strips]
+    elif compression == 8:
+        strips = [zlib.compress(_tiff_predict2(s, w)) for s in strips]
     n_strips = len(strips)
 
     # Layout: header(8) + IFD + [bits array][offsets][counts] + strips
-    n_tags = 9 + (1 if compression == 5 else 0)  # +Predictor for LZW
+    n_tags = 9 + (1 if compression in (5, 8) else 0)  # +Predictor
     ifd_off = 8
     ifd_size = 2 + n_tags * 12 + 4
     bits_off = ifd_off + ifd_size
@@ -575,7 +578,7 @@ def encode_tiff_payload(doc_id: int) -> bytes:
         entry(279, 4, n_strips,
               len(strips[0]) if n_strips == 1 else cnts_off),
     ]
-    if compression == 5:
+    if compression in (5, 8):
         entries.append(entry_short1(317, 2))  # Predictor: horizontal
     magic = b"II" if endian == "<" else b"MM"
     out = bytearray(struct.pack(f"{endian}2sHI", magic, 42, ifd_off))
@@ -657,10 +660,10 @@ def decode_tiff(payload: bytes):
     w = values(256)[0]
     h = values(257)[0]
     compression = values(259, [1])[0]
-    if compression not in (1, 32773, 5):
+    if compression not in (1, 32773, 5, 8, 32946):
         raise NotImplementedError(
-            "deflate/JPEG-in-TIFF need a codec library; baseline "
-            "uncompressed, PackBits, and LZW decode natively"
+            "JPEG-in-TIFF/CCITT need a codec library; uncompressed, "
+            "PackBits, LZW, and deflate decode natively"
         )
     predictor = values(317, [1])[0]
     if predictor not in (1, 2):
@@ -688,6 +691,18 @@ def decode_tiff(payload: bytes):
             strip = packbits_decode(strip, rows * w * 3)
         elif compression == 5:
             strip = tiff_lzw_decode(strip, rows * w * 3)
+        elif compression in (8, 32946):  # Adobe / legacy deflate
+            import zlib
+
+            try:
+                strip = zlib.decompress(strip, bufsize=max(0, rows * w * 3))
+            except zlib.error as e:
+                raise ValueError(f"TIFF deflate strip corrupt: {e}")
+            if len(strip) != rows * w * 3:
+                raise ValueError(
+                    f"TIFF deflate strip expanded to {len(strip)} "
+                    f"bytes, want {rows * w * 3}"
+                )
         if predictor == 2:
             if len(strip) != rows * w * 3:
                 raise ValueError("TIFF predictor needs whole rows")

@@ -1138,11 +1138,12 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
     "multimodal_decode_tiff",
     # Same pixel closed form as BMP/PPM; n_strips = ceil(height /
     # (1 + doc_id % 3)), byte_order = II/MM by doc parity, and
-    # compression (none / PackBits / LZW+Predictor2 by doc_id % 6)
-    # all come back from the STREAM, pinning that the IFD's
-    # RowsPerStrip/StripOffsets/ByteCounts were walked in the right
-    # endianness and the compressed strips were really expanded (and
-    # un-differenced) to the exact contract pixels.
+    # compression (none / PackBits / LZW+Predictor2 /
+    # deflate+Predictor2 by doc_id % 8) all come back from the
+    # STREAM, pinning that the IFD's RowsPerStrip/StripOffsets/
+    # ByteCounts were walked in the right endianness and the
+    # compressed strips were really expanded (and un-differenced) to
+    # the exact contract pixels.
     oracle="""
     WITH dims AS (
       SELECT doc_id,
@@ -1161,8 +1162,9 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
     SELECT doc_id, width, height,
            CAST(CEIL(height / CAST(rps AS DOUBLE)) AS INT) AS n_strips,
            CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-           CAST(CASE WHEN doc_id % 6 IN (2, 3) THEN 32773
-                     WHEN doc_id % 6 IN (4, 5) THEN 5
+           CAST(CASE WHEN doc_id % 8 IN (2, 3) THEN 32773
+                     WHEN doc_id % 8 IN (4, 5) THEN 5
+                     WHEN doc_id % 8 IN (6, 7) THEN 8
                      ELSE 1 END AS INT) AS compression,
            CAST(SUM(CASE WHEN k % 3 = 0 THEN val ELSE 0 END) AS BIGINT)
                AS sum_r,
@@ -1175,15 +1177,15 @@ def multimodal_decode_flac(spark: SparkSession, sf: str):
     """,
     tags=("multimodal",),
     doc="REAL decode of baseline TIFF in BOTH byte orders (II and MM "
-    "rotate by doc parity) and all three scanner-common strip codecs "
-    "(uncompressed, PackBits RLE, and LZW with Predictor=2 "
-    "horizontal differencing, rotating by doc_id % 6): header + IFD "
-    "walk with spec-correct left-justified inline SHORTs, TIFF-LZW "
-    "with MSB-first packing and the libtiff early-change convention, "
-    "multi-strip assembly via StripOffsets/StripByteCounts "
-    "(RowsPerStrip rotates 1..3 so strip boundaries move per doc); "
-    "deflate/JPEG-in-TIFF/planar variants gate loudly "
-    "(operators/multimodal.decode_tiff).",
+    "rotate by doc parity) and all four scanner-common strip codecs "
+    "(uncompressed, PackBits RLE, LZW, and Adobe deflate — the "
+    "latter two with Predictor=2 horizontal differencing — rotating "
+    "by doc_id % 8): header + IFD walk with spec-correct "
+    "left-justified inline SHORTs, TIFF-LZW with MSB-first packing "
+    "and the libtiff early-change convention, multi-strip assembly "
+    "via StripOffsets/StripByteCounts (RowsPerStrip rotates 1..3 so "
+    "strip boundaries move per doc); JPEG-in-TIFF/CCITT/planar "
+    "variants gate loudly (operators/multimodal.decode_tiff).",
 )
 def multimodal_decode_tiff(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "tiff")

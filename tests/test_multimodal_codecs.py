@@ -1088,13 +1088,15 @@ def test_vp8l_contract_rotates_wire_variants():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 12, 90, 101, 4999])
+@pytest.mark.parametrize(
+    "doc_id", [0, 1, 2, 3, 4, 5, 6, 7, 12, 90, 101, 4999]
+)
 def test_tiff_round_trip(doc_id):
-    """Multi-strip assembly across all six synthesis variants
-    (doc_id % 6: II/MM x none/PackBits/LZW+Predictor2): RowsPerStrip
-    rotates 1..3, so strip boundaries move per doc and the
-    offset/count arrays are real; compressed strips must re-expand
-    (and un-difference) bit-exact."""
+    """Multi-strip assembly across all eight synthesis variants
+    (doc_id % 8: II/MM x none/PackBits/LZW+Pred2/deflate+Pred2):
+    RowsPerStrip rotates 1..3, so strip boundaries move per doc and
+    the offset/count arrays are real; compressed strips must
+    re-expand (and un-difference) bit-exact."""
     px, n_strips, byte_order, compression = M.decode_tiff(
         M.encode_tiff_payload(doc_id)
     )
@@ -1103,8 +1105,9 @@ def test_tiff_round_trip(doc_id):
     rps = 1 + doc_id % 3
     assert n_strips == (h + rps - 1) // rps
     assert byte_order == ("II" if doc_id % 2 == 0 else "MM")
-    v = doc_id % 6
-    assert compression == (32773 if v in (2, 3) else 5 if v in (4, 5) else 1)
+    v = doc_id % 8
+    assert compression == {2: 32773, 3: 32773, 4: 5, 5: 5,
+                           6: 8, 7: 8}.get(v, 1)
 
 
 def test_tiff_lzw_round_trip_and_widths():
@@ -1169,7 +1172,7 @@ def test_packbits_round_trip_and_bounds():
 
 
 def test_tiff_rejects_and_gates():
-    payload = bytearray(M.encode_tiff_payload(6))  # II, uncompressed
+    payload = bytearray(M.encode_tiff_payload(8))  # II, uncompressed
     with pytest.raises(ValueError, match="bad header"):
         M.decode_tiff(b"XX" + bytes(payload[2:]))
     # Compression tag (259, inline SHORT) patched to deflate(8) -> gate.
@@ -1180,9 +1183,9 @@ def test_tiff_rejects_and_gates():
         off = 10 + i * 12
         tag, typ, cnt, _val = _st.unpack_from("<HHII", payload, off)
         if tag == 259:
-            _st.pack_into("<HHIHH", payload, off, tag, typ, cnt, 8, 0)
+            _st.pack_into("<HHIHH", payload, off, tag, typ, cnt, 7, 0)
     with pytest.raises(NotImplementedError, match="codec library"):
-        M.decode_tiff(bytes(payload))
+        M.decode_tiff(bytes(payload))  # 7 = JPEG-in-TIFF -> loud gate
 
 
 def test_tiff_mm_inline_shorts_left_justified():
@@ -1391,12 +1394,16 @@ def _mutations(payload: bytes, seed: int):
         # TIFF is also integrity-check-free (no CRCs): never-hang +
         # structural validation firing is the bar.
         (lambda d: M.encode_tiff_payload(d), M.decode_tiff, 810, False),
-        # force the LZW+predictor variant (6d+4 ≡ 4 mod 6)
-        (lambda d: M.encode_tiff_payload(6 * d + 4), M.decode_tiff, 811,
+        # force the LZW+predictor variant (8d+4 ≡ 4 mod 8)
+        (lambda d: M.encode_tiff_payload(8 * d + 4), M.decode_tiff, 811,
+         False),
+        # deflate variant: zlib's adler32 detects most flips -> strict
+        (lambda d: M.encode_tiff_payload(8 * d + 6), M.decode_tiff, 812,
          False),
     ],
     ids=["flac", "vp8l", "jpeg-prog", "jpeg-444", "png", "png-adam7",
-         "jpeg-lossless", "adpcm-stereo", "gif", "tiff", "tiff-lzw"],
+         "jpeg-lossless", "adpcm-stereo", "gif", "tiff", "tiff-lzw",
+         "tiff-deflate"],
 )
 def test_codec_corruption_never_hangs(encode, decode, seed, strict):
     ok = bad = 0
