@@ -62,6 +62,39 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(history: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus —
+    the production shape of every continuously-fed training pipeline
+    (yesterday's crawl is history; today's must not re-admit it).
+
+    Two stages, both single-shuffle on the fingerprint: (1) collapse
+    the batch to one row per content fingerprint (keep_id = min
+    doc_id, batch_dup_cnt), (2) LEFT ANTI join against the history
+    fingerprints on the same key — Catalyst reuses the group-by's
+    hash partitioning for the join's left side, so the incremental
+    pass costs one shuffle of the (small) batch plus one of the
+    history projection. At 100 TB the history side is a pre-bucketed
+    fingerprint index written by prior runs, making the anti join
+    co-partitioned with zero history re-shuffle; same fingerprint
+    choice (SHA-256) and adversarial rationale as
+    :func:`exact_dedup`.
+
+    Returns (content_fp, keep_id, batch_dup_cnt): the batch survivors
+    that are genuinely new to the corpus.
+    """
+    fp = F.sha2(canonical_text(), 256).alias("content_fp")
+    hist = history.select(fp)
+    batch = (
+        incoming.select("doc_id", fp)
+        .groupBy("content_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("batch_dup_cnt"),
+        )
+    )
+    return batch.join(hist, "content_fp", "left_anti")
+
+
 def _shingle_expr(n: int):
     """(token-array column ``t``) → distinct word n-gram shingle array.
 

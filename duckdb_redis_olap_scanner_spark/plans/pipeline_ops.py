@@ -193,6 +193,42 @@ def dedup_exact(spark: SparkSession, sf: str):
     return D.exact_dedup(table(spark, sf, "documents"))
 
 
+@register(
+    "pipeline_incremental_dedup",
+    # History/incoming split by doc parity stands in for
+    # yesterday's-corpus vs today's-crawl; survivors are incoming
+    # fingerprints absent from history, collapsed to first-in-batch.
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, sha256({_SQL_CANON}) AS content_fp FROM documents),
+    hist AS (SELECT content_fp FROM fp WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT content_fp, MIN(doc_id) AS keep_id,
+             COUNT(*) AS batch_dup_cnt
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY content_fp)
+    SELECT b.content_fp, b.keep_id, b.batch_dup_cnt
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist h WHERE h.content_fp = b.content_fp)
+    """,
+    tags=("dedup",),
+    doc="Incremental dedup of an incoming batch against the already "
+    "ingested corpus: batch hash-aggregate + LEFT ANTI join on the "
+    "SHA-256 fingerprint, both on one key so the join reuses the "
+    "aggregate's partitioning; at scale the history side is a "
+    "pre-bucketed fingerprint index (operators/dedup."
+    "incremental_dedup).",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf, "documents")
+    return D.incremental_dedup(
+        history=docs.filter(F.col("doc_id") % 2 == 0),
+        incoming=docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _sql_minhash_lsh(threshold: float) -> str:
     h = T.sql_md5_hash64("shingle")
     mins = ",\n             ".join(

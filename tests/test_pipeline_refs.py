@@ -876,3 +876,50 @@ def test_let_bind_semantics(spark):
     raw = F.coalesce(F.col("v") + 1, F.lit(-1)) * F.col("id") + F.col("id")
     rows = df.select(bound.alias("x"), raw.alias("y")).collect()
     assert all(r["x"] == r["y"] for r in rows)
+
+
+def test_incremental_dedup_matches_python_reference(spark):
+    """incremental_dedup == batch-collapse minus history fingerprints,
+    on adversarial data: within-batch duplicates, cross-set duplicates
+    that only collide after canonicalization (case / whitespace), and
+    batch-only novel docs."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "Alpha  Beta"), (2, "gamma"), (4, "")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (11, "alpha beta"),      # dup of history 0 post-canon
+            (13, "delta"),           # novel
+            (15, " DELTA  "),        # dup of 13 post-canon
+            (17, "epsilon"),         # novel
+            (19, "   "),             # canon "" — dup of history 4
+        ],
+        "doc_id long, text string",
+    )
+
+    def canon(s: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    hist_fp = {canon(t) for _, t in [(0, "Alpha  Beta"), (2, "gamma"), (4, "")]}
+    batch: dict[str, list[int]] = {}
+    for i, t in [(11, "alpha beta"), (13, "delta"), (15, " DELTA  "),
+                 (17, "epsilon"), (19, "   ")]:
+        batch.setdefault(canon(t), []).append(i)
+    want = {
+        min(ids): len(ids)
+        for c, ids in batch.items()
+        if c not in hist_fp
+    }
+
+    got = {
+        r.keep_id: r.batch_dup_cnt
+        for r in incremental_dedup(history, incoming).collect()
+    }
+    assert got == want == {13: 2, 17: 1}
