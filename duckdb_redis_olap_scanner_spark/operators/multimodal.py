@@ -5,7 +5,7 @@ Two tiers of decoding:
 
 * REAL, dependency-free decoders for the formats whose byte math is
   deterministic: 24-bit BI_RGB **BMP**, binary **PPM (P6)**, and
-  **PNG** (8-bit truecolor — CRC-verified chunk walk, multi-IDAT
+  **PNG** (8-bit gray/truecolor ± alpha — CRC-verified chunk walk, multi-IDAT
   stdlib-zlib inflate, all five row filters unfiltered) images, plus
   16-bit PCM and **G.711 mu-law WAV** audio — implemented here in
   pure numpy (+stdlib zlib), no Pillow/soundfile needed. These power
@@ -1485,17 +1485,23 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
-    if (depth, color, comp_m, filt_m) != (8, 2, 0, 0) or interlace > 1:
+    # 8-bit samples only; every non-palette color type (gray /
+    # truecolor, each ± alpha) decodes through the same filter
+    # machinery with bpp = channel count. Palette (3) would need a
+    # PLTE lookup and sub-byte indices — gated loudly.
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or (comp_m, filt_m) != (0, 0) \
+            or interlace > 1:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}): only 8-bit truecolor "
-            "(sequential or Adam7) is decodable here"
+            f"interlace={interlace}): only 8-bit gray/truecolor "
+            "(± alpha, sequential or Adam7) is decodable here"
         )
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
-    bpp = 3
+    bpp = channels
     if interlace == 0:
         stride = 1 + w * bpp
         if len(raw) != h * stride:
@@ -1504,7 +1510,7 @@ def decode_png(payload: bytes):
                 f"want {h * stride}"
             )
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        out = _unfilter_scanlines(lines, w)
+        out = _unfilter_scanlines(lines, w, bpp)
         return out.astype(np.uint8).reshape(h, w, bpp), len(raw)
     # Adam7: seven sub-images back to back, each with its own filter
     # bytes and prior-row state, deinterlaced onto the pixel grid.
@@ -1524,19 +1530,18 @@ def decode_png(payload: bytes):
             raw[pos : pos + ph * stride], dtype=np.uint8
         ).reshape(ph, stride)
         pos += ph * stride
-        sub = _unfilter_scanlines(lines, pw)
+        sub = _unfilter_scanlines(lines, pw, bpp)
         full[y0::dy, x0::dx] = (
             sub.astype(np.uint8).reshape(ph, pw, bpp)
         )
     return full, len(raw)
 
 
-def _unfilter_scanlines(lines, w: int):
-    """Reverse the five PNG row filters over a (rows, 1 + w*3) uint8
-    scanline block; returns (rows, w*3) int64."""
+def _unfilter_scanlines(lines, w: int, bpp: int = 3):
+    """Reverse the five PNG row filters over a (rows, 1 + w*bpp) uint8
+    scanline block; returns (rows, w*bpp) int64."""
     import numpy as np
 
-    bpp = 3
     n_rows = lines.shape[0]
     out = np.zeros((n_rows, w * bpp), dtype=np.int64)
     prior = np.zeros(w * bpp, dtype=np.int64)

@@ -12,8 +12,10 @@ public implementations available in this environment:
   decoded end-to-end by our ``decode_wav``.
 
 PNG's deflate layer (stdlib zlib) and WebDataset's tar read-back
-(stdlib tarfile) are already external by construction; JPEG/VP8L/FLAC/
-GIF have no independent encoder in this container and remain covered
+(stdlib tarfile) are already external by construction; PNG and GIF
+additionally decode widely-published public 1x1 literals produced by
+external encoders (see the image-container section below). JPEG/VP8L/
+FLAC have no independent encoder in this container and remain covered
 by closed-form synthesis + fuzz (documented caveat).
 """
 
@@ -149,3 +151,101 @@ def test_decode_wav_g711_payload_encoded_by_audioop(fmt_tag, lin2, expand):
     assert (ch, sr, bits) == (1, 8000, 8)
     ref = np.frombuffer(getattr(audioop, expand)(enc, 2), dtype="<i2")
     assert (out == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# Image containers: widely-published public literals (external encoders)
+# ---------------------------------------------------------------------------
+
+# The canonical 42-byte 1x1 "spacer" GIF89a (published everywhere as
+# the smallest useful GIF): 2-color GCT, a graphic-control extension,
+# LZW min code size 2, single pixel index 0 (black).
+GIF_1PX_B64 = "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+
+# The canonical 70-byte 1x1 PNG (the "smallest PNG" literal that
+# circulates in every web-perf writeup): 8-bit RGBA, one scanline with
+# filter type 1 (Sub), pixel (0, 0, 255, 127) — semi-transparent blue.
+PNG_1PX_RGBA_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+    "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+def test_decode_gif_public_1px_literal():
+    import base64
+
+    from duckdb_redis_olap_scanner_spark.operators.gif import decode_gif
+
+    payload = base64.b64decode(GIF_1PX_B64)
+    assert payload[:6] == b"GIF89a" and len(payload) == 42
+    arr, table_n, interlaced = decode_gif(payload)
+    assert arr.shape == (1, 1, 3)
+    assert arr.tolist() == [[[0, 0, 0]]]
+    assert table_n == 2 and not interlaced
+
+
+def test_decode_png_public_1px_rgba_literal():
+    """External vector AND an independent value oracle: the IDAT is
+    inflated here with stdlib zlib and unfiltered by hand (filter 1 on
+    the first pixel has left=0, so raw == pixel), then compared to the
+    full decode_png container walk."""
+    import base64
+    import zlib
+
+    import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+    payload = base64.b64decode(PNG_1PX_RGBA_B64)
+    arr, n_raw = M.decode_png(payload)
+    assert arr.shape == (1, 1, 4) and n_raw == 5
+    assert arr.tolist() == [[[0, 0, 255, 127]]]
+
+    pos = 8
+    while pos < len(payload):
+        (ln,), ct = struct.unpack_from(">I", payload, pos), payload[
+            pos + 4 : pos + 8
+        ]
+        if ct == b"IDAT":
+            raw = zlib.decompress(payload[pos + 8 : pos + 8 + ln])
+            assert list(raw) == [1, 0, 0, 255, 127]
+        pos += 12 + ln
+
+
+def test_decode_png_gray_and_gray_alpha_independent_container():
+    """Grayscale (color 0) and gray+alpha (color 4) PNGs built HERE
+    from the spec (struct + zlib only — no shared code with the
+    decoder) decode to the exact sample grid."""
+    import zlib
+
+    import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, channels, samples):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        stride = w * channels
+        raw = b"".join(
+            b"\x00" + bytes(samples[y * stride : (y + 1) * stride])
+            for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = [(7 * i + 3) % 256 for i in range(4 * 3)]
+    arr, _ = M.decode_png(png(4, 3, 0, 1, gray))
+    assert arr.shape == (3, 4, 1)
+    assert arr.reshape(-1).tolist() == gray
+
+    ga = [(11 * i + 5) % 256 for i in range(2 * 5 * 2)]
+    arr, _ = M.decode_png(png(5, 2, 4, 2, ga))
+    assert arr.shape == (2, 5, 2)
+    assert arr.reshape(-1).tolist() == ga
