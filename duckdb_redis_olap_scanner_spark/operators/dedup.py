@@ -313,6 +313,101 @@ def minhash_lsh_dedup(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     ).filter(F.col("jaccard") >= threshold)
 
 
+def incremental_minhash_dedup(
+    history: DataFrame, incoming: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup flags for an incoming batch against an ingested corpus
+    — the LSH sibling of :func:`incremental_dedup` (exact), and the
+    production shape of continuous-crawl curation: history's band
+    table is a PRECOMPUTED index written by prior runs; only the
+    (small) batch is shingled/minhashed fresh, and the probe is an
+    equi-join on (band, band_val), never a self-join over the corpus.
+
+    Returns (doc_id, match_id, common, jaccard): every incoming doc ×
+    history doc pair that collides in any LSH band AND verifies at
+    exact Jaccard ≥ threshold (over the md5-64 shingle-hash sets, same
+    constants as :func:`minhash_lsh_dedup`, so DuckDB-oracle-checkable
+    bit for bit). Downstream either anti-joins the flagged doc_ids out
+    or keeps argmax-jaccard provenance.
+
+    At 100 TB: batch bands shuffle on the uniformly-distributed
+    (band, band_val) key; the history index is bucketed on the same
+    key by the prior run, so the probe is a co-partitioned join with
+    zero corpus re-shuffle — cost scales with the batch, not the
+    corpus. The per-doc hash set rides along only on the HISTORY rows
+    that actually collide (the verify needs both sides), bounded by
+    LSH selectivity.
+    """
+
+    def _bands(docs: DataFrame) -> DataFrame:
+        ex = shingles(fan_out(docs, key="doc_id"))
+        hashed = ex.select("doc_id", md5_hash64(F.col("shingle")).alias("h"))
+        mins = [
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)
+            ).alias(f"m{k}")
+            for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+        sig = hashed.groupBy("doc_id").agg(
+            *mins, F.collect_set("h").alias("sh_arr")
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    (
+                        F.col(f"m{BAND_ROWS * j}") * F.lit(HASH_P)
+                        + F.col(f"m{BAND_ROWS * j + 1}")
+                    ).alias("band_val"),
+                )
+                for j in range(N_MINHASH // BAND_ROWS)
+            ]
+        )
+        return sig.select(
+            "doc_id", "sh_arr", F.explode(band_structs).alias("bv")
+        ).select(
+            "doc_id",
+            "sh_arr",
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+
+    hb = _bands(history).alias("h")
+    ib = _bands(incoming).alias("i")
+    cand = (
+        ib.join(
+            hb,
+            (F.col("i.band") == F.col("h.band"))
+            & (F.col("i.band_val") == F.col("h.band_val")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("match_id"),
+            F.col("i.sh_arr").alias("sa"),
+            F.col("h.sh_arr").alias("sb"),
+        )
+        # multi-band collisions appear once per band; collapse on ids.
+        .groupBy("doc_id", "match_id")
+        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
+    )
+    stats = cand.select(
+        "doc_id",
+        "match_id",
+        F.size(F.array_intersect("sa", "sb")).cast("long").alias("common"),
+        F.size("sa").alias("na"),
+        F.size("sb").alias("nb"),
+    )
+    return stats.select(
+        "doc_id",
+        "match_id",
+        "common",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash over distinct-token hashes.
     Bit b is set iff sum over tokens of ±1 (sign of bit b of the token

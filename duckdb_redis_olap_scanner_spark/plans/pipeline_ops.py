@@ -229,6 +229,75 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str):
     )
 
 
+def _sql_minhash_incremental(threshold: float) -> str:
+    """Cross-set LSH: batch (odd doc_id) bands probe history (even)
+    bands; verified exact Jaccard over the shared 64-bit shingle-hash
+    sets. Same constants/CTE shapes as :func:`_sql_minhash_lsh`."""
+    h = T.sql_md5_hash64("shingle")
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{k}"
+        for k, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, m{2 * j} * {P} + m{2 * j + 1} AS band_val FROM sig"
+        for j in range(D.N_MINHASH // D.BAND_ROWS)
+    )
+    return f"""
+    WITH {_sql_shingles_cte()},
+    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_val = y.band_val
+       AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n_sh FROM hashed GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_id, c.match_id, COUNT(DISTINCT sa.h) AS common
+      FROM cand c
+      JOIN hashed sa ON sa.doc_id = c.doc_id
+      JOIN hashed sb ON sb.doc_id = c.match_id AND sb.h = sa.h
+      GROUP BY c.doc_id, c.match_id
+    )
+    SELECT c.doc_id, c.match_id, c.common,
+           CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) AS jaccard
+    FROM common c
+    JOIN sizes na ON na.doc_id = c.doc_id
+    JOIN sizes nb ON nb.doc_id = c.match_id
+    WHERE CAST(c.common AS DOUBLE) / (na.n_sh + nb.n_sh - c.common) >= {threshold}
+    """
+
+
+@register(
+    "pipeline_incremental_minhash",
+    oracle=_sql_minhash_incremental(0.2),
+    tags=("dedup",),
+    doc="Incremental NEAR-dedup: the incoming batch's LSH bands probe "
+    "the corpus's precomputed band index ((band, band_val) equi-join, "
+    "never a corpus self-join), exact-Jaccard verified at >= 0.2; at "
+    "scale the history index is bucketed on the band key so the probe "
+    "costs one batch-sized shuffle (operators/dedup."
+    "incremental_minhash_dedup).",
+)
+def pipeline_incremental_minhash(spark: SparkSession, sf: str):
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf, "documents")
+    return D.incremental_minhash_dedup(
+        history=docs.filter(F.col("doc_id") % 2 == 0),
+        incoming=docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.2,
+    )
+
+
 def _sql_minhash_lsh(threshold: float) -> str:
     h = T.sql_md5_hash64("shingle")
     mins = ",\n             ".join(
