@@ -923,3 +923,76 @@ def test_incremental_dedup_matches_python_reference(spark):
         for r in incremental_dedup(history, incoming).collect()
     }
     assert got == want == {13: 2, 17: 1}
+
+
+def test_incremental_minhash_matches_python_reference(spark):
+    """incremental_minhash_dedup == the pure-Python LSH replay on a
+    randomized corpus split by parity: shingle → 8 minhashes → 4 band
+    buckets → cross-set collisions → exact Jaccard over shingle-hash
+    sets — verifying the cross-set join keeps exactly the pairs the
+    sequential replay keeps (incl. near-identical doc pairs planted
+    across the parity boundary)."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        N_MINHASH,
+        incremental_minhash_dedup,
+    )
+
+    rng = np.random.RandomState(11)
+    docs = []
+    for i in range(24):
+        n = int(rng.randint(3, 18))
+        docs.append((i, " ".join(rng.choice(VOCAB, n))))
+    # planted cross-parity near-dups: odd doc = even doc + one token
+    for base in (2, 8, 14):
+        docs.append((100 + base + 1, docs[base][1] + " spark"))
+        docs.append((200 + base, docs[base][1]))  # exact twin, even id
+
+    def sh_hashes(text: str) -> set:
+        toks = _toks(text)
+        grams = {
+            " ".join(toks[k : k + 3]) for k in range(len(toks) - 2)
+        }
+        return {md5_hash64_ref(g) for g in grams}
+
+    def bands(hs: set):
+        if not hs:
+            return []
+        ms = [
+            min((a * h + b) % P for h in hs)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+        return [
+            (j, ms[BAND_ROWS * j] * P + ms[BAND_ROWS * j + 1])
+            for j in range(N_MINHASH // BAND_ROWS)
+        ]
+
+    hs_of = {i: sh_hashes(t) for i, t in docs}
+    want = set()
+    for bi, bt in docs:
+        if bi % 2 == 0:
+            continue
+        for hi, ht in docs:
+            if hi % 2 == 1:
+                continue
+            if not set(bands(hs_of[bi])) & set(bands(hs_of[hi])):
+                continue
+            common = len(hs_of[bi] & hs_of[hi])
+            union = len(hs_of[bi] | hs_of[hi])
+            if union and common / union >= 0.2:
+                want.add((bi, hi, common))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.match_id, r.common)
+        for r in incremental_minhash_dedup(
+            history=df.filter("doc_id % 2 = 0"),
+            incoming=df.filter("doc_id % 2 = 1"),
+            threshold=0.2,
+        ).collect()
+    }
+    assert got == want
+    # the planted near-dups must actually be in the result
+    assert any(b == 103 for b, _h, _c in got)
