@@ -82,6 +82,8 @@ def test_hot_paths_have_no_python_row_udfs(spark):
         "q1_pricing_summary",
         "q3_shipping_priority",
         "dedup_minhash_lsh",
+        "pipeline_incremental_dedup",
+        "pipeline_incremental_minhash",
         "ann_cosine_topk",
         "text_token_stats",
         "text_fingerprints",
