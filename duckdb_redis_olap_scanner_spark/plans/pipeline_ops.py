@@ -279,7 +279,7 @@ def _sql_minhash_incremental(threshold: float) -> str:
 @register(
     "pipeline_incremental_minhash",
     oracle=_sql_minhash_incremental(0.2),
-    tags=("dedup",),
+    tags=("dedup", "bench"),
     doc="Incremental NEAR-dedup: the incoming batch's LSH bands probe "
     "the corpus's precomputed band index ((band, band_val) equi-join, "
     "never a corpus self-join), exact-Jaccard verified at >= 0.2; at "
