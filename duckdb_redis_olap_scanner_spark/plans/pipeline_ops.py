@@ -244,8 +244,8 @@ def _sql_minhash_incremental(threshold: float) -> str:
     )
     return f"""
     WITH {_sql_shingles_cte()},
-    hashed AS (SELECT doc_id, {h} AS h FROM sh),
-    sig AS (
+    hashed AS MATERIALIZED (SELECT doc_id, {h} AS h FROM sh),
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {mins}
       FROM hashed GROUP BY doc_id
@@ -310,8 +310,8 @@ def _sql_minhash_lsh(threshold: float) -> str:
     )
     return f"""
     WITH {_sql_shingles_cte()},
-    hashed AS (SELECT doc_id, {h} AS h FROM sh),
-    sig AS (
+    hashed AS MATERIALIZED (SELECT doc_id, {h} AS h FROM sh),
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {mins}
       FROM hashed GROUP BY doc_id

@@ -996,3 +996,48 @@ def test_incremental_minhash_matches_python_reference(spark):
     assert got == want
     # the planted near-dups must actually be in the result
     assert any(b == 103 for b, _h, _c in got)
+
+
+@pytest.mark.parametrize("seed", [3, 19, 42])
+def test_incremental_dedup_algebra_vs_full_dedup(spark, seed):
+    """The incremental/full algebra: for U = history ∪ incoming,
+    survivors(incremental) are exactly the fingerprints of
+    exact_dedup(U) that history doesn't own — with identical keep_id
+    (min over U == min over batch when the fp is batch-only) and
+    dup_cnt. Random corpora with forced collisions on a tiny
+    vocabulary."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB[:3], rng.randint(0, 3))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    history = df.filter("doc_id % 3 = 0")
+    incoming = df.filter("doc_id % 3 != 0")
+
+    inc = {
+        r.content_fp: (r.keep_id, r.batch_dup_cnt)
+        for r in incremental_dedup(history, incoming).collect()
+    }
+    hist_fps = {
+        r.content_fp for r in exact_dedup(history).collect()
+    }
+    full = {
+        r.content_fp: (r.keep_id, r.dup_cnt)
+        for r in exact_dedup(df).collect()
+    }
+    batch = {
+        r.content_fp: (r.keep_id, r.dup_cnt)
+        for r in exact_dedup(incoming).collect()
+    }
+    want = {
+        fp: v for fp, v in batch.items() if fp not in hist_fps
+    }
+    assert inc == want
+    for fp, (keep_id, cnt) in inc.items():
+        assert full[fp] == (keep_id, cnt)
