@@ -1041,3 +1041,48 @@ def test_incremental_dedup_algebra_vs_full_dedup(spark, seed):
     assert inc == want
     for fp, (keep_id, cnt) in inc.items():
         assert full[fp] == (keep_id, cnt)
+
+
+def test_incremental_minhash_equals_cross_parity_slice_of_full_lsh(spark):
+    """Cross-implementation algebra: the full corpus self-join
+    (minhash_lsh_dedup) restricted to cross-parity pairs, reoriented
+    to (odd, even), must equal incremental_minhash_dedup(even, odd) —
+    identical band constants means identical candidate buckets, so
+    the two independent join formulations must agree pair for pair,
+    including common counts and jaccard."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    rng = np.random.RandomState(23)
+    docs = []
+    for i in range(30):
+        n = int(rng.randint(3, 15))
+        docs.append((i, " ".join(rng.choice(VOCAB, n))))
+    # planted near-dups across parity: even base → odd twin, odd → even
+    docs.append((51, docs[4][1] + " merge"))
+    docs.append((60, docs[9][1] + " merge"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    full = {
+        (r.doc_a, r.doc_b): (r.common, round(r.jaccard, 12))
+        for r in minhash_lsh_dedup(df, threshold=0.2).collect()
+    }
+    cross = {}
+    for (a, b), v in full.items():
+        if a % 2 == b % 2:
+            continue
+        odd, even = (a, b) if a % 2 == 1 else (b, a)
+        cross[(odd, even)] = v
+
+    inc = {
+        (r.doc_id, r.match_id): (r.common, round(r.jaccard, 12))
+        for r in incremental_minhash_dedup(
+            history=df.filter("doc_id % 2 = 0"),
+            incoming=df.filter("doc_id % 2 = 1"),
+            threshold=0.2,
+        ).collect()
+    }
+    assert inc == cross
+    assert inc  # non-vacuous: the planted pairs must collide
