@@ -2574,6 +2574,102 @@ def webdataset_ingest(docs: DataFrame) -> DataFrame:
     )
 
 
+WEBDATASET_SHARD_SCHEMA = (
+    "shard_id long, n_samples long, n_members long, tar_bytes long, "
+    "payload_md5 string, verify_ok boolean"
+)
+N_WDS_SHARDS = 16
+
+
+def webdataset_shards(docs: DataFrame, n_shards: int = N_WDS_SHARDS) -> DataFrame:
+    """The EXPORT half of the WebDataset hop: pack MANY samples per
+    shard (webdataset_ingest is the per-sample ingest twin). Shard
+    assignment is the content hash mod ``n_shards`` — stable under
+    doc renumbering, uniform by construction — and each shard becomes
+    ONE deterministic ustar archive (members in doc_id order, two per
+    sample: ``{doc_id:09d}.txt`` + ``.json`` metadata; zero
+    mtime/uid/gid, fixed mode), built in a single task via
+    ``applyInPandas`` over the shard group, read back with tarfile
+    and verified.
+
+    Emits per shard: sample/member counts, the EXACT tar byte size
+    (512-block arithmetic + 10240-byte record padding, replayed
+    closed-form by the DuckDB oracle), and the md5 of the texts
+    concatenated in member order — both engines hash the identical
+    byte stream, pinning member ORDER as well as content.
+
+    At 100 TB this is the real shard-writer shape: one shuffle keyed
+    on the uniform shard hash, each shard written by one task
+    (production tars stream to object storage instead of being
+    stat'ed); shard count is the parallelism dial, and a shard must
+    fit a worker — the same contract actual WebDataset writers have.
+    """
+    from ..engine import ship_package
+    from .text import canonical_text, md5_hash64
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        import io
+        import tarfile
+
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        buf = io.BytesIO()
+        payload = hashlib.md5()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for did, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                did = int(did)
+                raw = ("" if text is None else text).encode("utf-8")
+                meta = (
+                    '{"lang": "%s", "source": "%s"}'
+                    % ("" if lang is None else lang,
+                       "" if source is None else source)
+                ).encode("utf-8")
+                payload.update(raw)
+                for name, data in (
+                    (f"{did:09d}.txt", raw),
+                    (f"{did:09d}.json", meta),
+                ):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.mode = 0o644
+                    tf.addfile(info, io.BytesIO(data))
+        shard = buf.getvalue()
+        with tarfile.open(fileobj=io.BytesIO(shard), mode="r") as tf:
+            names = [m.name for m in tf.getmembers()]
+        want = []
+        for did in pdf["doc_id"]:
+            want += [f"{int(did):09d}.txt", f"{int(did):09d}.json"]
+        ok = names == want
+        return pd.DataFrame(
+            [[
+                shard_id,
+                len(pdf),
+                len(names),
+                len(shard),
+                payload.hexdigest(),
+                bool(ok),
+            ]],
+            columns=["shard_id", "n_samples", "n_members", "tar_bytes",
+                     "payload_md5", "verify_ok"],
+        )
+
+    ship_package(docs.sparkSession)
+    keyed = docs.select(
+        "doc_id", "text", "lang", "source",
+        (md5_hash64(canonical_text()) % F.lit(n_shards)).alias("shard_id"),
+    )
+    return keyed.groupBy("shard_id").applyInPandas(
+        _pack, schema=WEBDATASET_SHARD_SCHEMA
+    )
+
+
 XZ_BZ2_SCHEMA = (
     "doc_id long, n_raw int, xz_ok boolean, bz2_ok boolean, "
     "raw_md5 string"

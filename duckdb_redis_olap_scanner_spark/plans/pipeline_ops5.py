@@ -1692,6 +1692,51 @@ def pipeline_webdataset_ingest(spark: SparkSession, sf: str):
     return M.webdataset_ingest(table(spark, sf, "documents"))
 
 
+_SQL_WDS_SHARD = sql_md5_hash64(
+    r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+)
+
+
+@register(
+    "pipeline_webdataset_shards",
+    # The export half: shard = content-hash % 16, ONE multi-sample
+    # ustar per shard. The oracle replays the block arithmetic summed
+    # over the shard's members and pins member ORDER via the md5 of
+    # the texts concatenated in doc_id order.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, coalesce(text, '') AS txt,
+             CAST({_SQL_WDS_SHARD} % 16 AS BIGINT)
+               AS shard_id,
+             coalesce(octet_length(encode(text)), 0) AS txt_len,
+             octet_length(encode(
+               '{{"lang": "' || coalesce(lang, '') || '", "source": "'
+               || coalesce(source, '') || '"}}')) AS json_len
+      FROM documents)
+    SELECT shard_id,
+           COUNT(*) AS n_samples,
+           2 * COUNT(*) AS n_members,
+           CAST(10240 * CEIL(
+                512 * (2 + SUM(1 + CAST(CEIL(txt_len / 512.0) AS BIGINT)
+                             + 1 + CAST(CEIL(json_len / 512.0) AS BIGINT)))
+                / 10240.0) AS BIGINT) AS tar_bytes,
+           md5(string_agg(txt, '' ORDER BY doc_id)) AS payload_md5,
+           TRUE AS verify_ok
+    FROM m GROUP BY shard_id
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="WebDataset shard EXPORT (the ingest entry's write half): "
+    "content-hash shard assignment, one deterministic multi-sample "
+    "ustar per shard built by one task (applyInPandas over the shard "
+    "group), read back and order-verified; shard stats — exact tar "
+    "size by closed-form block arithmetic, md5 of the texts in "
+    "member order — replayed by the oracle "
+    "(operators/multimodal.webdataset_shards).",
+)
+def pipeline_webdataset_shards(spark: SparkSession, sf: str):
+    return M.webdataset_shards(table(spark, sf, "documents"))
+
+
 @register(
     "pipeline_xz_bz2_ingest",
     oracle="""
