@@ -547,6 +547,65 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate_containment(
+    docs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Per-eval-doc containment — the published eval-leak criterion
+    (GPT-3 / PaLM style): a held-out doc is contaminated when at
+    least ``threshold`` of its distinct word-3-gram shingles appear
+    ANYWHERE in the train split's shingle vocabulary. Complements
+    :func:`decontaminate`, which reports train-side absolute counts:
+    containment is the metric that catches a short eval doc quoted
+    inside a long train doc, where pairwise Jaccard stays tiny.
+
+    Same content-hash buckets as the split operator (<80 train,
+    80–89 val), same 64-bit shingle hashing (collisions only
+    over-flag — conservative the way decontamination wants). Returns
+    one row per held-out doc that has ≥1 shingle:
+    (doc_id, n_shingles, hit_shingles, containment, contaminated).
+
+    Scale shape: the irreducible cost is one pass + one distinct
+    shuffle over the TRAIN shingle hashes (membership must be
+    tested against all of them); the held-out side is small by
+    construction (10% split, and in practice a fixed benchmark
+    suite), so at cluster volume the val hash set is broadcast-able
+    and the train vocabulary never leaves its partitions twice.
+    """
+    from .text import canonical_text, md5_hash64
+
+    bucket = md5_hash64(canonical_text()) % 100
+    tagged = docs.withColumn("bucket", bucket)
+    train = tagged.filter(F.col("bucket") < 80)
+    val = tagged.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+    vocab = (
+        shingles(train)
+        .select(md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    val_h = shingles(val).select(
+        "doc_id", md5_hash64(F.col("shingle")).alias("h")
+    )
+    ratio = F.col("hit_shingles").cast("double") / F.col("n_shingles")
+    return (
+        val_h.join(vocab, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hit_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "hit_shingles",
+            ratio.alias("containment"),
+            (ratio >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 # Cross-document repetition (C4/Gopher-style): a document whose
 # n-grams largely also appear in OTHER documents is boilerplate or
 # near-duplicate content even when no single pair crosses a Jaccard

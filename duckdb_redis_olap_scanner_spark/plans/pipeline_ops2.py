@@ -599,6 +599,58 @@ def pipeline_decontaminate(spark: SparkSession, sf: str):
     return D.decontaminate(table(spark, sf, "documents"))
 
 
+def _sql_decontaminate_containment(threshold: float) -> str:
+    from ..operators import text as T
+    from .pipeline_ops import _SQL_CANON, _SQL_TOKS
+
+    sh = (
+        "unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 2, 0)), "
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))"
+    )
+    hit = "SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)"
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, text,
+             CAST(md5_number_lower({_SQL_CANON}) % {T.HASH_P} AS BIGINT) % 100
+                 AS bucket
+      FROM documents
+    ),
+    tr AS (SELECT doc_id, text FROM tagged WHERE bucket < 80),
+    va AS (SELECT doc_id, text FROM tagged WHERE bucket >= 80 AND bucket < 90),
+    ttoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM tr),
+    tsh AS (SELECT doc_id, {sh} AS shingle FROM ttoks),
+    vtoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM va),
+    vsh AS (SELECT doc_id, {sh} AS shingle FROM vtoks),
+    tv AS (SELECT DISTINCT {T.sql_md5_hash64('shingle')} AS h FROM tsh),
+    vh AS (SELECT doc_id, {T.sql_md5_hash64('shingle')} AS h FROM vsh)
+    SELECT v.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST({hit} AS BIGINT) AS hit_shingles,
+           CAST({hit} AS DOUBLE) / COUNT(*) AS containment,
+           (CAST({hit} AS DOUBLE) / COUNT(*)) >= {threshold} AS contaminated
+    FROM vh v LEFT JOIN tv t ON t.h = v.h
+    GROUP BY v.doc_id
+    """
+
+
+@register(
+    "pipeline_decontaminate_containment",
+    oracle=_sql_decontaminate_containment(0.7),
+    tags=("pipeline", "dedup", "text"),
+    doc="Containment-ratio decontamination (the published eval-leak "
+    "criterion): per held-out doc, the fraction of its distinct "
+    "3-gram shingles present anywhere in the train vocabulary, "
+    "flagged at >= 0.7 — catches a short eval doc quoted inside a "
+    "long train doc where pairwise Jaccard stays tiny "
+    "(operators/dedup.decontaminate_containment).",
+)
+def pipeline_decontaminate_containment(spark: SparkSession, sf: str):
+    from ..operators import dedup as D
+
+    return D.decontaminate_containment(table(spark, sf, "documents"))
+
+
 def _sql_stratified_sample() -> str:
     from ..operators import text as T
     from .pipeline_ops import _SQL_CANON
