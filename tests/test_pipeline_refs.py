@@ -1086,3 +1086,69 @@ def test_incremental_minhash_equals_cross_parity_slice_of_full_lsh(spark):
     }
     assert inc == cross
     assert inc  # non-vacuous: the planted pairs must collide
+
+
+def test_decontaminate_containment_matches_python_reference(spark):
+    """Containment vs a pure-Python replay on adversarial docs: empty
+    and sub-3-token held-out docs (no shingles → absent from output),
+    a held-out doc fully quoted inside a longer train doc
+    (containment 1.0 despite low pairwise Jaccard), and partial
+    overlaps straddling the 0.7 flag."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        decontaminate_containment,
+    )
+
+    rng = np.random.RandomState(31)
+    docs = [
+        (i, " ".join(rng.choice(VOCAB, int(rng.randint(0, 12)))))
+        for i in range(60)
+    ]
+    # a long "train-ish" doc and a short quote of its middle
+    long_doc = " ".join(rng.choice(VOCAB, 40))
+    docs.append((200, long_doc))
+    docs.append((201, " ".join(long_doc.split()[10:16])))
+
+    def canon(s: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    def sh_hashes(text: str) -> set:
+        toks = _toks(text)
+        return {
+            md5_hash64_ref(" ".join(toks[k : k + 3]))
+            for k in range(len(toks) - 2)
+        }
+
+    buckets = {i: md5_hash64_ref(canon(t)) % 100 for i, t in docs}
+    vocab = set()
+    for i, t in docs:
+        if buckets[i] < 80:
+            vocab |= sh_hashes(t)
+    want = {}
+    for i, t in docs:
+        if not (80 <= buckets[i] < 90):
+            continue
+        hs = sh_hashes(t)
+        if not hs:
+            continue  # shingle-less docs never reach the join
+        # NOTE: the operator counts per exploded DISTINCT SHINGLE row;
+        # two shingles colliding to one hash still count twice — but
+        # md5-64 collisions won't occur on this corpus, so set
+        # cardinality is the faithful replay here.
+        hits = len(hs & vocab)
+        want[i] = (len(hs), hits, hits / len(hs), hits / len(hs) >= 0.7)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_shingles,
+            r.hit_shingles,
+            round(r.containment, 12),
+            r.contaminated,
+        )
+        for r in decontaminate_containment(df).collect()
+    }
+    want = {k: (a, b, round(c, 12), d) for k, (a, b, c, d) in want.items()}
+    assert got == want
+    assert want  # the split must actually produce held-out docs
