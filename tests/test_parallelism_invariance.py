@@ -72,3 +72,33 @@ EMB_OPS = [
 @pytest.mark.parametrize("op", EMB_OPS)
 def test_embedding_ops_partition_invariant(spark, tables, op):
     _invariant(op, tables["embeddings"])
+
+
+def test_r11_ops_partition_invariant(spark, tables):
+    """The round-11 additions under the same two-way repartition
+    protocol: the incremental dedup pair (two-input — both sides
+    repartitioned differently), containment decontamination, and the
+    WebDataset shard writer (whose per-shard tar bytes and ordered
+    payload md5 must not depend on how rows arrived)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_redis_olap_scanner_spark.operators.dedup import (
+        decontaminate_containment,
+        incremental_dedup,
+        incremental_minhash_dedup,
+    )
+    from duckdb_redis_olap_scanner_spark.operators.multimodal import (
+        webdataset_shards,
+    )
+
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+
+    for op in (incremental_dedup, incremental_minhash_dedup):
+        a = _canon(op(hist.repartition(3), inc.repartition(5)))
+        b = _canon(op(hist.repartition(17), inc.repartition(2)))
+        assert a == b and a
+
+    for op in (decontaminate_containment, webdataset_shards):
+        _invariant(op, docs)
