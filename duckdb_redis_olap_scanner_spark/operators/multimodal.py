@@ -1468,6 +1468,7 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG: bad signature")
     pos = len(PNG_SIG)
     ihdr = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
@@ -1477,6 +1478,10 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError(f"PNG PLTE length {length} invalid")
+            palette = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -1485,18 +1490,20 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
-    # 8-bit samples only; every non-palette color type (gray /
-    # truecolor, each ± alpha) decodes through the same filter
-    # machinery with bpp = channel count. Palette (3) would need a
-    # PLTE lookup and sub-byte indices — gated loudly.
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    # 8-bit samples only; every color type decodes through the same
+    # filter machinery with bpp = channel count — palette (3) filters
+    # on 1-byte indices, then maps through PLTE to RGB afterwards.
+    # Sub-byte palette/gray depths (1/2/4-bit) stay gated loudly.
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or (comp_m, filt_m) != (0, 0) \
             or interlace > 1:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}): only 8-bit gray/truecolor "
-            "(± alpha, sequential or Adam7) is decodable here"
+            f"interlace={interlace}): only 8-bit gray/truecolor/"
+            "palette (± alpha, sequential or Adam7) is decodable here"
         )
+    if color == 3 and palette is None:
+        raise ValueError("paletted PNG missing its PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -1511,7 +1518,8 @@ def decode_png(payload: bytes):
             )
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
         out = _unfilter_scanlines(lines, w, bpp)
-        return out.astype(np.uint8).reshape(h, w, bpp), len(raw)
+        arr = out.astype(np.uint8).reshape(h, w, bpp)
+        return _png_apply_palette(arr, color, palette), len(raw)
     # Adam7: seven sub-images back to back, each with its own filter
     # bytes and prior-row state, deinterlaced onto the pixel grid.
     dims = _adam7_pass_dims(w, h)
@@ -1534,7 +1542,25 @@ def decode_png(payload: bytes):
         full[y0::dy, x0::dx] = (
             sub.astype(np.uint8).reshape(ph, pw, bpp)
         )
-    return full, len(raw)
+    return _png_apply_palette(full, color, palette), len(raw)
+
+
+def _png_apply_palette(arr, color: int, palette):
+    """Map a (h, w, 1) index grid through the PLTE to (h, w, 3) RGB;
+    non-palette color types pass through untouched."""
+    import numpy as np
+
+    if color != 3:
+        return arr
+    n = len(palette) // 3
+    idx = arr[..., 0]
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError(
+            f"PNG palette index {int(idx.max())} outside the "
+            f"{n}-entry PLTE"
+        )
+    table = np.frombuffer(palette, dtype=np.uint8).reshape(n, 3)
+    return table[idx]
 
 
 def _unfilter_scanlines(lines, w: int, bpp: int = 3):

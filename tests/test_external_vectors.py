@@ -249,3 +249,70 @@ def test_decode_png_gray_and_gray_alpha_independent_container():
     arr, _ = M.decode_png(png(5, 2, 4, 2, ga))
     assert arr.shape == (2, 5, 2)
     assert arr.reshape(-1).tolist() == ga
+
+
+def test_decode_png_paletted_independent_container():
+    """8-bit paletted PNG (color 3) built from the spec (struct+zlib
+    only): the index grid exercises filter types 0/1/2 and a 5-entry
+    PLTE; decode must yield the palette-mapped RGB grid. An
+    out-of-range index must raise, not wrap."""
+    import zlib
+
+    import numpy as np
+
+    import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    plte = bytes(
+        [10, 20, 30, 200, 0, 0, 0, 200, 0, 0, 0, 200, 123, 231, 111]
+    )
+    w, h = 4, 3
+    idx = [[0, 1, 2, 3], [4, 3, 2, 1], [0, 0, 4, 4]]
+
+    def filt(row, prior, ftype):
+        if ftype == 0:
+            return row
+        if ftype == 1:  # Sub, bpp=1
+            out, left = [], 0
+            for x in row:
+                out.append((x - left) % 256)
+                left = x
+            return out
+        if ftype == 2:  # Up
+            return [(x - p) % 256 for x, p in zip(row, prior)]
+        raise AssertionError
+
+    raw = b""
+    prior = [0] * w
+    for y, ftype in zip(range(h), (0, 1, 2)):
+        raw += bytes([ftype]) + bytes(filt(idx[y], prior, ftype))
+        prior = idx[y]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr, _ = M.decode_png(png)
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(5, 3)
+    assert arr.shape == (3, 4, 3)
+    assert (arr == table[np.array(idx)]).all()
+
+    # out-of-range index: PLTE of 2 entries, index 2 used
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="outside"):
+        M.decode_png(bad)
