@@ -1490,17 +1490,25 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
-    # 8-bit samples only; every color type decodes through the same
-    # filter machinery with bpp = channel count — palette (3) filters
-    # on 1-byte indices, then maps through PLTE to RGB afterwards.
-    # Sub-byte palette/gray depths (1/2/4-bit) stay gated loudly.
+    # Every color type decodes through the same filter machinery —
+    # PNG filters operate on BYTES with bpp = bytes per pixel (spec
+    # §6), so 16-bit samples just widen bpp; palette (3) filters on
+    # 1-byte indices and maps through PLTE afterwards; 16-bit byte
+    # pairs recombine big-endian afterwards. Sub-byte depths
+    # (1/2/4-bit) stay gated loudly.
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or (comp_m, filt_m) != (0, 0) \
-            or interlace > 1:
+    if (
+        channels is None
+        or depth not in (8, 16)
+        or (depth, color) == (16, 3)  # 16-bit palette isn't in the spec
+        or (comp_m, filt_m) != (0, 0)
+        or interlace > 1
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}): only 8-bit gray/truecolor/"
-            "palette (± alpha, sequential or Adam7) is decodable here"
+            f"interlace={interlace}): only 8/16-bit gray/truecolor "
+            "(± alpha) and 8-bit palette (sequential or Adam7) are "
+            "decodable here"
         )
     if color == 3 and palette is None:
         raise ValueError("paletted PNG missing its PLTE chunk")
@@ -1508,7 +1516,7 @@ def decode_png(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
-    bpp = channels
+    bpp = channels * (depth // 8)
     if interlace == 0:
         stride = 1 + w * bpp
         if len(raw) != h * stride:
@@ -1519,7 +1527,7 @@ def decode_png(payload: bytes):
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
         out = _unfilter_scanlines(lines, w, bpp)
         arr = out.astype(np.uint8).reshape(h, w, bpp)
-        return _png_apply_palette(arr, color, palette), len(raw)
+        return _png_finish(arr, color, depth, palette), len(raw)
     # Adam7: seven sub-images back to back, each with its own filter
     # bytes and prior-row state, deinterlaced onto the pixel grid.
     dims = _adam7_pass_dims(w, h)
@@ -1542,14 +1550,19 @@ def decode_png(payload: bytes):
         full[y0::dy, x0::dx] = (
             sub.astype(np.uint8).reshape(ph, pw, bpp)
         )
-    return _png_apply_palette(full, color, palette), len(raw)
+    return _png_finish(full, color, depth, palette), len(raw)
 
 
-def _png_apply_palette(arr, color: int, palette):
-    """Map a (h, w, 1) index grid through the PLTE to (h, w, 3) RGB;
-    non-palette color types pass through untouched."""
+def _png_finish(arr, color: int, depth: int, palette):
+    """Post-filter sample assembly: recombine 16-bit big-endian byte
+    pairs into a uint16 (h, w, channels) grid, or map a (h, w, 1)
+    palette-index grid through the PLTE to (h, w, 3) RGB uint8."""
     import numpy as np
 
+    if depth == 16:
+        h, w, nb = arr.shape
+        pairs = arr.reshape(h, w, nb // 2, 2).astype(np.uint16)
+        return pairs[..., 0] * 256 + pairs[..., 1]
     if color != 3:
         return arr
     n = len(palette) // 3

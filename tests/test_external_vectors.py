@@ -316,3 +316,53 @@ def test_decode_png_paletted_independent_container():
     )
     with pytest.raises(ValueError, match="outside"):
         M.decode_png(bad)
+
+
+def test_decode_png_16bit_independent_container():
+    """16-bit gray and RGB PNGs built from the spec (struct+zlib
+    only): filters operate on bytes with bpp = bytes-per-pixel, and
+    the byte pairs must recombine big-endian into uint16 samples —
+    including values whose high/low bytes differ wildly (the classic
+    endianness trap)."""
+    import zlib
+
+    import numpy as np
+
+    import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png16(w, h, color, channels, samples):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        row_samp = w * channels
+        raw = b"".join(
+            b"\x00"
+            + b"".join(
+                struct.pack(">H", v)
+                for v in samples[y * row_samp : (y + 1) * row_samp]
+            )
+            for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(47)
+    gray = [int(v) for v in rng.randint(0, 65536, size=5 * 4)]
+    arr, _ = M.decode_png(png16(5, 4, 0, 1, gray))
+    assert arr.dtype == np.uint16 and arr.shape == (4, 5, 1)
+    assert arr.reshape(-1).tolist() == gray
+
+    rgb = [int(v) for v in rng.randint(0, 65536, size=3 * 2 * 3)]
+    arr, _ = M.decode_png(png16(3, 2, 2, 3, rgb))
+    assert arr.dtype == np.uint16 and arr.shape == (2, 3, 3)
+    assert arr.reshape(-1).tolist() == rgb
