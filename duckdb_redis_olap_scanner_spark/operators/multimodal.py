@@ -5,7 +5,8 @@ Two tiers of decoding:
 
 * REAL, dependency-free decoders for the formats whose byte math is
   deterministic: 24-bit BI_RGB **BMP**, binary **PPM (P6)**, and
-  **PNG** (8-bit gray/truecolor ± alpha — CRC-verified chunk walk, multi-IDAT
+  **PNG** (8/16-bit gray/truecolor ± alpha + 8-bit palette —
+  CRC-verified chunk walk, multi-IDAT
   stdlib-zlib inflate, all five row filters unfiltered) images, plus
   16-bit PCM and **G.711 mu-law WAV** audio — implemented here in
   pure numpy (+stdlib zlib), no Pillow/soundfile needed. These power
