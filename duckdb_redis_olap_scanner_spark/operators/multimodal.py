@@ -5,8 +5,9 @@ Two tiers of decoding:
 
 * REAL, dependency-free decoders for the formats whose byte math is
   deterministic: 24-bit BI_RGB **BMP**, binary **PPM (P6)**, and
-  **PNG** (8/16-bit gray/truecolor ± alpha + 8-bit palette —
-  CRC-verified chunk walk, multi-IDAT
+  **PNG** (the spec's complete depth x color matrix — gray 1/2/4/8/16,
+  palette 1/2/4/8, truecolor ± alpha 8/16 — CRC-verified chunk walk,
+  multi-IDAT
   stdlib-zlib inflate, all five row filters unfiltered) images, plus
   16-bit PCM and **G.711 mu-law WAV** audio — implemented here in
   pure numpy (+stdlib zlib), no Pillow/soundfile needed. These power
@@ -1492,24 +1493,26 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
     # Every color type decodes through the same filter machinery —
-    # PNG filters operate on BYTES with bpp = bytes per pixel (spec
-    # §6), so 16-bit samples just widen bpp; palette (3) filters on
-    # 1-byte indices and maps through PLTE afterwards; 16-bit byte
-    # pairs recombine big-endian afterwards. Sub-byte depths
-    # (1/2/4-bit) stay gated loudly.
+    # PNG filters operate on BYTES with the left-neighbor distance
+    # rounded UP to one byte (spec §6), so 16-bit samples widen it,
+    # sub-byte rows use distance 1, and sample assembly (big-endian
+    # pair recombination, MSB-first bit unpacking, PLTE lookup)
+    # happens after unfiltering. The full spec matrix of depth ×
+    # color combinations is accepted: gray 1/2/4/8/16, palette
+    # 1/2/4/8, truecolor and the alpha types 8/16.
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    spec_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
     if (
         channels is None
-        or depth not in (8, 16)
-        or (depth, color) == (16, 3)  # 16-bit palette isn't in the spec
+        or depth not in spec_depths[color]
         or (comp_m, filt_m) != (0, 0)
         or interlace > 1
     ):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}): only 8/16-bit gray/truecolor "
-            "(± alpha) and 8-bit palette (sequential or Adam7) are "
-            "decodable here"
+            f"interlace={interlace}): outside the PNG spec's "
+            "depth x color matrix"
         )
     if color == 3 and palette is None:
         raise ValueError("paletted PNG missing its PLTE chunk")
@@ -1517,41 +1520,62 @@ def decode_png(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
-    bpp = channels * (depth // 8)
+    fbpp = max(1, channels * depth // 8)
+
+    def row_bytes(width: int) -> int:
+        return -(-width * channels * depth // 8)
+
     if interlace == 0:
-        stride = 1 + w * bpp
+        stride = 1 + row_bytes(w)
         if len(raw) != h * stride:
             raise ValueError(
                 f"PNG scanline stream is {len(raw)} bytes, "
                 f"want {h * stride}"
             )
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        out = _unfilter_scanlines(lines, w, bpp)
-        arr = out.astype(np.uint8).reshape(h, w, bpp)
+        out = _unfilter_scanlines(lines, row_bytes(w), fbpp)
+        arr = _png_rows_to_pixels(out, w, channels, depth)
         return _png_finish(arr, color, depth, palette), len(raw)
     # Adam7: seven sub-images back to back, each with its own filter
     # bytes and prior-row state, deinterlaced onto the pixel grid.
     dims = _adam7_pass_dims(w, h)
-    want = sum(ph * (1 + pw * bpp) for pw, ph in dims if pw and ph)
+    want = sum(ph * (1 + row_bytes(pw)) for pw, ph in dims if pw and ph)
     if len(raw) != want:
         raise ValueError(
             f"PNG Adam7 scanline stream is {len(raw)} bytes, want {want}"
         )
-    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    nb = channels * (depth // 8) if depth >= 8 else 1
+    full = np.zeros((h, w, nb), dtype=np.uint8)
     pos = 0
     for (x0, dx, y0, dy), (pw, ph) in zip(ADAM7_PASSES, dims):
         if pw == 0 or ph == 0:
             continue
-        stride = 1 + pw * bpp
+        stride = 1 + row_bytes(pw)
         lines = np.frombuffer(
             raw[pos : pos + ph * stride], dtype=np.uint8
         ).reshape(ph, stride)
         pos += ph * stride
-        sub = _unfilter_scanlines(lines, pw, bpp)
-        full[y0::dy, x0::dx] = (
-            sub.astype(np.uint8).reshape(ph, pw, bpp)
-        )
+        sub = _unfilter_scanlines(lines, row_bytes(pw), fbpp)
+        full[y0::dy, x0::dx] = _png_rows_to_pixels(sub, pw, channels, depth)
     return _png_finish(full, color, depth, palette), len(raw)
+
+
+def _png_rows_to_pixels(rows, width: int, channels: int, depth: int):
+    """Post-unfilter sample assembly per scanline block: (n_rows,
+    row_bytes) bytes → (n_rows, width, n) pixel bytes. depth >= 8 is a
+    reshape; sub-byte depths unpack MSB-first (spec §7.2) and keep raw
+    sample values (0..2^depth-1, no rescaling — documented)."""
+    import numpy as np
+
+    a = rows.astype(np.uint8)
+    if depth >= 8:
+        return a.reshape(a.shape[0], width, channels * (depth // 8))
+    bits = np.unpackbits(a, axis=1)[:, : width * depth]
+    grouped = bits.reshape(a.shape[0], width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2, dtype=np.int64).astype(
+        np.uint8
+    )[..., None]
 
 
 def _png_finish(arr, color: int, depth: int, palette):
@@ -1577,14 +1601,15 @@ def _png_finish(arr, color: int, depth: int, palette):
     return table[idx]
 
 
-def _unfilter_scanlines(lines, w: int, bpp: int = 3):
-    """Reverse the five PNG row filters over a (rows, 1 + w*bpp) uint8
-    scanline block; returns (rows, w*bpp) int64."""
+def _unfilter_scanlines(lines, n_bytes: int, bpp: int = 3):
+    """Reverse the five PNG row filters over a (rows, 1 + n_bytes)
+    uint8 scanline block with left-neighbor distance ``bpp`` bytes;
+    returns (rows, n_bytes) int64."""
     import numpy as np
 
     n_rows = lines.shape[0]
-    out = np.zeros((n_rows, w * bpp), dtype=np.int64)
-    prior = np.zeros(w * bpp, dtype=np.int64)
+    out = np.zeros((n_rows, n_bytes), dtype=np.int64)
+    prior = np.zeros(n_bytes, dtype=np.int64)
     for y in range(n_rows):
         f = int(lines[y, 0])
         cur = lines[y, 1:].astype(np.int64)
@@ -1596,8 +1621,8 @@ def _unfilter_scanlines(lines, w: int, bpp: int = 3):
             # Left-referencing filters are inherently sequential per
             # pixel; widths here are tiny, and a real-scale decoder
             # would vectorize per color plane.
-            row = np.zeros(w * bpp, dtype=np.int64)
-            for x in range(w * bpp):
+            row = np.zeros(n_bytes, dtype=np.int64)
+            for x in range(n_bytes):
                 left = row[x - bpp] if x >= bpp else 0
                 up = prior[x]
                 upleft = prior[x - bpp] if x >= bpp else 0

@@ -366,3 +366,61 @@ def test_decode_png_16bit_independent_container():
     arr, _ = M.decode_png(png16(3, 2, 2, 3, rgb))
     assert arr.dtype == np.uint16 and arr.shape == (2, 3, 3)
     assert arr.reshape(-1).tolist() == rgb
+
+
+def test_decode_png_subbyte_independent_containers():
+    """1/2/4-bit gray and palette PNGs built from the spec (struct +
+    zlib only, MSB-first bit packing by hand): decode must unpack
+    bit-exact sample values — including widths that don't fill the
+    last byte (the row-padding trap) — and map palette indices
+    through the PLTE."""
+    import zlib
+
+    import numpy as np
+
+    import duckdb_redis_olap_scanner_spark.operators.multimodal as M
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def pack_row(samples, depth):
+        bits = "".join(format(v, f"0{depth}b") for v in samples)
+        bits += "0" * (-len(bits) % 8)
+        return bytes(
+            int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+        )
+
+    def png(w, h, depth, color, grid, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + pack_row(row, depth) for row in grid)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 1-bit gray, width 10 (6 pad bits per row)
+    rng = np.random.RandomState(53)
+    g1 = rng.randint(0, 2, size=(3, 10)).tolist()
+    arr, _ = M.decode_png(png(10, 3, 1, 0, g1))
+    assert arr.shape == (3, 10, 1) and arr[..., 0].tolist() == g1
+
+    # 2-bit gray, width 5 (2 samples spill into a second byte)
+    g2 = rng.randint(0, 4, size=(4, 5)).tolist()
+    arr, _ = M.decode_png(png(5, 4, 2, 0, g2))
+    assert arr[..., 0].tolist() == g2
+
+    # 4-bit palette, width 3 (odd width — half-byte padding)
+    plte = bytes(range(16 * 3))
+    g4 = rng.randint(0, 16, size=(2, 3)).tolist()
+    arr, _ = M.decode_png(png(3, 2, 4, 3, g4, plte))
+    table = np.frombuffer(plte, dtype=np.uint8).reshape(16, 3)
+    assert (arr == table[np.array(g4)]).all()
+
+    # 4-bit palette index past the PLTE still raises
+    with pytest.raises(ValueError, match="outside"):
+        M.decode_png(png(1, 1, 4, 3, [[5]], bytes(9)))
