@@ -424,3 +424,22 @@ def test_decode_png_subbyte_independent_containers():
     # 4-bit palette index past the PLTE still raises
     with pytest.raises(ValueError, match="outside"):
         M.decode_png(png(1, 1, 4, 3, [[5]], bytes(9)))
+
+
+def test_decode_gif87a_public_1px_literal():
+    """The 35-byte GIF87a 1x1 literal (the 'smallest GIF' form that
+    predates extensions) — exercises the 87a signature and the
+    no-extension container path, complementing the 89a literal's
+    graphic-control-extension skip."""
+    import base64
+
+    from duckdb_redis_olap_scanner_spark.operators.gif import decode_gif
+
+    payload = base64.b64decode(
+        "R0lGODdhAQABAIAAAAAAAAAAACwAAAAAAQABAAACAkQBADs="
+    )
+    assert payload[:6] == b"GIF87a" and len(payload) == 35
+    arr, table_n, interlaced = decode_gif(payload)
+    assert arr.shape == (1, 1, 3)
+    assert arr.tolist() == [[[0, 0, 0]]]
+    assert table_n == 2 and not interlaced
