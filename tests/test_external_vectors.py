@@ -14,9 +14,25 @@ public implementations available in this environment:
 PNG's deflate layer (stdlib zlib) and WebDataset's tar read-back
 (stdlib tarfile) are already external by construction; PNG and GIF
 additionally decode widely-published public 1x1 literals produced by
-external encoders (see the image-container section below). JPEG/VP8L/
-FLAC have no independent encoder in this container and remain covered
-by closed-form synthesis + fuzz (documented caveat).
+external encoders (see the image-container section below).
+
+Round 12 adds three more external families:
+
+- FLAC: the complete 57-byte example stream from the FLAC
+  specification (RFC 9639, appendix decoding examples). This vector
+  is SELF-AUTHENTICATING: STREAMINFO embeds the MD5 of the decoded
+  audio, so a byte drift in the vector or a sample drift in our
+  decoder both break a 128-bit digest comparison.
+- TIFF PackBits: the canonical worked example from Apple Technote
+  TN1023 (the document the TIFF 6.0 spec defers to for PackBits) —
+  published packed bytes against published unpacked bytes.
+- VP8L: the widely-circulated 34-byte minimal lossless WebP (1x1
+  fully-transparent pixel via a 1-entry color-indexing transform),
+  walked through the real prefix-code/transform machinery.
+
+Remaining caveats: JPEG and TIFF-LZW have no independent encoder or
+published byte-exact vector reproducible in this container and stay
+covered by closed-form synthesis + corruption fuzz.
 """
 
 from __future__ import annotations
@@ -29,7 +45,18 @@ import pytest
 
 import duckdb_redis_olap_scanner_spark.operators.multimodal as M
 
-audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+# audioop was removed in Python 3.13. ADVICE r11: a module-level
+# importorskip would skip this WHOLE file there — including the
+# PNG/GIF/FLAC/PackBits vectors that never touch audioop — so only
+# the audioop-backed tests carry the gate.
+try:
+    import audioop
+except ImportError:  # pragma: no cover - Python >= 3.13
+    audioop = None
+
+requires_audioop = pytest.mark.skipif(
+    audioop is None, reason="audioop removed in Python 3.13"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -37,6 +64,7 @@ audioop = pytest.importorskip("audioop")  # removed in Python 3.13
 # ---------------------------------------------------------------------------
 
 
+@requires_audioop
 def test_mulaw_table_matches_audioop_all_codes():
     codes = bytes(range(256))
     ours = M.mulaw_expand(np.frombuffer(codes, dtype=np.uint8))
@@ -44,6 +72,7 @@ def test_mulaw_table_matches_audioop_all_codes():
     assert (ours == ref).all()
 
 
+@requires_audioop
 def test_alaw_table_matches_audioop_all_codes():
     codes = bytes(range(256))
     ours = M.alaw_expand(np.frombuffer(codes, dtype=np.uint8))
@@ -56,6 +85,7 @@ def test_alaw_table_matches_audioop_all_codes():
 # ---------------------------------------------------------------------------
 
 
+@requires_audioop
 def test_ima_step_machine_matches_audioop():
     """Drive the same nibble stream through audioop's DVI/IMA decoder
     (state starts (0, 0)) and our `_ima_step` chain: predictions must
@@ -135,6 +165,7 @@ def _g711_wav(fmt_tag: int, rate: int, data: bytes) -> bytes:
     return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
 
 
+@requires_audioop
 @pytest.mark.parametrize(
     "fmt_tag,lin2,expand",
     [
@@ -443,3 +474,132 @@ def test_decode_gif87a_public_1px_literal():
     assert arr.shape == (1, 1, 3)
     assert arr.tolist() == [[[0, 0, 0]]]
     assert table_n == 2 and not interlaced
+
+
+# ---------------------------------------------------------------------------
+# FLAC: the RFC 9639 appendix example stream (external + self-authenticating)
+# ---------------------------------------------------------------------------
+
+# The FLAC specification's first worked decoding example: a complete
+# 57-byte stream — fLaC marker, a last-block STREAMINFO (44.1 kHz,
+# 2 channels, 16 bps, 1 interframe sample, min = max frame size 15),
+# and one 15-byte frame (8-bit-at-end blocksize code, two VERBATIM
+# subframes) carrying the documented samples 25588 (left) and
+# 10416 (right).
+FLAC_RFC9639_EXAMPLE1 = bytes.fromhex(
+    "664c6143"                          # fLaC
+    "80000022"                          # last=1, STREAMINFO, len 34
+    "1000" "1000" "00000f" "00000f"     # block sizes, frame sizes
+    "0ac442f0" "00000001"               # 44100 Hz, 2 ch, 16 bps, 1 sample
+    "3e84b41807dc690307586a3dad1a2e0f"  # MD5 of the decoded audio
+    "fff8691800" "00" "bf"              # frame header + CRC-8
+    "0358fd0312"                        # 2 verbatim subframes
+    "8b" "aa9a"                         # padding-to-byte + CRC-16
+)
+
+
+def test_decode_flac_rfc9639_example_stream():
+    """End-to-end decode of the spec's own example file. The embedded
+    STREAMINFO MD5 is computed over the interleaved little-endian
+    samples, so matching it proves our frame-layer decode is
+    bit-exact against an externally-authored stream — not just
+    against our own encoder."""
+    import hashlib
+
+    from duckdb_redis_olap_scanner_spark.operators.flac import decode_flac
+
+    ch, sr, bits, samples = decode_flac(FLAC_RFC9639_EXAMPLE1)
+    assert (ch, sr, bits) == (2, 44100, 16)
+    out = np.asarray(samples, dtype="<i2")
+    # Interleaved [left, right] for the single interchannel sample —
+    # the values the RFC's example walkthrough documents.
+    assert out.tolist() == [25588, 10416]
+    embedded_md5 = FLAC_RFC9639_EXAMPLE1[26:42]
+    assert hashlib.md5(out.tobytes()).digest() == embedded_md5
+
+
+def test_decode_flac_rfc9639_example_crc_enforced():
+    """Flipping one payload bit in the example stream must be caught
+    by the decoder's CRC verification, not silently decoded."""
+    from duckdb_redis_olap_scanner_spark.operators.flac import decode_flac
+
+    bad = bytearray(FLAC_RFC9639_EXAMPLE1)
+    bad[48] ^= 0x01  # inside a verbatim subframe sample
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# TIFF PackBits: the Apple TN1023 worked example
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_decode_tn1023_published_vector():
+    """Apple Technote TN1023 — the PackBits definition the TIFF 6.0
+    spec references — publishes this exact packed/unpacked pair.
+    Decoding THEIR encoder's output (not ours) pins the run/literal
+    control-byte conventions: 0x81..0xFF = repeat next byte
+    (257 - n) times, 0x00..0x7F = copy n + 1 literals, 0x80 = no-op."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA"
+    )
+    assert M.packbits_decode(packed, len(unpacked)) == unpacked
+    # And the published example round-trips through our encoder too
+    # (our packer need not emit Apple's exact control choices, but
+    # decode(encode(x)) must reproduce x).
+    assert M.packbits_decode(
+        M.packbits_encode(unpacked), len(unpacked)
+    ) == unpacked
+
+
+# ---------------------------------------------------------------------------
+# VP8L: the public minimal lossless WebP literal
+# ---------------------------------------------------------------------------
+
+# The widely-circulated smallest valid lossless WebP (34 bytes): a
+# 1x1 image whose single pixel is fully-transparent black, encoded
+# through a 1-entry color-indexing (palette) transform.
+WEBP_1PX_MIN = bytes.fromhex(
+    "52494646" "1a000000" "57454250"        # RIFF, size 26, WEBP
+    "5650384c" "0d000000"                   # VP8L chunk, size 13
+    "2f00000010071011" "11888888" "fe0700"  # VP8L bitstream
+)
+
+
+def test_decode_vp8l_public_minimal_literal():
+    """Walk the public literal through the real VP8L machinery (bit
+    reader, transform parse, prefix-code image decode) and check the
+    documented semantics: 1x1, one color-indexing transform whose
+    palette holds a single fully-transparent-black entry, pixel
+    ARGB = 0x00000000. The literal exercises an externally-encoded
+    prefix-code layout our own encoder never emits."""
+    from duckdb_redis_olap_scanner_spark.operators import vp8l as V
+
+    body = WEBP_1PX_MIN[20 : 20 + struct.unpack_from("<I", WEBP_1PX_MIN, 16)[0]]
+    br = V._LsbBitReader(body)
+    assert br.read(8) == 0x2F
+    w, h = br.read(14) + 1, br.read(14) + 1
+    assert (w, h) == (1, 1)
+    assert br.read(1) == 1  # alpha hint set — the pixel is transparent
+    assert br.read(3) == 0  # version
+    assert br.read(1) == 1  # one transform present...
+    assert br.read(2) == 3  # ...color-indexing
+    n_colors = br.read(8) + 1
+    assert n_colors == 1
+    deltas, _ = V._read_image_data(br, n_colors, 1, False)
+    assert deltas == [0x00000000]  # transparent black palette entry
+    assert br.read(1) == 0  # no further transforms
+    argbs, _cache_bits = V._read_image_data(br, 1, 1, True)
+    assert argbs == [0x00000000]
+
+
+def test_decode_webp_minimal_literal_hits_rgb_contract():
+    """The top-level decode_webp API deliberately serves only opaque
+    RGB; the transparent public literal must be rejected by that
+    contract (proving the alpha check runs on real external input),
+    not crash or silently drop alpha."""
+    from duckdb_redis_olap_scanner_spark.operators.vp8l import decode_webp
+
+    with pytest.raises(ValueError, match="non-opaque"):
+        decode_webp(WEBP_1PX_MIN)
