@@ -331,12 +331,15 @@ def incremental_minhash_dedup(
     or keeps argmax-jaccard provenance.
 
     At 100 TB: batch bands shuffle on the uniformly-distributed
-    (band, band_val) key; the history index is bucketed on the same
-    key by the prior run, so the probe is a co-partitioned join with
-    zero corpus re-shuffle — cost scales with the batch, not the
-    corpus. The per-doc hash set rides along only on the HISTORY rows
-    that actually collide (the verify needs both sides), bounded by
-    LSH selectivity.
+    (band, band_val) key. As coded over two plain DataFrames, BOTH
+    sides' per-doc hash sets ride their band rows through the probe
+    shuffle (×n_bands duplication) — the same accepted shape as
+    :func:`minhash_lsh_dedup`. The production variant where the
+    history side is a PERSISTED bucketed band index (no corpus
+    re-shuffle, band rows carrying no set payload, history sets
+    fetched only for candidates that actually collide) is
+    :func:`dedup_index.incremental_minhash_indexed` — plan-asserted
+    exchange-free on the history side in tests/test_dedup_index.py.
     """
 
     def _bands(docs: DataFrame) -> DataFrame:

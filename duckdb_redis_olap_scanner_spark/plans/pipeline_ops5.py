@@ -2818,3 +2818,90 @@ def customer_order_gaps(spark: SparkSession, sf: str):
         .cast("long")
         .alias("mean_gap_milli"),
     ).withColumnRenamed("o_custkey", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# Round 12: bucketed incremental-dedup indexes (operators/dedup_index.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup_index as DI  # noqa: E402
+from .pipeline_ops import _sql_minhash_incremental  # noqa: E402
+
+
+def _index_tag(sf: str) -> str:
+    """A filesystem/catalog-safe tag for the sf dir so each scale's
+    index tables are distinct (the gate runs sf0.01 while the local
+    sweep runs sf0.1 in the same warehouse namespace)."""
+    import os
+    import re as _re
+
+    return _re.sub(
+        r"[^0-9A-Za-z]+", "_", os.path.basename(os.path.normpath(sf))
+    )
+
+
+@register(
+    "pipeline_incremental_dedup_indexed",
+    # Same semantics — and oracle shape — as pipeline_incremental_dedup:
+    # the index holds DISTINCT history fingerprints, which leaves the
+    # anti join's answer unchanged.
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, sha256({_SQL_CANON}) AS content_fp FROM documents),
+    hist AS (SELECT DISTINCT content_fp FROM fp WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT content_fp, MIN(doc_id) AS keep_id,
+             COUNT(*) AS batch_dup_cnt
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY content_fp)
+    SELECT b.content_fp, b.keep_id, b.batch_dup_cnt
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist h WHERE h.content_fp = b.content_fp)
+    """,
+    tags=("dedup",),
+    doc="Incremental exact dedup against a PERSISTED fingerprint "
+    "index bucketed+sorted on content_fp — the deployment shape "
+    "SCALE.md assumes: the anti join reads history straight from its "
+    "buckets (zero history-side Exchange, plan-asserted in "
+    "tests/test_dedup_index.py); only the batch shuffles. The entry "
+    "builds the index then probes, end to end "
+    "(operators/dedup_index.py).",
+)
+def pipeline_incremental_dedup_indexed(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    name = f"incr_fp_idx_{_index_tag(sf)}"
+    DI.write_fingerprint_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        name,
+        path=f"/tmp/spark_graft_idx/{name}",
+    )
+    return DI.incremental_dedup_indexed(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), name
+    )
+
+
+@register(
+    "pipeline_incremental_minhash_indexed",
+    oracle=_sql_minhash_incremental(0.2),
+    tags=("dedup",),
+    doc="Incremental NEAR-dedup against a PERSISTED two-table band "
+    "index: {prefix}_bands (doc_id, band, band_val) bucketed on the "
+    "probe key and {prefix}_sets (doc_id, sh_arr, n_sh) bucketed on "
+    "doc_id — so the LSH probe reads history bands exchange-free AND "
+    "the shingle-hash sets are fetched only for candidates that "
+    "actually collide (the set payload never rides the band shuffle; "
+    "both properties plan-asserted in tests/test_dedup_index.py). "
+    "Same constants and verify math as pipeline_incremental_minhash, "
+    "hence the same oracle (operators/dedup_index.py).",
+)
+def pipeline_incremental_minhash_indexed(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    prefix = f"incr_band_idx_{_index_tag(sf)}"
+    DI.write_band_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        prefix,
+        path_prefix=f"/tmp/spark_graft_idx/{prefix}",
+    )
+    return DI.incremental_minhash_indexed(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), prefix, threshold=0.2
+    )

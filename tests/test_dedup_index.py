@@ -1,0 +1,176 @@
+"""Bucketed incremental-dedup indexes (operators/dedup_index.py).
+
+VERDICT r11 ("What's wrong" #2) asked for proof of the deployment
+shape SCALE.md's incremental-dedup design assumes: a history-side
+index bucketed on the probe key, so the probe join runs with NO
+history-side Exchange and the shingle-hash sets are fetched only for
+candidates that actually collide. These tests pin both properties on
+the physical plan (the bucketed-join pattern of tests/test_sinks.py,
+extended with a scan→join path walk) plus result-equality against the
+un-indexed operators.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.operators import dedup as D
+from duckdb_redis_olap_scanner_spark.operators import dedup_index as DI
+from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    docs = table(spark, SF_DIR, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+@pytest.fixture(scope="module")
+def fp_index(spark, split_docs, tmp_path_factory):
+    hist, _ = split_docs
+    path = str(tmp_path_factory.mktemp("idx") / "fp")
+    DI.write_fingerprint_index(hist, "test_fp_idx", path=path)
+    yield "test_fp_idx"
+    spark.sql("DROP TABLE IF EXISTS test_fp_idx")
+
+
+@pytest.fixture(scope="module")
+def band_index(spark, split_docs, tmp_path_factory):
+    hist, _ = split_docs
+    path = str(tmp_path_factory.mktemp("idx") / "band")
+    DI.write_band_index(hist, "test_band_idx", path_prefix=path)
+    yield "test_band_idx"
+    spark.sql("DROP TABLE IF EXISTS test_band_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS test_band_idx_sets")
+
+
+def _plan_tree(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().split("\n\n")[0]
+
+
+def _path_to_join(tree: str, scan_substr: str) -> list[str]:
+    """Node names from the tree line containing ``scan_substr``
+    upward (strictly decreasing indentation) to the first *Join node —
+    the operators the scanned rows flow through before joining."""
+    lines = tree.splitlines()
+    idx = next(
+        i for i, ln in enumerate(lines) if scan_substr in ln
+    )
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    names: list[str] = []
+    cur = indent(lines[idx])
+    for ln in reversed(lines[:idx]):
+        if indent(ln) < cur:
+            cur = indent(ln)
+            name = re.sub(r"[^A-Za-z].*", "", ln.lstrip(" :+-*"))
+            names.append(name)
+            if "Join" in name:
+                return names
+    raise AssertionError(f"no join above {scan_substr!r} in:\n{tree}")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    # Force the SMJ path so the bucketed layout is what gets planned
+    # (at toy scale Catalyst would rightly broadcast the index).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_incremental_dedup_indexed_matches_unindexed(
+    spark, split_docs, fp_index
+):
+    hist, inc = split_docs
+    got = sorted(
+        map(tuple, DI.incremental_dedup_indexed(spark, inc, fp_index).collect())
+    )
+    want = sorted(map(tuple, D.incremental_dedup(hist, inc).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_minhash_indexed_matches_unindexed(
+    spark, split_docs, band_index
+):
+    hist, inc = split_docs
+    got = sorted(
+        map(
+            tuple,
+            DI.incremental_minhash_indexed(spark, inc, band_index).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, D.incremental_minhash_dedup(hist, inc, 0.2).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_fingerprint_probe_has_no_history_side_exchange(
+    spark, split_docs, fp_index, no_broadcast
+):
+    _, inc = split_docs
+    tree = _plan_tree(DI.incremental_dedup_indexed(spark, inc, fp_index))
+    path = _path_to_join(tree, f"default.{fp_index}")
+    assert "SortMergeJoin" in path[-1]
+    assert not any("Exchange" in n for n in path), (path, tree)
+    # ...while the batch side DOES shuffle (that's the design: cost
+    # scales with the batch) — the plan has exchanges, just none
+    # between the index scan and its join.
+    assert "Exchange" in tree
+
+
+def test_band_probe_and_set_fetch_have_no_history_side_exchange(
+    spark, split_docs, band_index, no_broadcast
+):
+    """The two claims from SCALE.md's incremental-minhash design:
+    (1) the probe join reads the band index with no Exchange, and
+    (2) the shingle-set table is joined back for collided candidates
+    only — also exchange-free on the history side, and the band rows
+    carry no set payload (sh_arr appears nowhere in the bands-scan
+    subtree)."""
+    _, inc = split_docs
+    df = DI.incremental_minhash_indexed(spark, inc, band_index)
+    tree = _plan_tree(df)
+    for scan in (f"default.{band_index}_bands", f"default.{band_index}_sets"):
+        path = _path_to_join(tree, scan)
+        assert "SortMergeJoin" in path[-1], (scan, path)
+        assert not any("Exchange" in n for n in path), (scan, path, tree)
+
+    # The bands table itself must not carry the set payload.
+    bands_schema = spark.table(f"{band_index}_bands").columns
+    assert bands_schema == ["doc_id", "band", "band_val"]
+
+
+def test_index_write_is_one_file_per_bucket(spark, fp_index):
+    """The write repartitions onto the bucket hash so each bucket is
+    exactly one parquet file — the layout that avoids the small-file
+    explosion at volume."""
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {fp_index}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    files = [
+        f
+        for f in os.listdir(loc.removeprefix("file:"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == DI.DEFAULT_BUCKETS
