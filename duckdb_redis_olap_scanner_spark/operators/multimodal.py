@@ -2726,9 +2726,16 @@ def webdataset_shards(docs: DataFrame, n_shards: int = N_WDS_SHARDS) -> DataFram
         )
 
     ship_package(docs.sparkSession)
+    # Hash over coalesce(text, ''): a NULL text must land in a real
+    # shard (the packer already writes it as an empty member), not a
+    # NULL shard_id whose group would crash int() in _pack (ADVICE
+    # r11); the oracle coalesces identically.
     keyed = docs.select(
         "doc_id", "text", "lang", "source",
-        (md5_hash64(canonical_text()) % F.lit(n_shards)).alias("shard_id"),
+        (
+            md5_hash64(canonical_text(F.coalesce(F.col("text"), F.lit(""))))
+            % F.lit(n_shards)
+        ).alias("shard_id"),
     )
     return keyed.groupBy("shard_id").applyInPandas(
         _pack, schema=WEBDATASET_SHARD_SCHEMA

@@ -1692,8 +1692,10 @@ def pipeline_webdataset_ingest(spark: SparkSession, sf: str):
     return M.webdataset_ingest(table(spark, sf, "documents"))
 
 
+# coalesce BEFORE canonicalizing: NULL text shards like empty text
+# (total shard assignment), matching the Spark side's coalesce.
 _SQL_WDS_SHARD = sql_md5_hash64(
-    r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    r"lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))"
 )
 
 

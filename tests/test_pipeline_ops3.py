@@ -222,3 +222,32 @@ def test_webdataset_ingest_multi_record_tar(spark):
     assert rows[2].json_md5 == hashlib.md5(
         b'{"lang": "de", "source": "book"}'
     ).hexdigest()
+
+
+def test_webdataset_shards_null_text_total_assignment(spark):
+    """ADVICE r11: a NULL text must hash like the empty string —
+    landing in a REAL shard whose tar holds an empty .txt member —
+    not in a NULL shard_id group that crashed _pack's int(NaN).
+    Pins: no lost rows, the NULL doc shares doc 2's (empty-text)
+    shard, and every shard verifies its member order."""
+    from duckdb_redis_olap_scanner_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "web"),
+            (2, "", "de", "book"),
+            (3, "some text", None, None),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = M.webdataset_shards(docs, n_shards=4).collect()
+    assert sum(r.n_samples for r in rows) == 3
+    assert all(r.shard_id is not None for r in rows)
+    assert all(r.verify_ok for r in rows)
+    by_samples = {r.n_samples: r for r in rows}
+    # NULL and '' canonicalize identically -> same shard, 2 samples.
+    assert set(by_samples) == {1, 2}
+    import hashlib
+
+    # Their concatenated payload is empty -> md5 of b"".
+    assert by_samples[2].payload_md5 == hashlib.md5(b"").hexdigest()
