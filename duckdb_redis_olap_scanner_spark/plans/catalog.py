@@ -517,6 +517,37 @@ def scorer_width(sf_dir: str, name: str, cpus: int) -> int:
     return max(1, min(math.ceil(size / _SCORER_BYTES_PER_TASK), cpus))
 
 
+# ~1.5 MiB of source parquet per hash-aggregation task: a JVM
+# hash+project pipeline processes that in a few ms, comparable to the
+# per-task dispatch cost, so narrower would serialize CPU work and
+# wider would pay pure scheduling. Smaller than the Arrow scorers'
+# 4 MiB because a JVM task skips the Python round-trip.
+_AGG_BYTES_PER_TASK = 3 << 19
+
+
+def agg_width(sf_dir: str, name: str, cpus: int) -> int:
+    """Task count for a whole-table hash aggregation over ``name`` —
+    the JVM twin of :func:`scorer_width`.
+
+    The r11 bench audit left ``dedup_exact`` as the one over-floor
+    weak query (3× same-box DuckDB at sf0.1); profiling (SCALE.md
+    "dedup_exact width" note) showed ~75% of its runtime was per-task
+    dispatch — 5 000 rows spread over the session's 32-wide cached
+    layout is ~156 rows/task — and that the expression cost
+    (canonicalization + SHA-256) was irrelevant to the gap. Sizing
+    the aggregation's width by data volume (min 0.40 s → 0.13 s at
+    sf0.1, 0.61 s → 0.27 s at 10×) removes the overhead while
+    converging to the full parallelism as volume grows: at 100 TB
+    this returns ``cpus`` and the coalesce is a no-op."""
+    import math
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return cpus
+    return max(1, min(math.ceil(size / _AGG_BYTES_PER_TASK), cpus))
+
+
 BROADCAST_CAP_BYTES = 64 << 20
 
 
