@@ -339,3 +339,67 @@ def test_round7_window_plans_are_clean(spark):
     # join-free.
     plan = plan_of(spark, "text_top_terms_per_source")
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_agg_width_volume_proportional(tmp_path):
+    """catalog.agg_width: ~1.5 MiB of parquet per task, floor 1, cap
+    cpus, full parallelism when the file is missing (cluster-scale
+    scans arrive well-partitioned; the coalesce must then no-op)."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        _AGG_BYTES_PER_TASK,
+        agg_width,
+    )
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"x" * 100)  # tiny -> 1 task
+    assert agg_width(str(tmp_path), "documents", 32) == 1
+    p.write_bytes(b"x" * (6 * _AGG_BYTES_PER_TASK))
+    assert agg_width(str(tmp_path), "documents", 32) == 6
+    p.write_bytes(b"x" * (100 * _AGG_BYTES_PER_TASK))
+    assert agg_width(str(tmp_path), "documents", 32) == 32  # capped
+    assert agg_width(str(tmp_path), "missing", 32) == 32  # no stats
+
+
+def test_dedup_exact_entry_narrows_to_volume_width(spark):
+    """The dedup_exact entry's aggregation runs at agg_width tasks,
+    not the session-wide cached layout (the r11 over-floor fix): the
+    coalesce is visible in the plan and results are unchanged."""
+    from duckdb_redis_olap_scanner_spark.operators.dedup import exact_dedup
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry, table
+
+    from .conftest import SF_DIR
+
+    entry = registry()["dedup_exact"]
+    df = entry.fn(spark, SF_DIR)
+    assert "Coalesce" in df._jdf.queryExecution().executedPlan().toString()
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, exact_dedup(table(spark, SF_DIR, "documents")).collect()))
+    assert got == want and got
+
+
+def test_coverage_counts_script_matches_registry():
+    """scripts/coverage_counts.py is the COVERAGE.md source of truth
+    (the r11 hand-count drift fix): it must run, emit valid JSON, and
+    agree with the live registry."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "coverage_counts.py")],
+        capture_output=True, text=True, timeout=120, check=True,
+    )
+    d = json.loads(out.stdout)
+    reg = registry()
+    assert d["entries_total"] == len(reg)
+    assert d["entries_oracle_checked"] == sum(
+        1 for e in reg.values() if e.oracle is not None
+    )
+    assert d["entries_total"] == (
+        d["entries_oracle_checked"] + d["entries_rows_only"]
+    )
+    assert sum(d["gate_window_by_round"].values()) == min(50, len(reg))
