@@ -137,6 +137,46 @@ def incremental_dedup_indexed(
     return batch.join(spark.table(index_table), "content_fp", "left_anti")
 
 
+def append_fingerprints(batch_survivors: DataFrame, name: str) -> None:
+    """Index maintenance — the second half of the incremental loop: a
+    batch's accepted survivors (the output of
+    :func:`incremental_dedup_indexed`, already one row per NEW
+    fingerprint) are appended INTO the same bucketed layout, so the
+    next batch probes yesterday's corpus PLUS today's accepted rows
+    without ever rewriting the index. Spark appends to a bucketed
+    table by writing additional per-bucket files with the same bucket
+    spec — each append costs one batch-sized shuffle onto the bucket
+    hash, and the probe plan is unchanged (still no history-side
+    Exchange); periodic compaction (rewriting a bucket's file set)
+    is an offline housekeeping job at volume, not a correctness
+    need."""
+    (
+        batch_survivors.select("content_fp")
+        .repartition(
+            _index_buckets(batch_survivors.sparkSession, name),
+            F.col("content_fp"),
+        )
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(
+            _index_buckets(batch_survivors.sparkSession, name), "content_fp"
+        )
+        .sortBy("content_fp")
+        .saveAsTable(name)
+    )
+
+
+def _index_buckets(spark: SparkSession, name: str) -> int:
+    """Bucket count of an existing index table (appends must match
+    the table's spec exactly or Spark rejects the write)."""
+    row = [
+        r
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        if r.col_name == "Num Buckets"
+    ]
+    return int(row[0].data_type) if row else DEFAULT_BUCKETS
+
+
 def _signatures_with_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m7, sh_arr): K min-hashes plus the 64-bit
     shingle-hash set, one aggregation — the same signature build as

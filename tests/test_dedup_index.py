@@ -174,3 +174,49 @@ def test_index_write_is_one_file_per_bucket(spark, fp_index):
         if f.endswith(".parquet")
     ]
     assert len(files) == DI.DEFAULT_BUCKETS
+
+
+def test_fingerprint_index_append_maintenance(spark, split_docs, tmp_path):
+    """The incremental loop closed end-to-end: probe batch 1 against
+    the index, APPEND its survivors, then probe batch 2 — batch-1
+    texts re-arriving in batch 2 must now be rejected, the probe plan
+    must still read the grown index with no history-side Exchange,
+    and the append must preserve the table's bucket spec."""
+    hist, inc = split_docs
+    b1 = inc.filter(F.col("doc_id") % 4 == 1)
+    b2 = inc  # includes every batch-1 doc again, plus new ones
+
+    DI.write_fingerprint_index(
+        hist, "test_fp_append", path=str(tmp_path / "fp")
+    )
+    try:
+        s1 = DI.incremental_dedup_indexed(spark, b1, "test_fp_append")
+        n1 = s1.count()
+        assert n1 > 0
+        DI.append_fingerprints(s1, "test_fp_append")
+
+        s2 = DI.incremental_dedup_indexed(spark, b2, "test_fp_append")
+        got = {r.content_fp for r in s2.collect()}
+        # Equivalent reference: dedup b2 against history + batch 1.
+        want = {
+            r.content_fp
+            for r in D.incremental_dedup(hist.unionByName(b1), b2).collect()
+        }
+        assert got == want
+        # None of batch 1's accepted fingerprints re-admit.
+        assert not (got & {r.content_fp for r in s1.collect()})
+
+        # The grown index still probes exchange-free.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            tree = _plan_tree(
+                DI.incremental_dedup_indexed(spark, b2, "test_fp_append")
+            )
+            path = _path_to_join(tree, "default.test_fp_append")
+            assert not any("Exchange" in n for n in path), path
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_fp_append")
