@@ -78,7 +78,11 @@ def _path_to_join(tree: str, scan_substr: str) -> list[str]:
     for ln in reversed(lines[:idx]):
         if indent(ln) < cur:
             cur = indent(ln)
-            name = re.sub(r"[^A-Za-z].*", "", ln.lstrip(" :+-*"))
+            # Strip tree glyphs AND codegen stars ("* Sort (5)")
+            # BEFORE the first-non-letter cut — an empty name here
+            # would silently satisfy the no-Exchange asserts.
+            name = re.sub(r"[^A-Za-z].*", "", ln.lstrip(" :+-* "))
+            assert name, f"unparsed plan line {ln!r}"
             names.append(name)
             if "Join" in name:
                 return names
