@@ -166,6 +166,50 @@ def append_fingerprints(batch_survivors: DataFrame, name: str) -> None:
     )
 
 
+def append_to_band_index(
+    accepted_docs: DataFrame, prefix: str
+) -> None:
+    """Band-index maintenance, the near-dup twin of
+    :func:`append_fingerprints`: ACCEPTED batch docs (those that
+    survived the near-dup probe and joined the corpus) get their
+    bands appended to ``{prefix}_bands`` and their shingle-hash sets
+    to ``{prefix}_sets``, each under the table's existing bucket
+    spec. The signature aggregation is persisted across the two
+    appends so the batch is shingled once. Cost: two batch-sized
+    shuffles onto the respective bucket hashes; the probe plan over
+    the grown index is unchanged (still exchange-free on the history
+    side)."""
+    spark = accepted_docs.sparkSession
+    sig = _signatures_with_sets(accepted_docs).persist()
+    try:
+        bands = sig.select(
+            "doc_id", F.explode(_band_structs()).alias("bv")
+        ).select(
+            "doc_id",
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+        nb = _index_buckets(spark, f"{prefix}_bands")
+        (
+            bands.repartition(nb, F.col("band"), F.col("band_val"))
+            .write.format("parquet").mode("append")
+            .bucketBy(nb, "band", "band_val").sortBy("band", "band_val")
+            .saveAsTable(f"{prefix}_bands")
+        )
+        sets_ = sig.select(
+            "doc_id", "sh_arr", F.size("sh_arr").alias("n_sh")
+        )
+        ns = _index_buckets(spark, f"{prefix}_sets")
+        (
+            sets_.repartition(ns, F.col("doc_id"))
+            .write.format("parquet").mode("append")
+            .bucketBy(ns, "doc_id").sortBy("doc_id")
+            .saveAsTable(f"{prefix}_sets")
+        )
+    finally:
+        sig.unpersist()
+
+
 def _index_buckets(spark: SparkSession, name: str) -> int:
     """Bucket count of an existing index table (appends must match
     the table's spec exactly or Spark rejects the write)."""

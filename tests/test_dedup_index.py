@@ -224,3 +224,64 @@ def test_fingerprint_index_append_maintenance(spark, split_docs, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS test_fp_append")
+
+
+def test_band_index_append_maintenance(spark, split_docs, tmp_path):
+    """Near-dup twin of the fingerprint append test: accept batch 1
+    into the band index, then batch 2 (which re-sends batch 1's docs)
+    must flag those docs as near-dups of THEMSELVES in the corpus —
+    and the grown index must still probe exchange-free."""
+    hist, inc = split_docs
+    b1 = inc.filter(F.col("doc_id") % 4 == 1)
+
+    DI.write_band_index(
+        hist, "test_band_append", path_prefix=str(tmp_path / "band")
+    )
+    try:
+        flagged1 = {
+            r.doc_id
+            for r in DI.incremental_minhash_indexed(
+                spark, b1, "test_band_append"
+            ).collect()
+        }
+        # Accept batch 1's survivors (docs NOT flagged) into the corpus.
+        accepted = b1.filter(~F.col("doc_id").isin(list(flagged1) or [-1]))
+        n_accepted = accepted.count()
+        assert n_accepted > 0
+        DI.append_to_band_index(accepted, "test_band_append")
+
+        # Re-sending the accepted docs: each must now collide with
+        # itself (jaccard 1.0 against its own corpus copy).
+        m2 = DI.incremental_minhash_indexed(
+            spark, accepted, "test_band_append"
+        )
+        self_hits = {
+            r.doc_id for r in m2.collect() if r.doc_id == r.match_id
+        }
+        shingled = {
+            r.doc_id
+            for r in DI._signatures_with_sets(accepted)
+            .select("doc_id").collect()
+        }
+        assert self_hits == shingled  # every shingle-bearing doc self-matches
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            tree = _plan_tree(
+                DI.incremental_minhash_indexed(
+                    spark, b1, "test_band_append"
+                )
+            )
+            for scan in (
+                "default.test_band_append_bands",
+                "default.test_band_append_sets",
+            ):
+                path = _path_to_join(tree, scan)
+                assert not any("Exchange" in n for n in path), (scan, path)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_band_append_bands")
+        spark.sql("DROP TABLE IF EXISTS test_band_append_sets")
