@@ -66,3 +66,28 @@ def test_direct_format_reads_register_first():
             or "_engine(" in src
             or "Engine(" in src
         ), f"{e.name} reads a redis_* format without registering it"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pipeline_incremental_dedup_indexed",
+        "pipeline_incremental_minhash_indexed",
+    ],
+)
+def test_indexed_entries_survive_fresh_session_twice(spark, name):
+    """The r12 indexed-dedup entries create catalog tables as part of
+    their build — the same session-state bug class the redis entries
+    had: they must work in a blank `newSession()` (first gate entry
+    position) AND on a SECOND fresh session where the external
+    catalog/paths already hold a previous run's index (the overwrite
+    path the driver's repeated gate runs exercise)."""
+    n_rows = []
+    for _ in range(2):
+        fresh = spark.newSession()
+        # raw_fn bypasses the registry's per-(app, sf_dir) plan memo —
+        # newSession() shares the applicationId, so entry.fn would
+        # serve iteration 1's DataFrame and never rebuild the index.
+        df = catalog.registry()[name].raw_fn(fresh, SF_DIR)
+        n_rows.append(df.count())
+    assert n_rows[0] == n_rows[1] >= 0
