@@ -285,3 +285,52 @@ def test_band_index_append_maintenance(spark, split_docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS test_band_append_bands")
         spark.sql("DROP TABLE IF EXISTS test_band_append_sets")
+
+
+def test_index_edge_cases_empty_sides(spark, split_docs, tmp_path):
+    """Degenerate inputs must degrade, not crash: an EMPTY corpus
+    index admits every batch row; an empty batch probes to zero rows;
+    an all-short-text (shingle-free) corpus yields a valid, empty
+    band index."""
+    hist, inc = split_docs
+    empty = hist.filter(F.lit(False))
+    short = spark.createDataFrame(
+        [(1, "one two", "en", "web")],  # < 3 tokens -> no 3-gram shingles
+        "doc_id long, text string, lang string, source string",
+    )
+    try:
+        DI.write_fingerprint_index(
+            empty, "test_fp_empty", path=str(tmp_path / "fpe")
+        )
+        out = DI.incremental_dedup_indexed(spark, inc, "test_fp_empty")
+        # Nothing in history -> every distinct batch fingerprint survives.
+        assert out.count() == inc.select(
+            F.sha2(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256
+            )
+        ).distinct().count()
+
+        DI.write_fingerprint_index(
+            hist, "test_fp_eb", path=str(tmp_path / "fpeb")
+        )
+        assert (
+            DI.incremental_dedup_indexed(spark, empty, "test_fp_eb").count()
+            == 0
+        )
+
+        DI.write_band_index(
+            short, "test_band_empty", path_prefix=str(tmp_path / "be")
+        )
+        assert spark.table("test_band_empty_bands").count() == 0
+        assert (
+            DI.incremental_minhash_indexed(
+                spark, inc, "test_band_empty"
+            ).count()
+            == 0
+        )
+    finally:
+        for t in (
+            "test_fp_empty", "test_fp_eb",
+            "test_band_empty_bands", "test_band_empty_sets",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
