@@ -251,3 +251,27 @@ def test_referenced_callables_reach_codec_modules():
             catalog._referenced_pkg_callables(fn)}
     for needle in ("operators.flac", "operators.vp8l", "operators.jpeg"):
         assert any(m.endswith(needle) for m in mods), needle
+
+
+def test_dirty_ties_break_least_recently_verified_first(monkeypatch):
+    """Within one change round, dirty entries order oldest-verified
+    first — the tie-break the r12 drain relied on: a wide helper
+    edit (r10's fan_out change dirtied ~124 entries at change round
+    10) must present the STALEST entries to the gate first, so the
+    verification backlog drains oldest-first instead of arbitrarily."""
+    rounds = catalog._verified_rounds()
+    by_round = {}
+    for n, r in rounds.items():
+        if n in catalog._REGISTRY:
+            by_round.setdefault(r, n)
+    if len(by_round) < 2:
+        return
+    oldest, newest = min(by_round), max(by_round)
+    pair = {by_round[newest]: 7, by_round[oldest]: 7}  # same change round
+    monkeypatch.setattr(
+        catalog, "_changed_since_verified", lambda r: dict(pair)
+    )
+    rotated = list(catalog.registry())
+    frontier = len([n for n in rotated if n not in rounds])
+    head = rotated[frontier : frontier + 2]
+    assert head == [by_round[oldest], by_round[newest]]
