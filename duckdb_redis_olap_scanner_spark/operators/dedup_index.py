@@ -12,8 +12,9 @@ shuffle). This module is the deployment shape those docstrings promise:
 * the **fingerprint index** — one row per distinct SHA-256 content
   fingerprint, bucketed AND sorted on ``content_fp`` — makes the
   incremental anti join co-partitioned: the history side is read
-  straight from its buckets with no Exchange and no Sort; only the
-  (small) batch shuffles. Cost scales with the batch, never the corpus.
+  straight from its buckets with no Exchange (a LOCAL per-bucket sort
+  remains — see ``_save_bucketed``); only the (small) batch shuffles.
+  Cost scales with the batch, never the corpus.
 * the **band index** — two tables written together:
   ``{prefix}_bands`` (doc_id, band, band_val) bucketed+sorted on
   (band, band_val) for the LSH probe, and ``{prefix}_sets``
@@ -122,8 +123,9 @@ def incremental_dedup_indexed(
 ) -> DataFrame:
     """:func:`dedup.incremental_dedup` against a persisted fingerprint
     index: batch hash-aggregate + LEFT ANTI join where the history
-    side comes straight out of its buckets (no Exchange, no Sort —
-    plan-asserted in tests/test_dedup_index.py). Output contract is
+    side comes straight out of its buckets with no Exchange
+    (plan-asserted in tests/test_dedup_index.py; a local per-bucket
+    sort remains — see ``_save_bucketed``). Output contract is
     identical: (content_fp, keep_id, batch_dup_cnt)."""
     fp = F.sha2(canonical_text(), 256).alias("content_fp")
     batch = (
@@ -150,17 +152,13 @@ def append_fingerprints(batch_survivors: DataFrame, name: str) -> None:
     Exchange); periodic compaction (rewriting a bucket's file set)
     is an offline housekeeping job at volume, not a correctness
     need."""
+    buckets = _index_buckets(batch_survivors.sparkSession, name)
     (
         batch_survivors.select("content_fp")
-        .repartition(
-            _index_buckets(batch_survivors.sparkSession, name),
-            F.col("content_fp"),
-        )
+        .repartition(buckets, F.col("content_fp"))
         .write.format("parquet")
         .mode("append")
-        .bucketBy(
-            _index_buckets(batch_survivors.sparkSession, name), "content_fp"
-        )
+        .bucketBy(buckets, "content_fp")
         .sortBy("content_fp")
         .saveAsTable(name)
     )
