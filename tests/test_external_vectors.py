@@ -551,6 +551,9 @@ def test_packbits_decode_tn1023_published_vector():
     assert M.packbits_decode(
         M.packbits_encode(unpacked), len(unpacked)
     ) == unpacked
+    # TN1023's 0x80 no-op (absent from the worked example) must be
+    # skipped wherever an encoder inserts it.
+    assert M.packbits_decode(b"\x80\x01AB\x80", 2) == b"AB"
 
 
 # ---------------------------------------------------------------------------
