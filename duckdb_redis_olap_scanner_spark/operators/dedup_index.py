@@ -126,7 +126,12 @@ def incremental_dedup_indexed(
     side comes straight out of its buckets with no Exchange
     (plan-asserted in tests/test_dedup_index.py; a local per-bucket
     sort remains — see ``_save_bucketed``). Output contract is
-    identical: (content_fp, keep_id, batch_dup_cnt)."""
+    identical: (content_fp, keep_id, batch_dup_cnt). The anti join
+    uses plain equality, NOT null-safe ``<=>``: a NULL-text doc's
+    NULL fingerprint never matches the index, so such docs survive
+    every batch — the same semantics as the un-indexed operator and
+    its DuckDB oracle; :func:`append_fingerprints` correspondingly
+    never persists NULL fingerprints."""
     fp = F.sha2(canonical_text(), 256).alias("content_fp")
     batch = (
         incoming.select("doc_id", fp)
@@ -151,10 +156,20 @@ def append_fingerprints(batch_survivors: DataFrame, name: str) -> None:
     hash, and the probe plan is unchanged (still no history-side
     Exchange); periodic compaction (rewriting a bucket's file set)
     is an offline housekeeping job at volume, not a correctness
-    need."""
+    need.
+
+    NULL-key semantics: a NULL-text doc hashes to a NULL
+    ``content_fp``, and the probe's LEFT ANTI join uses plain
+    equality (not ``<=>``), so a NULL fingerprint NEVER matches the
+    index — NULL-text docs survive every batch, matching both the
+    un-indexed operator and the DuckDB oracle. Appending those NULL
+    rows would therefore be pure dead weight (one more NULL row per
+    maintenance cycle that can never reject anything), so they are
+    filtered here rather than persisted (ADVICE r13)."""
     buckets = _index_buckets(batch_survivors.sparkSession, name)
     (
-        batch_survivors.select("content_fp")
+        batch_survivors.filter(F.col("content_fp").isNotNull())
+        .select("content_fp")
         .repartition(buckets, F.col("content_fp"))
         .write.format("parquet")
         .mode("append")
@@ -210,13 +225,24 @@ def append_to_band_index(
 
 def _index_buckets(spark: SparkSession, name: str) -> int:
     """Bucket count of an existing index table (appends must match
-    the table's spec exactly or Spark rejects the write)."""
+    the table's spec exactly or Spark rejects the write). Raises when
+    the table exists but DESCRIBE shows no 'Num Buckets' row — an
+    unbucketed or spec-drifted index must fail loudly here, not
+    proceed on a guessed spec with Spark's own mismatch error as the
+    only backstop (ADVICE r13)."""
     row = [
         r
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
         if r.col_name == "Num Buckets"
     ]
-    return int(row[0].data_type) if row else DEFAULT_BUCKETS
+    if not row:
+        raise ValueError(
+            f"index table {name!r} exists but is not bucketed "
+            "(no 'Num Buckets' in DESCRIBE TABLE EXTENDED); rebuild it "
+            "with write_fingerprint_index/write_band_index before "
+            "appending"
+        )
+    return int(row[0].data_type)
 
 
 def _signatures_with_sets(docs: DataFrame) -> DataFrame:

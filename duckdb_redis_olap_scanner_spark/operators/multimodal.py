@@ -598,13 +598,15 @@ def encode_tiff_payload(doc_id: int) -> bytes:
 
 def decode_tiff(payload: bytes):
     """Parse a baseline TIFF (II little-endian OR MM big-endian,
-    uncompressed or PackBits chunky 8-bit RGB) into (top-down RGB
-    uint8 array (h, w, 3), n_strips, byte_order, compression) —
-    dependency-free: header + IFD walk, inline-vs-offset tag values
-    with spec-correct LEFT-JUSTIFIED inline SHORTs (TIFF 6.0 §2),
-    per-strip PackBits expansion, multi-strip assembly via
-    StripOffsets/ByteCounts. LZW/JPEG/deflate compression, paletted,
-    planar, and tiled variants raise loudly."""
+    chunky 8-bit RGB) into (top-down RGB uint8 array (h, w, 3),
+    n_strips, byte_order, compression) — dependency-free: header +
+    IFD walk, inline-vs-offset tag values with spec-correct
+    LEFT-JUSTIFIED inline SHORTs (TIFF 6.0 §2), multi-strip assembly
+    via StripOffsets/ByteCounts. Natively decoded Compression values:
+    1 (uncompressed), 32773 (PackBits, per strip), 5 (LZW with
+    Predictor 2 horizontal differencing), and 8/32946 (zlib deflate).
+    JPEG-in-TIFF and CCITT compressions, paletted, planar, and tiled
+    variants raise loudly."""
     import struct
 
     import numpy as np

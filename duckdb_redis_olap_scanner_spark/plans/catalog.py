@@ -525,9 +525,10 @@ def scorer_width(sf_dir: str, name: str, cpus: int) -> int:
 _AGG_BYTES_PER_TASK = 3 << 19
 
 
-def agg_width(sf_dir: str, name: str, cpus: int) -> int:
+def agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
     """Task count for a whole-table hash aggregation over ``name`` —
-    the JVM twin of :func:`scorer_width`.
+    the JVM twin of :func:`scorer_width` — or ``None`` when the
+    volume already saturates the parallelism.
 
     The r11 bench audit left ``dedup_exact`` as the one over-floor
     weak query (3× same-box DuckDB at sf0.1); profiling (SCALE.md
@@ -536,16 +537,25 @@ def agg_width(sf_dir: str, name: str, cpus: int) -> int:
     layout is ~156 rows/task — and that the expression cost
     (canonicalization + SHA-256) was irrelevant to the gap. Sizing
     the aggregation's width by data volume (min 0.40 s → 0.13 s at
-    sf0.1, 0.61 s → 0.27 s at 10×) removes the overhead while
-    converging to the full parallelism as volume grows: at 100 TB
-    this returns ``cpus`` and the coalesce is a no-op."""
+    sf0.1, 0.61 s → 0.27 s at 10×) removes the overhead.
+
+    ``None`` (volume ≥ ``cpus`` tasks' worth, or no stats) tells the
+    caller NOT to coalesce and keep its default fan-out — which is a
+    no-op on an already-wide scan (``fan_out``'s partition-count
+    shortcut). Returning ``cpus`` and coalescing would NOT be a no-op
+    at volume: ``coalesce(cpus)`` on a scan with more partitions than
+    cores merges them into one giant task per core, losing dynamic
+    load balancing and straggler mitigation (ADVICE r13). So the
+    narrowing applies exactly where it pays — dispatch-bound small
+    inputs — and vanishes, rather than inverting, as volume grows."""
     import math
 
     try:
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
-        return cpus
-    return max(1, min(math.ceil(size / _AGG_BYTES_PER_TASK), cpus))
+        return None
+    width = math.ceil(size / _AGG_BYTES_PER_TASK)
+    return max(1, width) if width < cpus else None
 
 
 BROADCAST_CAP_BYTES = 64 << 20

@@ -2842,6 +2842,29 @@ def _index_tag(sf: str) -> str:
     )
 
 
+def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
+    """Application-scoped (table name, filesystem path) for a scratch
+    index: the name embeds the sanitized applicationId and the path
+    lives under THIS session's Spark warehouse dir, so two concurrent
+    runs at the same sf can never share a location (ADVICE r13 — the
+    previous fixed ``/tmp/spark_graft_idx/<name>`` raced: one run's
+    ``_save_bucketed`` rmtree'd the index another run was reading,
+    and a predictable world-shared /tmp prefix was being deleted on
+    shared hosts). ``_save_bucketed`` still clears the location for
+    same-session idempotence, but it is now uniquely this app's."""
+    import os
+    import re as _re
+
+    app = _re.sub(
+        r"[^0-9A-Za-z]+", "_", spark.sparkContext.applicationId
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = "/" + wh[len("file:"):].lstrip("/")
+    name = f"{base}_{app}"
+    return name, os.path.join(wh, "spark_graft_idx", name)
+
+
 @register(
     "pipeline_incremental_dedup_indexed",
     # Same semantics — and oracle shape — as pipeline_incremental_dedup:
@@ -2871,11 +2894,11 @@ def _index_tag(sf: str) -> str:
 )
 def pipeline_incremental_dedup_indexed(spark: SparkSession, sf: str):
     docs = table(spark, sf, "documents")
-    name = f"incr_fp_idx_{_index_tag(sf)}"
+    name, path = _index_ns(spark, f"incr_fp_idx_{_index_tag(sf)}")
     DI.write_fingerprint_index(
         docs.filter(F.col("doc_id") % 2 == 0),
         name,
-        path=f"/tmp/spark_graft_idx/{name}",
+        path=path,
     )
     return DI.incremental_dedup_indexed(
         spark, docs.filter(F.col("doc_id") % 2 == 1), name
@@ -2898,11 +2921,13 @@ def pipeline_incremental_dedup_indexed(spark: SparkSession, sf: str):
 )
 def pipeline_incremental_minhash_indexed(spark: SparkSession, sf: str):
     docs = table(spark, sf, "documents")
-    prefix = f"incr_band_idx_{_index_tag(sf)}"
+    prefix, path_prefix = _index_ns(
+        spark, f"incr_band_idx_{_index_tag(sf)}"
+    )
     DI.write_band_index(
         docs.filter(F.col("doc_id") % 2 == 0),
         prefix,
-        path_prefix=f"/tmp/spark_graft_idx/{prefix}",
+        path_prefix=path_prefix,
     )
     return DI.incremental_minhash_indexed(
         spark, docs.filter(F.col("doc_id") % 2 == 1), prefix, threshold=0.2

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
 
@@ -265,7 +267,10 @@ def test_dirty_ties_break_least_recently_verified_first(monkeypatch):
         if n in catalog._REGISTRY:
             by_round.setdefault(r, n)
     if len(by_round) < 2:
-        return
+        pytest.skip(
+            "needs two distinct verified rounds to pin the tie-break "
+            "(fresh checkout with a flat VERIFIED history)"
+        )
     oldest, newest = min(by_round), max(by_round)
     pair = {by_round[newest]: 7, by_round[oldest]: 7}  # same change round
     monkeypatch.setattr(

@@ -342,9 +342,11 @@ def test_round7_window_plans_are_clean(spark):
 
 
 def test_agg_width_volume_proportional(tmp_path):
-    """catalog.agg_width: ~1.5 MiB of parquet per task, floor 1, cap
-    cpus, full parallelism when the file is missing (cluster-scale
-    scans arrive well-partitioned; the coalesce must then no-op)."""
+    """catalog.agg_width: ~1.5 MiB of parquet per task, floor 1, and
+    None once the volume saturates cpus or stats are missing — the
+    caller must then keep its default fan-out (a no-op on wide scans)
+    instead of coalescing a >cpus-partition cluster-scale scan into
+    one giant task per core (ADVICE r13)."""
     from duckdb_redis_olap_scanner_spark.plans.catalog import (
         _AGG_BYTES_PER_TASK,
         agg_width,
@@ -356,8 +358,9 @@ def test_agg_width_volume_proportional(tmp_path):
     p.write_bytes(b"x" * (6 * _AGG_BYTES_PER_TASK))
     assert agg_width(str(tmp_path), "documents", 32) == 6
     p.write_bytes(b"x" * (100 * _AGG_BYTES_PER_TASK))
-    assert agg_width(str(tmp_path), "documents", 32) == 32  # capped
-    assert agg_width(str(tmp_path), "missing", 32) == 32  # no stats
+    assert agg_width(str(tmp_path), "documents", 32) is None  # saturated
+    assert agg_width(str(tmp_path), "documents", 128) == 100  # under cpus
+    assert agg_width(str(tmp_path), "missing", 32) is None  # no stats
 
 
 def test_dedup_exact_entry_narrows_to_volume_width(spark):
