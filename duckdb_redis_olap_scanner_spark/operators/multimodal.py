@@ -430,11 +430,24 @@ def tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+def tiff_lzw_decode(
+    data: bytes, expected: int, early_change: bool = True
+) -> bytes:
     """Inverse of :func:`tiff_lzw_encode`, bounded by ``expected``
     output bytes. The decoder's string table lags the encoder's by one
     entry (the first code after Clear appends nothing), so its early
-    change fires at 2^w - 2 where the encoder's fires at 2^w - 1."""
+    change fires at 2^w - 2 where the encoder's fires at 2^w - 1.
+
+    ``early_change=False`` reads streams whose encoder switched code
+    width one code LATER than the TIFF 6.0 / libtiff convention —
+    the variant PDF's LZWDecode calls ``EarlyChange 0`` and what the
+    JDK's ImageIO TIFF writer emits (verified against a
+    com.sun.imageio-encoded strip in tests/test_external_vectors.py).
+    The two conventions are locally indistinguishable — misreading
+    shows up later as an out-of-table code or a wrong expansion
+    length — so :func:`decode_tiff` tries the spec convention first
+    and retries with the late variant on failure, like permissive
+    real-world readers."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width, acc, nacc, pos = 9, 0, 0, 0
@@ -479,7 +492,8 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         if len(out) > expected:
             raise ValueError("TIFF LZW output exceeds strip size")
         prev = entry
-        if len(table) == (1 << width) - 2 and width < 12:
+        if len(table) == (1 << width) - (2 if early_change else 1) \
+                and width < 12:
             width += 1
     if len(out) != expected:
         raise ValueError(
@@ -694,7 +708,14 @@ def decode_tiff(payload: bytes):
         if compression == 32773:
             strip = packbits_decode(strip, rows * w * 3)
         elif compression == 5:
-            strip = tiff_lzw_decode(strip, rows * w * 3)
+            try:
+                strip = tiff_lzw_decode(strip, rows * w * 3)
+            except ValueError:
+                # Late width-change streams (JDK ImageIO, PDF
+                # EarlyChange 0) — see tiff_lzw_decode.
+                strip = tiff_lzw_decode(
+                    strip, rows * w * 3, early_change=False
+                )
         elif compression in (8, 32946):  # Adobe / legacy deflate
             import zlib
 

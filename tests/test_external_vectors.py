@@ -30,9 +30,19 @@ Round 12 adds three more external families:
   fully-transparent pixel via a 1-entry color-indexing transform),
   walked through the real prefix-code/transform machinery.
 
-Remaining caveats: JPEG and TIFF-LZW have no independent encoder or
-published byte-exact vector reproducible in this container and stay
-covered by closed-form synthesis + corruption fuzz.
+Round 13 closes the last two synthesis-only families:
+
+- JPEG: two REAL-encoder public files shipped in this environment
+  (CPython's test-suite python.jpg — baseline 4:2:0; Node.js's
+  thin-white-stripe.jpg — progressive 4:4:4 at non-MCU-multiple
+  dims), compared against the JDK ImageIO decoder's rasters (baked
+  as literals; generated once via Spark's JVM gateway).
+- TIFF-LZW: a strip encoded by the JDK ImageIO TIFF writer — which
+  turned out to emit LATE width changes (PDF EarlyChange 0), one
+  code later than the TIFF 6.0 / libtiff convention, catching a
+  real-world variant our spec-only decoder rejected.
+
+Every codec family now has at least one external vector.
 """
 
 from __future__ import annotations
@@ -606,3 +616,440 @@ def test_decode_webp_minimal_literal_hits_rgb_contract():
 
     with pytest.raises(ValueError, match="non-opaque"):
         decode_webp(WEBP_1PX_MIN)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: JPEG and TIFF-LZW external-encoder vectors
+# ---------------------------------------------------------------------------
+#
+# JPEG truth values come from an INDEPENDENT decoder available in this
+# container: the JDK's com.sun.imageio JPEG reader (IJG-derived),
+# driven once through Spark's JVM gateway; the decoded rasters are
+# baked below as literals (BufferedImage.getRaster().getSamples — raw
+# code values, NOT getRGB, whose gray->sRGB ICC transform distorts
+# grayscale). The JPEG payloads themselves are published public files
+# shipped in this environment:
+#
+# - _CPYTHON_LOGO_JPEG_HEX: Lib/test/test_email/data/python.jpg from
+#   the CPython source distribution (PSF license) — a REAL-encoder
+#   baseline SOF0 16x16 4:2:0 file.
+# - _NODEJS_STRIPE_JPEG_HEX: doc/api_assets/thin-white-stripe.jpg from
+#   the Node.js distribution (MIT) — a REAL-encoder PROGRESSIVE SOF2
+#   493x58 4:4:4 file whose non-MCU-multiple dims exercise the
+#   partial-MCU ceil-grid + crop path end to end.
+#
+# TIFF-LZW: no LZW TIFF ships in this container, so the vector is a
+# strip ENCODED BY the JDK's com.sun.imageio TIFF writer (the
+# independent encoder available here), over pixels reproduced by the
+# closed-form formula in the test. Decoding it caught a real wild
+# variant: the JDK emits LATE width changes (PDF's EarlyChange 0),
+# one code later than the TIFF 6.0 / libtiff early change — see
+# tiff_lzw_decode(early_change=).
+
+_JDK_LZW_TIFF_HEX = (
+    "4d4d002a00000008000c0100000300000001001700000101000300000001000b000001"
+    "02000300000003000000a0010300030000000100050000010600030000000100020000"
+    "0111000400000001000000b80115000300000001000300000116000300000001000b00"
+    "0001170004000000010000038e011a000500000001000000a8011b0005000000010000"
+    "00b0012800030000000100010000000000000000000800080008000000000001000000"
+    "010000000100000001800020407018041c060105412030e0300823078145412030c42a"
+    "071c060103f0d8248c1e05134420b2a090185b13834c42a071a45a0f380c0207719844"
+    "fc36092147213460f028931f85534420b0340a020a018061b01810440c028a41206180"
+    "280e370b8207c10049143a0a2607816530d830b42406984420e340881e6f17840ec280"
+    "89f46a12420d8268b19851243c0aa647216500e82ea723860340a020841205140300c2"
+    "f0181c6c06040f40a0922060144b0f82ca41206164220d300501c671583cdc2e081d45"
+    "a113e08024831384d143a0a24472154c0f02c9f1985d4c360c2b46a195a12034270781"
+    "85c0c038d412081e0181243018289400059443a0c2c0681a5f0b838cc14079b422103a"
+    "0b8227b15849042809a244a14480882a4b87e0b13c1e02e528720c1581b032598660d1"
+    "74180366089a0e0680a0101d82e04884090142483a058a00c0182b836068bc0301c328"
+    "02078d8060203981e088f4050244086a0991018028478660a92c1f02c4e8720b948120"
+    "305584e0c964110345c85a0d98014038638560e99c2b03c208320539c0589e0f8182b0"
+    "20068ba0a81c3202c078d60582039018088f200824400040990e03828470700a92a1e8"
+    "2c4e07c0b94619830550680c962148345c0540d97e17838630400e99a1283c6a04c0f9"
+    "b62d8402703c060aa0e81a2e030070c60b81e35024080e2088223c018090fe05826430"
+    "0c0a11a0282a4a0000b1361f82e510740c1521c832580680d16e198365f05c0e18a168"
+    "3a660500f1a61383e6d044101c210842740b8110b61181c31040078d21282038054088"
+    "ee178243f0580990a188284606c0a9261d82c4d0700b9421e830540040c95e038345b0"
+    "080d97a048386201c0e9960983c690200f9b20a84070034109ce0f84477038119ea308"
+    "4834050080de158223b05c090fa10826420480a1161382a490740b1321e82e500600c1"
+    "4e198325706c0d16a048365e0180e1860783a650040f1a20283e6c030101be0d842730"
+    "3c111da088467a028121f60b84a010d413364090f817026418560a1141202a488420b1"
+    "301102e4f87e0c14c1c032e50345a06c0d97619838610180e9920483c680140f9ae038"
+    "406f000109ca0e8447603c119e60d8487d028128020884c04024e80de141041902844a"
+    "2c480680b12f0c13c1f0305287a0c958100345984e0d97415038608520e9901603c678"
+    "260f9ac0b0406e82a109c80c0447583e119e4010487c802128000204c038161381c070"
+    "500a81a14839762020"
+)
+
+_CPYTHON_LOGO_JPEG_HEX = (
+    "ffd8ffe000104a46494600010101000100010000ffdb00430003020202020203020202"
+    "0303030304060404040404080606050609080a0a090809090a0c0f0c0a0b0e0b09090d"
+    "110d0e0f101011100a0c12131210130f101010ffdb0043010303030403040804040810"
+    "0b090b1010101010101010101010101010101010101010101010101010101010101010"
+    "101010101010101010101010101010101010ffc0001108001000100301220002110103"
+    "1101ffc400160001010100000000000000000000000000070405ffc400241000010401"
+    "0402020300000000000000000102030406050708121311220014093132ffc400150101"
+    "0100000000000000000000000000000006ffc400231100010205030500000000000000"
+    "000000010211030405062100123115166181e1ffda000c03010002110311003f0014a6"
+    "d26a1b73c1e61312d4951cf31163e42565beba5aec694540b1e520b254a51fd2cab8fa"
+    "f220ab963d976c9335e69b77d7e66da71781a5571c7f1cea71e24b39d7e32253f21a69"
+    "ded4714a38b482e84b892a71691ecd2d213bf1efb91a74aceea15a758ed548ac655b85"
+    "8b81857b21299867a96b94b949654fb9c88529114b812af07ad9f23c807e55be0df662"
+    "a140cce8e69a3d5cb743b3d77a6558b1d9512188bf64b8d3f1c3680429c0d0febb3c02"
+    "e03c5407b4bdd97b54e627fb6edf9460148262138db8529828370589727960e432896f"
+    "c3828ea7528cea208dbe78191f07ad7fffd9"
+)
+
+_CPYTHON_LOGO_IMAGEIO_RGB_HEX = (
+    "0002080000050100040004106582a05884ab4f7fad497bac4976af436b9c41637e0006"
+    "1300010603000000020000020000050d00030b0001090003126586a5d8ffff5083ae40"
+    "74a33f6da1436c9a4d6c8900041300010501000000010001060000030b00040e000919"
+    "00071e5782a24b7fa4427a9f437aa13b6b99456b98405d7f0002190003090308040002"
+    "00000501000b1f6a8aa15f84a15782a54d7fa4427a9f336f942b668e396e9a3c66904a"
+    "62860007130103000703000907000502005590b85288b45684b6507eb2447aa83a77a3"
+    "3675a131709c2a67933e6e9449617d000200efde8ef6de7ee5d1941100004a8dc24d8c"
+    "c14f84ba4a7db24176a8427ba838729a346b92386e944169824d5d5c0f0900fbde69fb"
+    "d856e9ce77180000578bc54b83b64882a8437ba04070a1446f9c3e6a8741677e43627e"
+    "45585c080600ddcb69f6d44cfcd64ff0d3751901004e80b54e82b1427b994779904767"
+    "7e1c323f000700000a00000700060800d2c463f7db56ffdb44f3ce41eacd671c030049"
+    "83ab437ba0487999456771000600e3dea6f1e696f0e482f1e67aeee065f8dd52fcd941"
+    "f8d231f2ce3aecd0621b0400467f9d4b7e9d49708d223634dfde9efbe882ffe46cffe3"
+    "5af8dd48fddf43f9d235ffd737fad12bf4d03ed6be541a0800497894466e8850688000"
+    "0400f4ec97ffec6fffdf5affda4fffd847ffd743ffd239fbc628fbcb29f3cd44ae9946"
+    "0f030000061b000a1c000212090900f5e784f7dd52ffdd4ef0c133efc034eebf33edbc"
+    "33e9bb34dfb837b89b3512010014060000000b000209000306070300efdd71ffe755ff"
+    "dc46fdd542f7d148f1cf51e8c8571e05001103001105001402000e0000070000040000"
+    "040301080200f6e27ff9dc5af4d24df8d553efd155ffff95d9c56e0e04000404000001"
+    "000700020d0006060201030200010000070100dccb85e4cd6feed175ebcc6fe7ce6ad5"
+    "c067aa9b5a090400000300010707000004010005000100000000010002070100140500"
+    "1704001b01001d02001b03001906000f0200060200000300000304000105000106"
+)
+
+_NODEJS_STRIPE_JPEG_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb00840001010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101010202"
+    "0202020202020202020303030303030303030301010101010101020101020202010202"
+    "0303030303030303030303030303030303030303030303030303030303030303030303"
+    "0303030303030303030303030303ffc2001108003a01ed03011100021101031101ffc4"
+    "001d00010003000203010000000000000000000008090a020601050b07ffda00080101"
+    "00000000b0a0000000000000759ecc06bac0000000000f201c1f3dbfa1381c80000000"
+    "000082d910d3ff00b5af3bbfc9c525ef23303ae49bc000000000000639e4354748a8b9"
+    "6795b5036c02635f1da700000000000015bd376bdba1413b24ce75b44edcee6cff00d9"
+    "000000000000010d224fe99665cc0000000000000115e11cd995600000000000000000"
+    "ffc4001c0101000105010100000000000000000000000301020405060708ffda000801"
+    "0210000000f9a400000000000050a81f4900000000001400918b30128000000000016c"
+    "32f8c657ab5f1e44535c000000000000415b3e38ea7dcbacb6ed56eef0000000000002"
+    "dadbe75cff007dbec8ac7380000000000000e774399da000000000000001a3e6fa4de0"
+    "00000000000000003fffc4001c01010002020301000000000000000000000002060304"
+    "05070801ffda0008010310000000f388000000000000003d1e00000000007c0036f500"
+    "0000000000013d8c1d4fc576ff002797573eb44000000000000d98e4f18ed7a0fb0670"
+    "af7358c0000000000009c67d555dec2baca19b58000000000000055eb7bf7cfa000000"
+    "00000000af552d562000000000000000007fffc4002910000102050500020202030000"
+    "0000000000060805070919220203040a11015013391418314860ffda00080101000108"
+    "00b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d"
+    "3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c"
+    "34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14"
+    "b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c"
+    "52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c52c34f14b0d3c62c34"
+    "f184ed13dc9abf7d43c5495869e2961a78a5869e2961a78a5869e2961a78a5869e2999"
+    "9999999999999999999999999999999999999999999999999999999999999999999999"
+    "99999999999999e6a3cd479a8f351e6a3cd479a8f351e6a3f1fcfc7f8fc5f244e724d5"
+    "943d85959a25979a8f351e6a3cd479a8f351e6afb07dd5116df4f197d075bcfb5df67a"
+    "7a1159ed0f5ccbfa71d5e1b4d46f8bc84ca25d3d4b91527f7e3e8b94b232b2f32910ae"
+    "dd80b928cbbb6e29d6efcd75ea07abd9f261c5555b29a62d22e77c7dca55a9be4fd54d"
+    "44aad2d8a9cb0fe2c1663223b423bb87cf8e7ad17cc6ea0edb2a0f2f628ba6fdf67db3"
+    "bfd03184d3ed994c1a20f1d76b4eb0bfb175693995fb3c1764e910dc999fbfb9c6f8fe"
+    "46d385dcddddeb30a7dddea0bf1a979c8d6e13fbe72a74c8ed158692da1b47684fd882"
+    "049474ff006f55116a4a541b45a5ad2d25cd3265eae2109dfb37dd4c591750f5d37450"
+    "cfe43ca49652da5a41a4da15b9522daeb4777d1c762dd9e7520a553828f4766e49b45d"
+    "26b4c3785c9988f9a390e6e3166ddc96eb309d975aa58c479f0898f4eea7075f3906d0"
+    "a328e9cf3eaa074a66b15138571b9f35db975c77c5255d67194c9e83707950c8442a1b"
+    "cdfb7d09f81aa1e0cd18c29a0ce61ce2b92c9e556fca146a2a664ca5442e19b5b7a76b"
+    "6f6f6b4fdd4c69673821332e3f3724a26538dee02934bcb087b7c92aa94446e2abe5b7"
+    "fc37ffc4003a100000060201030204040305090000000001020304050600070896b1d7"
+    "1112131421a11516225017416109232431584251606871b6b7c8d1ffda000801010009"
+    "3f00bdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1"
+    "d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f"
+    "8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c7"
+    "5eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e"
+    "28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d"
+    "7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8"
+    "a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75"
+    "eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e2"
+    "8cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7"
+    "acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a"
+    "32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f7c75e"
+    "b2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbd71d7acf61f8a32f5c75eb3d87e28"
+    "cdd1c4fb439a8cebcab5adbd7768dbe6d7ac59a3bdbf88572c2946eb372a42ceb1f797"
+    "e3337209384bd43dc40f5cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a32f"
+    "7c75eb2d87e28cbdf1d7acb61f8a32f7c75eb2d87e28cbdf1d7acb61f8a307b60f6c1e"
+    "d83db07b60f6c1ed83db07b60f6c1ed83db07b60f6c1ed83db07b60f6c1ed83db07b60"
+    "f6c1ed83db07b60f6c1ed83db07b60f6c1ed83db07b60f6c1ed83db07b60f6c1ed83db"
+    "07b60f6c1fb061bec186fb061bec186fb061bec186fb061bec186fb061bec186fe5e81"
+    "ea023e9ff4fd41ff00dfeb8737f2ff0077d03d03d40a3fe7fabd3ea23ea3f5fa0866c0"
+    "b55210d81fda2554d7d7b655f9776c632e54ab56e981829eacda22d353f0f9d887d1b2"
+    "4b17e1394940454302a97b15210e537d830df60c37d830df60c37d830df60c37d83f70"
+    "9c98195b88ce36d6faf6a914797b96c291aea518acd3685495519c3c7b3882cdb3176f"
+    "641db46a80394cbef32aa2491e87abaa5a3a25759aff0002e66306cae2cf12b2c4117b"
+    "69d95f0a36ccded28a006f965a24b1d1a818c5f8ec9dfb044e9ce6b9de7035c52cb6ed"
+    "336d20bb78d621a3b8e8e909ea9db19364a12dd5c6b252a8222a7b5948a62a94cb3244"
+    "86298d14db62ec2849093819693903386f46ab4f43bd7b192f18f8cd946d2964968793"
+    "62641cb56a76add33898a2f01549444211bec5a64c3e59c36b554a2e22bd73aa82a21f"
+    "e04910d4b195cb343b5f614124d4f927c5050e73bb70252243b4e0a174047469e4df6c"
+    "2926f2cd59b7212746aff2031278ff00cc0ace2b66f48e49826d0ef577a62a29a47398"
+    "a034189aad2a125d05deeccdc1089ce596f4dd8b80328c62e9083f246d46b52654cc53"
+    "aae1c3a955dba85310239628864443c0d8f6e73c3445ea6e1abff3bf8246c94f6eea6b"
+    "b76d228245cbd7e0c5254c20982cb2aa017e82630fd71c4cdeb74d82bc5b1d374ad352"
+    "009e948970edfc6319eb1d81e243074eabb8958c5d1f995ccbbc57e0aa2d59ba149429"
+    "757eafb1e8695591681a4e09bb98299abc4a4b1fdb235ed98b15fcbc8da9444c5f9a3c"
+    "936711ae4482083463eff712cb22e5f550615bec3a0d9e30f0b78d7725604a45687656"
+    "260455dc6b86f2858877f28f63dd3c62e45b2a522c2a24a909fb9ffcd47feb8671e75d"
+    "59361dff004a6e8d8b62d8d290e0e760fe71a7ca6ca6b549684b99d4fcc35924036866"
+    "e9a0d639c35666294ff1525057702aff00a5ed97ff007dea7c5fd4af77f6e9978cf71b"
+    "f4a0f54d856355db0288fafa0b96e1f18a1f400314dfed1f07d1445405083fd4047fcf"
+    "fa087d30c27554b7431d43987d4c739b9a71c26308ff0031308fae0e8f1d8458b63fc3"
+    "626ff5812a8fe411829e1d80a57ff311894535b93501b8a226119e2103dd1de9e8b0e1"
+    "8c7e3f97fb41f4d174f98c3613146821beea9f9785135b002ce66df23edf84321fe305"
+    "2f6fc5fd7eb9fe94b5c7fe4bdcf91fc414d957353ead5b5eda80f2d5ede5adf7b3b774"
+    "1fe28486e3916d0cf36f4a32966ac2c889919924957dcfab1186294897c542f762d97b"
+    "236e8d39d6d3b8ca366f0b02e9c51d2b292bd1950aab751e1e0e1e34d6f90131dcbb7a"
+    "edd28b7bcea14854d14bf7398b7a94ee3ea9b39c175f55df2706db602db1cdae84ed2c"
+    "5644006722e1e30bafca074a38cd9db8f9a1f6ba43e1feba2d66b3aaebf5e52a913418"
+    "d8a6a4ac37aeae92e93c8a5231522a83c6f22574a8baf8e0a19d9d650eb09cea1cc64a"
+    "c1aec2d1ad6d5afe774ea0e825b5f377166b05527cf60aa2b2265676b408a95a310f1d"
+    "f30e58fa2e506c4689a5f0d49b1d35bca524ddd9649c9c1d496bebb591cacbbe712162"
+    "8928ad215d969490310cbc8467b92faa8aaac1caea18f9b26bda7f5c413c3a0eebb58b"
+    "147be9db53840ee08924dac6741d318d6130a2443b36ed5bbe997a89cc97c064e3da21"
+    "c35d8307c0d968b1824646662a45668dd9a1369da53b6d969d1f30e37353a255b107e2"
+    "6d6c8e03f112bd283a5c1b898aa8ed5ab6e0d4d72906c76d53bedb22184dd4e3e41c81"
+    "0d2511b018a435bbc55e2804e6540e9b3964124c1322720b7b8d9364dffc87ab4944d9"
+    "eba74537915a9f5ada621ca32319275383505094b64ec248a20a369497f6a455134d74"
+    "63daae9954c8593aaedb8282fc029bbae92e08cee307188b97d22ca12599ba2af096ea"
+    "ba32920b2df24f511552f8eb7ca3868a2ca283cb2af6a0d774b788c840efcd50f6c2db"
+    "685922d65fdcac031d7c73336910f5e376e0949a12526f220a454a0509327c44725dfd"
+    "81ec7c6b162ee7a5528c46526dd346a920e25e491858f898749fc92a98acb15a356cd8"
+    "aa1c41249327b481fbbc4b2b13dd5fa5351496bd19a47f126d4f93b24eedc3cf4ac031"
+    "742a338d979508166455e26995d0a681480a013d4065ec90108b6a9a0d89b5875968a8"
+    "fdcd07216c9bad0cdd97f8a2ce1661e5ae8acdab85d1f82d9ac72463c79be64aa180c5"
+    "0134341d5365f1d38fbb9ec0d352acf62a8f21b2656d3b35a4ddaebd153b1480b60920"
+    "89413399cc73776b15ba62e9305ca610138953211328a873aa71290a05013a8a18ca28"
+    "7100fa98c22223f511f5fdedf5065e42e746af50ee345d9079b8660e1bd55e5a9ed7ec"
+    "15db7579acc3a8d7cd15b6b823966e239c22e9200f6aa89c0072b7bbef3c8eafd36bba"
+    "e6f741d5325b974e485d54a9c4a308de6afc6349d1ab6d35e1d13026c67a54c415e34c"
+    "42262a19316e9b7a6d664e4a8349d6757d63af127cbd575d5068cfac727090aad8e54c"
+    "47f6db019cd9d6f9b7a0d99a0262fa2699c3fbc1ff0081bfffc4003411000102030802"
+    "01010703050000000000010203001112040617525493a1d20521314107132232505171"
+    "6181d31523424460ffda0008010201013f00c3bbdda51bacf78c3bbdda51bacf78c3bb"
+    "dda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf7"
+    "8c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51"
+    "bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bb"
+    "dda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf7"
+    "8c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51"
+    "bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bb"
+    "dda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf7"
+    "8c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51"
+    "bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bb"
+    "dda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf7"
+    "8c3bbdda51bacf78c3bbdda51bacf78c3bbdda51bacf78c3cbdfa41bacff009230f2f7"
+    "e906eb3fe48c3bbdc7fea8dd67fc918777bb4a3759ef18777bb4a3759ef18777bb4a37"
+    "59ef18777bb4a3759ef18777bb4a3759ef18777bb4a3759ef18777bb4a3759ef14399f"
+    "8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f811439"
+    "9f8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114"
+    "399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f81"
+    "14399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114399f"
+    "8114399f8114399f8114399f8114399f8114399f8114399f8114399f8114b99f8114b9"
+    "9f8114b99f8114b99f8114b99f8114b99f8114b99f8114b99f8114b99f81135fefc44d"
+    "7fbf023f105ca7ee714b99f8114b99f8114b99f8114b99f8114b99f8114b99f8114b99"
+    "f81fa8294123dc7deaa7fd212b0afe62fa7db3788bbde4d7777c4b66d5e750695d40a5"
+    "968913928fa538a130694493efdb808298bbbf6816e5b29579848750a33a9002549fe0"
+    "7a4a80fdbd1fa951f88b25b6cb6eb326d965585d9d5391f63e0907d19104104488853a"
+    "7fe300cd53feb0a584fcfcc07553f7f1095050f5faa3df484a53f77397b9435f9bfb47"
+    "da5f8cb33d7a17e62c63fde45a1c6de97d40714127f9499a49fd8a7f68f1ca28f1a163"
+    "e409c5c699ba6c151992a70cff00975661ba3dd5f31eabf5f13877f37f68b3b7e615e5"
+    "5d2f16bfd23eec7dd81f982bd4e7ea79a7332fcb4fd610808fe7f545202889fd224009"
+    "7d2020255508bcff0067560f325cb5f8f5062dce12a50332d38a54c9247b2852899952"
+    "663e4d054671e1ee42ac3622bbcce26cf6441224140a95fb7b13002be804d67e249316"
+    "3b7d97c6d910cb3627d8f069124ae53909cca94899712924935a8124fb50139c365ab4"
+    "361eb32d2b65426082083fc11ea12d84fb3ecc29015f3f301a503f3fac865a7ef03ee3"
+    "c90b5316668b73f741529da8a41f409a44cfcfa94e1bf33e6ad0c21f2a5a1bfb842aa6"
+    "d80f24a9499abef00254800ca40247e1fc538f1f67b35b6dab42294b0f58d87941a984"
+    "170a9c05490a1f590f9482642a13802425faddaec5e41bb6aedfe34b4a5b8d250b4395"
+    "01f84a8a5495a41208a8cc149047d418619f12d308b12116977cba1b4b6b4345e64ae9"
+    "12a97ed090de55abe53e84e521e27c6bf667156ab486d0b53486d2db73a5b420a88151"
+    "f6a57e2333203f61f5ff00c3ff00ffc400351100010204050400040502070000000000"
+    "0102030004061117515392d30512213113223241071450618152713042606291a1c1ff"
+    "da0008010301013f00c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154"
+    "fab25bdce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154fab25bd"
+    "ce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154fab25bdce28c22"
+    "a9f564b7b9c5184553eac96f738a308aa7d592dee71461154fab25bdce28c22a9f564b"
+    "7b9c5184553eac96f738a308aa7d592dee71461154fab25bdce28c22a9f564b7b9c518"
+    "4553eac96f738a308aa7d592dee71461154fab25bdce28c22a9f564b7b9c5184553eac"
+    "96f738a308aa7d592dee71461154fab25bdce28c22a9f564b7b9c5184553eac96f738a"
+    "308aa7d592dee71461154fab25bdce28c22a9f564b7b9c5184553eac96f738a308aa7d"
+    "592dee71461154fab25bdce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee7"
+    "1461154fab25bdce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154"
+    "fab25bdce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154fab25bd"
+    "ce28c22a9f564b7b9c5184553eac96f738a308aa7d592dee71461154fab25bdce28c22"
+    "a9f564b7b9c5184553eac96f738a308aa7d493dee71461154fab25bdce28c22a9f564b"
+    "7b9c5184553eac96f738a308aa7d592dee71461154fab25bdce28c22a9f564b7b9c518"
+    "4553eac96f738a2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c"
+    "338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce"
+    "2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce2c338b0ce3c7f85f"
+    "3671f3670002cf9cbf574214b3610184dac7dc2db523c9f51557e28f4ee8b34be93d2d"
+    "1f99eaa8576a89b869b50f0413e14b50fba5361fef04111d0ff11a7db2075a4879951b"
+    "f72004ad3fb002c9501f606caf64a8fa8909d96ea72c89c9157c4975dec6c47a241163"
+    "6208208371f684b02df3fb823b5b2065086d4bf5ea0b09b587b85a148363faa4bfdff8"
+    "ff00d85ad41db03e2f0ffd1fcc55df01753cd38cfd626de0afee1d50ff0091e6ff00c4"
+    "2965b93ef4fd405ffea3f0bca8d252aa51ba8a9e37feeeb90efc4f1d97b41bfc33ddee"
+    "d0c7d1fcc4b9a89ba81f54e29b3d00b63e1816eeeef1fb5ffabbae6df4f6fde1c70acf"
+    "ec3f5442ca01b7b304926e7dc29c5293daa8aabf0cba7f5971cea1d295f96ea8b51528"
+    "1b969c512492a1e4a14a26e549b8f64b65449890a0ff002f28662ac7512b24836294a8"
+    "152ed9285c00aff281dcb23c76a4c74eea92bd1e51b6a5a42625a9f40210e76dec2f72"
+    "a5b772ea50a249ef5024deea02f78969e626994beca92b6542e14920a4ff0062216f15"
+    "784f81087148f5ea14f20a7c8f3fac865998a9a61d98485ae5e5192df779082a53ddc5"
+    "20f80a3da9ba879b0b5e1aebdd7a665d130a538868cb36a0a6a5c3e92b527b95f14249"
+    "5b60122c0247cbf35e3a64acacfcfb8db7da8979891967d419b86cba56e852d2143c5f"
+    "b47b4826c3b85e00b0b7eb73d21d4db9f5f52e945952dd652dadb77b922c82b2952569"
+    "0a208ef37052411f70625d8e8accb37d3d0dcdbdd710d25a71b64bec173b13dbdce796"
+    "d21bfe9717ed3602f6ed1d17a54c4a3aa9c9a0d36e2996da434ddfb1a6db2a294f71f2"
+    "b55d66eab24640fbff0043ff00ffd9"
+)
+
+_NODEJS_STRIPE_IMAGEIO_RGB_GRID_HEX = (
+    "44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d4488"
+    "3d44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d44"
+    "883d44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d44883d"
+    "44883d44883d44883dfefefefefefefefefefefefefefefefefefefefefefefefefefe"
+    "fefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefe"
+    "fefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefefe"
+    "fefefefefefefefefefefefefefefefefefeffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffffffffdffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffffefefe3c383581be6eecf2ee3b3734ffffff3c3837ffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffff518851428540fefefee7e6"
+    "e45e5a59ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "fffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffe"
+    "ffffffff3c3835ffffff999896ffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffa9c8a8e2eee0ffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffff679e67fdfffcffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+    "ffffffffffffffffffffff"
+)
+
+
+def _hex(b):
+    return bytes.fromhex("".join(b))
+
+
+def test_decode_tiff_lzw_jdk_imageio_vector():
+    """A JDK-ImageIO-encoded LZW TIFF (big-endian MM, 23x11 RGB, no
+    predictor) decodes bit-exactly to the generating formula. This is
+    the first TIFF-LZW vector from an encoder other than our own —
+    and it requires the late-width-change retry path."""
+    data = _hex(_JDK_LZW_TIFF_HEX)
+    px, n_strips, byte_order, compression = M.decode_tiff(data)
+    assert (byte_order, compression) == ("MM", 5)
+    assert px.shape == (11, 23, 3)
+    want = np.zeros((11, 23, 3), dtype=np.uint8)
+    for y in range(11):
+        for x in range(23):
+            want[y, x] = (
+                (x * 7 + y * 13) % 256,
+                ((x * 3) ^ (y * 5)) % 256,
+                (x + y * 2) % 256,
+            )
+    assert (px == want).all()
+
+
+def test_jdk_lzw_strip_is_late_width_change():
+    """Pin that the JDK vector really exercises the non-spec variant:
+    the raw strip fails under the TIFF 6.0 early-change rule and
+    decodes exactly under early_change=False."""
+    data = _hex(_JDK_LZW_TIFF_HEX)
+    # Single strip: StripOffsets/ByteCounts are LONGs inline (MM).
+    (ifd_off,) = struct.unpack_from(">I", data, 4)
+    (n_tags,) = struct.unpack_from(">H", data, ifd_off)
+    tags = {}
+    for i in range(n_tags):
+        tag, _typ, _cnt = struct.unpack_from(
+            ">HHI", data, ifd_off + 2 + i * 12
+        )
+        tags[tag] = struct.unpack_from(">I", data, ifd_off + 2 + i * 12 + 8)[0]
+    strip = data[tags[273] : tags[273] + tags[279]]
+    expected = 23 * 11 * 3
+    with pytest.raises(ValueError):
+        M.tiff_lzw_decode(strip, expected)
+    out = M.tiff_lzw_decode(strip, expected, early_change=False)
+    assert len(out) == expected
+
+
+def _ycbcr_from_rgb(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return (
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    )
+
+
+def test_decode_jpeg_baseline_420_cpython_file():
+    """CPython's test-suite python.jpg (real-encoder baseline 4:2:0)
+    against the JDK decoder's raster. The luma plane is
+    decoder-agnostic (full resolution, unaffected by chroma
+    upsampling policy), so on pixels where the independent decoder's
+    RGB is unclipped — Y is recoverable from clamped RGB only there —
+    our Y must agree within rounding; chroma differs by upsampling
+    policy (fancy triangle vs spec replication), checked as plane
+    means."""
+    from duckdb_redis_olap_scanner_spark.operators.jpeg import decode_jpeg
+
+    px, stats = decode_jpeg(_hex(_CPYTHON_LOGO_JPEG_HEX))
+    assert (stats["width"], stats["height"]) == (16, 16)
+    assert px.shape == (16, 16, 3)
+    truth = np.frombuffer(
+        _hex(_CPYTHON_LOGO_IMAGEIO_RGB_HEX), dtype=np.uint8
+    ).reshape(16, 16, 3).astype(np.float64)
+    y_t, cb_t, cr_t = _ycbcr_from_rgb(truth)
+    unclipped = ((truth > 0) & (truth < 255)).all(axis=2)
+    assert unclipped.sum() > 100  # the comparison actually bites
+    dy = np.abs(px[..., 0].astype(np.float64) - y_t)
+    assert dy[unclipped].max() <= 3.0
+    assert abs(px[..., 1].mean() - cb_t.mean()) <= 5.0
+    assert abs(px[..., 2].mean() - cr_t.mean()) <= 5.0
+
+
+def test_decode_jpeg_progressive_nodejs_file():
+    """Node.js's thin-white-stripe.jpg: real-encoder PROGRESSIVE
+    (SOF2, spectral selection + successive approximation) at
+    non-MCU-multiple 493x58 — both the progressive scan machinery and
+    the partial-MCU crop run against externally-encoded input. 4:4:4
+    sampling makes the comparison upsampling-free, so all three YCbCr
+    planes must match the JDK decoder on a 38x9 sample grid within
+    rounding (measured max |diff| 1.0)."""
+    from duckdb_redis_olap_scanner_spark.operators.jpeg import decode_jpeg
+
+    px, stats = decode_jpeg(_hex(_NODEJS_STRIPE_JPEG_HEX))
+    assert (stats["width"], stats["height"]) == (493, 58)
+    assert px.shape == (58, 493, 3)
+    grid_rgb = np.frombuffer(
+        _hex(_NODEJS_STRIPE_IMAGEIO_RGB_GRID_HEX), dtype=np.uint8
+    ).reshape(9, 38, 3).astype(np.float64)
+    y_t, cb_t, cr_t = _ycbcr_from_rgb(grid_rgb)
+    samp = px[np.ix_(np.arange(0, 58, 7), np.arange(0, 493, 13))].astype(
+        np.float64
+    )
+    assert np.abs(samp[..., 0] - y_t).max() <= 2.5
+    assert np.abs(samp[..., 1] - cb_t).max() <= 2.5
+    assert np.abs(samp[..., 2] - cr_t).max() <= 2.5
