@@ -433,13 +433,23 @@ class RedisZSetReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = options
         self.page_size = int(options.get("page_size", DEFAULT_SCAN_COUNT))
+        # ZRANGE ... WITHSCORES is the second reply this engine
+        # consumes whose shape changed in RESP3: the RESP2 flat
+        # [member, score, member, score, ...] bulk-string array
+        # becomes an array of [member, double] PAIRS after HELLO 3.
+        # Like the hash source, negotiate RESP3 by default (falling
+        # back to RESP2 against pre-6.0 servers) and parse both
+        # shapes; set protocol=2 to pin the legacy wire form.
+        self.protocol = int(options.get("protocol", 3))
 
     def partitions(self) -> list[_SingleKeyPartition]:
         return _single_key_partition(self.options)
 
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
         page = max(1, self.page_size)
-        with RedisClient(part.host, part.port) as client:
+        with RedisClient(
+            part.host, part.port, protocol=self.protocol
+        ) as client:
             # Small keys (≤ one page by ZCARD) read in a single
             # ZRANGE, keeping the old exact-snapshot semantics; only
             # keys that genuinely need bounded-memory paging pay the
@@ -454,14 +464,21 @@ class RedisZSetReader(DataSourceReader):
                 )
                 if not flat:
                     return
-                members = [
-                    v.decode() if isinstance(v, bytes) else str(v)
-                    for v in flat[0::2]
-                ]
-                scores = [
-                    float(v.decode() if isinstance(v, bytes) else v)
-                    for v in flat[1::2]
-                ]
+                if isinstance(flat[0], (list, tuple)):  # RESP3 pairs
+                    members = [
+                        m.decode() if isinstance(m, bytes) else str(m)
+                        for m, _s in flat
+                    ]
+                    scores = [float(s) for _m, s in flat]
+                else:  # RESP2 flat member/score alternation
+                    members = [
+                        v.decode() if isinstance(v, bytes) else str(v)
+                        for v in flat[0::2]
+                    ]
+                    scores = [
+                        float(v.decode() if isinstance(v, bytes) else v)
+                        for v in flat[1::2]
+                    ]
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(members, type=pa.string()),
@@ -547,13 +564,20 @@ class RedisListReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = options
         self.page_size = int(options.get("page_size", DEFAULT_SCAN_COUNT))
+        # LRANGE's reply shape is identical under RESP2 and RESP3 (a
+        # plain array of bulk strings), but the source still accepts
+        # the same protocol option as its zset/hash siblings so the
+        # negotiation path is exercised/testable under both protocols.
+        self.protocol = int(options.get("protocol", 3))
 
     def partitions(self) -> list[_SingleKeyPartition]:
         return _single_key_partition(self.options)
 
     def read(self, part: _SingleKeyPartition) -> Iterator[pa.RecordBatch]:
         page = max(1, self.page_size)
-        with RedisClient(part.host, part.port) as client:
+        with RedisClient(
+            part.host, part.port, protocol=self.protocol
+        ) as client:
             # Same small-key single-shot fallback as the zset reader:
             # a list within one page (by LLEN) reads atomically.
             llen = int(client.command("LLEN", part.key) or 0)

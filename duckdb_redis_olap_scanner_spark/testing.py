@@ -10,6 +10,15 @@ HSET, HGETALL, SCAN (cursor + MATCH glob + COUNT), TYPE, DEL, FLUSHALL.
 SCAN semantics: we snapshot the key list per cursor sequence and page
 through it — a *stable* keyspace scan, which matches the assumption the
 reference's own golden tests make (stable keyspace, sorted assertions).
+
+Protocol: connections start RESP2; HELLO 3 switches the connection to
+RESP3, flipping the two reply shapes that changed (HGETALL → ``%`` map,
+ZRANGE WITHSCORES → [member, double] pairs), as real Redis does.
+
+Cluster-redirect simulation (r13): ``store.moved`` / ``store.ask`` /
+``store.importing`` mark keys as resharded-away / mid-migration /
+ASKING-gated, and key commands answer ``-MOVED``/``-ASK`` accordingly —
+enough surface to test a scan+fetch read overlapping a live reshard.
 """
 
 from __future__ import annotations
@@ -44,6 +53,26 @@ def _encode(obj: Any) -> bytes:
 
 def _simple(s: str) -> bytes:
     return b"+" + s.encode("utf-8") + CRLF
+
+
+def _encode_double(x: float) -> bytes:
+    """RESP3 double (``,``): integer-valued doubles print without a
+    decimal point, as real Redis formats them."""
+    return b",%s\r\n" % (
+        str(int(x)) if x == int(x) else repr(x)
+    ).encode("utf-8")
+
+
+def _error(msg: str) -> bytes:
+    """A verbatim RESP error line (no ERR prefix prepended)."""
+    return b"-" + msg.encode("utf-8") + CRLF
+
+
+def _fake_slot(key: str) -> int:
+    """A deterministic slot number for redirect errors. Clients parse
+    but never interpret the slot, so a stand-in hash (not real
+    CRC16-XMODEM of the hash tag) serves the wire contract."""
+    return sum(key.encode("utf-8")) % 16384
 
 
 def _encode_map(d: dict, proto: int) -> bytes:
@@ -86,6 +115,17 @@ class FakeRedisStore:
         # (start_slot, end_slot, host, port) rows served by CLUSTER
         # SLOTS; None = standalone instance (command errors, as real).
         self.cluster_slots: list[tuple[int, int, str, int]] | None = None
+        # Cluster-redirect simulation (tests poke these directly):
+        # key → (host, port). ``moved`` answers key commands with a
+        # permanent -MOVED redirect (slot resharded away); ``ask``
+        # answers with a one-request -ASK (slot mid-migration);
+        # ``importing`` marks keys this node serves ONLY on a
+        # connection that sent ASKING immediately before — otherwise
+        # it redirects back to the migration source, as a real
+        # importing node does.
+        self.moved: dict[str, tuple[str, int]] = {}
+        self.ask: dict[str, tuple[str, int]] = {}
+        self.importing: dict[str, tuple[str, int]] = {}
         # key -> seconds, served STATICALLY by TTL (the fake never
         # expires keys; tests pin the plumbing, not wall-clock decay)
         self.ttls: dict[str, int] = {}
@@ -107,6 +147,8 @@ class _Handler(socketserver.BaseRequestHandler):
         # Per-connection negotiated protocol (HELLO switches it), as in
         # real Redis — other connections stay on RESP2.
         self.proto = 2
+        # Per-connection one-shot ASKING authorization (cluster ASK).
+        self._asking = False
         while True:
             try:
                 cmd = self._read_command(reader)
@@ -136,9 +178,45 @@ class _Handler(socketserver.BaseRequestHandler):
             args.append(reader.read_exact(int(hdr[1:])).decode("utf-8"))
         return args
 
+    @staticmethod
+    def _redirect_for(
+        store: FakeRedisStore, key: str, asking: bool
+    ) -> bytes | None:
+        """A -MOVED/-ASK reply when ``key`` is marked redirected on
+        this node, honoring the connection's ASKING authorization for
+        keys in the importing set. None when the key is served here."""
+        if key in store.moved:
+            host, port = store.moved[key]
+            return _error(f"MOVED {_fake_slot(key)} {host}:{port}")
+        if key in store.ask and not asking:
+            host, port = store.ask[key]
+            return _error(f"ASK {_fake_slot(key)} {host}:{port}")
+        if key in store.importing and not asking:
+            host, port = store.importing[key]
+            return _error(f"MOVED {_fake_slot(key)} {host}:{port}")
+        return None
+
     def _dispatch(self, store: FakeRedisStore, cmd: list[str]) -> bytes:
         name, args = cmd[0].upper(), cmd[1:]
+        # ASKING authorizes exactly the NEXT command on this
+        # connection, as on a real importing node.
+        asking, self._asking = self._asking, False
+        if name == "ASKING":
+            self._asking = True
+            return _simple("OK")
         with store.lock:
+            if name in ("GET", "SET", "TTL", "EXPIRE") and args:
+                red = self._redirect_for(store, args[0], asking)
+                if red is not None:
+                    return red
+            if name == "MGET":
+                # A real cluster MGET errors whole-command when a
+                # key's slot is elsewhere; reply for the first such
+                # key.
+                for k in args:
+                    red = self._redirect_for(store, k, asking)
+                    if red is not None:
+                        return red
             if name == "PING":
                 return _simple("PONG")
             if name == "HELLO":
@@ -209,6 +287,14 @@ class _Handler(socketserver.BaseRequestHandler):
                     stop += n
                 sel = ordered[max(start, 0) : stop + 1] if stop >= 0 else []
                 withscores = any(a.upper() == "WITHSCORES" for a in args[3:])
+                if withscores and self.proto >= 3:
+                    # RESP3 shape switch, as real Redis after HELLO 3:
+                    # an array of [member, double] pairs instead of the
+                    # flat member/score bulk-string alternation.
+                    return b"*%d\r\n" % len(sel) + b"".join(
+                        b"*2\r\n" + _encode(m) + _encode_double(sc)
+                        for m, sc in sel
+                    )
                 flat: list[str] = []
                 for m, sc in sel:
                     flat.append(m)

@@ -127,6 +127,24 @@ def _parse(reader: _SocketReader) -> Any:
     raise RespProtocolError(f"unknown RESP tag {tag!r}")
 
 
+def _redirect_of(exc: RespError) -> tuple[str, str, int] | None:
+    """(kind, host, port) from a cluster redirect error — ``MOVED
+    <slot> <host>:<port>`` / ``ASK <slot> <host>:<port>`` — else
+    None."""
+    msg = str(exc)
+    kind, _, rest = msg.partition(" ")
+    if kind not in ("MOVED", "ASK"):
+        return None
+    parts = rest.split()
+    if len(parts) != 2 or ":" not in parts[1]:
+        return None
+    host, _, port = parts[1].rpartition(":")
+    try:
+        return kind, host, int(port)
+    except ValueError:
+        return None
+
+
 def _as_key(v: Any) -> Any:
     return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
 
@@ -165,6 +183,8 @@ class RedisClient:
         self.negotiated_protocol = 2
         self._sock: socket.socket | None = None
         self._reader: _SocketReader | None = None
+        # (host, port) → client, lazily opened by MOVED/ASK following.
+        self._redirect_pool: dict[tuple[str, int], "RedisClient"] = {}
 
     # -- connection lifecycle -------------------------------------------------
     def connect(self) -> None:
@@ -188,6 +208,9 @@ class RedisClient:
             raise RespProtocolError("PING handshake failed")
 
     def close(self) -> None:
+        pool, self._redirect_pool = self._redirect_pool, {}
+        for tgt in pool.values():
+            tgt.close()
         if self._sock is not None:
             try:
                 self._sock.close()
@@ -234,13 +257,81 @@ class RedisClient:
     def ping(self) -> bool:
         return self.command("PING") == "PONG"
 
+    # -- cluster redirects -----------------------------------------------------
+    # Redis Cluster replies ``-MOVED <slot> <host>:<port>`` when a key's
+    # slot has been resharded away (permanent: future requests should go
+    # to the target) and ``-ASK <slot> <host>:<port>`` while a slot is
+    # mid-migration (one-request-only: the target serves it ONLY after
+    # an ASKING command on that connection). A long SCAN+fetch read that
+    # overlaps a reshard sees these on its GET/MGET enrichment — the
+    # scan itself is node-local and never redirects. The reference
+    # engine has no cluster support at all (a single global socket,
+    # ``redduck_extension.cpp:44-52``); this follows the standard
+    # cluster-client contract so the kv/get paths survive live
+    # resharding.
+
+    def _redirect_client(self, host: str, port: int) -> "RedisClient":
+        """Pooled connection to a redirect target (a long scan hitting
+        a migrated slot redirects every page; one connection serves
+        them all). Closed with the owning client."""
+        tgt = self._redirect_pool.get((host, port))
+        if tgt is None:
+            tgt = RedisClient(
+                host, port, timeout=self.timeout, protocol=self.protocol
+            )
+            tgt.connect()
+            self._redirect_pool[(host, port)] = tgt
+        return tgt
+
+    def command_redirected(self, *args: Any, max_redirects: int = 5) -> Any:
+        """``command`` that follows MOVED/ASK redirects, bounded by
+        ``max_redirects`` hops (a moved slot can move again)."""
+        client: RedisClient = self
+        asking = False
+        for _ in range(max_redirects + 1):
+            try:
+                if asking:
+                    # ASK is one-request-only: ASKING must precede THIS
+                    # command on the target connection every time.
+                    client.command("ASKING")
+                return client.command(*args)
+            except RespError as e:
+                red = _redirect_of(e)
+                if red is None:
+                    raise
+                kind, host, port = red
+                client = self._redirect_client(host, port)
+                asking = kind == "ASK"
+        raise RespProtocolError(
+            f"redirect loop: >{max_redirects} MOVED/ASK hops for "
+            f"{args[0]!r}"
+        )
+
     def get(self, key: str) -> str | None:
-        return _as_str(self.command("GET", key))
+        return _as_str(self.command_redirected("GET", key))
 
     def mget(self, keys: list[str]) -> list[str | None]:
         if not keys:
             return []
-        return [_as_str(v) for v in self.command("MGET", *keys)]
+        try:
+            return [_as_str(v) for v in self.command("MGET", *keys)]
+        except RespError as e:
+            if _redirect_of(e) is None:
+                raise
+            # Some keys of this scan page live on another node now (or
+            # the whole command landed wrong). Re-fetch per key: one
+            # pipelined GET round trip here, then redirected singles
+            # for exactly the keys that moved — the per-slot split real
+            # cluster clients perform, specialized to the fetch path.
+            replies = self.pipeline([("GET", k) for k in keys])
+            out: list[str | None] = []
+            for k, r in zip(keys, replies):
+                if isinstance(r, RespError):
+                    if _redirect_of(r) is None:
+                        raise r
+                    r = self.command_redirected("GET", k)
+                out.append(_as_str(r))
+            return out
 
     def hgetall(self, key: str) -> dict[str, str]:
         reply = self.command("HGETALL", key)

@@ -1,0 +1,239 @@
+"""Redis Cluster MOVED/ASK redirect handling (VERDICT r12 carried
+item #6) and the RESP3 reply-shape switch for the zset/list sources.
+
+A long SCAN+fetch read that overlaps a live reshard sees ``-MOVED``
+(slot permanently elsewhere) or ``-ASK`` (slot mid-migration, target
+requires ASKING) on its GET/MGET enrichment. The client follows both
+per the cluster spec; the kv source then survives a reshard mid-scan.
+The reference engine has no cluster support at all (one global socket,
+``redduck_extension.cpp:44-52``) — this is beyond-reference polish.
+
+ZRANGE ... WITHSCORES is the second consumed reply whose shape changed
+under RESP3 (flat member/score bulk strings → [member, double] pairs);
+the zset source now negotiates RESP3 by default and parses both.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_redis_olap_scanner_spark.testing import FakeRedisServer
+from duckdb_redis_olap_scanner_spark.transport.resp import (
+    RedisClient,
+    RespError,
+    RespProtocolError,
+    _redirect_of,
+)
+
+
+def test_redirect_of_parses_moved_and_ask():
+    assert _redirect_of(RespError("MOVED 3999 10.0.0.7:6381")) == (
+        "MOVED", "10.0.0.7", 6381,
+    )
+    assert _redirect_of(RespError("ASK 3999 10.0.0.7:6381")) == (
+        "ASK", "10.0.0.7", 6381,
+    )
+    assert _redirect_of(RespError("ERR unknown command")) is None
+    assert _redirect_of(RespError("MOVED gibberish")) is None
+    # IPv6-ish host:port (rpartition on the last colon)
+    assert _redirect_of(RespError("MOVED 1 ::1:6400")) == ("MOVED", "::1", 6400)
+
+
+def test_get_follows_moved():
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        b.seed_strings({"mk:1": "on-b"})
+        a.store.moved["mk:1"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            assert c.get("mk:1") == "on-b"
+            # the redirect target connection is pooled for reuse
+            assert (b.host, b.port) in c._redirect_pool
+            assert c.get("mk:1") == "on-b"
+            assert len(c._redirect_pool) == 1
+
+
+def test_get_follows_ask_with_asking():
+    """ASK is one-request-only: the target serves the key ONLY on a
+    connection that sent ASKING immediately before — pinned by the
+    fake's importing gate, which bounces non-ASKING access."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        b.seed_strings({"ak:1": "migrating"})
+        b.store.importing["ak:1"] = (a.host, a.port)
+        a.store.ask["ak:1"] = (b.host, b.port)
+        # raw, non-ASKING access to the importing node bounces back
+        # to the migration source, as on a real importing node
+        with RedisClient(b.host, b.port) as direct:
+            with pytest.raises(RespError, match="MOVED"):
+                direct.command("GET", "ak:1")
+            # ...and the redirect-following path resolves the full
+            # b -> MOVED -> a -> ASK -> ASKING+GET on b round trip
+            assert direct.command_redirected("GET", "ak:1") == b"migrating"
+        with RedisClient(a.host, a.port) as c:
+            assert c.get("ak:1") == "migrating"
+
+
+def test_ask_does_not_stick_on_target_connection():
+    """ASKING authorizes exactly one command: a second fetch through
+    the same pooled target connection must re-send ASKING (the fake
+    resets the flag after every command)."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        b.seed_strings({"ak:1": "v1", "ak:2": "v2"})
+        b.store.importing["ak:1"] = (a.host, a.port)
+        b.store.importing["ak:2"] = (a.host, a.port)
+        a.store.ask["ak:1"] = (b.host, b.port)
+        a.store.ask["ak:2"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            assert c.get("ak:1") == "v1"
+            assert c.get("ak:2") == "v2"
+            assert len(c._redirect_pool) == 1
+
+
+def test_mget_refetches_moved_keys_per_key():
+    """A scan-page MGET where SOME keys resharded away mid-scan: the
+    whole MGET errors (as on a real cluster), and the client recovers
+    per key — locals from the pipelined GETs, movers via redirects —
+    preserving order and None for genuinely absent keys."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.seed_strings({f"pg:{i}": f"a{i}" for i in range(6)})
+        for i in (1, 4):
+            b.seed_strings({f"pg:{i}": f"b{i}"})
+            a.store.moved[f"pg:{i}"] = (b.host, b.port)
+        keys = [f"pg:{i}" for i in range(6)] + ["pg:absent"]
+        with RedisClient(a.host, a.port) as c:
+            assert c.mget(keys) == [
+                "a0", "b1", "a2", "a3", "b4", "a5", None,
+            ]
+
+
+def test_moved_chain_is_followed_and_bounded():
+    with FakeRedisServer() as a, FakeRedisServer() as b, \
+            FakeRedisServer() as c_srv:
+        # two-hop chain a -> b -> c resolves
+        c_srv.seed_strings({"ch:1": "final"})
+        a.store.moved["ch:1"] = (b.host, b.port)
+        b.store.moved["ch:1"] = (c_srv.host, c_srv.port)
+        with RedisClient(a.host, a.port) as c:
+            assert c.get("ch:1") == "final"
+        # a <-> b ping-pong trips the bound instead of looping
+        a.store.moved["lp:1"] = (b.host, b.port)
+        b.store.moved["lp:1"] = (a.host, a.port)
+        with RedisClient(a.host, a.port) as c, pytest.raises(
+            RespProtocolError, match="redirect loop"
+        ):
+            c.command_redirected("GET", "lp:1")
+
+
+def test_non_redirect_errors_still_raise():
+    with FakeRedisServer() as a:
+        with RedisClient(a.host, a.port) as c:
+            with pytest.raises(RespError):
+                c.command_redirected("NOSUCHCOMMAND")
+
+
+def test_kv_source_survives_reshard_mid_scan(spark):
+    """End to end: a redis_kv read whose SCAN snapshot still lists
+    keys that a concurrent reshard moved to another node — the MGET
+    enrichment hits -MOVED and the read completes with every value
+    from its current owner."""
+    from duckdb_redis_olap_scanner_spark.engine import register_datasources
+
+    register_datasources(spark)
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.seed_strings({f"rs:{i:03d}": f"a:{i}" for i in range(40)})
+        # 15 keys migrate mid-life: still in a's scan snapshot (and
+        # keyspace), but key commands on a now redirect to b.
+        for i in range(0, 40, 3):
+            a.store.moved[f"rs:{i:03d}"] = (b.host, b.port)
+            b.seed_strings({f"rs:{i:03d}": f"b:{i}"})
+        df = (
+            spark.read.format("redis_kv")
+            .option("host", a.host)
+            .option("port", str(a.port))
+            .option("pattern", "rs:*")
+            .load()
+        )
+        rows = {r.key: r.value for r in df.collect()}
+        assert rows == {
+            f"rs:{i:03d}": (f"b:{i}" if i % 3 == 0 else f"a:{i}")
+            for i in range(40)
+        }
+
+
+# ---------------------------------------------------------------------------
+# RESP3 reply shapes for the zset/list sources
+# ---------------------------------------------------------------------------
+
+
+def _seed_zset(srv, key, n=25):
+    with RedisClient(srv.host, srv.port) as c:
+        args = []
+        for i in range(n):
+            args += [str(i + 0.5), f"zm:{i:03d}"]
+        c.command("ZADD", key, *args)
+
+
+def test_zrange_withscores_shape_switches_with_protocol():
+    """The fake mirrors real Redis: RESP2 replies the flat
+    member/score bulk-string alternation, RESP3 (after HELLO 3)
+    replies [member, double] pairs."""
+    with FakeRedisServer() as srv:
+        _seed_zset(srv, "z3:shape", n=3)
+        with RedisClient(srv.host, srv.port, protocol=2) as c2:
+            flat = c2.command("ZRANGE", "z3:shape", "0", "-1", "WITHSCORES")
+            assert [type(v) for v in flat] == [bytes] * 6
+        with RedisClient(srv.host, srv.port, protocol=3) as c3:
+            assert c3.negotiated_protocol == 3
+            pairs = c3.command("ZRANGE", "z3:shape", "0", "-1", "WITHSCORES")
+            assert len(pairs) == 3
+            assert all(
+                isinstance(p, list) and len(p) == 2
+                and isinstance(p[0], bytes) and isinstance(p[1], float)
+                for p in pairs
+            )
+
+
+@pytest.mark.parametrize("protocol", [2, 3])
+def test_zset_reader_identical_under_both_protocols(protocol):
+    """The paged zset read (including the multi-batch path) returns
+    identical rows whether the server speaks RESP2 flat pairs or
+    RESP3 [member, double] pairs."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        RedisZSetReader,
+        _SingleKeyPartition,
+    )
+
+    with FakeRedisServer() as srv:
+        _seed_zset(srv, "z3:page", n=25)
+        reader = RedisZSetReader(
+            {"host": srv.host, "port": str(srv.port), "key": "z3:page",
+             "page_size": "10", "protocol": str(protocol)}
+        )
+        part = _SingleKeyPartition(srv.host, srv.port, "z3:page")
+        batches = list(reader.read(part))
+        assert [b.num_rows for b in batches] == [10, 10, 5]
+        members = [m for b in batches for m in b.column("member").to_pylist()]
+        scores = [s for b in batches for s in b.column("score").to_pylist()]
+        ranks = [r for b in batches for r in b.column("rank").to_pylist()]
+        assert members == [f"zm:{i:03d}" for i in range(25)]
+        assert scores == [i + 0.5 for i in range(25)]
+        assert ranks == list(range(25))
+
+
+@pytest.mark.parametrize("protocol", [2, 3])
+def test_list_reader_identical_under_both_protocols(protocol):
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        RedisListReader,
+        _SingleKeyPartition,
+    )
+
+    with FakeRedisServer() as srv:
+        with RedisClient(srv.host, srv.port) as c:
+            c.command("RPUSH", "l3:page", *[f"el:{i:03d}" for i in range(25)])
+        reader = RedisListReader(
+            {"host": srv.host, "port": str(srv.port), "key": "l3:page",
+             "page_size": "10", "protocol": str(protocol)}
+        )
+        part = _SingleKeyPartition(srv.host, srv.port, "l3:page")
+        batches = list(reader.read(part))
+        assert [b.num_rows for b in batches] == [10, 10, 5]
+        elems = [e for b in batches for e in b.column("element").to_pylist()]
+        assert elems == [f"el:{i:03d}" for i in range(25)]
