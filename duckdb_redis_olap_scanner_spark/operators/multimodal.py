@@ -515,12 +515,14 @@ def _tiff_predict2(strip: bytes, width: int) -> bytes:
     return d.astype(np.uint8).tobytes()
 
 
-def _tiff_unpredict2(strip: bytes, width: int) -> bytes:
+def _tiff_unpredict2(strip: bytes, width: int, channels: int = 3) -> bytes:
     """Undo horizontal differencing: per-row per-channel cumulative
-    sum mod 256."""
+    sum mod 256. ``channels`` follows SamplesPerPixel — the predictor
+    differences against the same channel one pixel left, so RGBA
+    strips difference with stride 4 (TIFF 6.0 §14)."""
     import numpy as np
 
-    arr = np.frombuffer(strip, dtype=np.uint8).reshape(-1, width, 3)
+    arr = np.frombuffer(strip, dtype=np.uint8).reshape(-1, width, channels)
     return (
         np.cumsum(arr.astype(np.int64), axis=1) % 256
     ).astype(np.uint8).tobytes()
@@ -612,15 +614,16 @@ def encode_tiff_payload(doc_id: int) -> bytes:
 
 def decode_tiff(payload: bytes):
     """Parse a baseline TIFF (II little-endian OR MM big-endian,
-    chunky 8-bit RGB) into (top-down RGB uint8 array (h, w, 3),
-    n_strips, byte_order, compression) — dependency-free: header +
-    IFD walk, inline-vs-offset tag values with spec-correct
-    LEFT-JUSTIFIED inline SHORTs (TIFF 6.0 §2), multi-strip assembly
-    via StripOffsets/ByteCounts. Natively decoded Compression values:
+    chunky 8-bit RGB, or RGBA via ExtraSamples when fully opaque)
+    into (top-down RGB uint8 array (h, w, 3), n_strips, byte_order,
+    compression) — dependency-free: header + IFD walk,
+    inline-vs-offset tag values with spec-correct LEFT-JUSTIFIED
+    inline SHORTs (TIFF 6.0 §2), multi-strip assembly via
+    StripOffsets/ByteCounts. Natively decoded Compression values:
     1 (uncompressed), 32773 (PackBits, per strip), 5 (LZW with
     Predictor 2 horizontal differencing), and 8/32946 (zlib deflate).
-    JPEG-in-TIFF and CCITT compressions, paletted, planar, and tiled
-    variants raise loudly."""
+    JPEG-in-TIFF and CCITT compressions, paletted, planar, tiled, and
+    translucent-alpha variants raise loudly."""
     import struct
 
     import numpy as np
@@ -690,8 +693,19 @@ def decode_tiff(payload: bytes):
         )
     if values(262)[0] != 2:
         raise NotImplementedError("non-RGB TIFF photometric unsupported")
-    if values(277, [1])[0] != 3 or values(258, [1])[:3] != [8, 8, 8]:
-        raise NotImplementedError("only 8-bit chunky RGB TIFF supported")
+    # SamplesPerPixel 3 (RGB) or 4 (RGBA with an ExtraSamples tag —
+    # the shape real-world encoders emit for logo/screenshot TIFFs).
+    # The engine's decode contract serves opaque RGB (same as
+    # decode_webp), so a fourth channel is accepted through the whole
+    # strip/predictor machinery and then REQUIRED to be fully opaque:
+    # translucent pixels raise rather than silently dropping alpha.
+    spp = values(277, [1])[0]
+    if spp not in (3, 4) or values(258, [1])[:spp] != [8] * spp:
+        raise NotImplementedError("only 8-bit chunky RGB(A) TIFF supported")
+    if spp == 4 and 338 not in tags:
+        raise NotImplementedError(
+            "4 samples/pixel without ExtraSamples is not RGBA"
+        )
     offs = values(273)
     cnts = values(279)
     if len(offs) != len(cnts):
@@ -705,44 +719,46 @@ def decode_tiff(payload: bytes):
             raise ValueError("TIFF strip outside file")
         strip = payload[o : o + c]
         rows = min(rps, h - i * rps)
+        want = rows * w * spp
         if compression == 32773:
-            strip = packbits_decode(strip, rows * w * 3)
+            strip = packbits_decode(strip, want)
         elif compression == 5:
             try:
-                strip = tiff_lzw_decode(strip, rows * w * 3)
+                strip = tiff_lzw_decode(strip, want)
             except ValueError:
                 # Late width-change streams (JDK ImageIO, PDF
                 # EarlyChange 0) — see tiff_lzw_decode.
-                strip = tiff_lzw_decode(
-                    strip, rows * w * 3, early_change=False
-                )
+                strip = tiff_lzw_decode(strip, want, early_change=False)
         elif compression in (8, 32946):  # Adobe / legacy deflate
             import zlib
 
             try:
-                strip = zlib.decompress(strip, bufsize=max(0, rows * w * 3))
+                strip = zlib.decompress(strip, bufsize=max(0, want))
             except zlib.error as e:
                 raise ValueError(f"TIFF deflate strip corrupt: {e}")
-            if len(strip) != rows * w * 3:
+            if len(strip) != want:
                 raise ValueError(
                     f"TIFF deflate strip expanded to {len(strip)} "
-                    f"bytes, want {rows * w * 3}"
+                    f"bytes, want {want}"
                 )
         if predictor == 2:
-            if len(strip) != rows * w * 3:
+            if len(strip) != want:
                 raise ValueError("TIFF predictor needs whole rows")
-            strip = _tiff_unpredict2(strip, w)
+            strip = _tiff_unpredict2(strip, w, spp)
         raw += strip
-    if len(raw) != w * h * 3:
+    if len(raw) != w * h * spp:
         raise ValueError(
-            f"TIFF strips hold {len(raw)} bytes, want {w * h * 3}"
+            f"TIFF strips hold {len(raw)} bytes, want {w * h * spp}"
         )
-    return (
-        np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3),
-        len(offs),
-        byte_order,
-        compression,
-    )
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 4:
+        if not (px[:, :, 3] == 255).all():
+            raise ValueError(
+                "non-opaque RGBA TIFF unsupported (the decode contract "
+                "serves opaque RGB, as decode_webp)"
+            )
+        px = px[:, :, :3]
+    return (px, len(offs), byte_order, compression)
 
 
 TIFF_DECODED_SCHEMA = (

@@ -42,7 +42,13 @@ Round 13 closes the last two synthesis-only families:
   code later than the TIFF 6.0 / libtiff convention, catching a
   real-world variant our spec-only decoder rejected.
 
-Every codec family now has at least one external vector.
+Every codec family now has at least one external vector. A second
+r13 batch adds CPython's real-encoder python.gif (exact-match against
+the JDK decoder on opaque pixels), its RGBA python.tiff (genuinely
+translucent — parses fully, rejected by the opaque-RGB contract), a
+JDK-encoded fully-opaque RGBA+LZW TIFF (the SamplesPerPixel=4 path,
+bit-exact), and a JDK-encoded 13x7 baseline 4:2:0 JPEG (the
+interleaved partial-MCU path).
 """
 
 from __future__ import annotations
@@ -1053,3 +1059,242 @@ def test_decode_jpeg_progressive_nodejs_file():
     assert np.abs(samp[..., 0] - y_t).max() <= 2.5
     assert np.abs(samp[..., 1] - cb_t).max() <= 2.5
     assert np.abs(samp[..., 2] - cr_t).max() <= 2.5
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (second batch): GIF, RGBA-TIFF, and partial-MCU baseline JPEG
+# ---------------------------------------------------------------------------
+#
+# - _CPYTHON_LOGO_GIF_HEX: Lib/test/test_email/data/python.gif from the
+#   CPython source distribution (PSF license) — a real-encoder 16x16
+#   GIF89a with a transparent background. GIF is lossless, so our
+#   decode must match the JDK ImageIO decoder EXACTLY on every opaque
+#   pixel (our decoder serves the palette color for transparent
+#   indices; ImageIO serves alpha=0 — compared only where alpha=255).
+# - _CPYTHON_LOGO_TIFF_HEX: the sibling python.tiff — a real-encoder
+#   uncompressed RGBA TIFF (SamplesPerPixel=4 + ExtraSamples) with
+#   GENUINE translucency: it must parse through the full IFD/strip
+#   machinery and then be rejected by the opaque-RGB decode contract,
+#   mirroring decode_webp's behavior on the transparent WebP literal.
+# - _JDK_RGBA_LZW_TIFF_HEX: a fully-opaque RGBA TIFF encoded by the
+#   JDK ImageIO TIFF writer with LZW — pins the spp=4 strip math,
+#   the RGBA late-width-change LZW expansion, and the alpha-drop path
+#   bit-exactly against the generating formula.
+# - _JDK_13X7_JPEG_HEX: a baseline 4:2:0 JPEG at 13x7 from the JDK
+#   JPEG encoder — a real-encoder PARTIAL-MCU baseline file (one
+#   padded 16x16 MCU cropped to 13x7), complementing the progressive
+#   partial-MCU vector above; truth raster from the JDK decoder.
+
+_JDK_RGBA_LZW_TIFF_HEX = (
+    "4d4d002a00000008000d01000003000000010013000001010003000000010009000001"
+    "02000300000004000000ac010300030000000100050000010600030000000100020000"
+    "0111000400000001000000c40115000300000001000400000116000300000001000900"
+    "000117000400000001000002cd011a000500000001000000b4011b0005000000010000"
+    "00bc012800030000000100010000015200030000000100020000000000000000000800"
+    "0800080008000000010000000100000001000000018000204ff0580406ff0b0080cff1"
+    "080c12ff1601018ff1b8141eff2101824ff2681c2aff2c02030ff3182436ff370283cf"
+    "f3c82c42ff4203048ff478344eff4d03854ff5283c5aff5804060ff5d84466ff630486"
+    "cff0081c0aff0601810ff0b81416ff110101cff1680c22ff1c00828ff218042eff2700"
+    "034ff2c83c3aff3203840ff3783446ff3d0304cff4282c52ff4802858ff4d8245eff53"
+    "02064ff5885c6aff5e05870ff6385476ff0103814ff0683c1aff0c03020ff1183426ff"
+    "170282cff1c82c32ff2202038ff278243eff2d01844ff3281c4aff3801050ff3d81456"
+    "ff430085cff4880c62ff4e00068ff538046eff5907874ff5e87c7aff6407080ff01856"
+    "2e0e0a46c32178f8902d23178464e3a084ac8a139794025332d8766e330389d8e20fa7"
+    "e3e03ca190e0ca8e49030a593a0d8727f9500d0787f9660287e7f97c020847f9920388"
+    "a7f8080e2c6b72ce0d03cb584a0fade18030b98760caee23034bd8a20dafe2e028c18c"
+    "e0ab0e3902cc58fac71fe44020c992608b2e4f0241f1fe54826209fe5a018221fe5f81"
+    "a239fe6501c251fe02846d7820113660d842db84c103761884edf878133862384ae38a"
+    "4123962e856e78d0153a639852eb8fc143b64485eef928173c64f85a219fe55058231f"
+    "e5a866249fe60064261fe65862279fe030549582215a5e0e0509984e14a6e1905c9d87"
+    "a17a7e24058a18a616a8e2f044a58d211c223a0410a8fe10c324504d0e92a13c425004"
+    "8241fe5584a259fe5b074271fe60876289fe660702a1fe03862bb824182f60e866bf85"
+    "0193061986ac387c1a3162486ec78a81b3262f872cb8d41c49c3a877291001d4ac4587"
+    "b2d12c1e4bc5087e269fe5607c281fe5b842299fe610402b1fe668462c9fe04070e182"
+    "61cb8eed39614876e78681e3a61f87aeb8941f3b62ae507f8c0183c635863460ec1952"
+    "040d267f9181a5304b86b4e1441b0a47f95a1b8aa7f970140b07f986148b67f99c150b"
+    "c7fa02"
+)
+
+_CPYTHON_LOGO_TIFF_HEX = (
+    "49492a0008040000000000000000000000000000000000004e8dc0af4a86baed4883b4"
+    "ff447eadff4078a7ff3c719ef7376896920000000b0000000300000000000000000000"
+    "0000000000000000000000000000000000004c8abcffffffffff457fafff4179a8ff3e"
+    "74a2ff3a6f9bff366994ff000000280000000b00000000000000000000000000000000"
+    "0000000000000000000000004985b7ff4680b1ff427baaff3e75a3ff3b709dff376a96"
+    "ff366994ff0000004100000015000000000000000000000000000000004e8fc47e4c8a"
+    "bfa04885b6a1437dada33d74a1a7396c96aa366690aa386c97ff366994ff366994ff00"
+    "000048000000180000000000000000000000005291c6bd4f8dc1ff4b88bbff4883b4ff"
+    "447dadff4078a6ff3d73a0ff396d99ff366994ff366994ff366994ff00000048ffe255"
+    "fffddd4af7f9d53e820000000a508fc3ff4c89bcff4884b5ff457fafff4179a8ff3d74"
+    "a1ff3a6f9bff366994ff366994ff366994ff326087b600000043ffde4bffffda41fffd"
+    "d536ed000000244d8bbeff4985b7ff4680b0ff427baaff3e75a3ff3b709cff376a96ff"
+    "366994ff356892f7326087b60000004fecce4588ffda42ffffd637ffffd32dff000000"
+    "3d4a87b9ff4781b2ff437cabff3f76a5ff366993b61b31455c0000004c000000480000"
+    "004700000041e2c3456bfdd941f7ffd738ffffd32dffffcf23ff000000464681b2f744"
+    "7dadff4078a6ff366791aa0000004ef2e16ea6fde96af7ffe661ffffe357ffffdf4dff"
+    "ffdb42ffffd738ffffd32effffcf24fffdcb1bf700000047437daed74179a8ff3d74a1"
+    "ff1c324b5bf5e36fb3ffeb6cffffe761ffffe357ffffdf4dffffdb43ffffd739ffffd3"
+    "2effffcf24ffffcc1cfff3c11ac2000000414075a36f3d73a2f73a709cff0000004bff"
+    "eb6cffffe762ffffe358ffffdf4effffdb43ffffd739ffffd32fffffcf24ffffcc1cff"
+    "ffcc1cffc29a127a0000003400000008000000210000003c00000035ffe762ffffe358"
+    "ffffdf4effe8c73daaebc534a9ebc22aa9ebbe21a9ebbb18a9ebbb18a9c69b12790000"
+    "00410000002000000002000000090000001300000012ffe358ffffdf4effffdb44ffff"
+    "d73affffd330ffffd025ffffcc1cff00000041000000350000002c0000001e0000000b"
+    "00000000000000000000000000000000fdde4ef7ffdb44ffffd83affffd430ffffd026"
+    "fffffffffffdcb1bf7000000400000001c000000090000000500000001000000000000"
+    "00000000000000000000f1d03f4cfad339ccfdd22ff7ffd026ffffcc1cfffac719d8c0"
+    "97127b0000003b00000012000000000000000000000000000000000000000000000000"
+    "00000000000000080000001d0000003500000042000000470000004500000038000000"
+    "1f00000008000000000000000000000000110000010300010000001000000001010300"
+    "01000000100000000201030004000000da040000030103000100000001000000060103"
+    "0001000000020000000a01030001000000010000000d0102000c000000220500001101"
+    "0400010000000800000012010300010000000100000015010300010000000400000016"
+    "01030001000000800000001701040001000000000400001c0103000100000001000000"
+    "2901030002000000000001003e01050002000000120500003f01050006000000e20400"
+    "00520103000100000002000000000000000800080008000800000ad7a3ffffffff80e1"
+    "7a54ffffffff00cdcc4cffffffff009a9999ffffffff80666626fffffffff0285c0fff"
+    "ffffff801b0d50ffffffff00583954ffffffff707974686f6e2e7469666600"
+)
+
+_CPYTHON_LOGO_GIF_HEX = (
+    "47494638396110001000f53f00ebbb18ebbe21f3c11afac719fdcb1bffcc1cebc22aff"
+    "cf23ffcf24ffd025ffd32debc534e8c73dffd330ffd430fdd536fad339ffd739f9d53e"
+    "ffd83aecce45ffda41ffdb44ffde4bffdf4effe255ffe358ffe762f2e16ef5e36ffde9"
+    "6affeb6c326087366690366791366993376896376a96396c963a6f9b3a709c3b709c3c"
+    "719e3d73a23e74a23f76a54078a6427baa437cab437dad457faf4680b14781b24883b4"
+    "4885b64a86ba4c89bc4c8abc4c8abf4f8dc1508fc35291c6ffffff00000021ff0b496d"
+    "6167654d616769636b0767616d6d613d300021f9040500003f002c0000000010001000"
+    "00069bc09ff0b7bbcd622d1569c814e67cb3170b556a326d5156aa34b2fe74b618cb14"
+    "3295aaccde0e5793b954a7d1f997b9487e3c1d4df6828ffe203f17150f5f3634522a67"
+    "228114840a3f87302e5d4d15110a073f472e223f1c1e1b191815130a08043f31523f1d"
+    "1f1b1a1816110d080502422b293fafb1a5a7050556b0180c0b060100005eb1b30d09c2"
+    "5e3fb2110e093ea9d23f10cf0503dae04341003b"
+)
+
+_CPYTHON_LOGO_GIF_IMAGEIO_ARGB_HEX = (
+    "00000000000000000000000000000000ff4f8dc1ff4a86baff4680b1ff437dadff3f76"
+    "a5ff3c719eff3768960000000000000000000000000000000000000000000000000000"
+    "00000000000000000000ff4c8abcffffffffff4680b1ff427baaff3e74a2ff3a709cff"
+    "376a960000000000000000000000000000000000000000000000000000000000000000"
+    "00000000ff4885b6ff4680b1ff427baaff3e74a2ff3b709cff376a96ff366993000000"
+    "00000000000000000000000000000000000000000000000000ff4c8abfff4885b6ff43"
+    "7dadff3e74a2ff396c96ff366690ff396c96ff376a96ff376a96000000000000000000"
+    "0000000000000000000000ff5291c6ff4f8dc1ff4c89bcff4883b4ff457fafff4078a6"
+    "ff3c719eff3a6f9bff366993ff376a96ff376a9600000000ffffe255ffffde4bfff9d5"
+    "3e00000000ff508fc3ff4c8abfff4781b2ff457fafff427baaff3c719eff3a6f9bff36"
+    "6993ff366993ff366993ff32608700000000ffffde4bffffda41fffdd53600000000ff"
+    "4c8abfff4885b6ff4781b2ff427baaff3e74a2ff3c719eff376a96ff376a96ff366791"
+    "ff32608700000000ffecce45ffffda41fffdd536ffffd32d00000000ff4885b6ff4781"
+    "b2ff437cabff4078a6ff36699300000000000000000000000000000000000000000000"
+    "0000ffffda41ffffd739ffffd32dffffcf2300000000ff4680b1ff437dadff4078a6ff"
+    "36679100000000fff2e16efffde96affffe762ffffe255ffffdf4effffda41ffffd83a"
+    "ffffd32dffffcf24fffdcb1b00000000ff437dadff427baaff3e74a200000000fff5e3"
+    "6fffffeb6cffffe762ffffe358ffffdf4effffdb44ffffd739ffffd330ffffcf24ffff"
+    "cc1cfff3c11a0000000000000000ff3d73a2ff3b709c00000000ffffeb6cffffe762ff"
+    "ffe358ffffdf4effffda41ffffd83affffd32dffffcf24ffffcc1cffffcc1c00000000"
+    "0000000000000000000000000000000000000000ffffe762ffffe358ffffdf4effe8c7"
+    "3dffebc534ffebc22affebbe21ffebbb18ffebbb180000000000000000000000000000"
+    "0000000000000000000000000000ffffe358ffffdf4effffdb44ffffd739ffffd330ff"
+    "ffd025ffffcc1c00000000000000000000000000000000000000000000000000000000"
+    "0000000000000000ffffdf4effffdb44ffffd739ffffd430ffffd025fffffffffffdcb"
+    "1b00000000000000000000000000000000000000000000000000000000000000000000"
+    "000000000000fffad339ffffd330ffffd025ffffcc1cfffac719000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000000000"
+    "000000000000000000"
+)
+
+_JDK_13X7_JPEG_HEX = (
+    "ffd8ffe000104a46494600010200000100010000ffdb00430003020203020203030303"
+    "04030304050805050404050a070706080c0a0c0c0b0a0b0b0d0e12100d0e110e0b0b10"
+    "16101113141515150c0f171816141812141514ffdb0043010304040504050905050914"
+    "0d0b0d1414141414141414141414141414141414141414141414141414141414141414"
+    "141414141414141414141414141414141414ffc00011080007000d0301220002110103"
+    "1101ffc4001f0000010501010101010100000000000000000102030405060708090a0b"
+    "ffc400b5100002010303020403050504040000017d0102030004110512213141061351"
+    "6107227114328191a1082342b1c11552d1f02433627282090a161718191a2526272829"
+    "2a3435363738393a434445464748494a535455565758595a636465666768696a737475"
+    "767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5"
+    "b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2"
+    "f3f4f5f6f7f8f9faffc4001f0100030101010101010101010000000000000102030405"
+    "060708090a0bffc400b511000201020404030407050404000102770001020311040521"
+    "31061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f1"
+    "1718191a262728292a35363738393a434445464748494a535455565758595a63646566"
+    "6768696a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6"
+    "a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5"
+    "e6e7e8e9eaf2f3f4f5f6f7f8f9faffda000c03010002110311003f00b9f04be19c7fe8"
+    "ff002af6afa4fc65f163e16fecd7a2687ff0b1fc48be1cfedaf3bec1fe817375e7793e"
+    "5f9bfea227db8f363fbd8ceee3383828a00fffd9"
+)
+
+_JDK_13X7_IMAGEIO_RGB_HEX = (
+    "3c3c3c4848485555556060606d6d6d7878788484849090909d9d9da5a5a5b3b3b3c5c5"
+    "c5c7c7c74444445151515d5d5d6868687575758080808c8c8c999999a7a7a7b4b4b4bf"
+    "bfbfcacacad6d6d64e4e4e5b5b5b6767677272727f7f7f8a8a8a969696a3a3a3ababab"
+    "bababac0c0c0d2d2d2dbdbdb5757576363636f6f6f7a7a7a8787879292929f9f9fabab"
+    "abb9b9b9c8c8c8d2d2d2dbdbdbe9e9e96060606c6c6c7979798484849090909c9c9ca8"
+    "a8a8b4b4b4bfbfbfc9c9c9d6d6d6e5e5e5ededed6a6a6a7676768383838e8e8e9b9b9b"
+    "a6a6a6b2b2b2bebebecbcbcbd3d3d3e4e4e4eaeaeafdfdfd7171717d7d7d8989899494"
+    "94a1a1a1acacacb9b9b9c5c5c5d3d3d3dadadaeaeaeafdfdfd000000"
+)
+
+
+def test_decode_gif_cpython_logo_matches_imageio_exactly():
+    from duckdb_redis_olap_scanner_spark.operators.gif import decode_gif
+
+    px, _table_n, interlaced = decode_gif(_hex(_CPYTHON_LOGO_GIF_HEX))
+    assert px.shape == (16, 16, 3) and not interlaced
+    truth = np.frombuffer(
+        _hex(_CPYTHON_LOGO_GIF_IMAGEIO_ARGB_HEX), dtype=np.uint8
+    ).reshape(16, 16, 4)
+    opaque = truth[..., 0] == 255
+    assert opaque.sum() == 149  # the logo's opaque core
+    assert (px[opaque] == truth[..., 1:][opaque]).all()
+
+
+def test_decode_tiff_rejects_real_translucent_rgba():
+    """CPython's python.tiff: real-encoder RGBA with true
+    translucency — the RGBA machinery parses it (not a bad-header
+    error) and the opaque-RGB contract rejects it loudly."""
+    with pytest.raises(ValueError, match="non-opaque"):
+        M.decode_tiff(_hex(_CPYTHON_LOGO_TIFF_HEX))
+
+
+def test_decode_tiff_rgba_lzw_jdk_imageio_vector():
+    """Fully-opaque RGBA + LZW from the JDK writer decodes to the
+    exact RGB formula (alpha verified 255 then dropped)."""
+    px, n_strips, byte_order, compression = M.decode_tiff(
+        _hex(_JDK_RGBA_LZW_TIFF_HEX)
+    )
+    assert (byte_order, compression) == ("MM", 5)
+    assert px.shape == (9, 19, 3)
+    want = np.zeros((9, 19, 3), dtype=np.uint8)
+    for y in range(9):
+        for x in range(19):
+            want[y, x] = (
+                (x * 11 + y) % 256,
+                (x ^ (y * 7)) % 256,
+                (3 * x + 5 * y) % 256,
+            )
+    assert (px == want).all()
+
+
+def test_decode_jpeg_baseline_partial_mcu_jdk_file():
+    """A 13x7 baseline 4:2:0 JPEG (one padded MCU cropped) from the
+    JDK encoder: the interleaved partial-MCU path against a real
+    encoder, gray gradient chosen mid-range so Y is exactly
+    recoverable from the independent decoder's RGB."""
+    from duckdb_redis_olap_scanner_spark.operators.jpeg import decode_jpeg
+
+    px, stats = decode_jpeg(_hex(_JDK_13X7_JPEG_HEX))
+    assert (stats["width"], stats["height"]) == (13, 7)
+    assert px.shape == (7, 13, 3)
+    truth = np.frombuffer(
+        _hex(_JDK_13X7_IMAGEIO_RGB_HEX), dtype=np.uint8
+    ).reshape(7, 13, 3).astype(np.float64)
+    y_t, cb_t, cr_t = _ycbcr_from_rgb(truth)
+    unclipped = ((truth > 0) & (truth < 255)).all(axis=2)
+    assert unclipped.sum() >= 80
+    assert np.abs(px[..., 0].astype(np.float64) - y_t)[unclipped].max() <= 2.0
+    assert abs(px[..., 1].mean() - cb_t.mean()) <= 3.0
+    assert abs(px[..., 2].mean() - cr_t.mean()) <= 3.0
