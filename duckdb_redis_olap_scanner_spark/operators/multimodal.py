@@ -387,11 +387,16 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 TIFF_LZW_CLEAR, TIFF_LZW_EOI = 256, 257
 
 
-def tiff_lzw_encode(data: bytes) -> bytes:
+def tiff_lzw_encode(data: bytes, early_change: bool = True) -> bytes:
     """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing (GIF is
     LSB-first), 9-bit start, Clear=256/EOI=257, and the libtiff
     "early change" — code width bumps when the next free code reaches
-    2^w - 1, one code earlier than GIF."""
+    2^w - 1, one code earlier than GIF.
+
+    ``early_change=False`` emits the LATE-change variant (PDF
+    LZWDecode EarlyChange 0; what the JDK ImageIO TIFF writer
+    produces) — kept encoder-side so both wild conventions round-trip
+    against :func:`tiff_lzw_decode` in property tests."""
     out = bytearray()
     acc = nacc = 0
 
@@ -415,7 +420,8 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[w + c] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) - (1 if early_change else 0) \
+                and width < 12:
             width += 1
         if next_code >= 4094:  # table nearly full -> clear, as libtiff
             emit(TIFF_LZW_CLEAR, width)

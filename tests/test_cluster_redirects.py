@@ -237,3 +237,30 @@ def test_list_reader_identical_under_both_protocols(protocol):
         assert [b.num_rows for b in batches] == [10, 10, 5]
         elems = [e for b in batches for e in b.column("element").to_pylist()]
         assert elems == [f"el:{i:03d}" for i in range(25)]
+
+
+def test_redis_get_udf_survives_reshard(spark):
+    """The redis_get scalar UDF (per-partition MGET batches) over a
+    scan whose keys partially resharded away mid-read: the Arrow
+    workers' mget recovers the moved keys from the new owner."""
+    from duckdb_redis_olap_scanner_spark.engine import Engine
+
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.seed_strings({f"ug:{i:03d}": f"a:{i}" for i in range(20)})
+        for i in range(0, 20, 4):
+            a.store.moved[f"ug:{i:03d}"] = (b.host, b.port)
+            b.seed_strings({f"ug:{i:03d}": f"b:{i}"})
+        eng = Engine(spark)
+        eng.connect(f"{a.host}:{a.port}")
+        scan = eng.redis_scan("ug:*")
+        got = {
+            r.key_name: r.value
+            for r in scan.select(
+                scan.key_name,
+                eng.redis_get_udf()(scan.key_name).alias("value"),
+            ).collect()
+        }
+        assert got == {
+            f"ug:{i:03d}": (f"b:{i}" if i % 4 == 0 else f"a:{i}")
+            for i in range(20)
+        }

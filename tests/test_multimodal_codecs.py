@@ -1138,6 +1138,38 @@ def test_tiff_lzw_round_trip_and_widths():
         M.tiff_lzw_decode(bytes([0b10000000, 0b01000000, 0b10000000]), 4)
 
 
+def test_tiff_lzw_late_change_round_trip_and_divergence():
+    """Both wild width-change conventions round-trip with the matching
+    decoder setting, the two encoders genuinely diverge once the table
+    crosses a width boundary (the off-by-one the JDK vector exposed —
+    tests/test_external_vectors.py), and cross-convention decode fails
+    loudly or wrongly rather than silently agreeing."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(20):
+        n = rng.randrange(0, 2500)
+        d = bytes(rng.randrange(256) for _ in range(n))
+        early = M.tiff_lzw_encode(d, early_change=True)
+        late = M.tiff_lzw_encode(d, early_change=False)
+        assert M.tiff_lzw_decode(early, n, early_change=True) == d
+        assert M.tiff_lzw_decode(late, n, early_change=False) == d
+        # random bytes add ~1 table entry per ~2 input bytes, so 2 kB
+        # guarantees the 9->10 boundary where the conventions differ
+        if n >= 2048:
+            assert early != late
+            try:
+                wrong = M.tiff_lzw_decode(late, n, early_change=True)
+                assert wrong != d
+            except ValueError:
+                pass
+    # a 50 kB structured stream walks every width AND the table-full
+    # Clear under the late convention too
+    data = bytes((i * 7 + (i // 3)) % 256 for i in range(50000))
+    enc = M.tiff_lzw_encode(data, early_change=False)
+    assert M.tiff_lzw_decode(enc, len(data), early_change=False) == data
+
+
 def test_tiff_predictor_round_trip():
     import numpy as np
 
