@@ -1298,3 +1298,181 @@ def test_decode_jpeg_baseline_partial_mcu_jdk_file():
     assert np.abs(px[..., 0].astype(np.float64) - y_t)[unclipped].max() <= 2.0
     assert abs(px[..., 1].mean() - cb_t.mean()) <= 3.0
     assert abs(px[..., 2].mean() - cr_t.mean()) <= 3.0
+
+
+def test_decode_jpeg_jdk_encoder_conformance_sweep(spark):
+    """Cross-encoder conformance sweep: the JDK's ImageIO JPEG
+    encoder (IJG-derived — the independent implementation available
+    in this container via Spark's JVM) encodes a matrix of odd
+    geometries and qualities at runtime; our decoder must match the
+    JDK's own decode within rounding on every one. Gradients stay
+    mid-range so no channel clips and Y is exactly recoverable.
+    Covers 1x1 and single-row/column partial MCUs, gray (1-component)
+    and color (4:2:0) sampling, and two quantization levels — the
+    combinations no baked literal sweep could enumerate."""
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    from duckdb_redis_olap_scanner_spark.operators.jpeg import decode_jpeg
+
+    def s32(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def jdk_encode(img, quality):
+        w = ImageIO.getImageWritersByFormatName("jpeg").next()
+        p = w.getDefaultWriteParam()
+        p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = ImageIO.createImageOutputStream(baos)
+        w.setOutput(ios)
+        w.write(None, jvm.javax.imageio.IIOImage(img, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    cases = [
+        (1, 1, True, 0.9), (3, 5, True, 0.9), (31, 2, True, 0.7),
+        (13, 7, True, 0.7), (1, 9, True, 0.9), (8, 8, True, 0.9),
+        (13, 7, False, 0.9), (17, 17, False, 0.7), (24, 9, False, 0.9),
+        (7, 16, False, 0.9), (64, 48, False, 0.7), (2, 2, False, 0.9),
+    ]
+    for w, h, gray, quality in cases:
+        if gray:
+            img = BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+            ras = img.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    # raw code values via the raster — setRGB would
+                    # push them through the gray<->sRGB ICC transform
+                    ras.setSample(x, y, 0, 60 + (x * 9 + y * 7) % 140)
+        else:
+            img = BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            for y in range(h):
+                for x in range(w):
+                    v = 60 + (x * 9 + y * 7) % 140
+                    img.setRGB(x, y, s32((v << 16) | (v << 8) | v))
+        payload = jdk_encode(img, quality)
+        px, stats = decode_jpeg(payload)
+        assert (stats["width"], stats["height"]) == (w, h), (w, h, gray)
+        assert px.shape[:2] == (h, w)
+        back = ImageIO.read(jvm.java.io.ByteArrayInputStream(payload))
+        if gray:
+            truth_y = np.array(
+                [
+                    [back.getRaster().getSample(x, y, 0) for x in range(w)]
+                    for y in range(h)
+                ],
+                dtype=np.float64,
+            )
+        else:
+            argb = list(back.getRGB(0, 0, w, h, None, 0, w))
+            rgb = np.array(
+                [((v >> 16) & 255, (v >> 8) & 255, v & 255) for v in argb],
+                dtype=np.float64,
+            ).reshape(h, w, 3)
+            assert ((rgb > 0) & (rgb < 255)).all(), "clipped: Y not recoverable"
+            truth_y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] \
+                + 0.114 * rgb[..., 2]
+        dy = np.abs(px[..., 0].astype(np.float64) - truth_y).max()
+        assert dy <= 2.5, (w, h, gray, quality, dy)
+
+
+def test_decode_tiff_jdk_encoder_conformance_sweep(spark):
+    """Cross-encoder TIFF sweep: the JDK ImageIO TIFF writer encodes
+    a matrix of {LZW, PackBits, Deflate, ZLib, uncompressed} x
+    {RGB, opaque RGBA} x odd geometries at runtime; TIFF is lossless,
+    so every combination must decode BIT-EXACTLY to the generating
+    formula."""
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    BufferedImage = jvm.java.awt.image.BufferedImage
+
+    def s32(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def jdk_encode_tiff(img, ctype):
+        w = ImageIO.getImageWritersByFormatName("tiff").next()
+        p = w.getDefaultWriteParam()
+        if ctype is not None:
+            p.setCompressionMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+            )
+            p.setCompressionType(ctype)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = ImageIO.createImageOutputStream(baos)
+        w.setOutput(ios)
+        w.write(None, jvm.javax.imageio.IIOImage(img, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    comp_tag = {"LZW": 5, "PackBits": 32773, "Deflate": 32946,
+                "ZLib": 8, None: 1}
+    cases = [
+        ("LZW", False, 23, 11), ("LZW", True, 6, 30),
+        ("PackBits", False, 17, 5), ("PackBits", True, 9, 9),
+        ("Deflate", False, 12, 8), ("ZLib", True, 5, 13),
+        (None, False, 3, 3), (None, True, 40, 2),
+        ("LZW", False, 1, 1),
+    ]
+    for ctype, rgba, w, h in cases:
+        img = BufferedImage(
+            w, h,
+            BufferedImage.TYPE_INT_ARGB if rgba
+            else BufferedImage.TYPE_INT_RGB,
+        )
+        want = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (x * 11 + y) % 256, (x ^ (y * 7)) % 256, \
+                    (3 * x + 5 * y) % 256
+                want[y, x] = (r, g, b)
+                img.setRGB(
+                    x, y, s32((0xFF << 24) | (r << 16) | (g << 8) | b)
+                )
+        data = jdk_encode_tiff(img, ctype)
+        px, n_strips, byte_order, compression = M.decode_tiff(data)
+        assert compression == comp_tag[ctype], (ctype, compression)
+        assert px.shape == (h, w, 3), (ctype, rgba, w, h, px.shape)
+        assert (px == want).all(), (ctype, rgba, w, h)
+
+
+def test_decode_png_bmp_jdk_encoder_conformance_sweep(spark):
+    """PNG and BMP cross-encoder sweeps: the JDK PNG encoder chooses
+    per-row filters adaptively (a real-encoder behavior the synthesis
+    contracts never produce), the BMP encoder writes bottom-up
+    BI_RGB; both are lossless so every geometry decodes bit-exact."""
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+    BufferedImage = jvm.java.awt.image.BufferedImage
+
+    def s32(v):
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def jdk_encode(img, fmt):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ok = ImageIO.write(img, fmt, baos)
+        assert ok, f"no JDK writer for {fmt}"
+        return bytes(baos.toByteArray())
+
+    for fmt, w, h in [
+        ("png", 23, 11), ("png", 1, 1), ("png", 64, 3), ("png", 2, 40),
+        ("bmp", 23, 11), ("bmp", 1, 1), ("bmp", 5, 2), ("bmp", 33, 7),
+    ]:
+        # TYPE_3BYTE_BGR: the JDK PNG writer encodes it as 8-bit
+        # truecolor RGB and the BMP writer as 24-bit BI_RGB — the
+        # variants our decoders serve.
+        img = BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        want = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (x * 13 + y * 3) % 256, (x * 5 ^ y) % 256, \
+                    (x + 7 * y) % 256
+                want[y, x] = (r, g, b)
+                img.setRGB(x, y, s32((r << 16) | (g << 8) | b))
+        data = jdk_encode(img, fmt)
+        if fmt == "png":
+            px, n_raw = M.decode_png(data)
+        else:
+            px = M.decode_bmp(data)
+        assert px.shape == (h, w, 3), (fmt, w, h, px.shape)
+        assert (px == want).all(), (fmt, w, h)
