@@ -271,11 +271,11 @@ class RedisKVWriter(DataSourceWriter):
             for row in rows:
                 batch.append(("SET", row.key, row.value))
                 if len(batch) >= self.batch_size:
-                    client.pipeline(batch)
+                    client.pipeline_checked(batch)
                     n += len(batch)
                     batch = []
             if batch:
-                client.pipeline(batch)
+                client.pipeline_checked(batch)
                 n += len(batch)
         return WriterCommitMessage()
 
@@ -380,10 +380,10 @@ class RedisHashWriter(DataSourceWriter):
                 if flat:
                     batch.append(("HSET", row.key, *flat))
                 if len(batch) >= self.batch_size:
-                    client.pipeline(batch)
+                    client.pipeline_checked(batch)
                     batch = []
             if batch:
-                client.pipeline(batch)
+                client.pipeline_checked(batch)
         return WriterCommitMessage()
 
 
@@ -513,10 +513,10 @@ class RedisZSetWriter(DataSourceWriter):
             for row in rows:
                 batch.append(("ZADD", self.key, repr(float(row.score)), row.member))
                 if len(batch) >= self.batch_size:
-                    client.pipeline(batch)
+                    client.pipeline_checked(batch)
                     batch = []
             if batch:
-                client.pipeline(batch)
+                client.pipeline_checked(batch)
         return WriterCommitMessage()
 
 

@@ -143,10 +143,10 @@ class RedisStreamWriter(DataSourceStreamWriter):
                     continue
                 batch.append(("XADD", self.key, "*", *flat))
                 if len(batch) >= self.batch_size:
-                    client.pipeline(batch)
+                    client.pipeline_checked(batch)
                     batch = []
             if batch:
-                client.pipeline(batch)
+                client.pipeline_checked(batch)
         return WriterCommitMessage()
 
 

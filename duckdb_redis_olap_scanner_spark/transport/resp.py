@@ -253,6 +253,25 @@ class RedisClient:
                 out.append(e)
         return out
 
+    def pipeline_checked(self, commands: list[tuple]) -> list[Any]:
+        """``pipeline`` for WRITERS: every error reply is handled, not
+        dropped. MOVED/ASK redirects are replayed on the target (a
+        batch write racing a reshard must land every row — silently
+        discarding the RespError entries ``pipeline`` returns would
+        lose exactly the resharded keys); any other error raises, so a
+        failed write fails the Spark task instead of reporting a
+        phantom success. The read-side callers that legitimately map
+        errors to defaults (hgetall_pipelined's wrong-type → {}) keep
+        using raw ``pipeline``."""
+        out = []
+        for cmd, reply in zip(commands, self.pipeline(commands)):
+            if isinstance(reply, RespError):
+                if _redirect_of(reply) is None:
+                    raise reply
+                reply = self.command_redirected(*cmd)
+            out.append(reply)
+        return out
+
     # -- convenience wrappers --------------------------------------------------
     def ping(self) -> bool:
         return self.command("PING") == "PONG"

@@ -264,3 +264,48 @@ def test_redis_get_udf_survives_reshard(spark):
             f"ug:{i:03d}": (f"b:{i}" if i % 4 == 0 else f"a:{i}")
             for i in range(20)
         }
+
+
+def test_pipeline_checked_replays_redirects_and_raises_otherwise():
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.store.moved["wm:1"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            replies = c.pipeline_checked(
+                [("SET", "wm:0", "v0"), ("SET", "wm:1", "v1")]
+            )
+            assert replies == ["OK", "OK"]
+            with pytest.raises(RespError):
+                c.pipeline_checked([("NOSUCHCOMMAND",)])
+        assert a.store.strings.get("wm:0") == "v0"
+        # the redirected SET landed on the new owner, not dropped
+        assert b.store.strings.get("wm:1") == "v1"
+        assert "wm:1" not in a.store.strings
+
+
+def test_kv_writer_survives_reshard(spark):
+    """A batch write racing a reshard: SETs for migrated keys get
+    -MOVED inside the pipelined batch; the writer must replay them on
+    the new owner instead of silently dropping the error replies
+    (at-least-once sink semantics)."""
+    from duckdb_redis_olap_scanner_spark.engine import register_datasources
+
+    register_datasources(spark)
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        rows = [(f"wr:{i:03d}", f"v{i}") for i in range(30)]
+        for i in range(0, 30, 5):
+            a.store.moved[f"wr:{i:03d}"] = (b.host, b.port)
+        df = spark.createDataFrame(rows, "key string, value string")
+        (
+            df.write.format("redis_kv")
+            .option("host", a.host)
+            .option("port", str(a.port))
+            .option("batch_size", 8)
+            .mode("append")
+            .save()
+        )
+        for i in range(30):
+            k, v = f"wr:{i:03d}", f"v{i}"
+            owner = b if i % 5 == 0 else a
+            other = a if i % 5 == 0 else b
+            assert owner.store.strings.get(k) == v, (k, "missing on owner")
+            assert k not in other.store.strings, (k, "leaked to other node")
