@@ -80,7 +80,11 @@ def make_redis_ttl(host: str, port: int):
                     chunk = [
                         k if k is not None else "" for k in kl[i : i + MGET_CHUNK]
                     ]
-                    replies = client.pipeline(
+                    # pipeline_checked: TTL never errors on a live
+                    # standalone node, but a cluster reshard answers
+                    # -MOVED — replayed on the target; anything else
+                    # raises instead of crashing int() opaquely.
+                    replies = client.pipeline_checked(
                         [("TTL", k) for k in chunk]
                     )
                     out.extend(int(r) for r in replies)

@@ -205,7 +205,10 @@ class _Handler(socketserver.BaseRequestHandler):
             self._asking = True
             return _simple("OK")
         with store.lock:
-            if name in ("GET", "SET", "TTL", "EXPIRE") and args:
+            if name in (
+                "GET", "SET", "TTL", "EXPIRE",
+                "HGETALL", "HSET", "ZADD", "RPUSH",
+            ) and args:
                 red = self._redirect_for(store, args[0], asking)
                 if red is not None:
                     return red

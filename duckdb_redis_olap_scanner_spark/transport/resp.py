@@ -362,8 +362,17 @@ class RedisClient:
     def hgetall_pipelined(self, keys: list[str]) -> list[dict[str, str]]:
         replies = self.pipeline([("HGETALL", k) for k in keys])
         out = []
-        for reply in replies:
-            if isinstance(reply, (RespError, type(None))):
+        for key, reply in zip(keys, replies):
+            if isinstance(reply, RespError):
+                # Cluster redirect: the hash moved — fetch it from its
+                # new owner instead of misreporting {} (data loss).
+                # Every OTHER error keeps the documented wrong-type /
+                # missing-key → {} mapping.
+                if _redirect_of(reply) is not None:
+                    reply = self.command_redirected("HGETALL", key)
+                else:
+                    reply = None
+            if reply is None:
                 out.append({})
             elif isinstance(reply, dict):
                 out.append({k: _as_str(v) for k, v in reply.items()})

@@ -309,3 +309,22 @@ def test_kv_writer_survives_reshard(spark):
             other = a if i % 5 == 0 else b
             assert owner.store.strings.get(k) == v, (k, "missing on owner")
             assert k not in other.store.strings, (k, "leaked to other node")
+
+
+def test_hash_and_ttl_follow_redirects():
+    """hgetall_pipelined fetches a migrated hash from its new owner
+    (instead of misreporting {}), keeping the wrong-type → {} mapping
+    for non-redirect errors; the TTL pipeline replays MOVED."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        with RedisClient(b.host, b.port) as cb:
+            cb.command("HSET", "hm:1", "f", "v")
+            cb.command("SET", "tm:1", "x")
+            cb.command("EXPIRE", "tm:1", "120")
+        a.seed_strings({"hm:2": "not-a-hash"})
+        a.store.moved["hm:1"] = (b.host, b.port)
+        a.store.moved["tm:1"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            maps = c.hgetall_pipelined(["hm:1", "hm:2", "hm:absent"])
+            assert maps == [{"f": "v"}, {}, {}]
+            replies = c.pipeline_checked([("TTL", "tm:1")])
+            assert replies == [120]
