@@ -161,6 +161,25 @@ def register_datasources(spark: SparkSession) -> None:
             except Exception as exc:  # noqa: BLE001 — see filter below
                 if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
                     raise
+                # On a NON-thread-active receiver this error can be
+                # spurious (raised by the active session's manager
+                # while the receiver's stays empty — the r10 failure
+                # the pinned path above avoids). We can't distinguish
+                # the cases without the internal probe that just
+                # failed, so make the degradation visible instead of
+                # silent: a later data-source-not-found on this
+                # session traces back here.
+                import warnings
+
+                warnings.warn(
+                    f"register_datasources degraded path: swallowed "
+                    f"DATA_SOURCE_ALREADY_EXISTS for {ds.name()!r}; if "
+                    "this session later fails to resolve the source, "
+                    "the registration landed on a different (active) "
+                    "session",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     pending = ALL_DATASOURCES
     try:

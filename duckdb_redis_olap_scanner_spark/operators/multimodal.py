@@ -453,7 +453,13 @@ def tiff_lzw_decode(
     shows up later as an out-of-table code or a wrong expansion
     length — so :func:`decode_tiff` tries the spec convention first
     and retries with the late variant on failure, like permissive
-    real-world readers."""
+    real-world readers. That detection is a heuristic with no
+    sound alternative: TIFF carries no payload checksum, so a
+    late-change strip whose early-convention misread happens to emit
+    exactly the expected byte count through valid codes would pass
+    undetected — astronomically unlikely (every post-boundary code
+    must stay in-table AND the lengths must land exactly), and a
+    limitation every permissive LZW reader shares."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width, acc, nacc, pos = 9, 0, 0, 0

@@ -2862,7 +2862,27 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     if wh.startswith("file:"):
         wh = "/" + wh[len("file:"):].lstrip("/")
     name = f"{base}_{app}"
-    return name, os.path.join(wh, "spark_graft_idx", name)
+    # App-scoped names never self-overwrite across runs, so stale
+    # siblings from finished apps would accumulate unboundedly.
+    # GC by mtime, not by name: anything untouched for hours belongs
+    # to a dead app (a LIVE concurrent run's index was written
+    # seconds ago — deleting by name is exactly the race the
+    # app-scoping exists to prevent). Dead apps leave no catalog
+    # entries to drop: the in-memory session catalog dies with them.
+    parent = os.path.join(wh, "spark_graft_idx")
+    try:
+        import shutil
+        import time
+
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(parent):
+            full = os.path.join(parent, d)
+            if d != name and os.path.isdir(full) \
+                    and os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
+    return name, os.path.join(parent, name)
 
 
 @register(

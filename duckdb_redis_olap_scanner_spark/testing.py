@@ -126,6 +126,10 @@ class FakeRedisStore:
         self.moved: dict[str, tuple[str, int]] = {}
         self.ask: dict[str, tuple[str, int]] = {}
         self.importing: dict[str, tuple[str, int]] = {}
+        # When True, MGET answers -CROSSSLOT like a real cluster node
+        # does for keys spanning slots (virtually every SCAN-page MGET
+        # on a real cluster) — clients must recover per key.
+        self.crossslot_mget = False
         # key -> seconds, served STATICALLY by TTL (the fake never
         # expires keys; tests pin the plumbing, not wall-clock decay)
         self.ttls: dict[str, int] = {}
@@ -213,6 +217,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 if red is not None:
                     return red
             if name == "MGET":
+                if store.crossslot_mget and len(args) > 1:
+                    return _error(
+                        "CROSSSLOT Keys in request don't hash to the "
+                        "same slot"
+                    )
                 # A real cluster MGET errors whole-command when a
                 # key's slot is elsewhere; reply for the first such
                 # key.
@@ -244,6 +253,18 @@ class _Handler(socketserver.BaseRequestHandler):
                 store.hashes.pop(args[0], None)
                 return _simple("OK")
             if name == "GET":
+                # Type-strict like real Redis: GET on a non-string key
+                # is WRONGTYPE (while MGET below yields nil for it).
+                if (
+                    args[0] in store.hashes
+                    or args[0] in store.zsets
+                    or args[0] in store.lists
+                    or args[0] in store.streams
+                ):
+                    return _error(
+                        "WRONGTYPE Operation against a key holding "
+                        "the wrong kind of value"
+                    )
                 return _encode(store.strings.get(args[0]))
             if name == "MGET":
                 return _encode([store.strings.get(k) for k in args])

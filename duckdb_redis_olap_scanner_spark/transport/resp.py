@@ -145,6 +145,23 @@ def _redirect_of(exc: RespError) -> tuple[str, str, int] | None:
         return None
 
 
+def _is_wrongtype(exc: RespError) -> bool:
+    """True for the WRONGTYPE error a GET on a hash/list/zset key
+    raises — where MGET would have returned nil for the same key."""
+    return str(exc).startswith("WRONGTYPE")
+
+
+def _is_cluster_multikey_error(exc: RespError) -> bool:
+    """Errors a Redis Cluster raises for a multi-key command that a
+    per-key re-fetch can recover from: MOVED/ASK (slot elsewhere),
+    CROSSSLOT (keys span slots — virtually every SCAN-page MGET on a
+    real cluster), TRYAGAIN (keys split mid-migration)."""
+    if _redirect_of(exc) is not None:
+        return True
+    msg = str(exc)
+    return msg.startswith("CROSSSLOT") or msg.startswith("TRYAGAIN")
+
+
 def _as_key(v: Any) -> Any:
     return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
 
@@ -266,9 +283,10 @@ class RedisClient:
         out = []
         for cmd, reply in zip(commands, self.pipeline(commands)):
             if isinstance(reply, RespError):
-                if _redirect_of(reply) is None:
+                red = _redirect_of(reply)
+                if red is None:
                     raise reply
-                reply = self.command_redirected(*cmd)
+                reply = self.command_redirected(*cmd, seed=red)
             out.append(reply)
         return out
 
@@ -302,11 +320,26 @@ class RedisClient:
             self._redirect_pool[(host, port)] = tgt
         return tgt
 
-    def command_redirected(self, *args: Any, max_redirects: int = 5) -> Any:
+    def command_redirected(
+        self,
+        *args: Any,
+        max_redirects: int = 5,
+        seed: tuple[str, str, int] | None = None,
+    ) -> Any:
         """``command`` that follows MOVED/ASK redirects, bounded by
-        ``max_redirects`` hops (a moved slot can move again)."""
+        ``max_redirects`` hops (a moved slot can move again).
+
+        ``seed`` is an already-parsed redirect (kind, host, port) from
+        an error the CALLER received — the first attempt then goes
+        straight to the target instead of replaying the command on
+        this node for a guaranteed second redirect (one wasted round
+        trip per key on a bulk recovery)."""
         client: RedisClient = self
         asking = False
+        if seed is not None:
+            kind, host, port = seed
+            client = self._redirect_client(host, port)
+            asking = kind == "ASK"
         for _ in range(max_redirects + 1):
             try:
                 if asking:
@@ -335,20 +368,35 @@ class RedisClient:
         try:
             return [_as_str(v) for v in self.command("MGET", *keys)]
         except RespError as e:
-            if _redirect_of(e) is None:
+            if not _is_cluster_multikey_error(e):
                 raise
-            # Some keys of this scan page live on another node now (or
-            # the whole command landed wrong). Re-fetch per key: one
-            # pipelined GET round trip here, then redirected singles
-            # for exactly the keys that moved — the per-slot split real
-            # cluster clients perform, specialized to the fetch path.
+            # Cluster recovery. A real cluster answers a multi-slot
+            # MGET with CROSSSLOT (virtually always for a SCAN page),
+            # TRYAGAIN for keys split mid-migration, or MOVED when the
+            # whole batch's slot resharded. Re-fetch per key: one
+            # pipelined GET round trip here, then SEEDED redirected
+            # singles for exactly the keys that moved — the per-slot
+            # split real cluster clients perform, specialized to the
+            # fetch path.
             replies = self.pipeline([("GET", k) for k in keys])
             out: list[str | None] = []
             for k, r in zip(keys, replies):
                 if isinstance(r, RespError):
-                    if _redirect_of(r) is None:
+                    red = _redirect_of(r)
+                    if red is not None:
+                        try:
+                            r = self.command_redirected("GET", k, seed=red)
+                        except RespError as e2:
+                            if not _is_wrongtype(e2):
+                                raise
+                            r = None  # non-string on its new owner
+                    elif _is_wrongtype(r):
+                        # MGET yields nil for non-string keys; the
+                        # per-key GET must not be stricter than the
+                        # fast path it replaces.
+                        r = None
+                    else:
                         raise r
-                    r = self.command_redirected("GET", k)
                 out.append(_as_str(r))
             return out
 
@@ -368,8 +416,11 @@ class RedisClient:
                 # new owner instead of misreporting {} (data loss).
                 # Every OTHER error keeps the documented wrong-type /
                 # missing-key → {} mapping.
-                if _redirect_of(reply) is not None:
-                    reply = self.command_redirected("HGETALL", key)
+                red = _redirect_of(reply)
+                if red is not None:
+                    reply = self.command_redirected(
+                        "HGETALL", key, seed=red
+                    )
                 else:
                     reply = None
             if reply is None:

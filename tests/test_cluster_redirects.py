@@ -328,3 +328,33 @@ def test_hash_and_ttl_follow_redirects():
             assert maps == [{"f": "v"}, {}, {}]
             replies = c.pipeline_checked([("TTL", "tm:1")])
             assert replies == [120]
+
+
+def test_mget_recovers_from_crossslot_with_mixed_types():
+    """A real cluster answers a multi-slot MGET with -CROSSSLOT
+    (virtually every SCAN-page MGET); the client must fall back to
+    per-key GETs — and a non-string key in the page must yield None
+    (as MGET itself would), not crash on the stricter GET's
+    WRONGTYPE."""
+    with FakeRedisServer() as a:
+        a.seed_strings({"cs:0": "v0", "cs:1": "v1"})
+        with RedisClient(a.host, a.port) as seeder:
+            seeder.command("HSET", "cs:hash", "f", "v")
+        a.store.crossslot_mget = True
+        with RedisClient(a.host, a.port) as c:
+            assert c.mget(["cs:0", "cs:hash", "cs:1", "cs:absent"]) == [
+                "v0", None, "v1", None,
+            ]
+
+
+def test_mget_moved_key_that_is_nonstring_on_target_yields_none():
+    """A key that migrated AND is a non-string on its new owner: the
+    redirected GET's WRONGTYPE maps to None, matching what MGET on
+    the owner would return."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.seed_strings({"mv:0": "v0", "mv:h": "stale-string"})
+        with RedisClient(b.host, b.port) as seeder:
+            seeder.command("HSET", "mv:h", "f", "v")
+        a.store.moved["mv:h"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            assert c.mget(["mv:0", "mv:h"]) == ["v0", None]
