@@ -202,6 +202,10 @@ class RedisClient:
         self._reader: _SocketReader | None = None
         # (host, port) → client, lazily opened by MOVED/ASK following.
         self._redirect_pool: dict[tuple[str, int], "RedisClient"] = {}
+        # Set once a multi-key MGET is refused with CROSSSLOT (cluster
+        # topology, not key-specific): later mgets skip the doomed
+        # multi-key attempt. See mget().
+        self._mget_crossslot = False
 
     # -- connection lifecycle -------------------------------------------------
     def connect(self) -> None:
@@ -366,10 +370,19 @@ class RedisClient:
         if not keys:
             return []
         try:
+            if self._mget_crossslot and len(keys) > 1:
+                # CROSSSLOT is a property of the command pattern, not
+                # of specific keys: once this connection's multi-key
+                # MGET has been refused, every later scan page would
+                # fail the same way — skip the guaranteed-failed round
+                # trip and go straight to the per-key path below.
+                raise RespError("CROSSSLOT memoized")
             return [_as_str(v) for v in self.command("MGET", *keys)]
         except RespError as e:
             if not _is_cluster_multikey_error(e):
                 raise
+            if str(e).startswith("CROSSSLOT"):
+                self._mget_crossslot = True
             # Cluster recovery. A real cluster answers a multi-slot
             # MGET with CROSSSLOT (virtually always for a SCAN page),
             # TRYAGAIN for keys split mid-migration, or MOVED when the

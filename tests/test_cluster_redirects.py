@@ -358,3 +358,21 @@ def test_mget_moved_key_that_is_nonstring_on_target_yields_none():
         a.store.moved["mv:h"] = (b.host, b.port)
         with RedisClient(a.host, a.port) as c:
             assert c.mget(["mv:0", "mv:h"]) == ["v0", None]
+
+
+def test_mget_memoizes_crossslot_per_connection():
+    """After one CROSSSLOT refusal, later mgets on the same connection
+    skip the doomed multi-key attempt (one pipelined-GET round trip
+    per page instead of failed-MGET + GETs); results unchanged."""
+    with FakeRedisServer() as a:
+        a.seed_strings({"ms:0": "v0", "ms:1": "v1"})
+        a.store.crossslot_mget = True
+        with RedisClient(a.host, a.port) as c:
+            assert not c._mget_crossslot
+            assert c.mget(["ms:0", "ms:1"]) == ["v0", "v1"]
+            assert c._mget_crossslot
+            # flag off server-side: the memo still answers correctly
+            a.store.crossslot_mget = False
+            assert c.mget(["ms:1", "ms:absent"]) == ["v1", None]
+            # single-key mget never trips the memo path
+            assert c.mget(["ms:0"]) == ["v0"]
