@@ -376,3 +376,41 @@ def test_mget_memoizes_crossslot_per_connection():
             assert c.mget(["ms:1", "ms:absent"]) == ["v1", None]
             # single-key mget never trips the memo path
             assert c.mget(["ms:0"]) == ["v0"]
+
+
+def test_redirect_of_fuzz_never_crashes():
+    """_redirect_of over arbitrary error text: parses every well-formed
+    MOVED/ASK (including IPv6-style hosts via last-colon split),
+    returns None for everything else, never raises."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=60))
+    def _check(msg):
+        out = _redirect_of(RespError(msg))
+        if out is not None:
+            kind, host, port = out
+            assert kind in ("MOVED", "ASK")
+            assert isinstance(port, int)
+            # re-assembles into the wire form it was parsed from
+            parts = msg.split()
+            assert parts[0] == kind and parts[2] == f"{host}:{port}"
+
+    _check()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sampled_from(["MOVED", "ASK"]),
+        st.integers(0, 16383),
+        st.from_regex(r"[0-9a-zA-Z.:\-]{1,30}", fullmatch=True),
+        st.integers(1, 65535),
+    )
+    def _well_formed(kind, slot, host, port):
+        got = _redirect_of(RespError(f"{kind} {slot} {host}:{port}"))
+        assert got == (kind, host, port)
+
+    _well_formed()
