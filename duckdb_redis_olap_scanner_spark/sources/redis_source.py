@@ -31,6 +31,15 @@ ONE input partition (matching the reference's ``MaxThreads()==1``,
   :func:`key_slot` (CRC16-XMODEM + hashtag rule) is exposed for
   slot-aligned key design and tests.
 
+  Exactly-once coverage assumes the topology snapshot holds for the
+  read; a reshard DURING the scan inherits SCAN's own weak guarantee
+  (keys migrating between nodes may be seen on both or neither — the
+  same contract redis-cli --scan gives on a live cluster). Value
+  fetches stay correct throughout: every GET/MGET path follows
+  MOVED/ASK (and recovers from CROSSSLOT/TRYAGAIN) per
+  ``transport.resp``, so rows the scan does surface carry the value
+  from the key's CURRENT owner.
+
 Arrow RecordBatches are yielded so rows never pass through
 Python-object row conversion.
 """
