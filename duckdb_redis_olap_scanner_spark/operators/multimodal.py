@@ -965,9 +965,9 @@ def decode_wav(payload: bytes):
     """Parse a RIFF/WAVE file into (n_channels, sample_rate, bits,
     samples[int16 interleaved]) — dependency-free. Walks the chunk
     list (honoring the even-padding rule) so files with extra
-    LIST/fact chunks parse correctly. PCM16 (format 1), G.711 mu-law
-    (format 7) and mono/stereo IMA ADPCM (format 17) decode
-    natively."""
+    LIST/fact chunks parse correctly. Natively decoded formats:
+    PCM16 and PCM24 (format 1), G.711 mu-law (7) and A-law (6), and
+    mono/stereo IMA ADPCM (17). Anything else raises loudly."""
     import struct
 
     import numpy as np

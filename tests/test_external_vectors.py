@@ -1476,3 +1476,81 @@ def test_decode_png_bmp_jdk_encoder_conformance_sweep(spark):
             px = M.decode_bmp(data)
         assert px.shape == (h, w, 3), (fmt, w, h, px.shape)
         assert (px == want).all(), (fmt, w, h)
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (third batch): JDK javax.sound WAV vectors
+# ---------------------------------------------------------------------------
+#
+# The JDK's javax.sound.sampled stack is a second independent audio
+# encoder in this container (audioop, the first, was REMOVED in
+# Python 3.13 — these vectors keep the external coverage alive there).
+# Payloads below were produced by AudioSystem.write(..., WAVE, ...):
+# PCM16 stereo frames verbatim, and the same mono signal transcoded to
+# G.711 u-law / A-law by the JDK's own converters. The generating
+# signal is the closed form in _wav_signal().
+
+_JDK_PCM16_WAV_HEX = (
+    "524946462401000057415645666d74201000000001000200401f0000007d0000040010"
+    "006461746100010000000065294703122b8a068b2cc509cf2df40cdc2e1210b02f1d13"
+    "4b300f16ac30e618d3309d1bbe30321e6f30a120e62fe722232f0225282eed26f52ca9"
+    "288c2b312aef29842b2028a12c2126852df423312e9d21a32e1e1fda2e7b1cd62eb619"
+    "982ed4161f2ed7136d2dc410812c9f0d5e2b6b0a042a2c077628e603b526a000c3245a"
+    "fda42219fa5820e3f6e51dbaf34b1ba3f09018a2edb615bbeac012f0e7b30f46e5930c"
+    "c0e2620962e026062ddee20225dc9cff4dda55fca6d812f933d7d8f5f6d5abf2f0d48f"
+    "ef22d487ec8ed398e934d3c5e615d311e430d381e186d317df16d4d6dce0d4c1dae2d5"
+    "dbd81cd726d78bd8a4d52eda57d403dc41d308de"
+)
+
+_JDK_ULAW_WAV_HEX = (
+    "524946466600000057415645666d74201200000007000100401f0000401f0000010008"
+    "0000006461746140000000ffd1c3bbb5afaca9a6a3a19f9e9d9c9b9a99999898989898"
+    "989899999a9a9b9c9d9e9fa1a4a6a9acafb5bcc5d4724f423a342f2c292623201f1e1d"
+    "1c1b1a1919"
+)
+
+_JDK_ALAW_WAV_HEX = (
+    "524946466600000057415645666d74201200000006000100401f0000401f0000010008"
+    "0000006461746140000000d5ffef969c8586838d8e8bb5b4b7b6b1b0b0b3b3b2b2b2b2"
+    "b2b2b3b3b0b0b1b6b7b4b5888e8d80879a9c97edf250786e111f0506030c0e0b353437"
+    "3631303033"
+)
+
+
+def _wav_signal(n, ch):
+    import math
+
+    out = []
+    for i in range(n):
+        for c in range(ch):
+            out.append(int(12000 * math.sin(0.07 * i + c)) + 500 * c)
+    return out
+
+
+def test_decode_wav_pcm16_jdk_javax_sound_vector():
+    n_ch, rate, bits, samples = M.decode_wav(_hex(_JDK_PCM16_WAV_HEX))
+    assert (n_ch, rate, bits) == (2, 8000, 16)
+    assert list(samples) == _wav_signal(64, 2)  # bit-exact
+
+
+@pytest.mark.parametrize("name,lit", [
+    ("ulaw", "_JDK_ULAW_WAV_HEX"), ("alaw", "_JDK_ALAW_WAV_HEX"),
+])
+def test_decode_wav_g711_jdk_javax_sound_vectors(name, lit):
+    """JDK-ENCODED G.711: our expansion of the JDK encoder's code
+    bytes must land within one quantization step of the original
+    signal (segment step <= 256 at these amplitudes for both laws) —
+    a true cross-implementation encode->decode loop, unlike the
+    audioop vectors where encode and table come from one codebase."""
+    payload = _hex(globals()[lit])
+    n_ch, rate, bits, samples = M.decode_wav(payload)
+    assert (n_ch, rate, bits) == (1, 8000, 8)
+    orig = _wav_signal(64, 1)
+    assert len(samples) == 64
+    worst = max(abs(int(s) - o) for s, o in zip(samples, orig))
+    assert worst <= 256, (name, worst)
+    # and the decode is not degenerate: it tracks the waveform
+    import numpy as np
+
+    corr = np.corrcoef(np.asarray(samples, float), np.asarray(orig, float))[0, 1]
+    assert corr > 0.999, (name, corr)
