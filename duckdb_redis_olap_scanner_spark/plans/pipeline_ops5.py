@@ -2864,11 +2864,14 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     name = f"{base}_{app}"
     # App-scoped names never self-overwrite across runs, so stale
     # siblings from finished apps would accumulate unboundedly.
-    # GC by mtime, not by name: anything untouched for hours belongs
-    # to a dead app (a LIVE concurrent run's index was written
-    # seconds ago — deleting by name is exactly the race the
-    # app-scoping exists to prevent). Dead apps leave no catalog
-    # entries to drop: the in-memory session catalog dies with them.
+    # GC rules: (a) NEVER touch this app's own dirs — matched by app
+    # id, not by exact name, because write_band_index materializes
+    # sibling dirs '{name}_bands'/'{name}_sets' under path_prefix;
+    # (b) other apps' dirs only when untouched for hours — a live
+    # run's index dirs get fresh mtimes on every build AND append
+    # (each writes new files into the dir), so age means a dead app.
+    # Dead apps leave no catalog entries to drop: the in-memory
+    # session catalog dies with them.
     parent = os.path.join(wh, "spark_graft_idx")
     try:
         import shutil
@@ -2877,7 +2880,7 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
         cutoff = time.time() - 6 * 3600
         for d in os.listdir(parent):
             full = os.path.join(parent, d)
-            if d != name and os.path.isdir(full) \
+            if app not in d and os.path.isdir(full) \
                     and os.path.getmtime(full) < cutoff:
                 shutil.rmtree(full, ignore_errors=True)
     except OSError:

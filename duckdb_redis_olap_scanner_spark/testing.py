@@ -249,8 +249,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 }
                 return _encode_map(info, self.proto)
             if name == "SET":
+                # SET replaces a key of ANY type, as real Redis —
+                # leaving a stale container entry would make the
+                # type-strict GET answer WRONGTYPE for a string key.
                 store.strings[args[0]] = args[1]
                 store.hashes.pop(args[0], None)
+                store.zsets.pop(args[0], None)
+                store.lists.pop(args[0], None)
+                store.streams.pop(args[0], None)
                 return _simple("OK")
             if name == "GET":
                 # Type-strict like real Redis: GET on a non-string key

@@ -139,10 +139,11 @@ def _redirect_of(exc: RespError) -> tuple[str, str, int] | None:
     if len(parts) != 2 or ":" not in parts[1]:
         return None
     host, _, port = parts[1].rpartition(":")
-    try:
-        return kind, host, int(port)
-    except ValueError:
+    # Canonical ASCII-decimal ports only (what Redis emits): int()
+    # alone would also accept '+2' / '1_0' / Unicode digits.
+    if not (port.isascii() and port.isdigit()):
         return None
+    return kind, host, int(port)
 
 
 def _is_wrongtype(exc: RespError) -> bool:
@@ -284,14 +285,46 @@ class RedisClient:
         phantom success. The read-side callers that legitimately map
         errors to defaults (hgetall_pipelined's wrong-type → {}) keep
         using raw ``pipeline``."""
-        out = []
-        for cmd, reply in zip(commands, self.pipeline(commands)):
+        out: list[Any] = []
+        retry: dict[tuple, list[tuple[int, tuple, str]]] = {}
+        for i, (cmd, reply) in enumerate(
+            zip(commands, self.pipeline(commands))
+        ):
             if isinstance(reply, RespError):
                 red = _redirect_of(reply)
                 if red is None:
                     raise reply
-                reply = self.command_redirected(*cmd, seed=red)
+                kind, host, port = red
+                # Group for a per-target re-pipeline: a writer batch
+                # usually targets ONE key (zset/stream sinks), so a
+                # reshard MOVEDs the whole batch — replaying it one
+                # serial round trip per command would be batch_size×
+                # the intended latency.
+                retry.setdefault((host, port), []).append((i, cmd, kind))
+                reply = None
             out.append(reply)
+        for (host, port), items in retry.items():
+            tgt = self._redirect_client(host, port)
+            wire: list[tuple] = []
+            for _i, cmd, kind in items:
+                if kind == "ASK":
+                    # ASKING authorizes exactly the next command, so
+                    # it is interleaved per ASK-redirected command
+                    # within the one pipeline.
+                    wire.append(("ASKING",))
+                wire.append(cmd)
+            replies = iter(tgt.pipeline(wire))
+            for i, cmd, kind in items:
+                if kind == "ASK":
+                    next(replies)  # the ASKING +OK
+                r = next(replies)
+                if isinstance(r, RespError):
+                    red2 = _redirect_of(r)
+                    if red2 is None:
+                        raise r
+                    # slot moved again mid-replay: per-command follow
+                    r = self.command_redirected(*cmd, seed=red2)
+                out[i] = r
         return out
 
     # -- convenience wrappers --------------------------------------------------
@@ -428,12 +461,18 @@ class RedisClient:
                 # Cluster redirect: the hash moved — fetch it from its
                 # new owner instead of misreporting {} (data loss).
                 # Every OTHER error keeps the documented wrong-type /
-                # missing-key → {} mapping.
+                # missing-key → {} mapping, INCLUDING on the redirect
+                # target (a key recreated as a string on its new owner
+                # must map to {} exactly as it would have locally).
                 red = _redirect_of(reply)
                 if red is not None:
-                    reply = self.command_redirected(
-                        "HGETALL", key, seed=red
-                    )
+                    try:
+                        reply = self.command_redirected(
+                            "HGETALL", key, seed=red
+                        )
+                    except RespError:
+                        # same error→{} contract on the new owner
+                        reply = None
                 else:
                     reply = None
             if reply is None:

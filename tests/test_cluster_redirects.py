@@ -414,3 +414,46 @@ def test_redirect_of_fuzz_never_crashes():
         assert got == (kind, host, port)
 
     _well_formed()
+
+
+def test_hgetall_moved_key_nonhash_on_target_maps_to_empty():
+    """A hash key that migrated and was recreated as a STRING on its
+    new owner: the redirected HGETALL's WRONGTYPE maps to {} (the
+    documented error contract), not a task crash."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        b.seed_strings({"hw:1": "now-a-string"})
+        a.store.moved["hw:1"] = (b.host, b.port)
+        with RedisClient(a.host, a.port) as c:
+            assert c.hgetall_pipelined(["hw:1"]) == [{}]
+
+
+def test_pipeline_checked_repipelines_whole_moved_batch():
+    """A writer batch whose single target key resharded: every command
+    comes back MOVED and the replay goes out as ONE pipeline to the
+    target (plus interleaved ASKING for ASK redirects), not one
+    serial round trip per command."""
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.store.moved["zb:key"] = (b.host, b.port)
+        cmds = [("ZADD", "zb:key", str(float(i)), f"m{i}") for i in range(50)]
+        with RedisClient(a.host, a.port) as c:
+            replies = c.pipeline_checked(cmds)
+        assert replies == [1] * 50
+        assert len(b.store.zsets.get("zb:key", {})) == 50
+        assert "zb:key" not in a.store.zsets
+        # ASK flavor: target requires ASKING per command
+        b.store.importing["za:key"] = (a.host, a.port)
+        a.store.ask["za:key"] = (b.host, b.port)
+        cmds = [("ZADD", "za:key", str(float(i)), f"n{i}") for i in range(10)]
+        with RedisClient(a.host, a.port) as c:
+            replies = c.pipeline_checked(cmds)
+        assert replies == [1] * 10
+        assert len(b.store.zsets.get("za:key", {})) == 10
+
+
+def test_fake_set_replaces_any_key_type():
+    with FakeRedisServer() as a:
+        with RedisClient(a.host, a.port) as c:
+            c.command("ZADD", "tt:1", "1", "m")
+            c.command("SET", "tt:1", "v")
+            assert c.get("tt:1") == "v"
+            assert c.command("TYPE", "tt:1") == "string"
