@@ -558,6 +558,40 @@ def agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
     return max(1, width) if width < cpus else None
 
 
+# Per-task budget for a NARROW keyed re-shuffle (a handful of fixed-width
+# columns — e.g. q10's (custkey, cents) pairs, ~16-24 B in flight per row
+# of the proxy table).  A JVM sum-aggregation over such rows costs almost
+# nothing per byte, so reducer-count dispatch dominates far longer than
+# for the expression-heavy scan aggs _AGG_BYTES_PER_TASK was calibrated
+# on (sha256 over text).  Measured on the r14 q10 audit (SCALE.md "q10
+# exchange-width audit"): at the 10x sf1-equivalent the same 1.4 M-row
+# custkey exchange costs 0.60 s at 32 reducers vs 0.31 s at 4.
+_KEYED_AGG_BYTES_PER_TASK = 4 << 20
+
+
+def keyed_agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
+    """Reducer count for a narrow re-keying aggregation whose input row
+    count scales with table ``name`` — or ``None`` when the volume
+    saturates the parallelism (keep the session default and let the
+    shuffle run full-width).
+
+    The sibling of :func:`agg_width` for aggregations fed by a SHUFFLE
+    rather than a scan: the payload is a few fixed-width columns, so the
+    bytes-per-task budget is ~8x the scan-agg one before per-reducer
+    dispatch stops dominating.  Same contract: ``None`` means "don't
+    touch the width" (cluster volume), small ints only where the input
+    is dispatch-bound.
+    """
+    import math
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return None
+    width = math.ceil(size / _KEYED_AGG_BYTES_PER_TASK)
+    return max(1, width) if width < cpus else None
+
+
 BROADCAST_CAP_BYTES = 64 << 20
 
 

@@ -406,3 +406,48 @@ def test_coverage_counts_script_matches_registry():
         d["entries_oracle_checked"] + d["entries_rows_only"]
     )
     assert sum(d["gate_window_by_round"].values()) == min(50, len(reg))
+
+
+def test_keyed_agg_width_volume_proportional(tmp_path):
+    """catalog.keyed_agg_width: the narrow-shuffle sibling of agg_width
+    (~4 MiB of proxy parquet per reducer — sum-aggs over fixed-width
+    rows are reducer-dispatch-bound far longer than expression-heavy
+    scan aggs), floor 1, None at saturation or missing stats."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        _KEYED_AGG_BYTES_PER_TASK,
+        keyed_agg_width,
+    )
+
+    p = tmp_path / "orders.parquet"
+    p.write_bytes(b"x" * 100)  # tiny -> 1 reducer
+    assert keyed_agg_width(str(tmp_path), "orders", 32) == 1
+    p.write_bytes(b"x" * (5 * _KEYED_AGG_BYTES_PER_TASK))
+    assert keyed_agg_width(str(tmp_path), "orders", 32) == 5
+    p.write_bytes(b"x" * (100 * _KEYED_AGG_BYTES_PER_TASK))
+    assert keyed_agg_width(str(tmp_path), "orders", 32) is None  # saturated
+    assert keyed_agg_width(str(tmp_path), "orders", 128) == 100
+    assert keyed_agg_width(str(tmp_path), "missing", 32) is None
+
+
+def test_q10_volume_branch_matches_floor_branch(spark, monkeypatch):
+    """q10's two physical shapes (single-wide-stage at dispatch-floor
+    volume vs narrow agg-before-names at width w / full width) must
+    return identical top-20 rows.  sf0.01 naturally takes the
+    width==1 floor branch; force the other two via keyed_agg_width."""
+    from duckdb_redis_olap_scanner_spark.plans import catalog as C
+
+    entry = ENTRIES["q10_returned_items"]
+    ref = [tuple(r) for r in entry.fn(spark, SF_DIR).collect()]
+    assert ref  # non-empty at sf0.01
+
+    for forced in (2, None):
+        monkeypatch.setattr(
+            C, "keyed_agg_width", lambda sf, name, cpus: forced
+        )
+        got_df = entry.fn(spark, SF_DIR)
+        got = [tuple(r) for r in got_df.collect()]
+        assert got == ref, f"width={forced} diverged"
+        # the volume branch keeps name strings out of the re-keying
+        # exchange: the final agg groups on o_custkey only
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
