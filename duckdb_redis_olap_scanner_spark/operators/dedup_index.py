@@ -60,6 +60,71 @@ from .util import fan_out
 DEFAULT_BUCKETS = 8
 
 
+def _is_local_uri(path: str) -> bool:
+    """True when ``path`` is a plain local path or a file: URI — the
+    only locations the os/shutil primitives can operate on."""
+    return "://" not in path or path.startswith("file://")
+
+
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file:"):
+        return "/" + path[len("file:"):].lstrip("/")
+    return path
+
+
+def _clear_location(spark: SparkSession, path: str) -> None:
+    """Remove an index table's storage location before a CTAS rewrite.
+
+    Local paths (and file: URIs) use shutil directly; any other scheme
+    (hdfs://, s3a://, ...) goes through the Hadoop FileSystem bound to
+    the session, so a rebuild against a remote warehouse clears the
+    old files instead of erroring on CTAS-into-non-empty (ADVICE r14:
+    the previous local-only rmtree silently no-op'd on remote URIs).
+    """
+    if _is_local_uri(path):
+        local = _strip_file_scheme(path)
+        if os.path.isdir(local):
+            shutil.rmtree(local)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    """Storage location of a saved table, from the catalog (metadata
+    only — no job)."""
+    try:
+        for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            if row.col_name == "Location":
+                return row.data_type
+    except Exception:
+        return None
+    return None
+
+
+def _touch_liveness(spark: SparkSession, *names: str) -> None:
+    """Refresh the index dirs' mtimes on a PROBE, so a long-running app
+    in a read-only phase stays visible to the scratch-index GC
+    (plans/pipeline_ops5.py ``_index_ns``), which treats mtime age as
+    liveness. Builds and appends refresh the mtime as a side effect of
+    writing files; probes don't, so an app that built its index once
+    and then only queried it for hours would otherwise have its live
+    index reaped mid-query (ADVICE r14). Local filesystems only — on a
+    remote warehouse there is no local GC to defend against."""
+    for name in names:
+        loc = _table_location(spark, name)
+        if loc and _is_local_uri(loc):
+            local = _strip_file_scheme(loc)
+            if os.path.isdir(local):
+                try:
+                    os.utime(local)
+                except OSError:
+                    pass
+
+
 def _save_bucketed(
     df: DataFrame,
     name: str,
@@ -73,12 +138,14 @@ def _save_bucketed(
     from any fresh session: the location is cleared first because a
     fresh session's catalog no longer knows the table, and CTAS into a
     non-empty location is (rightly) an error. On a cluster the path is
-    an object-store prefix owned by the index-maintenance job.
+    an object-store prefix owned by the index-maintenance job —
+    cleared through the session's Hadoop FileSystem, not local shutil
+    (see ``_clear_location``).
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    if path is not None and os.path.isdir(path):
-        shutil.rmtree(path)
+    if path is not None:
+        _clear_location(spark, path)
     # One writer task per bucket (the repartition hash matches the
     # bucket hash): each bucket lands in exactly ONE file instead of
     # one file per (task, bucket) pair — a small-file explosion at
@@ -132,6 +199,7 @@ def incremental_dedup_indexed(
     every batch — the same semantics as the un-indexed operator and
     its DuckDB oracle; :func:`append_fingerprints` correspondingly
     never persists NULL fingerprints."""
+    _touch_liveness(spark, index_table)
     fp = F.sha2(canonical_text(), 256).alias("content_fp")
     batch = (
         incoming.select("doc_id", fp)
@@ -347,6 +415,7 @@ def incremental_minhash_indexed(
        contract as the un-indexed operator:
        (doc_id, match_id, common, jaccard).
     """
+    _touch_liveness(spark, f"{prefix}_bands", f"{prefix}_sets")
     bands_idx = spark.table(f"{prefix}_bands").select(
         F.col("doc_id").alias("match_id"), "band", "band_val"
     )

@@ -2858,18 +2858,31 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     app = _re.sub(
         r"[^0-9A-Za-z]+", "_", spark.sparkContext.applicationId
     )
+    name = f"{base}_{app}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if "://" in wh and not wh.startswith("file://"):
+        # Remote warehouse (hdfs://, s3a://, ...): build the location
+        # with the URI intact — the index writes/clears go through the
+        # session's Hadoop FileSystem (dedup_index._clear_location) —
+        # and skip the mtime GC below, which only knows the local
+        # filesystem (ADVICE r14: the old 'file:'-strip produced a
+        # bogus local path here, so the GC no-op'd silently and the
+        # rmtree could never clear the real location). Lifecycle of a
+        # remote scratch prefix belongs to the index-maintenance job /
+        # the store's own expiry rules, not to arbitrary sessions.
+        return name, wh.rstrip("/") + "/spark_graft_idx/" + name
     if wh.startswith("file:"):
         wh = "/" + wh[len("file:"):].lstrip("/")
-    name = f"{base}_{app}"
     # App-scoped names never self-overwrite across runs, so stale
     # siblings from finished apps would accumulate unboundedly.
     # GC rules: (a) NEVER touch this app's own dirs — matched by app
     # id, not by exact name, because write_band_index materializes
     # sibling dirs '{name}_bands'/'{name}_sets' under path_prefix;
-    # (b) other apps' dirs only when untouched for hours — a live
-    # run's index dirs get fresh mtimes on every build AND append
-    # (each writes new files into the dir), so age means a dead app.
+    # (b) other apps' dirs only when untouched for a full day — mtime
+    # is the liveness signal: builds and appends refresh it by writing
+    # files, and PROBES refresh it explicitly (dedup_index.
+    # _touch_liveness, ADVICE r14 — without that a concurrent app in a
+    # read-only phase looked dead), so age really means a dead app.
     # Dead apps leave no catalog entries to drop: the in-memory
     # session catalog dies with them.
     parent = os.path.join(wh, "spark_graft_idx")
@@ -2877,7 +2890,7 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
         import shutil
         import time
 
-        cutoff = time.time() - 6 * 3600
+        cutoff = time.time() - 24 * 3600
         for d in os.listdir(parent):
             full = os.path.join(parent, d)
             if app not in d and os.path.isdir(full) \

@@ -334,3 +334,90 @@ def test_index_edge_cases_empty_sides(spark, split_docs, tmp_path):
             "test_band_empty_bands", "test_band_empty_sets",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_probe_refreshes_index_dir_mtime(spark, split_docs, tmp_path):
+    """A PROBE must refresh the index dirs' mtimes (ADVICE r14): the
+    scratch-index GC in plans/pipeline_ops5._index_ns treats mtime age
+    as app liveness, and builds/appends refresh it only as a side
+    effect of writing files — a read-only phase must not look dead."""
+    import os
+
+    hist, inc = split_docs
+    fp_path = tmp_path / "fp_live"
+    try:
+        DI.write_fingerprint_index(hist, "test_fp_live", path=str(fp_path))
+        old = os.path.getmtime(fp_path) - 7200
+        os.utime(fp_path, (old, old))  # simulate hours of probe-only idle
+        DI.incremental_dedup_indexed(spark, inc, "test_fp_live").count()
+        assert os.path.getmtime(fp_path) > old + 3600
+
+        DI.write_band_index(hist, "test_band_live",
+                            path_prefix=str(tmp_path / "band_live"))
+        for suffix in ("_bands", "_sets"):
+            p = str(tmp_path / "band_live") + suffix
+            os.utime(p, (old, old))
+        DI.incremental_minhash_indexed(spark, inc, "test_band_live").count()
+        for suffix in ("_bands", "_sets"):
+            p = str(tmp_path / "band_live") + suffix
+            assert os.path.getmtime(p) > old + 3600, suffix
+    finally:
+        for t in ("test_fp_live", "test_band_live_bands",
+                  "test_band_live_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_index_ns_remote_warehouse_uri_kept_intact(spark, monkeypatch):
+    """With an hdfs:// or s3a:// warehouse the index location keeps the
+    URI (writes/clears go through the Hadoop FileSystem) and the
+    local-filesystem GC is skipped (ADVICE r14: the old 'file:'-strip
+    turned the URI into a bogus local path)."""
+    from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import _index_ns
+
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.sql.warehouse.dir":
+            return "s3a://bucket/warehouse/"
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    name, path = _index_ns(spark, "idx_remote_test")
+    assert path == f"s3a://bucket/warehouse/spark_graft_idx/{name}"
+    assert name.startswith("idx_remote_test_")
+
+    def fake_get_hdfs(key, default=None):
+        if key == "spark.sql.warehouse.dir":
+            return "hdfs://nn:8020/wh"
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get_hdfs)
+    _, path = _index_ns(spark, "idx_remote_test")
+    assert path.startswith("hdfs://nn:8020/wh/spark_graft_idx/")
+
+
+def test_clear_location_scheme_dispatch(spark, tmp_path):
+    """_clear_location: local paths (plain or file:) are cleared with
+    shutil; a file:// URI exercises the same local branch; missing
+    locations are a no-op either way."""
+    import os
+
+    d = tmp_path / "victim"
+    d.mkdir()
+    (d / "part-0000").write_text("x")
+    DI._clear_location(spark, str(d))
+    assert not d.exists()
+
+    d2 = tmp_path / "victim2"
+    d2.mkdir()
+    (d2 / "part-0000").write_text("x")
+    DI._clear_location(spark, "file://" + str(d2))
+    assert not d2.exists()
+
+    DI._clear_location(spark, str(tmp_path / "never_existed"))  # no-op
+
+    assert DI._is_local_uri("/abs/path")
+    assert DI._is_local_uri("file:/abs/path")
+    assert DI._is_local_uri("file:///abs/path")
+    assert not DI._is_local_uri("s3a://bucket/prefix")
+    assert not DI._is_local_uri("hdfs://nn:8020/wh")
