@@ -93,16 +93,29 @@ def _clear_location(spark: SparkSession, path: str) -> None:
         fs.delete(hpath, True)
 
 
+# (session id, table name) → location; a catalog DESCRIBE per probe
+# CONSTRUCTION is cheap but pointless to repeat — the location of an
+# app-scoped scratch table never moves within a session.
+_LOCATION_CACHE: dict[tuple[str, str], str | None] = {}
+
+
 def _table_location(spark: SparkSession, name: str) -> str | None:
     """Storage location of a saved table, from the catalog (metadata
-    only — no job)."""
+    only — no job), cached per (session, table)."""
+    key = (spark.sparkContext.applicationId, name)
+    if key in _LOCATION_CACHE:
+        return _LOCATION_CACHE[key]
+    loc: str | None = None
     try:
         for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
             if row.col_name == "Location":
-                return row.data_type
+                loc = row.data_type
+                break
     except Exception:
-        return None
-    return None
+        loc = None
+    if loc is not None:  # don't pin a miss: the table may appear later
+        _LOCATION_CACHE[key] = loc
+    return loc
 
 
 def _touch_liveness(spark: SparkSession, *names: str) -> None:
@@ -113,7 +126,15 @@ def _touch_liveness(spark: SparkSession, *names: str) -> None:
     writing files; probes don't, so an app that built its index once
     and then only queried it for hours would otherwise have its live
     index reaped mid-query (ADVICE r14). Local filesystems only — on a
-    remote warehouse there is no local GC to defend against."""
+    remote warehouse there is no local GC to defend against.
+
+    Contract boundary: liveness is refreshed at probe CONSTRUCTION.
+    An app that builds one probe DataFrame and re-executes only that
+    same plan object for more than the GC cutoff (24 h) without ever
+    constructing another probe is outside the contract — execution
+    does not re-enter this Python code, so the mtime ages. Re-calling
+    the probe function (what every catalog entry and any incremental
+    loop naturally does per batch) renews it."""
     for name in names:
         loc = _table_location(spark, name)
         if loc and _is_local_uri(loc):
@@ -146,6 +167,10 @@ def _save_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if path is not None:
         _clear_location(spark, path)
+        # rebuilds at an explicit path are the one way a table's
+        # location can change within a session — keep the probe-side
+        # liveness cache honest
+        _LOCATION_CACHE[(spark.sparkContext.applicationId, name)] = path
     # One writer task per bucket (the repartition hash matches the
     # bucket hash): each bucket lands in exactly ONE file instead of
     # one file per (task, bucket) pair — a small-file explosion at

@@ -2860,7 +2860,7 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     )
     name = f"{base}_{app}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if "://" in wh and not wh.startswith("file://"):
+    if not DI._is_local_uri(wh):
         # Remote warehouse (hdfs://, s3a://, ...): build the location
         # with the URI intact — the index writes/clears go through the
         # session's Hadoop FileSystem (dedup_index._clear_location) —
@@ -2871,8 +2871,7 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
         # remote scratch prefix belongs to the index-maintenance job /
         # the store's own expiry rules, not to arbitrary sessions.
         return name, wh.rstrip("/") + "/spark_graft_idx/" + name
-    if wh.startswith("file:"):
-        wh = "/" + wh[len("file:"):].lstrip("/")
+    wh = DI._strip_file_scheme(wh)
     # App-scoped names never self-overwrite across runs, so stale
     # siblings from finished apps would accumulate unboundedly.
     # GC rules: (a) NEVER touch this app's own dirs — matched by app

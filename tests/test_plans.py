@@ -418,12 +418,15 @@ def test_keyed_agg_width_volume_proportional(tmp_path):
         keyed_agg_width,
     )
 
+    import os
+
     p = tmp_path / "orders.parquet"
     p.write_bytes(b"x" * 100)  # tiny -> 1 reducer
     assert keyed_agg_width(str(tmp_path), "orders", 32) == 1
-    p.write_bytes(b"x" * (5 * _KEYED_AGG_BYTES_PER_TASK))
+    # only getsize matters — sparse-truncate instead of writing 400 MB
+    os.truncate(p, 5 * _KEYED_AGG_BYTES_PER_TASK)
     assert keyed_agg_width(str(tmp_path), "orders", 32) == 5
-    p.write_bytes(b"x" * (100 * _KEYED_AGG_BYTES_PER_TASK))
+    os.truncate(p, 100 * _KEYED_AGG_BYTES_PER_TASK)
     assert keyed_agg_width(str(tmp_path), "orders", 32) is None  # saturated
     assert keyed_agg_width(str(tmp_path), "orders", 128) == 100
     assert keyed_agg_width(str(tmp_path), "missing", 32) is None

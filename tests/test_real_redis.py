@@ -14,8 +14,15 @@ provides:
 
 Skips visibly when the variable is unset (no redis-server binary
 exists in the build container — see FIXTURES.md "Real-Redis lane").
-All keys are namespaced ``sgtest:<pid>:...`` and deleted on teardown;
-the lane never touches keys it did not create.
+All keys are namespaced under a ``sgtest{<pid>}`` hashtag and deleted
+on teardown; the lane never touches keys it did not create.
+
+Cluster targets: the standalone-shaped tests keep every key in ONE
+slot via the ``{sgtest<pid>}`` hashtag and the engine connects to the
+master that owns that slot (discovered by following the first MOVED),
+so single-node SCAN/ZRANGE/LRANGE semantics hold on a cluster too;
+the cluster-specific test then spreads UN-hashtagged keys across
+slots to exercise MOVED-following writes and slot-aware scans.
 """
 
 from __future__ import annotations
@@ -33,7 +40,10 @@ pytestmark = pytest.mark.skipif(
     "the in-repo fake)",
 )
 
-NS = f"sgtest:{os.getpid()}"
+# Hashtag namespace: the slot is computed on the {...} substring only,
+# so every standalone-shaped key lives in one slot (= one master on a
+# cluster). The cluster-only test below deliberately avoids the tag.
+NS = f"{{sgtest{os.getpid()}}}"
 
 
 @pytest.fixture(scope="module")
@@ -58,10 +68,31 @@ def tracked_keys():
 
 @pytest.fixture(scope="module")
 def real_engine(spark, real_client, tracked_keys):
+    """Engine connected to the node that OWNS the lane's hashtag slot
+    (on a standalone server that is just the configured node): probe
+    with a plain SET and follow the first MOVED if the target is a
+    cluster, so the single-node readers see every namespaced key."""
     from duckdb_redis_olap_scanner_spark import Engine
+    from duckdb_redis_olap_scanner_spark.transport.resp import (
+        RespError,
+        _redirect_of,
+    )
+
+    probe = f"{NS}:slot-probe"
+    addr = REAL_URL
+    try:
+        real_client.command("SET", probe, "x")
+    except RespError as e:
+        red = _redirect_of(e)
+        if red is None:
+            raise
+        _, host, port = red
+        addr = f"{host}:{port}"
+        real_client.command_redirected("SET", probe, "x")
+    tracked_keys.add(probe)
 
     eng = Engine(spark)
-    eng.connect(REAL_URL)
+    eng.connect(addr)
     yield eng
     for key in sorted(tracked_keys):
         try:
@@ -106,10 +137,9 @@ def test_scan_golden_and_glob(real_engine, real_client, tracked_keys):
         r.key_name
         for r in real_engine.redis_scan(f"{NS}:k:00[01][13]").collect()
     )
-    assert got_cls == [f"{NS}:k:0001", f"{NS}:k:0003", f"{NS}:k:0011"] or (
-        # only 0001..0010 exist; 0011/0013 absent is fine
-        got_cls == [f"{NS}:k:0001", f"{NS}:k:0003"]
-    )
+    # of the candidates {0001, 0003, 0011, 0013} only 0001 and 0003
+    # were seeded — anything else is a server-side glob bug
+    assert got_cls == [f"{NS}:k:0001", f"{NS}:k:0003"]
 
 
 def test_kv_reader_and_get_ttl_udfs(real_engine, real_client, tracked_keys):
@@ -147,7 +177,14 @@ def test_kv_reader_and_get_ttl_udfs(real_engine, real_client, tracked_keys):
         ).collect()
     }
     assert rows[f"{NS}:kv:a"] == ("1", -1)
-    assert rows[f"{NS}:kv:tmp"] == ("x", server_ttl)
+    assert rows[f"{NS}:kv:tmp"][0] == "x"
+    # seconds tick between the server snapshot and the UDF read, so
+    # range-check: no-expiry servers (the fake ignores SET..EX) report
+    # -1 both times, real servers count down from <=600
+    if server_ttl == -1:
+        assert rows[f"{NS}:kv:tmp"][1] == -1
+    else:
+        assert 0 < rows[f"{NS}:kv:tmp"][1] <= server_ttl
     # missing key: GET → NULL on a fresh scan row set
     missing = real_engine.spark.createDataFrame(
         [(f"{NS}:kv:never-set",)], "key_name string"
@@ -156,9 +193,10 @@ def test_kv_reader_and_get_ttl_udfs(real_engine, real_client, tracked_keys):
 
 
 def test_kv_writer_roundtrip(real_engine, spark, tracked_keys):
-    """df.write.format('redis_kv') pipelines SETs (error-checked, and
-    MOVED-replayed on a cluster since every key hashes to its own
-    slot); reading back returns exactly the written pairs."""
+    """df.write.format('redis_kv') pipelines SETs (error-checked);
+    reading back returns exactly the written pairs. Hashtagged keys →
+    one slot, so this runs MOVED-free even on a cluster; the
+    cross-slot MOVED-replay path is the cluster-only test's job."""
     rows = [(f"{NS}:w:{i:03d}", f"v{i}") for i in range(120)]
     df = spark.createDataFrame(rows, "key string, value string")
     (
@@ -282,9 +320,11 @@ def test_cluster_scan_and_moved_following(
     (b) all be found by the slot-aware scan (cluster_slots=true)."""
     if not _is_cluster(real_client):
         pytest.skip("target is a standalone server, not a cluster")
-    keys = {f"{NS}:c:{i:04d}": f"cv{i}" for i in range(1, 31)}
-    # spread check: with 30 distinct suffixes the CRC16 slots virtually
-    # always span several masters
+    # deliberately UN-hashtagged (unlike NS): each suffix hashes to its
+    # own slot, so with 30 keys the CRC16 slots virtually always span
+    # several masters — the spread the redirect/slot machinery needs
+    flat_ns = NS.strip("{}")
+    keys = {f"{flat_ns}:c:{i:04d}": f"cv{i}" for i in range(1, 31)}
     df = spark.createDataFrame(
         list(keys.items()), "key string, value string"
     )
@@ -299,14 +339,14 @@ def test_cluster_scan_and_moved_following(
     got = sorted(
         r.key_name
         for r in real_engine.redis_scan(
-            f"{NS}:c:*", cluster_slots="true"
+            f"{flat_ns}:c:*", cluster_slots="true"
         ).collect()
     )
     assert got == sorted(keys)
     kv = {
         r.key: r.value
         for r in real_engine.redis_kv(
-            f"{NS}:c:*", cluster_slots="true"
+            f"{flat_ns}:c:*", cluster_slots="true"
         ).collect()
     }
     assert kv == keys
