@@ -421,3 +421,43 @@ def test_clear_location_scheme_dispatch(spark, tmp_path):
     assert DI._is_local_uri("file:///abs/path")
     assert not DI._is_local_uri("s3a://bucket/prefix")
     assert not DI._is_local_uri("hdfs://nn:8020/wh")
+
+
+def test_index_ns_gc_semantics(spark, monkeypatch, tmp_path):
+    """The scratch-index GC: this app's own dirs are NEVER touched
+    (any age), other apps' dirs are reaped only past the 24h cutoff,
+    and fresh foreign dirs (a live concurrent app — builds, appends,
+    and probes all refresh mtime) are kept."""
+    import os
+    import re
+    import time
+
+    from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import _index_ns
+
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.sql.warehouse.dir":
+            return str(tmp_path)
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    app = re.sub(r"[^0-9A-Za-z]+", "_", spark.sparkContext.applicationId)
+    parent = tmp_path / "spark_graft_idx"
+    parent.mkdir()
+    ancient = time.time() - 48 * 3600
+    cases = {
+        f"own_old_{app}_bands": True,      # own app: kept at any age
+        "foreign_old_deadapp1_idx": False,  # stale foreign: reaped
+        "foreign_fresh_liveapp2_idx": True,  # fresh foreign: kept
+    }
+    for d, _keep in cases.items():
+        (parent / d).mkdir()
+    os.utime(parent / f"own_old_{app}_bands", (ancient, ancient))
+    os.utime(parent / "foreign_old_deadapp1_idx", (ancient, ancient))
+
+    name, path = _index_ns(spark, "idx_gc_test")
+    assert name == f"idx_gc_test_{app}"
+    assert path == str(parent / name)
+    for d, keep in cases.items():
+        assert (parent / d).exists() is keep, d
