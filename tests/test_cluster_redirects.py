@@ -457,3 +457,43 @@ def test_fake_set_replaces_any_key_type():
             c.command("SET", "tt:1", "v")
             assert c.get("tt:1") == "v"
             assert c.command("TYPE", "tt:1") == "string"
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="deferred ADVICE r14 fix (planned r15): pipeline_checked "
+    "discards the ASKING reply from the ASK replay pipeline without "
+    "checking it — an erroring ASKING (e.g. replayed against a "
+    "non-cluster node) should raise at the ASKING step",
+)
+def test_pipeline_checked_surfaces_asking_errors():
+    """When the ASK target rejects ASKING itself ('-ERR This instance
+    has cluster support disabled', as a standalone node does), the
+    replay must raise instead of silently consuming the error and
+    trusting the following command reply."""
+    from duckdb_redis_olap_scanner_spark import testing as T
+
+    real_dispatch = T._Handler._dispatch
+
+    def asking_disabled(self, store, cmd):
+        if cmd and cmd[0].upper() == "ASKING":
+            return b"-ERR This instance has cluster support disabled\r\n"
+        return real_dispatch(self, store, cmd)
+
+    with FakeRedisServer() as a, FakeRedisServer() as b:
+        a.store.ask["askerr:1"] = (b.host, b.port)
+        # only b (the ASK target) refuses ASKING
+        orig = T._Handler._dispatch
+
+        def routed(self, store, cmd):
+            if store is b.store:
+                return asking_disabled(self, store, cmd)
+            return orig(self, store, cmd)
+
+        T._Handler._dispatch = routed
+        try:
+            with RedisClient(a.host, a.port) as c:
+                with pytest.raises(RespError, match="cluster support"):
+                    c.pipeline_checked([("SET", "askerr:1", "v")])
+        finally:
+            T._Handler._dispatch = orig
