@@ -497,3 +497,55 @@ def test_pipeline_checked_surfaces_asking_errors():
                     c.pipeline_checked([("SET", "askerr:1", "v")])
         finally:
             T._Handler._dispatch = orig
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="deferred VERDICT r13 #6 feature (planned r15): client-side "
+    "slot-ownership filtering per scan partition — each node's SCAN "
+    "keeps only keys whose slot the node owned in the CLUSTER SLOTS "
+    "snapshot, upgrading the documented SCAN-equivalent weak "
+    "guarantee to exactly-once-per-snapshot during a live reshard",
+)
+def test_cluster_scan_exactly_once_during_migration(spark):
+    """Mid-migration, a key is physically present on BOTH the source
+    and target node (the target has received it, the source has not
+    yet deleted it). The cluster_slots scan should report it exactly
+    once — from the node that owns its slot in the topology snapshot —
+    not once per node that happens to hold a copy."""
+    from duckdb_redis_olap_scanner_spark.engine import register_datasources
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import key_slot
+    from duckdb_redis_olap_scanner_spark.testing import FakeRedisServer
+
+    register_datasources(spark)
+    nodes = [FakeRedisServer().start() for _ in range(2)]
+    try:
+        ranges = [(0, 8191), (8192, 16383)]
+        keys = [f"mig:{i:04d}" for i in range(40)]
+        owner_of = {}
+        for k in keys:
+            idx = 0 if key_slot(k) <= 8191 else 1
+            owner_of[k] = idx
+            nodes[idx].seed_strings({k: f"v:{k}"})
+        # every 4th key is mid-migration: a stale copy also lives on
+        # the NON-owning node
+        for k in keys[::4]:
+            nodes[1 - owner_of[k]].seed_strings({k: "stale-copy"})
+        topo = [
+            (lo, hi, n.host, n.port)
+            for (lo, hi), n in zip(ranges, nodes)
+        ]
+        nodes[0].set_cluster_slots(topo)
+        df = (
+            spark.read.format("redis_scan")
+            .option("host", nodes[0].host)
+            .option("port", str(nodes[0].port))
+            .option("pattern", "mig:*")
+            .option("cluster_slots", "true")
+            .load()
+        )
+        got = sorted(r.key_name for r in df.collect())
+        assert got == sorted(keys)  # exactly once each, no dup rows
+    finally:
+        for n in nodes:
+            n.stop()
