@@ -24,21 +24,25 @@ ONE input partition (matching the reference's ``MaxThreads()==1``,
   scanned by a separate task with its own connection.
 * ``cluster_slots=true`` — the production analog for Redis Cluster
   (SURVEY §4.1): the driver runs ``CLUSTER SLOTS`` on the seed node
-  once per read and emits one InputPartition per distinct MASTER.
-  Slot ownership makes per-node keyspaces disjoint, so the union of
-  per-node SCANs is exactly-once without client-side slot filtering;
-  with ``shard_patterns`` too, partitions = nodes x patterns.
-  :func:`key_slot` (CRC16-XMODEM + hashtag rule) is exposed for
-  slot-aligned key design and tests.
+  once per read and emits one InputPartition per distinct MASTER,
+  carrying the slot ranges that master owned in the snapshot. Each
+  task filters its SCAN output to those ranges (``_owned_keys``), so
+  the union of per-node scans is **exactly-once per topology
+  snapshot** even while keys migrate: a mid-migration key physically
+  present on BOTH source and target nodes is kept only by the
+  snapshot owner's partition (r14 — previously double-reported, the
+  redis-cli --scan contract). With ``shard_patterns`` too,
+  partitions = nodes x patterns. :func:`key_slot` (CRC16-XMODEM +
+  hashtag rule) is the shared slot mapping.
 
-  Exactly-once coverage assumes the topology snapshot holds for the
-  read; a reshard DURING the scan inherits SCAN's own weak guarantee
-  (keys migrating between nodes may be seen on both or neither — the
-  same contract redis-cli --scan gives on a live cluster). Value
-  fetches stay correct throughout: every GET/MGET path follows
-  MOVED/ASK (and recovers from CROSSSLOT/TRYAGAIN) per
-  ``transport.resp``, so rows the scan does surface carry the value
-  from the key's CURRENT owner.
+  Residual SCAN contract: a key whose slot's ownership CHANGES
+  between the snapshot and the moment its node's cursor passes it can
+  still be missed (seen by neither scan) — inherent to cursor scans
+  on a live keyspace; re-read under a fresh snapshot for settled
+  topologies. Value fetches stay correct throughout: every GET/MGET
+  path follows MOVED/ASK (and recovers from CROSSSLOT/TRYAGAIN) per
+  ``transport.resp``, so rows the scan surfaces carry the value from
+  the key's CURRENT owner.
 
 Arrow RecordBatches are yielded so rows never pass through
 Python-object row conversion.
@@ -95,11 +99,25 @@ def glob_safe(literal: str) -> bool:
 
 
 class RedisShard(InputPartition):
-    def __init__(self, host: str, port: int, pattern: str, count: int) -> None:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        pattern: str,
+        count: int,
+        slot_ranges: tuple[tuple[int, int], ...] | None = None,
+    ) -> None:
         self.host = host
         self.port = port
         self.pattern = pattern
         self.count = count
+        # The slot ranges this node OWNED in the driver's CLUSTER
+        # SLOTS snapshot (None on standalone/shard_patterns paths).
+        # Scan-family readers drop keys outside them, making cluster
+        # coverage exactly-once-per-snapshot during a live reshard: a
+        # mid-migration key physically present on BOTH source and
+        # target is kept only by the snapshot owner's partition.
+        self.slot_ranges = slot_ranges
 
 
 def _crc16_xmodem(data: bytes) -> int:
@@ -129,29 +147,34 @@ def key_slot(key: str) -> int:
     return _crc16_xmodem(k) % 16384
 
 
-def _cluster_nodes(host: str, port: int) -> list[tuple[str, int]]:
-    """Distinct master (host, port) pairs from ``CLUSTER SLOTS`` on the
-    seed node, in slot order. A master owning several slot ranges
-    appears ONCE: SCAN on a cluster node covers every slot the node
-    owns, so per-node (not per-range) partitions is what keeps the
-    union of scans exactly-once."""
+def _cluster_nodes(
+    host: str, port: int
+) -> list[tuple[str, int, tuple[tuple[int, int], ...]]]:
+    """Masters from ``CLUSTER SLOTS`` on the seed node, each with ALL
+    the slot ranges it owns, in first-appearance order. A master
+    owning several ranges appears ONCE (SCAN on a node covers every
+    slot it owns), with its ranges aggregated — the reader filters
+    scanned keys to those ranges, so coverage is exactly-once per
+    topology snapshot even while keys are migrating."""
     with RedisClient(host, port) as client:
         entries = client.command("CLUSTER", "SLOTS")
-    masters: list[tuple[str, int]] = []
+    ranges: dict[tuple[str, int], list[tuple[int, int]]] = {}
     for e in entries or []:
+        lo, hi = int(e[0]), int(e[1])
         node = e[2]  # [ip, port, id, ...] of the range's master
         ip = node[0].decode() if isinstance(node[0], bytes) else str(node[0])
         nport = int(node[1])
         if not ip:  # empty ip = "same address you connected to"
             ip = host
-        if (ip, nport) not in masters:
-            masters.append((ip, nport))
-    if not masters:
+        ranges.setdefault((ip, nport), []).append((lo, hi))
+    if not ranges:
         raise ValueError(
             f"cluster_slots=true but CLUSTER SLOTS on {host}:{port} "
             "returned no slot ranges"
         )
-    return masters
+    return [
+        (ip, nport, tuple(rs)) for (ip, nport), rs in ranges.items()
+    ]
 
 
 def _shards(options: dict) -> list[RedisShard]:
@@ -166,16 +189,32 @@ def _shards(options: dict) -> list[RedisShard]:
     if str(options.get("cluster_slots", "")).lower() in ("1", "true", "yes"):
         # Production scale path (SURVEY §4.1): one InputPartition per
         # cluster MASTER discovered via CLUSTER SLOTS on the seed node
-        # (driver side, once per read). Each task scans its own node —
-        # Redis Cluster keyspaces are disjoint by slot ownership, so
-        # coverage is exactly-once without client-side slot filtering.
-        # Composes with shard_patterns: nodes x patterns partitions.
+        # (driver side, once per read). Each task scans its own node
+        # and keeps only keys whose slot the node owned in the
+        # snapshot (_owned_keys) — exactly-once per snapshot even
+        # under a concurrent reshard. Composes with shard_patterns:
+        # nodes x patterns partitions.
         return [
-            RedisShard(ip, nport, p, count)
-            for ip, nport in _cluster_nodes(host, port)
+            RedisShard(ip, nport, p, count, slot_ranges=rs)
+            for ip, nport, rs in _cluster_nodes(host, port)
             for p in patterns
         ]
     return [RedisShard(host, port, p, count) for p in patterns]
+
+
+def _owned_keys(
+    keys: list[str], ranges: tuple[tuple[int, int], ...] | None
+) -> list[str]:
+    """Keys whose slot falls in the partition's owned ranges; all of
+    them when the partition carries no topology (standalone /
+    shard_patterns paths — zero per-key cost there)."""
+    if ranges is None:
+        return keys
+    return [
+        k
+        for k in keys
+        if any(lo <= key_slot(k) <= hi for lo, hi in ranges)
+    ]
 
 
 class RedisScanReader(DataSourceReader):
@@ -229,7 +268,9 @@ class RedisScanReader(DataSourceReader):
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port) as client:
             for keys in client.scan_iter(match=part.pattern, count=part.count):
-                yield pa.RecordBatch.from_pydict({"key_name": keys})
+                keys = _owned_keys(keys, part.slot_ranges)
+                if keys:
+                    yield pa.RecordBatch.from_pydict({"key_name": keys})
 
 
 class RedisScanDataSource(DataSource):
@@ -258,6 +299,9 @@ class RedisKVReader(DataSourceReader):
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port) as client:
             for keys in client.scan_iter(match=part.pattern, count=part.count):
+                keys = _owned_keys(keys, part.slot_ranges)
+                if not keys:
+                    continue
                 values = client.mget(keys)  # one round trip per SCAN batch
                 yield pa.RecordBatch.from_pydict({"key": keys, "value": values})
 
@@ -278,6 +322,16 @@ class RedisKVWriter(DataSourceWriter):
         with RedisClient(self.host, self.port) as client:
             batch: list[tuple] = []
             for row in rows:
+                if row.key is None or row.value is None:
+                    # Redis has no NULL string; str() fallback would
+                    # store the literal "None" (r14 bug-hunt). Fail
+                    # the task with actionable wording instead.
+                    raise ValueError(
+                        "redis_kv write: NULL "
+                        + ("key" if row.key is None else
+                           f"value for key {row.key!r}")
+                        + " — filter or fill NULLs before writing"
+                    )
                 batch.append(("SET", row.key, row.value))
                 if len(batch) >= self.batch_size:
                     client.pipeline_checked(batch)
@@ -336,6 +390,9 @@ class RedisHashReader(DataSourceReader):
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port, protocol=self.protocol) as client:
             for keys in client.scan_iter(match=part.pattern, count=part.count):
+                keys = _owned_keys(keys, part.slot_ranges)
+                if not keys:
+                    continue
                 maps = client.hgetall_pipelined(keys)  # one RTT per batch
                 rows = [list(m.items()) for m in maps]
                 yield pa.RecordBatch.from_arrays(
@@ -385,8 +442,21 @@ class RedisHashWriter(DataSourceWriter):
             for row in rows:
                 flat: list = []
                 for f, v in (row.value or {}).items():
+                    if f is None or v is None:
+                        raise ValueError(
+                            "redis_hash write: NULL "
+                            + ("field" if f is None else
+                               f"value for field {f!r}")
+                            + f" in key {row.key!r} — Redis hashes "
+                            "have no NULL; filter or fill first"
+                        )
                     flat += [f, v]
                 if flat:
+                    if row.key is None:
+                        raise ValueError(
+                            "redis_hash write: NULL key — filter or "
+                            "fill NULLs before writing"
+                        )
                     batch.append(("HSET", row.key, *flat))
                 if len(batch) >= self.batch_size:
                     client.pipeline_checked(batch)
@@ -520,6 +590,13 @@ class RedisZSetWriter(DataSourceWriter):
         with RedisClient(self.host, self.port) as client:
             batch: list[tuple] = []
             for row in rows:
+                if row.member is None or row.score is None:
+                    raise ValueError(
+                        "redis_zset write: NULL "
+                        + ("member" if row.member is None else
+                           f"score for member {row.member!r}")
+                        + " — filter or fill NULLs before writing"
+                    )
                 batch.append(("ZADD", self.key, repr(float(row.score)), row.member))
                 if len(batch) >= self.batch_size:
                     client.pipeline_checked(batch)

@@ -37,9 +37,23 @@ class RespProtocolError(Exception):
 
 
 def encode_command(*args: Any) -> bytes:
-    """Encode a command as a RESP array of bulk strings."""
+    """Encode a command as a RESP array of bulk strings.
+
+    ``None`` is rejected loudly: Redis has no NULL argument, and the
+    ``str()`` fallback would silently send the four characters
+    ``None`` — a NULL column value reaching a writer would otherwise
+    be stored as the literal string ``"None"`` (r14 bug-hunt: a
+    redis_kv roundtrip of a NULL value corrupted exactly this way).
+    The writers raise first with column-level wording; this is the
+    transport-level backstop for every other command path."""
     out = [b"*%d\r\n" % len(args)]
     for a in args:
+        if a is None:
+            raise TypeError(
+                "RESP command argument is None — Redis has no NULL "
+                "argument (a NULL column value reaching a redis "
+                "write?); filter or fill NULLs before writing"
+            )
         if isinstance(a, bytes):
             b = a
         elif isinstance(a, str):
@@ -316,7 +330,13 @@ class RedisClient:
             replies = iter(tgt.pipeline(wire))
             for i, cmd, kind in items:
                 if kind == "ASK":
-                    next(replies)  # the ASKING +OK
+                    ack = next(replies)  # the ASKING +OK
+                    if isinstance(ack, RespError):
+                        # e.g. replayed against a non-cluster node
+                        # ("cluster support disabled") — diagnose at
+                        # the ASKING step, not one reply later
+                        # (ADVICE r14).
+                        raise ack
                 r = next(replies)
                 if isinstance(r, RespError):
                     red2 = _redirect_of(r)

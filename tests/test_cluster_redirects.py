@@ -459,13 +459,6 @@ def test_fake_set_replaces_any_key_type():
             assert c.command("TYPE", "tt:1") == "string"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="deferred ADVICE r14 fix (planned r15): pipeline_checked "
-    "discards the ASKING reply from the ASK replay pipeline without "
-    "checking it — an erroring ASKING (e.g. replayed against a "
-    "non-cluster node) should raise at the ASKING step",
-)
 def test_pipeline_checked_surfaces_asking_errors():
     """When the ASK target rejects ASKING itself ('-ERR This instance
     has cluster support disabled', as a standalone node does), the
@@ -499,14 +492,6 @@ def test_pipeline_checked_surfaces_asking_errors():
             T._Handler._dispatch = orig
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="deferred VERDICT r13 #6 feature (planned r15): client-side "
-    "slot-ownership filtering per scan partition — each node's SCAN "
-    "keeps only keys whose slot the node owned in the CLUSTER SLOTS "
-    "snapshot, upgrading the documented SCAN-equivalent weak "
-    "guarantee to exactly-once-per-snapshot during a live reshard",
-)
 def test_cluster_scan_exactly_once_during_migration(spark):
     """Mid-migration, a key is physically present on BOTH the source
     and target node (the target has received it, the source has not

@@ -381,7 +381,11 @@ def test_cluster_slots_dedupes_multirange_masters():
             ]
         )
         masters = _cluster_nodes(a.host, a.port)
-        assert masters == [(a.host, a.port), (b.host, b.port)]
+        # one row per master, with ALL its owned ranges aggregated
+        assert masters == [
+            (a.host, a.port, ((0, 100), (201, 16383))),
+            (b.host, b.port, ((101, 200),)),
+        ]
         shards = _shards(
             {
                 "host": a.host,
@@ -410,3 +414,50 @@ def test_cluster_slots_on_standalone_raises():
 
     with FakeRedisServer() as srv, pytest.raises(Exception):
         _cluster_nodes(srv.host, srv.port)
+
+
+def test_writers_reject_null_keys_and_values(spark, redis_server):
+    """Redis has no NULL string: a NULL column reaching a writer used
+    to be stored as the literal string "None" (r14 bug-hunt — a
+    redis_kv roundtrip of a NULL value corrupted exactly this way).
+    Every writer now fails the task loudly, and encode_command is the
+    transport-level backstop."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.transport.resp import encode_command
+
+    with _pytest.raises(TypeError, match="None"):
+        encode_command("SET", "k", None)
+
+    def _write(df, fmt, **opts):
+        w = (df.write.format(fmt)
+             .option("host", redis_server.host)
+             .option("port", redis_server.port))
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    kv_null_val = spark.createDataFrame(
+        [("nkv:1", "ok"), ("nkv:2", None)], "key string, value string")
+    with _pytest.raises(Exception, match="NULL value"):
+        _write(kv_null_val, "redis_kv")
+    kv_null_key = spark.createDataFrame(
+        [(None, "v")], "key string, value string")
+    with _pytest.raises(Exception, match="NULL key"):
+        _write(kv_null_key, "redis_kv")
+
+    hash_null = spark.createDataFrame(
+        [("nh:1", {"f": None})], "key string, value map<string,string>")
+    with _pytest.raises(Exception, match="NULL value for field"):
+        _write(hash_null, "redis_hash")
+
+    zset_null = spark.createDataFrame(
+        [(None, 1.0)], "member string, score double")
+    with _pytest.raises(Exception, match="NULL member"):
+        _write(zset_null, "redis_zset", key="nz:1")
+
+    # and the corrupted sentinel never landed
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        assert c.get("nkv:2") is None
