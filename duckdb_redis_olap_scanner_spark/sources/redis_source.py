@@ -74,7 +74,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..transport.resp import DEFAULT_SCAN_COUNT, RedisClient
+from ..transport.resp import DEFAULT_SCAN_COUNT, RedisClient, _as_str
 
 
 def glob_escape(literal: str) -> str:
@@ -135,10 +135,13 @@ def _crc16_xmodem(data: bytes) -> int:
     return crc
 
 
-def key_slot(key: str) -> int:
+def key_slot(key: str | bytes) -> int:
     """Redis Cluster HASH_SLOT: CRC16 of the key (or of the first
-    non-empty ``{hashtag}`` if present) mod 16384."""
-    k = key.encode("utf-8")
+    non-empty ``{hashtag}`` if present) mod 16384. Accepts raw bytes —
+    slots MUST be computed on the wire bytes: a lossy UTF-8 decode of
+    a binary key re-encodes the replacement characters and lands on a
+    different slot than the server used."""
+    k = key if isinstance(key, bytes) else key.encode("utf-8")
     i = k.find(b"{")
     if i >= 0:
         j = k.find(b"}", i + 1)
@@ -202,19 +205,28 @@ def _shards(options: dict) -> list[RedisShard]:
     return [RedisShard(host, port, p, count) for p in patterns]
 
 
-def _owned_keys(
-    keys: list[str], ranges: tuple[tuple[int, int], ...] | None
-) -> list[str]:
-    """Keys whose slot falls in the partition's owned ranges; all of
-    them when the partition carries no topology (standalone /
-    shard_patterns paths — zero per-key cost there)."""
-    if ranges is None:
-        return keys
-    return [
-        k
-        for k in keys
-        if any(lo <= key_slot(k) <= hi for lo, hi in ranges)
-    ]
+def _scan_owned(client: RedisClient, part: RedisShard) -> Iterator[list[str]]:
+    """SCAN batches for one partition, slot-filtered to the ranges the
+    node owned in the topology snapshot. Standalone / shard_patterns
+    partitions carry no ranges and pass straight through (zero per-key
+    cost). On the cluster path the slot is computed from the RAW key
+    bytes BEFORE decoding — a lossy UTF-8 decode of a binary key
+    re-encodes the replacement characters and would mis-slot it,
+    silently dropping the row (review r14) — and computed once per
+    key, not once per owned range."""
+    if part.slot_ranges is None:
+        yield from client.scan_iter(match=part.pattern, count=part.count)
+        return
+    for raw in client.scan_iter(
+        match=part.pattern, count=part.count, raw=True
+    ):
+        keys = []
+        for k in raw:
+            s = key_slot(k)
+            if any(lo <= s <= hi for lo, hi in part.slot_ranges):
+                keys.append(_as_str(k))
+        if keys:
+            yield keys
 
 
 class RedisScanReader(DataSourceReader):
@@ -267,10 +279,8 @@ class RedisScanReader(DataSourceReader):
 
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port) as client:
-            for keys in client.scan_iter(match=part.pattern, count=part.count):
-                keys = _owned_keys(keys, part.slot_ranges)
-                if keys:
-                    yield pa.RecordBatch.from_pydict({"key_name": keys})
+            for keys in _scan_owned(client, part):
+                yield pa.RecordBatch.from_pydict({"key_name": keys})
 
 
 class RedisScanDataSource(DataSource):
@@ -298,10 +308,7 @@ class RedisKVReader(DataSourceReader):
 
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port) as client:
-            for keys in client.scan_iter(match=part.pattern, count=part.count):
-                keys = _owned_keys(keys, part.slot_ranges)
-                if not keys:
-                    continue
+            for keys in _scan_owned(client, part):
                 values = client.mget(keys)  # one round trip per SCAN batch
                 yield pa.RecordBatch.from_pydict({"key": keys, "value": values})
 
@@ -389,10 +396,7 @@ class RedisHashReader(DataSourceReader):
 
     def read(self, part: RedisShard) -> Iterator[pa.RecordBatch]:
         with RedisClient(part.host, part.port, protocol=self.protocol) as client:
-            for keys in client.scan_iter(match=part.pattern, count=part.count):
-                keys = _owned_keys(keys, part.slot_ranges)
-                if not keys:
-                    continue
+            for keys in _scan_owned(client, part):
                 maps = client.hgetall_pipelined(keys)  # one RTT per batch
                 rows = [list(m.items()) for m in maps]
                 yield pa.RecordBatch.from_arrays(
@@ -440,6 +444,15 @@ class RedisHashWriter(DataSourceWriter):
         with RedisClient(self.host, self.port) as client:
             batch: list[tuple] = []
             for row in rows:
+                if row.key is None:
+                    # checked per row, not per non-empty map: a NULL
+                    # key with an empty map is the same upstream
+                    # corruption and must fail just as loudly as in
+                    # the kv writer (review r14)
+                    raise ValueError(
+                        "redis_hash write: NULL key — filter or "
+                        "fill NULLs before writing"
+                    )
                 flat: list = []
                 for f, v in (row.value or {}).items():
                     if f is None or v is None:
@@ -452,11 +465,6 @@ class RedisHashWriter(DataSourceWriter):
                         )
                     flat += [f, v]
                 if flat:
-                    if row.key is None:
-                        raise ValueError(
-                            "redis_hash write: NULL key — filter or "
-                            "fill NULLs before writing"
-                        )
                     batch.append(("HSET", row.key, *flat))
                 if len(batch) >= self.batch_size:
                     client.pipeline_checked(batch)

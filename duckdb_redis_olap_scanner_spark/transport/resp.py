@@ -558,20 +558,28 @@ class RedisClient:
         return out
 
     def scan_iter(
-        self, match: str = "*", count: int = DEFAULT_SCAN_COUNT
-    ) -> Iterator[list[str]]:
+        self,
+        match: str = "*",
+        count: int = DEFAULT_SCAN_COUNT,
+        raw: bool = False,
+    ) -> Iterator[list]:
         """Yield batches of key names, one batch per SCAN round trip.
 
         Mirrors the reference's fetch loop (``redduck_extension.cpp:166-228``):
         pattern passed verbatim as a Redis glob, COUNT hint per round trip,
         duplicate keys passed through, terminate when the cursor returns "0".
         Empty batches with a live cursor continue the loop.
+
+        ``raw=True`` yields the key BYTES undecoded — callers that
+        compute cluster slots must hash the raw bytes: a lossy UTF-8
+        decode of a binary key changes its CRC16 (review r14), and
+        the server sloted the original bytes.
         """
         cursor = "0"
         while True:
             reply = self.command("SCAN", cursor, "MATCH", match, "COUNT", count)
             cursor = _as_str(reply[0])
-            keys = [_as_str(k) for k in reply[1]]
+            keys = list(reply[1]) if raw else [_as_str(k) for k in reply[1]]
             if keys:
                 yield keys
             if cursor == "0":

@@ -461,3 +461,49 @@ def test_writers_reject_null_keys_and_values(spark, redis_server):
 
     with RedisClient(redis_server.host, redis_server.port) as c:
         assert c.get("nkv:2") is None
+
+
+def test_scan_owned_slots_binary_keys_on_raw_bytes():
+    """Cluster slot filtering must hash the RAW key bytes: a lossy
+    UTF-8 decode of a binary key re-encodes the replacement chars and
+    lands on a different slot than the server used, silently dropping
+    the row (review r14)."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_source import (
+        RedisShard,
+        _scan_owned,
+        key_slot,
+    )
+
+    raw_key = b"\x80abc"
+    s_raw = key_slot(raw_key)
+    s_decoded = key_slot(raw_key.decode("utf-8", "replace"))
+    assert s_raw != s_decoded  # the decode really moves the slot
+
+    class StubClient:
+        def scan_iter(self, match="*", count=0, raw=False):
+            assert raw, "cluster path must request raw key bytes"
+            yield [raw_key, b"other"]
+
+    part = RedisShard("h", 1, "*", 10, slot_ranges=((s_raw, s_raw),))
+    got = [k for batch in _scan_owned(StubClient(), part) for k in batch]
+    # the binary key survives (owner by raw-bytes slot), decoded for
+    # the string schema; 'other' is filtered unless it collides
+    assert raw_key.decode("utf-8", "replace") in got
+    if key_slot(b"other") != s_raw:
+        assert got == [raw_key.decode("utf-8", "replace")]
+
+
+def test_hash_writer_rejects_null_key_even_with_empty_map(spark, redis_server):
+    """A NULL key with an empty/NULL map is the same upstream
+    corruption as a NULL key with fields — it must fail loudly, not
+    be skipped (review r14)."""
+    import pytest as _pytest
+
+    for payload in ({}, None):
+        df = spark.createDataFrame(
+            [(None, payload)], "key string, value map<string,string>")
+        with _pytest.raises(Exception, match="NULL key"):
+            (df.write.format("redis_hash")
+             .option("host", redis_server.host)
+             .option("port", redis_server.port)
+             .mode("append").save())
