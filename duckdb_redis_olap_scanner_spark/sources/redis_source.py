@@ -44,6 +44,14 @@ ONE input partition (matching the reference's ``MaxThreads()==1``,
   ``transport.resp``, so rows the scan surfaces carry the value from
   the key's CURRENT owner.
 
+Binary-key contract: the scan-family schemas are StringType, so a key
+that is not valid UTF-8 surfaces with replacement characters (and its
+per-key value fetch may then miss). Slot-ownership filtering is
+computed on the RAW bytes (``_scan_owned``), so such keys are counted
+exactly once like any other — only their rendering is lossy. Pipelines
+that need byte-faithful keys should use binary-safe key design (the
+norm for OLAP keyspaces) or a future BinaryType schema variant.
+
 Arrow RecordBatches are yielded so rows never pass through
 Python-object row conversion.
 """
