@@ -5,8 +5,19 @@ the engine's streaming growth path on the source axis: a Redis Stream
 consumed as an unbounded table with exactly-once progress tracking.
 
 Offsets are native Redis stream entry IDs ("ms-seq") — totally ordered
-and durable on the server, so the checkpointed offset alone guarantees
-exactly-once delivery across restarts:
+and durable on the server, so the checkpointed offset alone gives
+exactly-once delivery across restarts for entries the server still
+holds. Server-side eviction is the one hole XRANGE cannot paper over:
+a trimmed stream (XTRIM / XADD MAXLEN) silently returns only the
+surviving subset of a planned range, so the reader checks
+``XINFO STREAM max-deleted-entry-id`` against the batch's checkpointed
+start and FAILS LOUDLY when entries past the checkpoint were evicted
+(r14 review), instead of advancing the checkpoint over a hole. On
+servers without XINFO max-deleted-entry-id (pre-7.0), detection is
+unavailable and the weaker at-most-once-past-trim contract applies —
+size MAXLEN to consumer lag. An offset that moves BACKWARDS (stream
+deleted/recreated, XSETID rollback) likewise raises instead of
+silently dropping everything below the old checkpoint:
 
 * ``initialOffset``  → ``{"last_id": "0-0"}`` (before everything)
 * ``latestOffset``   → the id of the newest entry at poll time
@@ -64,6 +75,41 @@ def _id_key(sid: str) -> tuple[int, int]:
     return (int(ms), int(seq))
 
 
+def _check_no_trim_loss(c: RedisClient, part: StreamRange) -> None:
+    """Fail loudly when entries past the batch's checkpointed start
+    were evicted by trimming (XTRIM / XADD MAXLEN) or XDEL: XRANGE
+    would silently return only the surviving subset and the checkpoint
+    would advance over a hole (r14 review). Detection reads Redis 7's
+    ``XINFO STREAM max-deleted-entry-id``; a deleted id above the
+    exclusive start can only belong to an entry this query never
+    delivered (delivered ⇒ id ≤ start). Skipped on the initial 0-0
+    batch — a fresh query on an already-trimmed stream reads the
+    surviving history by design (Kafka earliest-available semantics) —
+    and on servers whose XINFO lacks the field (pre-7.0, documented
+    weaker contract)."""
+    from ..transport.resp import RespError, _as_str
+
+    start = _id_key(part.start_id)
+    if start == (0, 0):
+        return
+    try:
+        info = c.command("XINFO", "STREAM", part.key)
+    except RespError:
+        return  # pre-XINFO server: detection unavailable (documented)
+    flat = [_as_str(v) if isinstance(v, (bytes, str)) else v
+            for v in (info or [])]
+    fields = dict(zip(flat[0::2], flat[1::2]))
+    mdel = fields.get("max-deleted-entry-id")
+    if mdel and _id_key(str(mdel)) > start:
+        raise RuntimeError(
+            f"redis_stream data loss on {part.key!r}: entries up to id "
+            f"{mdel} were deleted/trimmed server-side, past this "
+            f"query's checkpointed position {part.start_id} — undelivered "
+            "rows are gone. Size the stream's MAXLEN above consumer lag, "
+            "or clear the checkpoint to accept the surviving history"
+        )
+
+
 class RedisStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.host = options.get("host", "127.0.0.1")
@@ -84,8 +130,22 @@ class RedisStreamReader(DataSourceStreamReader):
             return {"last_id": entries[0][0]}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        if _id_key(end["last_id"]) <= _id_key(start["last_id"]):
-            return []
+        s, e = _id_key(start["last_id"]), _id_key(end["last_id"])
+        if e == s:
+            return []  # no new entries
+        if e < s:
+            # The newest live id fell BELOW the checkpoint: the stream
+            # was deleted/recreated or XSETID-rolled-back. Returning []
+            # forever would silently drop every entry at or below the
+            # old checkpoint (r14 review) — only the operator can
+            # decide whether to reset the checkpoint.
+            raise RuntimeError(
+                f"redis_stream offset regression on {self.key!r}: "
+                f"checkpointed last_id {start['last_id']} is newer than "
+                f"the stream's newest id {end['last_id']} — the stream "
+                "was recreated or its id counter rolled back; clear the "
+                "checkpoint to restart from the current stream"
+            )
         return [
             StreamRange(
                 self.host, self.port, self.key, start["last_id"], end["last_id"]
@@ -94,6 +154,7 @@ class RedisStreamReader(DataSourceStreamReader):
 
     def read(self, part: StreamRange) -> Iterator[tuple]:
         with RedisClient(part.host, part.port) as c:
+            _check_no_trim_loss(c, part)
             cursor = part.start_id
             while True:
                 page = c.xrange(
@@ -140,7 +201,14 @@ class RedisStreamWriter(DataSourceStreamWriter):
                     if val is not None:
                         flat += [col, str(val)]
                 if not flat:
-                    continue
+                    # XADD cannot represent a fieldless entry; skipping
+                    # would silently break the one-entry-per-row
+                    # contract (r14 review) — fail the task instead.
+                    raise ValueError(
+                        "redis_stream write: row with all-NULL fields "
+                        "cannot become an XADD entry — filter or fill "
+                        "NULLs before writing"
+                    )
                 batch.append(("XADD", self.key, "*", *flat))
                 if len(batch) >= self.batch_size:
                     client.pipeline_checked(batch)

@@ -83,8 +83,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # Absolute target (a relative sf_dir would resolve relative to the
+    # STAGE dir — a dangling link), probed with lexists (exists()
+    # follows a broken link and then symlink() raises FileExistsError
+    # forever), racing creators tolerated (r14 review).
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.lexists(link) and os.readlink(link) != target:
+        os.unlink(link)  # stale link from a moved/removed sf_dir
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # a concurrent session staged the same sf_dir
     import pyarrow.parquet as pq
 
     ts_type = pq.read_schema(
@@ -268,8 +278,14 @@ def _update_user_state(
     for pdf in batches:
         n += len(pdf)
         # floor(value*100) summed as exact ints — same quantization as the
-        # batch/window operators (F.floor(value * 100)).
-        cents += int(np.floor(pdf["value"].to_numpy() * 100).sum())
+        # batch/window operators (F.floor(value * 100)). NULL values
+        # arrive as NaN and must be skipped exactly as F.sum skips
+        # SQL NULLs (while count(*) above still counts the row) —
+        # int(NaN-sum) would crash the task (r14 review).
+        vals = pdf["value"].to_numpy()
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            cents += int(np.floor(vals * 100).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -332,6 +348,24 @@ _ANOMALY_STATE_SCHEMA = (
 )
 
 
+def _sorted_batch(batches) -> pd.DataFrame | None:
+    """One key's micro-batch, materialized and sorted by
+    (ts, event_id), or None when empty. The fold's math is order-
+    sensitive, and a key's batch may arrive as several Arrow chunks
+    with no cross-chunk ordering — shared by BOTH stateful twins so
+    an ordering fix can never land in one and miss the other
+    (r14 review)."""
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        return None
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else chunks[0]
+    )
+    return pdf.sort_values(["ts", "event_id"])
+
+
 def _anomaly_fold(
     key: tuple[Any, ...],
     pdf: pd.DataFrame,
@@ -350,6 +384,11 @@ def _anomaly_fold(
         ANOMALY_WINDOW,
     )
 
+    # A NULL value (NaN here) cannot enter the rolling window — the
+    # batch quantization F.floor(NULL*100) is NULL and contributes
+    # nothing; int(NaN) would crash the task (r14 review). Delivery-
+    # order tracking in the callers still sees the full batch.
+    pdf = pdf[pdf["value"].notna()]
     out = []
     for ev, v in zip(pdf["event_id"], pdf["value"]):
         x = int(np.floor(v * 100.0))
@@ -410,17 +449,17 @@ def _update_rolling_anomaly(
         last_event = -(2**62)
         regressions = 0
 
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            if len(chunks) > 1
-            else chunks[0]
-        )
-        pdf = pdf.sort_values(["ts", "event_id"])
+    pdf = _sorted_batch(batches)
+    if pdf is not None:
         ts_ns = pdf["ts"].astype("int64")
         first = (int(ts_ns.iloc[0]), int(pdf["event_id"].iloc[0]))
-        if first < (last_ts, last_event):
+        # <= , not < : event_id is unique, so an EQUAL (ts, event_id)
+        # can only be a replay of the last already-folded event — the
+        # resume-from-last-acked-inclusive shape an at-least-once
+        # upstream (this repo's own redis_stream sink included)
+        # produces. Strict < left that double-fold invisible with the
+        # counter at 0 (r14 review).
+        if first <= (last_ts, last_event):
             regressions += 1
         last_ts = int(ts_ns.iloc[-1])
         last_event = int(pdf["event_id"].iloc[-1])
@@ -511,19 +550,11 @@ def rolling_anomaly_tws(events: DataFrame) -> DataFrame:
             self._xs = handle.getListState("xs", "x LONG")
 
         def handleInputRows(self, key, rows, timerValues):
-            # Same chunk-materialize-then-sort discipline as the
-            # applyInPandasWithState twin: one key's micro-batch may
-            # arrive as several Arrow chunks with no cross-chunk
-            # ordering, so sort once over the concatenation.
+            # Shared chunk-materialize-then-sort discipline with the
+            # applyInPandasWithState twin (_sorted_batch).
             xs = [int(r[0]) for r in self._xs.get()]
-            chunks = [pdf for pdf in rows if len(pdf)]
-            if chunks:
-                pdf = (
-                    pd.concat(chunks, ignore_index=True)
-                    if len(chunks) > 1
-                    else chunks[0]
-                )
-                pdf = pdf.sort_values(["ts", "event_id"])
+            pdf = _sorted_batch(rows)
+            if pdf is not None:
                 yield _anomaly_fold(key, pdf, xs)
             self._xs.put([(x,) for x in xs])
 
@@ -577,7 +608,14 @@ def _update_type_histogram(
         cnts, sums = [0] * nb, [0] * nb
         mins, maxs = [_HIST_SENTINEL] * nb, [-_HIST_SENTINEL] * nb
     for pdf in batches:
-        cents = np.floor(pdf["value"].to_numpy() * 100).astype(np.int64)
+        vals = pdf["value"].to_numpy()
+        # NULL values (NaN) must be dropped BEFORE the int64 cast:
+        # astype(int64) turns NaN into INT64_MIN, which clip silently
+        # files under bucket 0 and poisons min_cents (r14 review).
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            continue
+        cents = np.floor(vals * 100).astype(np.int64)
         buckets = np.clip(cents // HIST_WIDTH_CENTS, 0, HIST_MAX_BUCKET)
         for b in np.unique(buckets):
             m = cents[buckets == b]

@@ -109,6 +109,10 @@ class FakeRedisStore:
         # last generated/accepted (ms, seq) per stream — XADD enforces
         # strictly-increasing ids, so the entry list stays sorted.
         self._stream_last: dict[str, tuple[int, int]] = {}
+        # largest (ms, seq) ever evicted per stream (XTRIM) — what real
+        # Redis 7 surfaces as XINFO STREAM max-deleted-entry-id; the
+        # stream source's trim-loss detection reads it.
+        self._stream_max_deleted: dict[str, tuple[int, int]] = {}
         self.lock = threading.Lock()
         self._scan_snapshots: dict[int, list[str]] = {}
         self._next_snapshot = 1
@@ -416,6 +420,40 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _encode(entry_id)
             if name == "XLEN":
                 return _encode(len(store.streams.get(args[0], [])))
+            if name == "XTRIM":
+                # XTRIM key MAXLEN [~] n — evict oldest entries past the
+                # cap, tracking the largest evicted id (what real Redis
+                # surfaces as max-deleted-entry-id).
+                key = args[0]
+                rest = [a for a in args[1:] if a != "~"]
+                if not rest or rest[0].upper() != "MAXLEN":
+                    raise ValueError("ERR syntax error")
+                cap = int(rest[1])
+                entries = store.streams.get(key, [])
+                evicted = 0
+                while len(entries) > cap:
+                    sid, _ = entries.pop(0)
+                    ms, seq = sid.split("-")
+                    prev = store._stream_max_deleted.get(key, (0, 0))
+                    store._stream_max_deleted[key] = max(
+                        prev, (int(ms), int(seq))
+                    )
+                    evicted += 1
+                return _encode(evicted)
+            if name == "XINFO" and args and args[0].upper() == "STREAM":
+                key = args[1]
+                last = store._stream_last.get(key, (0, 0))
+                mdel = store._stream_max_deleted.get(key, (0, 0))
+                return _encode(
+                    [
+                        "length",
+                        len(store.streams.get(key, [])),
+                        "last-generated-id",
+                        f"{last[0]}-{last[1]}",
+                        "max-deleted-entry-id",
+                        f"{mdel[0]}-{mdel[1]}",
+                    ]
+                )
             if name == "XRANGE":
                 # XRANGE key start end [COUNT n]; '-'/'+' = min/max; a
                 # '(' prefix on start means exclusive (Redis 6.2+).

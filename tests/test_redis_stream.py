@@ -215,3 +215,79 @@ def test_stream_sink_roundtrip(engine, redis_server, tmp_path):
     # ids strictly increase (XADD auto-id contract)
     ids = [tuple(map(int, e[0].split("-"))) for e in entries]
     assert ids == sorted(set(ids))
+
+
+def test_offset_regression_raises(redis_server):
+    """end < start can only mean the stream was recreated or rolled
+    back — return [] forever would silently drop everything below the
+    old checkpoint (r14 review)."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+    )
+
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port, "key": "s"}
+    )
+    assert r.partitions({"last_id": "5-0"}, {"last_id": "5-0"}) == []
+    with _pytest.raises(RuntimeError, match="offset regression"):
+        r.partitions({"last_id": "5-0"}, {"last_id": "3-0"})
+
+
+def test_trim_loss_detected_loudly(redis_server):
+    """Entries evicted past a checkpointed position must raise, not
+    silently vanish from the planned XRANGE (r14 review). Initial
+    0-0 batches read the surviving history by design."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+        StreamRange,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "trimstream"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 11):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port, "key": key}
+    )
+    # checkpointed at 2-0; trim evicts up to 5-0 (keep last 5)
+    part = StreamRange(
+        redis_server.host, redis_server.port, key, "2-0", "10-0"
+    )
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        assert c.command("XTRIM", key, "MAXLEN", "5") == 5
+    with _pytest.raises(RuntimeError, match="data loss"):
+        list(r.read(part))
+    # an initial batch (start 0-0) accepts the surviving history
+    init = StreamRange(
+        redis_server.host, redis_server.port, key, "0-0", "10-0"
+    )
+    assert len(list(r.read(init))) == 5
+    # and a checkpointed start AT/after the eviction horizon is clean
+    ok = StreamRange(
+        redis_server.host, redis_server.port, key, "5-0", "10-0"
+    )
+    assert len(list(r.read(ok))) == 5
+
+
+def test_stream_writer_rejects_all_null_row(redis_server):
+    """XADD cannot represent a fieldless entry; dropping the row would
+    silently break one-entry-per-row (r14 review)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamWriter,
+    )
+
+    w = RedisStreamWriter(
+        {"host": redis_server.host, "port": redis_server.port,
+         "key": "wnull"}
+    )
+    with _pytest.raises(ValueError, match="all-NULL"):
+        w.write(iter([Row(a=None, b=None)]))

@@ -550,3 +550,90 @@ def test_stateful_histogram_survives_checkpoint_restart(spark, tmp_path):
     }
     assert rows[("click", 0)] == (2, 2200, 1000, 1200)
     assert rows[("click", 1)] == (1, 3000, 3000, 3000)
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving the stateful folds
+    directly (exists/get/update are all the folds touch)."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stateful_folds_skip_null_values():
+    """NULL values arrive in pandas as NaN: the user-state fold must
+    count the row but skip the sum (count(*) vs F.sum semantics), the
+    anomaly fold must not crash, and the histogram fold must not cast
+    NaN to INT64_MIN and poison bucket 0 (r14 review)."""
+    import numpy as np
+    import pandas as pd
+
+    st = _StubState()
+    pdf = pd.DataFrame({"value": [1.25, np.nan, 2.0]})
+    out = list(SE._update_user_state((7,), iter([pdf]), st))[0]
+    assert out.n_events.iloc[0] == 3  # count(*) counts the null row
+    assert out.total_cents.iloc[0] == 125 + 200  # F.sum skips it
+
+    apdf = pd.DataFrame(
+        {"event_id": [1, 2, 3], "ts": [10, 20, 30],
+         "value": [1.0, np.nan, 2.0]}
+    )
+    folded = SE._anomaly_fold((7,), apdf, [])
+    assert list(folded.event_id) == [1, 3]  # NaN row contributes nothing
+
+    st2 = _StubState()
+    hp = pd.DataFrame({"value": [np.nan, 1.0]})
+    hist = list(SE._update_type_histogram(("view",), iter([hp]), st2))[0]
+    assert hist.n_events.sum() == 1  # only the real value landed
+    assert (hist.min_cents >= 0).all()  # no INT64_MIN poisoning
+
+
+def test_anomaly_replay_of_last_event_counts_as_regression():
+    """An at-least-once upstream resuming from the last acked event
+    INCLUSIVE redelivers an equal (ts, event_id); event_id is unique,
+    so equality can only be a replay — the observability counter must
+    tick (r14 review: strict < left the double-fold invisible)."""
+    import pandas as pd
+
+    st = _StubState()
+    b1 = pd.DataFrame({"event_id": [1, 2], "ts": pd.to_datetime([10, 20]),
+                       "value": [1.0, 2.0]})
+    list(SE._update_rolling_anomaly((7,), iter([b1]), st))
+    assert st.get[3] == 0
+    # replay starting at exactly the last delivered (ts, event_id)
+    b2 = pd.DataFrame({"event_id": [2, 3], "ts": pd.to_datetime([20, 30]),
+                       "value": [2.0, 3.0]})
+    list(SE._update_rolling_anomaly((7,), iter([b2]), st))
+    assert st.get[3] == 1  # regression observed, not silent
+
+
+def test_events_stream_stages_absolute_symlink(spark, monkeypatch):
+    """A RELATIVE sf_dir must stage an ABSOLUTE symlink target — the
+    raw string would resolve relative to the stage dir and dangle
+    (r14 review); re-staging after the check must not crash."""
+    import os
+
+    monkeypatch.chdir("/root")
+    df = SE.read_events_stream(spark, "testdata/sf0.001")
+    assert df.isStreaming
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(b"testdata/sf0.001").hexdigest()[:8]
+    link = os.path.join(
+        tempfile.gettempdir(), f"events-stream-{tag}", "events.parquet"
+    )
+    assert os.path.isabs(os.readlink(link))
+    assert os.path.exists(link)  # not dangling
+    SE.read_events_stream(spark, "testdata/sf0.001")  # idempotent
