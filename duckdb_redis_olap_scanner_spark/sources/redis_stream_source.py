@@ -12,12 +12,18 @@ a trimmed stream (XTRIM / XADD MAXLEN) silently returns only the
 surviving subset of a planned range, so the reader checks
 ``XINFO STREAM max-deleted-entry-id`` against the batch's checkpointed
 start and FAILS LOUDLY when entries past the checkpoint were evicted
-(r14 review), instead of advancing the checkpoint over a hole. On
-servers without XINFO max-deleted-entry-id (pre-7.0), detection is
-unavailable and the weaker at-most-once-past-trim contract applies —
-size MAXLEN to consumer lag. An offset that moves BACKWARDS (stream
-deleted/recreated, XSETID rollback) likewise raises instead of
-silently dropping everything below the old checkpoint:
+(r14 review) — both before and after paging, so a trim racing the
+read window is caught too — instead of advancing the checkpoint over
+a hole. On servers without XINFO max-deleted-entry-id (pre-7.0),
+detection is unavailable and the weaker at-most-once-past-trim
+contract applies — size MAXLEN to consumer lag. Whole-key deletion
+under a live checkpoint raises at the next read ('no such key' is
+loss, not a fresh start), and an offset that moves BACKWARDS (XSETID
+rollback, recreation with explicit lower ids) raises in partitions().
+The one undetectable case: deletion + recreation with AUTO-generated
+ids — ms-clock ids land above the old checkpoint, making the new
+stream indistinguishable from new data on the old one; pin explicit
+ids or clear checkpoints when recreating streams:
 
 * ``initialOffset``  → ``{"last_id": "0-0"}`` (before everything)
 * ``latestOffset``   → the id of the newest entry at poll time
@@ -75,38 +81,51 @@ def _id_key(sid: str) -> tuple[int, int]:
     return (int(ms), int(seq))
 
 
-def _check_no_trim_loss(c: RedisClient, part: StreamRange) -> None:
-    """Fail loudly when entries past the batch's checkpointed start
-    were evicted by trimming (XTRIM / XADD MAXLEN) or XDEL: XRANGE
-    would silently return only the surviving subset and the checkpoint
-    would advance over a hole (r14 review). Detection reads Redis 7's
-    ``XINFO STREAM max-deleted-entry-id``; a deleted id above the
-    exclusive start can only belong to an entry this query never
-    delivered (delivered ⇒ id ≤ start). Skipped on the initial 0-0
-    batch — a fresh query on an already-trimmed stream reads the
-    surviving history by design (Kafka earliest-available semantics) —
-    and on servers whose XINFO lacks the field (pre-7.0, documented
-    weaker contract)."""
+def _check_no_trim_loss(
+    c: RedisClient, part: StreamRange, floor_id: str | None = None
+) -> None:
+    """Fail loudly when entries past ``floor_id`` (default: the batch's
+    checkpointed exclusive start) were evicted by trimming (XTRIM /
+    XADD MAXLEN) or XDEL: XRANGE would silently return only the
+    surviving subset and the checkpoint would advance over a hole
+    (r14 review). Detection reads Redis 7's ``XINFO STREAM
+    max-deleted-entry-id`` via the transport's dual-shape
+    :meth:`RedisClient.xinfo_stream`; a deleted id above the floor but
+    within this batch's range can only belong to an entry this batch
+    never delivered. Deletions ABOVE the batch end are left to the
+    NEXT batch's pre-check (its start equals this end). The whole-key
+    'no such key' error with a nonzero checkpoint is itself loss (the
+    stream was deleted out from under the query); only a genuine
+    pre-XINFO server ('unknown command') skips detection — the
+    documented weaker contract."""
     from ..transport.resp import RespError, _as_str
 
-    start = _id_key(part.start_id)
-    if start == (0, 0):
-        return
+    floor = _id_key(floor_id) if floor_id else _id_key(part.start_id)
+    floor = max(floor, _id_key(part.start_id))
     try:
-        info = c.command("XINFO", "STREAM", part.key)
-    except RespError:
+        info = c.xinfo_stream(part.key)
+    except RespError as e:
+        if "no such key" in str(e).lower():
+            raise RuntimeError(
+                f"redis_stream data loss on {part.key!r}: the stream "
+                f"was deleted while this query's checkpoint stands at "
+                f"{part.start_id} — any undelivered entries are gone. "
+                "Clear the checkpoint to restart from a recreated "
+                "stream"
+            ) from e
         return  # pre-XINFO server: detection unavailable (documented)
-    flat = [_as_str(v) if isinstance(v, (bytes, str)) else v
-            for v in (info or [])]
-    fields = dict(zip(flat[0::2], flat[1::2]))
-    mdel = fields.get("max-deleted-entry-id")
-    if mdel and _id_key(str(mdel)) > start:
+    mdel_raw = info.get("max-deleted-entry-id")
+    if mdel_raw is None:
+        return
+    mdel = _id_key(_as_str(mdel_raw))
+    if floor < mdel <= _id_key(part.end_id):
         raise RuntimeError(
             f"redis_stream data loss on {part.key!r}: entries up to id "
-            f"{mdel} were deleted/trimmed server-side, past this "
-            f"query's checkpointed position {part.start_id} — undelivered "
-            "rows are gone. Size the stream's MAXLEN above consumer lag, "
-            "or clear the checkpoint to accept the surviving history"
+            f"{_as_str(mdel_raw)} were deleted/trimmed server-side, "
+            f"past this batch's delivered position "
+            f"{floor_id or part.start_id} — undelivered rows are gone. "
+            "Size the stream's MAXLEN above consumer lag, or clear the "
+            "checkpoint to accept the surviving history"
         )
 
 
@@ -120,10 +139,29 @@ class RedisStreamReader(DataSourceStreamReader):
         return {"last_id": "0-0"}
 
     def latestOffset(self) -> dict:
-        # Newest id only (XREVRANGE ... COUNT 1): O(1) per trigger.
-        # An XRANGE over the full stream here would materialize every
-        # entry on the driver at every micro-batch.
+        # last-generated-id from XINFO STREAM, O(1) per trigger: it
+        # SURVIVES entry deletion, so a fully-consumed stream whose
+        # acknowledged entries were trimmed away (XTRIM/XDEL of
+        # processed data — normal retention) reads as "no new entries"
+        # instead of regressing to the newest SURVIVING entry and
+        # spuriously tripping the offset-regression guard (r14
+        # review). Fallbacks: a missing key reads 0-0 (a whole-key DEL
+        # under a live checkpoint then fails loudly in partitions(),
+        # as it should — undelivered entries may be gone); a
+        # pre-XINFO server falls back to the newest surviving entry
+        # (the documented weaker contract).
+        from ..transport.resp import RespError, _as_str
+
         with RedisClient(self.host, self.port) as c:
+            try:
+                info = c.xinfo_stream(self.key)
+                last = info.get("last-generated-id")
+                if last is not None:
+                    return {"last_id": _as_str(last)}
+            except RespError as e:
+                if "no such key" in str(e).lower():
+                    return {"last_id": "0-0"}
+                # pre-XINFO server: fall through to XREVRANGE
             entries = c.xrevrange(self.key, "+", "-", count=1)
             if not entries:
                 return {"last_id": "0-0"}
@@ -154,19 +192,32 @@ class RedisStreamReader(DataSourceStreamReader):
 
     def read(self, part: StreamRange) -> Iterator[tuple]:
         with RedisClient(part.host, part.port) as c:
-            _check_no_trim_loss(c, part)
+            # Loss checks apply to CHECKPOINTED batches; the initial
+            # 0-0 batch reads the surviving history by design (Kafka
+            # earliest-available semantics).
+            checked = _id_key(part.start_id) != (0, 0)
+            if checked:
+                _check_no_trim_loss(c, part)
             cursor = part.start_id
             while True:
                 page = c.xrange(
                     part.key, f"({cursor}", part.end_id, count=BATCH_COUNT
                 )
                 if not page:
-                    return
+                    break
                 for sid, fields in page:
                     yield (sid, fields)
                 cursor = page[-1][0]
                 if _id_key(cursor) >= _id_key(part.end_id):
-                    return
+                    break
+            if checked:
+                # Re-check AFTER paging with the highest id actually
+                # delivered as the floor: a trim racing the read
+                # window evicts in-range unread entries that the
+                # pre-check could not see, and the NEXT batch starts
+                # past them so it could never raise either (r14
+                # review).
+                _check_no_trim_loss(c, part, floor_id=cursor)
 
     def commit(self, end: dict) -> None:
         # Progress is tracked by Spark's checkpoint; nothing server-side

@@ -79,22 +79,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
     # Absolute target (a relative sf_dir would resolve relative to the
     # STAGE dir — a dangling link), probed with lexists (exists()
     # follows a broken link and then symlink() raises FileExistsError
-    # forever), racing creators tolerated (r14 review).
+    # forever), racing creators tolerated. The stage tag hashes the
+    # ABSOLUTE target, not the raw sf_dir string: two sessions passing
+    # the same relative path from different CWDs are different
+    # datasets and must not share (and unlink/retarget) one live
+    # link (r14 review).
     target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(target.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
     if os.path.lexists(link) and os.readlink(link) != target:
         os.unlink(link)  # stale link from a moved/removed sf_dir
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)
         except FileExistsError:
-            pass  # a concurrent session staged the same sf_dir
+            pass  # a concurrent session staged the same target
     import pyarrow.parquet as pq
 
     ts_type = pq.read_schema(

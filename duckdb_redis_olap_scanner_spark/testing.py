@@ -261,6 +261,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 store.zsets.pop(args[0], None)
                 store.lists.pop(args[0], None)
                 store.streams.pop(args[0], None)
+                store._stream_last.pop(args[0], None)
+                store._stream_max_deleted.pop(args[0], None)
                 return _simple("OK")
             if name == "GET":
                 # Type-strict like real Redis: GET on a non-string key
@@ -363,12 +365,23 @@ class _Handler(socketserver.BaseRequestHandler):
                     n += 1 if (store.hashes.pop(k, None) is not None) else 0
                     n += 1 if (store.zsets.pop(k, None) is not None) else 0
                     n += 1 if (store.lists.pop(k, None) is not None) else 0
+                    # DEL destroys ALL stream state, as real Redis: a
+                    # recreated stream starts its id counter fresh and
+                    # XINFO on the deleted key errors (r14 review —
+                    # the stream source's loss detection depends on
+                    # this fidelity)
+                    n += 1 if (store.streams.pop(k, None) is not None) else 0
+                    store._stream_last.pop(k, None)
+                    store._stream_max_deleted.pop(k, None)
                 return _encode(n)
             if name == "FLUSHALL":
                 store.strings.clear()
                 store.hashes.clear()
                 store.zsets.clear()
                 store.lists.clear()
+                store.streams.clear()
+                store._stream_last.clear()
+                store._stream_max_deleted.clear()
                 return _simple("OK")
             if name == "DBSIZE":
                 return _encode(len(store.all_keys()))
@@ -442,6 +455,12 @@ class _Handler(socketserver.BaseRequestHandler):
                 return _encode(evicted)
             if name == "XINFO" and args and args[0].upper() == "STREAM":
                 key = args[1]
+                if key not in store.streams and key not in store._stream_last:
+                    # real Redis errors on a missing key — the stream
+                    # source treats that as loss under a live
+                    # checkpoint, so the fake must not fabricate a
+                    # healthy empty reply (r14 review)
+                    return _error("ERR no such key")
                 last = store._stream_last.get(key, (0, 0))
                 mdel = store._stream_max_deleted.get(key, (0, 0))
                 return _encode(

@@ -557,6 +557,23 @@ class RedisClient:
             )
         return out
 
+    def xinfo_stream(self, key: str) -> dict[str, Any]:
+        """``XINFO STREAM`` as a str→value dict. Handles BOTH wire
+        shapes like :meth:`hgetall` does — the RESP2 flat field/value
+        array and the RESP3 map — so callers never touch the reply
+        encoding (r14 review: a hand-rolled flat-array zip elsewhere
+        broke under RESP3). Raises :class:`RespError` verbatim for a
+        missing key ('no such key') or a pre-XINFO server ('unknown
+        command'); callers distinguish the two by message."""
+        reply = self.command("XINFO", "STREAM", key)
+        if isinstance(reply, dict):
+            return {_as_str(k): v for k, v in reply.items()}
+        flat = list(reply or [])
+        return {
+            _as_str(flat[i]): flat[i + 1]
+            for i in range(0, len(flat) - 1, 2)
+        }
+
     def scan_iter(
         self,
         match: str = "*",

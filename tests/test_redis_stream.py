@@ -291,3 +291,112 @@ def test_stream_writer_rejects_all_null_row(redis_server):
     )
     with _pytest.raises(ValueError, match="all-NULL"):
         w.write(iter([Row(a=None, b=None)]))
+
+
+def test_latest_offset_survives_full_trim(redis_server):
+    """Retention of fully-consumed entries (XTRIM past everything)
+    must read as 'no new data', not as an offset regression:
+    last-generated-id survives deletion where the newest SURVIVING
+    entry does not (r14 review)."""
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "retained"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 6):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+        c.command("XTRIM", key, "MAXLEN", "0")  # retention of acked data
+
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port, "key": key}
+    )
+    assert r.latestOffset() == {"last_id": "5-0"}
+    # checkpoint at 5-0: no new entries, no spurious regression
+    assert r.partitions({"last_id": "5-0"}, r.latestOffset()) == []
+    # a never-created stream still reads 0-0
+    r2 = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port,
+         "key": "never-created"}
+    )
+    assert r2.latestOffset() == {"last_id": "0-0"}
+
+
+def test_deleted_stream_under_checkpoint_raises(redis_server):
+    """Whole-key DEL under a live checkpoint is loss ('no such key'),
+    not a fresh start — the old over-broad except swallowed it and
+    committed the checkpoint over the hole (r14 review)."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+        StreamRange,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "doomed"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 4):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+        c.command("DEL", key)
+
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port, "key": key}
+    )
+    part = StreamRange(
+        redis_server.host, redis_server.port, key, "1-0", "3-0"
+    )
+    with _pytest.raises(RuntimeError, match="deleted"):
+        list(r.read(part))
+
+
+def test_trim_racing_the_read_window_is_caught(redis_server):
+    """A trim that lands AFTER the pre-check but evicts in-range
+    unread entries must still raise: the post-paging check compares
+    max-deleted-entry-id against the highest id actually delivered
+    (r14 review — the next batch starts past the hole and could never
+    see it)."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        StreamRange,
+        _check_no_trim_loss,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "racing"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 11):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+        part = StreamRange(
+            redis_server.host, redis_server.port, key, "2-0", "10-0"
+        )
+        # pre-check clean (nothing deleted yet)
+        _check_no_trim_loss(c, part)
+        # the race: eviction up to 6-0 while the reader had only
+        # delivered through 4-0
+        c.command("XTRIM", key, "MAXLEN", "4")
+        with _pytest.raises(RuntimeError, match="data loss"):
+            _check_no_trim_loss(c, part, floor_id="4-0")
+        # delivered through 6-0 already -> everything evicted was
+        # delivered; clean
+        _check_no_trim_loss(c, part, floor_id="6-0")
+
+
+def test_xinfo_stream_both_protocols(redis_server):
+    """The transport's xinfo_stream handles the RESP2 flat array and
+    the RESP3 map reply shapes identically (r14 review: a hand-rolled
+    flat-array zip broke under RESP3)."""
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "infostream"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.xadd(key, {"v": "1"}, entry_id="7-0")
+    for proto in (2, 3):
+        with RedisClient(
+            redis_server.host, redis_server.port, protocol=proto
+        ) as c:
+            info = c.xinfo_stream(key)
+            assert "last-generated-id" in info
+            assert "max-deleted-entry-id" in info

@@ -630,10 +630,13 @@ def test_events_stream_stages_absolute_symlink(spark, monkeypatch):
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(b"testdata/sf0.001").hexdigest()[:8]
+    # the stage tag hashes the ABSOLUTE target, so the same relative
+    # string from different CWDs can never share a stage dir
+    target = "/root/testdata/sf0.001/events.parquet"
+    tag = hashlib.md5(target.encode()).hexdigest()[:8]
     link = os.path.join(
         tempfile.gettempdir(), f"events-stream-{tag}", "events.parquet"
     )
-    assert os.path.isabs(os.readlink(link))
+    assert os.readlink(link) == target
     assert os.path.exists(link)  # not dangling
     SE.read_events_stream(spark, "testdata/sf0.001")  # idempotent
