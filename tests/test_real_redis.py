@@ -350,3 +350,55 @@ def test_cluster_scan_and_moved_following(
         ).collect()
     }
     assert kv == keys
+
+
+def test_stream_reader_against_real_server(real_client, tracked_keys):
+    """Drives the redis_stream reader's offset/partition/read cycle —
+    and its trim-loss detection — against the live server, pinning the
+    real XADD/XREVRANGE/XINFO semantics the in-repo fake mirrors
+    (last-generated-id surviving retention, max-deleted-entry-id
+    advancing on XTRIM, XINFO erroring on a missing key)."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+        StreamRange,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import (
+        RedisClient,
+        parse_host_port,
+    )
+
+    key = f"{NS}:stream"
+    tracked_keys.add(key)
+    real_client.command_redirected("DEL", key)
+    host, port = parse_host_port(REAL_URL)
+    with RedisClient(host, port) as c:
+        for i in range(1, 6):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+
+        r = RedisStreamReader({"host": host, "port": port, "key": key})
+        assert r.latestOffset() == {"last_id": "5-0"}
+        parts = r.partitions({"last_id": "0-0"}, {"last_id": "5-0"})
+        assert len(parts) == 1
+        rows = list(r.read(parts[0]))
+        assert [sid for sid, _ in rows] == [f"{i}-0" for i in range(1, 6)]
+        assert rows[0][1] == {"v": "1"}
+
+        # retention past a consumed checkpoint: offset survives, no
+        # spurious batch
+        trimmed = int(c.command("XTRIM", key, "MAXLEN", "2"))
+        if trimmed:  # a real server >= 6.2 trims 3 entries
+            assert r.latestOffset() == {"last_id": "5-0"}
+            assert r.partitions(
+                {"last_id": "5-0"}, r.latestOffset()
+            ) == []
+            # a checkpoint BELOW the eviction horizon raises loudly
+            # (requires XINFO max-deleted-entry-id, Redis >= 7)
+            info = c.xinfo_stream(key)
+            if str(info.get("max-deleted-entry-id", "0-0")) not in (
+                "0-0", "b'0-0'"
+            ):
+                part = StreamRange(host, port, key, "1-0", "5-0")
+                with _pytest.raises(RuntimeError, match="data loss"):
+                    list(r.read(part))
