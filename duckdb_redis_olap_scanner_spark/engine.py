@@ -36,10 +36,6 @@ TABLES = [
     "embeddings",
 ]
 
-# Tables small enough to broadcast at ANY scale factor (dimension tables
-# bounded by the schema itself: 5 regions, 25 nations).
-BROADCAST_TABLES = {"region", "nation"}
-
 
 def get_spark(
     app_name: str = "duckdb-redis-olap-scanner-spark",
@@ -89,6 +85,14 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     register_datasources(spark)
+    # The PYTHONPATH export above only reaches workers when THIS call
+    # launched the JVM; if a session already existed in the process
+    # (getOrCreate returned it), or on a real cluster where executor
+    # hosts never see the driver's env, workers would fail to unpickle
+    # our DataSource classes by module reference. ship_package is the
+    # transport that always works (addPyFile, idempotent per session,
+    # content-hash named) — r14 review.
+    ship_package(spark)
     return spark
 
 
@@ -123,9 +127,24 @@ def ship_package(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"{pkg_name}-pyfiles-{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for full, rel in sources:
-                zf.write(full, rel)
+        # Write-to-temp + atomic rename: a concurrent driver (parallel
+        # test runs share the content-derived path) or a crash
+        # mid-write must never let addPyFile snapshot a truncated zip
+        # — and a truncated zip at the FINAL name would poison the
+        # content-hash cache forever (r14 review).
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", prefix=f"{pkg_name}-pyfiles-",
+            dir=tempfile.gettempdir(),
+        )
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for full, rel in sources:
+                    zf.write(full, rel)
+            os.replace(tmp, zip_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     spark.sparkContext.addPyFile(zip_path)
     spark._pkg_shipped = True
 
@@ -154,13 +173,18 @@ def register_datasources(spark: SparkSession) -> None:
     # DATA_SOURCE_ALREADY_EXISTS error class, so a Spark upgrade degrades
     # to slightly-noisier idempotence instead of breaking every redis
     # entry at once (VERDICT r12 "What's wrong" #3).
-    def _register_swallowing_exists(sources) -> None:
+    def _register_swallowing_exists(sources, warn: bool = True) -> None:
         for ds in sources:
             try:
                 spark.dataSource.register(ds)
             except Exception as exc:  # noqa: BLE001 — see filter below
                 if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
                     raise
+                if not warn:
+                    # Pinned-active path: already-exists can only mean
+                    # a concurrent registration on THIS session —
+                    # benign, the source is where we need it.
+                    continue
                 # On a NON-thread-active receiver this error can be
                 # spurious (raised by the active session's manager
                 # while the receiver's stays empty — the r10 failure
@@ -200,8 +224,13 @@ def register_datasources(spark: SparkSession) -> None:
         _register_swallowing_exists(pending)
         return
     try:
-        for ds in pending:
-            spark.dataSource.register(ds)
+        # Tolerate already-exists here too: two threads constructing
+        # Engine(spark) concurrently on a fresh session both pass the
+        # probe with every source pending, and the loser's error is
+        # NON-spurious on a pinned-active session — the source IS
+        # registered where we need it (r14 review). No degraded-path
+        # warning: this swallow is provably benign.
+        _register_swallowing_exists(pending, warn=False)
     finally:
         if prev.isDefined():
             jcls.setActiveSession(prev.get())
@@ -239,65 +268,33 @@ class Engine:
         return self.host, self.port
 
     # -- readers ---------------------------------------------------------------
-    def redis_scan(self, pattern: str = "*", **options) -> DataFrame:
+    def _reader(
+        self, fmt: str, streaming: bool = False, **options
+    ) -> DataFrame:
+        """Shared reader plumbing for every redis source: connection
+        wiring + option pass-through, one place instead of six
+        copies (r14 review)."""
         host, port = self._require_conn()
-        reader = (
-            self.spark.read.format("redis_scan")
-            .option("host", host)
-            .option("port", port)
-            .option("pattern", pattern)
-        )
+        src = self.spark.readStream if streaming else self.spark.read
+        reader = src.format(fmt).option("host", host).option("port", port)
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load()
+
+    def redis_scan(self, pattern: str = "*", **options) -> DataFrame:
+        return self._reader("redis_scan", pattern=pattern, **options)
 
     def redis_kv(self, pattern: str = "*", **options) -> DataFrame:
-        host, port = self._require_conn()
-        reader = (
-            self.spark.read.format("redis_kv")
-            .option("host", host)
-            .option("port", port)
-            .option("pattern", pattern)
-        )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        return self._reader("redis_kv", pattern=pattern, **options)
 
     def redis_hash(self, pattern: str = "*", **options) -> DataFrame:
-        host, port = self._require_conn()
-        reader = (
-            self.spark.read.format("redis_hash")
-            .option("host", host)
-            .option("port", port)
-            .option("pattern", pattern)
-        )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        return self._reader("redis_hash", pattern=pattern, **options)
 
     def redis_zset(self, key: str, **options) -> DataFrame:
-        host, port = self._require_conn()
-        reader = (
-            self.spark.read.format("redis_zset")
-            .option("host", host)
-            .option("port", port)
-            .option("key", key)
-        )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        return self._reader("redis_zset", key=key, **options)
 
     def redis_list(self, key: str, **options) -> DataFrame:
-        host, port = self._require_conn()
-        reader = (
-            self.spark.read.format("redis_list")
-            .option("host", host)
-            .option("port", port)
-            .option("key", key)
-        )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        return self._reader("redis_list", key=key, **options)
 
     # -- scalar UDFs -----------------------------------------------------------
     def redis_get_udf(self, missing: str = "null"):
@@ -319,24 +316,19 @@ class Engine:
     def redis_stream(self, key: str = "events", **options) -> DataFrame:
         """Unbounded DataFrame over a Redis Stream (XADD/XRANGE) —
         offsets are native stream entry IDs, checkpoint-durable."""
-        host, port = self._require_conn()
-        reader = (
-            self.spark.readStream.format("redis_stream")
-            .option("host", host)
-            .option("port", port)
-            .option("key", key)
+        return self._reader(
+            "redis_stream", streaming=True, key=key, **options
         )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        return reader.load()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views.
 
     Plans stay declarative so Catalyst gets column pruning + filter
-    pushdown into the parquet scans for free; `region`/`nation` are
-    broadcast-hinted at join sites (size is schema-bounded, safe at any SF).
+    pushdown into the parquet scans for free; broadcast decisions live
+    at the join sites (`plans.catalog.maybe_broadcast` — cost-based
+    from real file sizes — plus hard hints for the schema-bounded
+    region/nation dims).
     """
     from .plans.catalog import table
 

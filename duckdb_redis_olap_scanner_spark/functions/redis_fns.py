@@ -51,9 +51,18 @@ def make_redis_get(host: str, port: int, missing: str = "null"):
                 kl = keys.tolist()
                 for i in range(0, len(kl), MGET_CHUNK):
                     chunk = kl[i : i + MGET_CHUNK]
-                    vals = client.mget([k if k is not None else "" for k in chunk])
-                    if fill_empty:
-                        vals = [v if v is not None else "" for v in vals]
+                    # SQL null-in → null-out: a NULL key is NOT the
+                    # legal Redis key "" (substituting "" returned that
+                    # key's value / conflated NULL with missing — r14
+                    # review). NULL positions never reach the wire;
+                    # missing="empty" applies to missing KEYS only.
+                    idx = [j for j, k in enumerate(chunk) if k is not None]
+                    fetched = (
+                        client.mget([chunk[j] for j in idx]) if idx else []
+                    )
+                    vals: list[str | None] = [None] * len(chunk)
+                    for j, v in zip(idx, fetched):
+                        vals[j] = v if v is not None or not fill_empty else ""
                     out.extend(vals)
                 yield pd.Series(out, dtype="object")
 
@@ -75,20 +84,30 @@ def make_redis_ttl(host: str, port: int):
         with RedisClient(host, port) as client:
             for keys in batches:
                 kl = keys.tolist()
-                out: list[int] = []
+                out: list[int | None] = []
                 for i in range(0, len(kl), MGET_CHUNK):
-                    chunk = [
-                        k if k is not None else "" for k in kl[i : i + MGET_CHUNK]
-                    ]
+                    chunk = kl[i : i + MGET_CHUNK]
+                    # SQL null-in → null-out: TTL(NULL) is NULL, not
+                    # the -2 of a missing key (and never the TTL of
+                    # the legal key "" — r14 review).
+                    idx = [j for j, k in enumerate(chunk) if k is not None]
                     # pipeline_checked: TTL never errors on a live
                     # standalone node, but a cluster reshard answers
                     # -MOVED — replayed on the target; anything else
                     # raises instead of crashing int() opaquely.
-                    replies = client.pipeline_checked(
-                        [("TTL", k) for k in chunk]
+                    replies = (
+                        client.pipeline_checked(
+                            [("TTL", chunk[j]) for j in idx]
+                        )
+                        if idx
+                        else []
                     )
-                    out.extend(int(r) for r in replies)
-                yield pd.Series(out, dtype="int64")
+                    vals: list[int | None] = [None] * len(chunk)
+                    for j, r in zip(idx, replies):
+                        vals[j] = int(r)
+                    out.extend(vals)
+                # pandas nullable Int64 → Arrow int64 with nulls
+                yield pd.Series(out, dtype="Int64")
 
     return redis_ttl
 
@@ -107,8 +126,20 @@ def make_redis_hgetall(host: str, port: int):
                 kl = keys.tolist()
                 maps: list[dict | None] = []
                 for i in range(0, len(kl), MGET_CHUNK):
-                    chunk = [k if k is not None else "" for k in kl[i : i + MGET_CHUNK]]
-                    maps.extend(client.hgetall_pipelined(chunk))
+                    chunk = kl[i : i + MGET_CHUNK]
+                    # SQL null-in → null-out (not the {} of a missing
+                    # key, and never the hash at the legal key "" —
+                    # r14 review)
+                    idx = [j for j, k in enumerate(chunk) if k is not None]
+                    fetched = (
+                        client.hgetall_pipelined([chunk[j] for j in idx])
+                        if idx
+                        else []
+                    )
+                    vals: list[dict | None] = [None] * len(chunk)
+                    for j, m in zip(idx, fetched):
+                        vals[j] = m
+                    maps.extend(vals)
                 yield pd.Series(maps, dtype="object")
 
     return redis_hgetall

@@ -646,6 +646,9 @@ def seed_reference_fixture(server: FakeRedisServer) -> None:
 
 _GOLDEN_SERVER: FakeRedisServer | None = None
 _GOLDEN_CLUSTER: list[FakeRedisServer] | None = None
+# One lock for both golden bootstraps: assign-after-seed alone still
+# allows two concurrent callers to start two servers (r14 review).
+_GOLDEN_LOCK = threading.Lock()
 
 
 def golden_cluster_address() -> str:
@@ -657,7 +660,9 @@ def golden_cluster_address() -> str:
     the golden oracle hash pins both completeness and
     duplicate-freedom."""
     global _GOLDEN_CLUSTER
-    if _GOLDEN_CLUSTER is None:
+    with _GOLDEN_LOCK:
+        if _GOLDEN_CLUSTER is not None:
+            return _GOLDEN_CLUSTER[0].address
         from .sources.redis_source import key_slot
 
         nodes = [FakeRedisServer().start() for _ in range(3)]
@@ -684,7 +689,12 @@ def golden_server_address() -> str:
     server address is configured (``SPARK_GRAFT_REDIS_ADDR``) — the
     server bootstrap lives here, not in catalog code."""
     global _GOLDEN_SERVER
-    if _GOLDEN_SERVER is None:
-        _GOLDEN_SERVER = FakeRedisServer().start()
-        seed_reference_fixture(_GOLDEN_SERVER)
+    with _GOLDEN_LOCK:
+        if _GOLDEN_SERVER is None:
+            # Seed BEFORE publishing: a concurrent caller seeing the
+            # global must never scan a half-seeded keyspace (r14
+            # review — the cluster sibling below already did this).
+            srv = FakeRedisServer().start()
+            seed_reference_fixture(srv)
+            _GOLDEN_SERVER = srv
     return _GOLDEN_SERVER.address

@@ -74,3 +74,45 @@ def test_redis_ttl_udf(engine, redis_server):
         [("nope:1",)], "key_name string"
     ).select(t("key_name").alias("ttl"))
     assert missing.collect()[0].ttl == -2
+
+
+def test_udfs_null_key_in_null_out(engine, spark, redis_server):
+    """SQL null-in → null-out for every key UDF: a NULL key is NOT the
+    legal Redis key "" (substituting "" returned that key's value and
+    conflated NULL with missing — r14 review); under missing='empty'
+    only missing KEYS get '', NULL inputs stay NULL."""
+    from pyspark.sql import functions as F
+
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    # make the conflation observable: seed the legal empty-string key
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.command("SET", "", "empty-key-value")
+        c.command("HSET", "", "f", "v")
+
+    df = spark.createDataFrame(
+        [("testkey:0001",), (None,), ("no-such-key",)], "k string"
+    )
+    g = engine.redis_get_udf()
+    ge = engine.redis_get_udf(missing="empty")
+    t = engine.redis_ttl_udf()
+    h = engine.redis_hgetall_udf()
+    rows = df.select(
+        "k",
+        g("k").alias("v"),
+        ge("k").alias("ve"),
+        t("k").alias("ttl"),
+        h("k").alias("m"),
+    ).collect()
+    by_k = {r.k: r for r in rows}
+    assert by_k["testkey:0001"].v == "value:0001"
+    assert by_k[None].v is None  # NOT 'empty-key-value'
+    assert by_k[None].ve is None  # missing='empty' is for missing KEYS
+    assert by_k[None].ttl is None  # NOT -2, NOT ""'s ttl
+    assert by_k[None].m is None  # NOT {'f': 'v'}
+    assert by_k["no-such-key"].v is None
+    assert by_k["no-such-key"].ve == ""
+    assert by_k["no-such-key"].ttl == -2
+
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.command("DEL", "")
