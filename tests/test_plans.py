@@ -447,10 +447,26 @@ def test_q10_volume_branch_matches_floor_branch(spark, monkeypatch):
         monkeypatch.setattr(
             C, "keyed_agg_width", lambda sf, name, cpus: forced
         )
-        got_df = entry.fn(spark, SF_DIR)
+        # raw_fn, NOT entry.fn: the registered callable memoizes the
+        # built DataFrame per (session, sf_dir), so it would re-serve
+        # the floor-branch plan and make every assertion below vacuous
+        got_df = entry.raw_fn(spark, SF_DIR)
         got = [tuple(r) for r in got_df.collect()]
         assert got == ref, f"width={forced} diverged"
         # the volume branch keeps name strings out of the re-keying
-        # exchange: the final agg groups on o_custkey only
+        # exchange: the revenue agg groups on o_custkey ALONE (names
+        # attach after it), and at a forced width the exchange runs
+        # at exactly that many partitions
         plan = got_df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+        assert "keys=[o_custkey" in plan, "agg must precede the names"
+        # the floor branch's signature — an aggregation keyed on the
+        # name columns — must be absent: names attach AFTER the agg
+        assert "keys=[c_custkey" not in plan, (
+            "volume branch must not aggregate on name columns"
+        )
+        if forced == 2:
+            assert "hashpartitioning(o_custkey#" in plan
+            assert ", 2), REPARTITION_BY_NUM" in plan, (
+                "the re-keying exchange must run at the forced width"
+            )
