@@ -30,6 +30,7 @@ order-insensitively but exactly):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -219,6 +220,54 @@ def _git_blob(root: str, commit: str, relpath: str,
     return _cache[key]
 
 
+def _code_imports(code, _cache: dict = {}) -> list:
+    """(module_name, attr_or_None) pairs for every import executed by
+    this code object — ``IMPORT_NAME`` gives the module (possibly ""
+    for ``from . import x``), each following ``IMPORT_FROM`` one
+    imported attr. Cached per code object (the walker revisits shared
+    helpers across entries)."""
+    import dis
+
+    key = id(code)
+    hit = _cache.get(key)
+    if hit is not None and hit[0] is code:
+        return hit[1]
+    pairs: list = []
+    current: str | None = None
+    saw_from = False
+    for ins in dis.get_instructions(code):
+        if ins.opname == "IMPORT_NAME":
+            if current is not None and not saw_from:
+                pairs.append((current, None))  # plain ``import x.y``
+            current, saw_from = ins.argval, False
+        elif ins.opname == "IMPORT_FROM" and current is not None:
+            pairs.append((current, ins.argval))
+            saw_from = True
+    if current is not None and not saw_from:
+        pairs.append((current, None))
+    _cache[key] = (code, pairs)
+    return pairs
+
+
+def _resolve_import(modname: str, base_pkg: str, pkg: str):
+    """Best-effort resolution of an imported module name against
+    ``sys.modules``: absolute first, then relative to the importing
+    module's package chain. Only modules inside this package resolve
+    (stdlib/pyspark imports return None — they can't dirty entries)."""
+    candidates = []
+    if modname:
+        candidates.append(modname)
+    p = base_pkg
+    while p:
+        candidates.append(f"{p}.{modname}" if modname else p)
+        p = p.rpartition(".")[0]
+    for cand in candidates:
+        mod = sys.modules.get(cand)
+        if mod is not None and (mod.__name__ + ".").startswith(pkg):
+            return mod
+    return None
+
+
 def _referenced_pkg_callables(fn) -> frozenset:
     """The transitive closure of THIS-PACKAGE functions/classes an
     entry's registered function actually references — resolved by
@@ -227,7 +276,13 @@ def _referenced_pkg_callables(fn) -> frozenset:
     module imports, so one edited helper dirties only the entries that
     call it, not every entry in a 2 kLoC module. Names reached through
     a package-module alias (``D.segment_dedup``) are resolved against
-    that module's namespace."""
+    that module's namespace. Function-LOCAL imports (``from .catalog
+    import agg_width`` inside a body) never bind in ``__globals__``,
+    so they are recovered from the bytecode: each ``IMPORT_NAME`` is
+    resolved against ``sys.modules`` (absolute, then relative to the
+    enclosing package chain) and its ``IMPORT_FROM`` attrs pushed —
+    without this, editing a locally-imported helper dirtied nothing
+    (the r15 honesty fix)."""
     import inspect
     import types
 
@@ -276,14 +331,35 @@ def _referenced_pkg_callables(fn) -> frozenset:
         if in_pkg(f):
             out.add(f)
         names: set[str] = set()
+        local_imports: list[tuple[str, str | None]] = []  # (module, attr)
         codes = [code]
         while codes:
             c = codes.pop()
             names.update(c.co_names)
             names.update(c.co_freevars)
             codes.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+            local_imports.extend(_code_imports(c))
         g = getattr(f, "__globals__", {})
+        base_pkg = getattr(
+            sys.modules.get(getattr(f, "__module__", "") or ""),
+            "__package__", None) or ""
         pkg_mods = []
+        for modname, attr in local_imports:
+            mod = _resolve_import(modname, base_pkg, pkg)
+            if mod is None:
+                continue
+            target = getattr(mod, attr, None) if attr else mod
+            if isinstance(target, types.ModuleType):
+                # ``from . import dedup as D`` / ``import pkg.mod``:
+                # attribute uses (D.segment_dedup) resolve via co_names
+                # against the module namespace, same as global aliases.
+                if (target.__name__ + ".").startswith(pkg):
+                    pkg_mods.append(target)
+            elif isinstance(target, (list, tuple)) and len(target) <= 64:
+                for x in target:
+                    push(x)
+            elif target is not None:
+                push(target)
         for n in names:
             obj = g.get(n)
             if isinstance(obj, types.ModuleType):

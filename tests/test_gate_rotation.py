@@ -241,12 +241,34 @@ def test_real_repo_dirty_entries_are_verified_and_lead_tail():
         assert all(n in dirty for n in tail[: last_dirty + 1])
 
 
+def test_referenced_callables_reach_local_imports():
+    """Function-LOCAL imports (``from .catalog import keyed_agg_width``
+    inside a plan body) never bind in ``__globals__``; before r15 the
+    walker missed them entirely, so editing a locally-imported helper
+    dirtied nothing — q10 could run un-re-gated keyed_agg_width code.
+    Pin the bytecode-based recovery on the three width helpers and on
+    a locally-imported module alias."""
+    reg = catalog.registry()
+    quals = {f.__qualname__ for f in
+             catalog._referenced_pkg_callables(reg["q10_returned_items"].raw_fn)}
+    assert "keyed_agg_width" in quals
+    quals = {f.__qualname__ for f in
+             catalog._referenced_pkg_callables(reg["dedup_exact"].raw_fn)}
+    assert "agg_width" in quals
+    quals = {f.__qualname__ for f in
+             catalog._referenced_pkg_callables(reg["ann_cosine_topk"].raw_fn)}
+    assert "scorer_width" in quals
+    # entries NOT calling the helpers must stay clean of them
+    quals = {f.__qualname__ for f in
+             catalog._referenced_pkg_callables(reg["q6_forecast_revenue"].raw_fn)}
+    assert "keyed_agg_width" not in quals
+
+
 def test_referenced_callables_reach_codec_modules():
     """The codec modules (flac/vp8l/jpeg) are imported at MODULE scope
-    in multimodal.py specifically so the dirty-closure walk can see
-    them — a lazy in-function `from .flac import ...` resolves to
-    nothing in the module globals at walk time and would hide codec
-    edits from the changed-since-verified tier."""
+    in multimodal.py; the walk sees them there (and since r15 would
+    also recover a lazy in-function ``from .flac import ...`` from the
+    bytecode), so codec edits reach the changed-since-verified tier."""
     reg = catalog.registry()
     fn = reg["multimodal_decode_flac"].fn
     mods = {getattr(o, "__module__", "") for o in
