@@ -571,6 +571,30 @@ def _keyed_parts(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+def _volume_width(
+    sf_dir: str, name: str, cpus: int, bytes_per_task: int
+) -> int | None:
+    """ONE volume-proportional task-width formula behind the three
+    calibrated front doors (:func:`scorer_width`, :func:`agg_width`,
+    :func:`keyed_agg_width` — same shape, different bytes-per-task
+    budgets; unified r15 after they drifted into three near-copies).
+
+    ``ceil(on-disk parquet bytes / bytes_per_task)`` while that is
+    below ``cpus``; ``None`` once the volume saturates the parallelism
+    (or stats are unavailable), telling the caller NOT to narrow — a
+    coalesce/repartition that "converges" to ``cpus`` at volume would
+    invert from an optimization into lost load balancing (ADVICE r13),
+    so past saturation the session's own width must win untouched."""
+    import math
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return None
+    width = math.ceil(size / bytes_per_task)
+    return max(1, width) if width < cpus else None
+
+
 _SCORER_BYTES_PER_TASK = 4 << 20
 
 
@@ -583,14 +607,11 @@ def scorer_width(sf_dir: str, name: str, cpus: int) -> int:
     cache width multiplies that fixed cost for no throughput (measured
     at sf0.1, 10k vectors: 32 tasks 0.60 s → 1 task 0.27 s). Volume-
     proportional sizing converges to the full scan width as data grows,
-    so the coalesce it feeds becomes a no-op at cluster scale."""
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return cpus
-    import math
-
-    return max(1, min(math.ceil(size / _SCORER_BYTES_PER_TASK), cpus))
+    so the coalesce it feeds becomes a no-op at cluster scale. The
+    ``coalesce`` target must be a real int, so saturation maps to
+    ``cpus`` here rather than :func:`_volume_width`'s ``None``."""
+    width = _volume_width(sf_dir, name, cpus, _SCORER_BYTES_PER_TASK)
+    return cpus if width is None else width
 
 
 # ~1.5 MiB of source parquet per hash-aggregation task: a JVM
@@ -624,14 +645,7 @@ def agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
     load balancing and straggler mitigation (ADVICE r13). So the
     narrowing applies exactly where it pays — dispatch-bound small
     inputs — and vanishes, rather than inverting, as volume grows."""
-    import math
-
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return None
-    width = math.ceil(size / _AGG_BYTES_PER_TASK)
-    return max(1, width) if width < cpus else None
+    return _volume_width(sf_dir, name, cpus, _AGG_BYTES_PER_TASK)
 
 
 # Per-task budget for a NARROW keyed re-shuffle (a handful of fixed-width
@@ -642,7 +656,7 @@ def agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
 # on (sha256 over text).  Measured on the r14 q10 audit (SCALE.md "q10
 # exchange-width audit"): at the 10x sf1-equivalent the same 1.4 M-row
 # custkey exchange costs 0.60 s at 32 reducers vs 0.31 s at 4.
-_KEYED_AGG_BYTES_PER_TASK = 4 << 20
+_KEYED_AGG_BYTES_PER_TASK = 4 << 20  # ~2.7x _AGG_BYTES_PER_TASK (measured)
 
 
 def keyed_agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
@@ -652,20 +666,14 @@ def keyed_agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
     shuffle run full-width).
 
     The sibling of :func:`agg_width` for aggregations fed by a SHUFFLE
-    rather than a scan: the payload is a few fixed-width columns, so the
-    bytes-per-task budget is ~8x the scan-agg one before per-reducer
-    dispatch stops dominating.  Same contract: ``None`` means "don't
-    touch the width" (cluster volume), small ints only where the input
-    is dispatch-bound.
+    rather than a scan: the payload is a few fixed-width columns, so
+    the bytes-per-task budget is ~2.7x the scan-agg one (4 MiB vs
+    1.5 MiB — measured on the r14 q10 audit, not re-derived) before
+    per-reducer dispatch stops dominating.  Same contract: ``None``
+    means "don't touch the width" (cluster volume), small ints only
+    where the input is dispatch-bound.
     """
-    import math
-
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return None
-    width = math.ceil(size / _KEYED_AGG_BYTES_PER_TASK)
-    return max(1, width) if width < cpus else None
+    return _volume_width(sf_dir, name, cpus, _KEYED_AGG_BYTES_PER_TASK)
 
 
 BROADCAST_CAP_BYTES = 64 << 20
