@@ -165,11 +165,15 @@ def _save_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # Any rebuild can move the table's location (explicit path → that
+    # path; path=None → back to the warehouse default), so the
+    # probe-side liveness cache entry is invalidated unconditionally:
+    # a stale explicit-path entry would make _touch_liveness utime the
+    # WRONG directory and let the GC reap the live warehouse-default
+    # index during a probe-only phase (r15 ADVICE).
+    _LOCATION_CACHE.pop((spark.sparkContext.applicationId, name), None)
     if path is not None:
         _clear_location(spark, path)
-        # rebuilds at an explicit path are the one way a table's
-        # location can change within a session — keep the probe-side
-        # liveness cache honest
         _LOCATION_CACHE[(spark.sparkContext.applicationId, name)] = path
     # One writer task per bucket (the repartition hash matches the
     # bucket hash): each bucket lands in exactly ONE file instead of

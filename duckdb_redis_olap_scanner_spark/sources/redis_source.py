@@ -26,7 +26,7 @@ ONE input partition (matching the reference's ``MaxThreads()==1``,
   (SURVEY §4.1): the driver runs ``CLUSTER SLOTS`` on the seed node
   once per read and emits one InputPartition per distinct MASTER,
   carrying the slot ranges that master owned in the snapshot. Each
-  task filters its SCAN output to those ranges (``_owned_keys``), so
+  task filters its SCAN output to those ranges (``_scan_owned``), so
   the union of per-node scans is **exactly-once per topology
   snapshot** even while keys migrate: a mid-migration key physically
   present on BOTH source and target nodes is kept only by the
@@ -202,7 +202,7 @@ def _shards(options: dict) -> list[RedisShard]:
         # cluster MASTER discovered via CLUSTER SLOTS on the seed node
         # (driver side, once per read). Each task scans its own node
         # and keeps only keys whose slot the node owned in the
-        # snapshot (_owned_keys) — exactly-once per snapshot even
+        # snapshot (_scan_owned) — exactly-once per snapshot even
         # under a concurrent reshard. Composes with shard_patterns:
         # nodes x patterns partitions.
         return [

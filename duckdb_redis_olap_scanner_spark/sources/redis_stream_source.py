@@ -16,7 +16,10 @@ start and FAILS LOUDLY when entries past the checkpoint were evicted
 read window is caught too — instead of advancing the checkpoint over
 a hole. On servers without XINFO max-deleted-entry-id (pre-7.0),
 detection is unavailable and the weaker at-most-once-past-trim
-contract applies — size MAXLEN to consumer lag. Whole-key deletion
+contract applies — size MAXLEN to consumer lag; the fallback latest
+offset (newest SURVIVING entry, marked ``xrevrange_fallback`` in the
+checkpoint JSON) may sit below the checkpoint after such trims, which
+``partitions()`` treats as "no new entries" rather than a rollback. Whole-key deletion
 under a live checkpoint raises at the next read ('no such key' is
 loss, not a fresh start), and an offset that moves BACKWARDS (XSETID
 rollback, recreation with explicit lower ids) raises in partitions().
@@ -162,16 +165,31 @@ class RedisStreamReader(DataSourceStreamReader):
                 if "no such key" in str(e).lower():
                     return {"last_id": "0-0"}
                 # pre-XINFO server: fall through to XREVRANGE
+            # The fallback offset is the newest SURVIVING entry, which
+            # routine retention (XTRIM of fully-consumed data) can pull
+            # BELOW the checkpoint. Mark it so partitions() can tell
+            # this benign case from a real id rollback instead of
+            # permanently killing the query (r15 ADVICE); the marker
+            # rides the checkpoint JSON alongside last_id.
             entries = c.xrevrange(self.key, "+", "-", count=1)
             if not entries:
-                return {"last_id": "0-0"}
-            return {"last_id": entries[0][0]}
+                return {"last_id": "0-0", "xrevrange_fallback": True}
+            return {"last_id": entries[0][0], "xrevrange_fallback": True}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = _id_key(start["last_id"]), _id_key(end["last_id"])
         if e == s:
             return []  # no new entries
         if e < s:
+            if end.get("xrevrange_fallback"):
+                # Pre-XINFO server: ``end`` is the newest SURVIVING
+                # entry, which sits below the checkpoint whenever
+                # retention trimmed fully-consumed data — "no new
+                # entries", not a rollback; raising here permanently
+                # killed the query on every routine XTRIM (r15
+                # ADVICE). Real rollbacks on pre-7.0 servers fall
+                # under the documented weaker no-XINFO contract.
+                return []
             # The newest live id fell BELOW the checkpoint: the stream
             # was deleted/recreated or XSETID-rolled-back. Returning []
             # forever would silently drop every entry at or below the

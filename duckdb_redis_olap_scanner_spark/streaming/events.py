@@ -92,8 +92,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if os.path.lexists(link) and os.readlink(link) != target:
-        os.unlink(link)  # stale link from a moved/removed sf_dir
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        # Stale link from a moved/removed sf_dir — or a non-symlink
+        # leftover (another tool's file/dir at the shared temp path),
+        # on which readlink would raise EINVAL (r15 ADVICE).
+        if os.path.isdir(link) and not os.path.islink(link):
+            import shutil
+
+            shutil.rmtree(link)
+        else:
+            os.unlink(link)
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)

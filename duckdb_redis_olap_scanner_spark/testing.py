@@ -113,6 +113,10 @@ class FakeRedisStore:
         # Redis 7 surfaces as XINFO STREAM max-deleted-entry-id; the
         # stream source's trim-loss detection reads it.
         self._stream_max_deleted: dict[str, tuple[int, int]] = {}
+        # Pre-7.0 simulation: XINFO answers "unknown command", forcing
+        # the stream source onto its XREVRANGE fallback path (tests
+        # poke this directly to exercise the weaker no-XINFO contract).
+        self.pre_xinfo = False
         self.lock = threading.Lock()
         self._scan_snapshots: dict[int, list[str]] = {}
         self._next_snapshot = 1
@@ -454,6 +458,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     evicted += 1
                 return _encode(evicted)
             if name == "XINFO" and args and args[0].upper() == "STREAM":
+                if store.pre_xinfo:
+                    return _error(
+                        "ERR unknown command 'XINFO', with args "
+                        "beginning with: 'STREAM'"
+                    )
                 key = args[1]
                 if key not in store.streams and key not in store._stream_last:
                     # real Redis errors on a missing key — the stream

@@ -323,6 +323,59 @@ def test_latest_offset_survives_full_trim(redis_server):
     assert r2.latestOffset() == {"last_id": "0-0"}
 
 
+def test_pre_xinfo_fallback_trim_is_benign(redis_server):
+    """On a pre-7.0 server (no XINFO) the latest offset falls back to
+    the newest SURVIVING entry; routine retention that trims everything
+    at/after the checkpoint pulls it below the checkpoint. That must
+    read as 'no new entries', not permanently kill the query with the
+    offset-regression error (r15 ADVICE). A REAL regression on a
+    modern server (no fallback marker) still raises."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "pre7stream"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 6):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+
+    redis_server.store.pre_xinfo = True
+    try:
+        r = RedisStreamReader(
+            {"host": redis_server.host, "port": redis_server.port,
+             "key": key}
+        )
+        off = r.latestOffset()
+        assert off["last_id"] == "5-0" and off["xrevrange_fallback"]
+        # consume through 5-0, then retention trims EVERYTHING away
+        # (MAXLEN keeps the newest, so only a full trim can pull the
+        # surviving newest below the checkpoint): fallback reads 0-0
+        with RedisClient(redis_server.host, redis_server.port) as c:
+            c.command("XTRIM", key, "MAXLEN", "0")
+        off = r.latestOffset()
+        assert off == {"last_id": "0-0", "xrevrange_fallback": True}
+        assert r.partitions({"last_id": "5-0"}, off) == []
+        # new entries after the trim resume normal delivery
+        with RedisClient(redis_server.host, redis_server.port) as c:
+            c.xadd(key, {"v": "9"}, entry_id="9-0")
+        off = r.latestOffset()
+        assert off["last_id"] == "9-0"
+        parts = r.partitions({"last_id": "5-0"}, off)
+        assert len(parts) == 1
+        assert [sid for sid, _ in r.read(parts[0])] == ["9-0"]
+    finally:
+        redis_server.store.pre_xinfo = False
+    # unmarked offsets (modern server) keep the loud rollback contract
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port, "key": key}
+    )
+    with _pytest.raises(RuntimeError, match="offset regression"):
+        r.partitions({"last_id": "5-0"}, {"last_id": "3-0"})
+
+
 def test_deleted_stream_under_checkpoint_raises(redis_server):
     """Whole-key DEL under a live checkpoint is loss ('no such key'),
     not a fresh start — the old over-broad except swallowed it and
