@@ -1,0 +1,205 @@
+"""Persisted, incrementally-maintained IVF index for ANN search.
+
+The similarity operators (operators/similarity.py) recompute centroid
+assignment per query — fine for one-shot analytics, wasteful for the
+deployment shape where a 100 TB vector corpus is searched by many
+small query batches. This module extends the bucketed-index pattern of
+operators/dedup_index.py to the ANN side:
+
+* the corpus is assigned ONCE to a frozen centroid table and persisted
+  as a parquet table bucketed on ``cell`` (``write_ivf_index``);
+* new vectors are assigned against the SAME frozen centroids and
+  appended into the existing bucket layout without rewriting history
+  (``append_to_ivf_index``) — the incremental loop of
+  ``dedup_index.append_fingerprints``, applied to vectors;
+* a query batch probes only its ``n_probe`` nearest cells
+  (``ann_indexed_topk``): the probed cell ids become an ``IN`` filter
+  on the bucket column, so the scan reads ONLY the buckets holding
+  those cells (bucket pruning — ``SelectedBucketsCount m out of n`` in
+  the plan, asserted in tests/test_ann_index.py) and the index side
+  never shuffles.
+
+Scale contract (the reason this exists): at 100 TB the corpus side is
+the cost. Build/append are one narrow Arrow assignment pass plus one
+batch-sized shuffle onto the bucket hash; the probe reads
+``n_probe / n_cells`` of the corpus bytes via pruned buckets, streams
+candidates through the shared Arrow scorer's per-batch partial top-k,
+and shuffles only ≤ batches·k winner rows per query. Nothing history-
+sized moves. Centroids are a bounded driver table (same
+MAX_DRIVER_QUERY_ROWS guard as every ANN query set); at real scale
+they come out of an offline k-means job — here they are the frozen
+first-``n_cells`` vectors, matching ivf_ranked and the DuckDB oracle.
+
+Reference parity note: the reference engine (duckdb-redis-olap-scanner)
+has no vector search; this is north-star LLM-pipeline surface, grown
+from the same banded/bucketed-index design verified for dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup_index as DI
+from ..operators import similarity as S
+from ..operators.util import fan_out
+
+DEFAULT_IVF_BUCKETS = 8
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_cells: int = S.N_IVF_CELLS
+) -> tuple[list[int], list[list[float]]]:
+    """The frozen centroid table as driver lists — the first
+    ``n_cells`` vectors, exactly :func:`similarity.ivf_ranked`'s
+    derivation (and the oracle's ``WHERE vec_id < n_cells``), bounded
+    by the same guard. Taken from the FULL corpus once, before any
+    history/batch split, so builder, appender, and prober all rank
+    against identical centroids."""
+    if n_cells > S.MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{S.MAX_DRIVER_QUERY_ROWS}: the centroid table is "
+            "materialized on the driver"
+        )
+    crows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    return (
+        [int(r.vec_id) for r in crows],
+        [[float(x) for x in r.embedding] for r in crows],
+    )
+
+
+def _assigned(
+    embeddings: DataFrame,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+) -> DataFrame:
+    """(vec_id, embedding, cell): rank-1 assignment against the frozen
+    centroids — one narrow Arrow pass, no shuffle."""
+    return S.ranked_with_centroids(
+        fan_out(embeddings, key="vec_id"), cent_ids, cent_vecs, 1
+    ).select("vec_id", "embedding", "cell")
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    name: str,
+    buckets: int = DEFAULT_IVF_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """(Re)build the coded-corpus table: every vector assigned to its
+    nearest frozen centroid, persisted bucketed+sorted on ``cell`` so
+    probes prune to their cells' buckets and never shuffle the
+    corpus."""
+    DI._save_bucketed(
+        _assigned(embeddings, cent_ids, cent_vecs),
+        name,
+        ["cell"],
+        buckets,
+        path,
+    )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    name: str,
+) -> None:
+    """Index maintenance: assign a batch of NEW vectors against the
+    same frozen centroids and append into the existing bucket layout —
+    one batch-sized shuffle onto the bucket hash, history untouched
+    (the ANN twin of ``dedup_index.append_fingerprints``). Centroid
+    drift is an offline retrain + full rebuild decision, deliberately
+    not part of the append path: mixing assignments from different
+    centroid generations in one index would corrupt cell membership
+    silently."""
+    spark = new_vectors.sparkSession
+    buckets = DI._index_buckets(spark, name)
+    (
+        _assigned(new_vectors, cent_ids, cent_vecs)
+        .repartition(buckets, F.col("cell"))
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(name)
+    )
+
+
+def ann_indexed_topk(
+    spark: SparkSession,
+    index_table: str,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k cosine search over the persisted index, probing each
+    query's ``n_probe`` nearest cells.
+
+    The query batch (bounded like every ANN query set) is ranked
+    against the frozen centroids and COLLECTED — that is what turns
+    the probed cells into plan-time literals: the ``IN (cells...)``
+    filter on the bucket column is the only way the scan can prune to
+    ``SelectedBucketsCount < n`` buckets, and a join against a
+    DataFrame of cells would read every bucket. The collected rows are
+    re-emitted as a broadcast (query_id, qe, cell) frame; candidates
+    meet it with a broadcast hash join (index side: zero Exchange),
+    stream through the shared Arrow scorer's per-batch partial top-k,
+    and the final rank window sees ≤ batches·k rows per query.
+
+    Result contract: identical to
+    :func:`similarity.ivf_multiprobe_topk` over the same corpus —
+    (query_id, neighbor_id, cell, cos_sim, rank)."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    q_assigned = S.ranked_with_centroids(
+        fan_out(queries, key="vec_id"), cent_ids, cent_vecs, n_probe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+    )
+    q_rows = q_assigned.collect()
+    if len(q_rows) > S.MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"{len(q_rows)} query-probe rows exceed "
+            f"MAX_DRIVER_QUERY_ROWS={S.MAX_DRIVER_QUERY_ROWS}: the "
+            "query batch is materialized on the driver to make the "
+            "probed cells plan-time bucket-pruning literals"
+        )
+    probed_cells = sorted({int(r.cell) for r in q_rows})
+    q = spark.createDataFrame(q_rows, schema=q_assigned.schema)
+    a = (
+        spark.table(index_table)
+        .filter(F.col("cell").isin(probed_cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ae"),
+            "cell",
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(a, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell", "qe", "ae")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        S.arrow_cosine_topk(pairs, k, passthrough=("cell",))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )

@@ -844,6 +844,22 @@ def ivf_ranked(
     )
     cent_ids = [int(r.vec_id) for r in crows]
     cent_vecs = [[float(x) for x in r.embedding] for r in crows]
+    return ranked_with_centroids(embeddings, cent_ids, cent_vecs, max_rank)
+
+
+def ranked_with_centroids(
+    embeddings: DataFrame,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    max_rank: int = 1,
+) -> DataFrame:
+    """:func:`ivf_ranked`'s assignment kernel against a FROZEN,
+    caller-supplied centroid table — the shape the persisted IVF index
+    needs (operators/ann_index.py): the builder, the incremental
+    appender, and the query-side prober must all rank against the SAME
+    centroids regardless of which corpus slice they see, so centroid
+    derivation is split from assignment. Math and output contract are
+    identical to :func:`ivf_ranked` (which now delegates here)."""
     mr = int(max_rank)
 
     def _assign(batches):

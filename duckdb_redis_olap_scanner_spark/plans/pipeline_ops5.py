@@ -2967,3 +2967,44 @@ def pipeline_incremental_minhash_indexed(spark: SparkSession, sf: str):
     return DI.incremental_minhash_indexed(
         spark, docs.filter(F.col("doc_id") % 2 == 1), prefix, threshold=0.2
     )
+
+
+from .pipeline_ops2 import _sql_ivf_multiprobe  # noqa: E402
+
+
+@register(
+    "pipeline_incremental_ann_indexed",
+    # Identical result contract to ann_ivf_multiprobe: the persisted
+    # index holds every vector's rank-1 cell against the SAME frozen
+    # centroids (built from the even half, odd half appended — evens
+    # ∪ odds = the full corpus), so the probe answers exactly what
+    # the one-shot multiprobe computes. Same oracle, by construction.
+    oracle=_sql_ivf_multiprobe(),
+    tags=("similarity",),
+    doc="ANN top-5 (n_probe=2) against a PERSISTED IVF index: the "
+    "coded corpus lives in a parquet table bucketed on cell, built "
+    "from half the vectors and INCREMENTALLY appended with the rest "
+    "(frozen centroids — the dedup_index maintenance loop applied to "
+    "vectors); the probe turns each query's 2 nearest cells into "
+    "bucket-pruning IN literals, so the scan reads only the probed "
+    "buckets (SelectedBucketsCount, plan-asserted in "
+    "tests/test_ann_index.py) and the index side never shuffles "
+    "(operators/ann_index.py).",
+)
+def pipeline_incremental_ann_indexed(spark: SparkSession, sf: str):
+    from ..operators import ann_index as AI
+
+    emb = table(spark, sf, "embeddings")
+    cent_ids, cent_vecs = AI.ivf_centroids(emb, 16)
+    name, path = _index_ns(spark, f"incr_ivf_idx_{_index_tag(sf)}")
+    AI.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), cent_ids, cent_vecs,
+        name, path=path,
+    )
+    AI.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), cent_ids, cent_vecs, name
+    )
+    return AI.ann_indexed_topk(
+        spark, name, cent_ids, cent_vecs,
+        emb.filter(F.col("vec_id") < 5), k=5, n_probe=2,
+    )

@@ -1,0 +1,179 @@
+"""Persisted incremental IVF-ANN index (operators/ann_index.py).
+
+VERDICT r14 ("Next round" #5) asked for the similarity-side twin of
+the dedup_index deployment shape: a persisted, bucketed coded-corpus
+table with an incremental append path and an exchange-free probe.
+These tests pin (a) result equality of the incremental build+append
+loop against both the one-shot full build and the un-indexed
+ivf_multiprobe_topk, (b) bucket PRUNING on the probe scan
+(SelectedBucketsCount below the table's bucket count — the property
+that makes the probe read n_probe/n_cells of the corpus bytes), and
+(c) zero Exchange between the index scan and its join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_redis_olap_scanner_spark.operators import ann_index as AI
+from duckdb_redis_olap_scanner_spark.operators import similarity as S
+from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+from .conftest import SF_DIR
+
+N_CELLS = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return AI.ivf_centroids(emb, N_CELLS)
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, emb, centroids, tmp_path_factory):
+    """Index built incrementally: even vec_ids at build, odd appended."""
+    cent_ids, cent_vecs = centroids
+    path = str(tmp_path_factory.mktemp("idx") / "ivf")
+    AI.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cent_ids, cent_vecs, "test_ivf_idx", path=path,
+    )
+    AI.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cent_ids, cent_vecs, "test_ivf_idx",
+    )
+    yield "test_ivf_idx"
+    spark.sql("DROP TABLE IF EXISTS test_ivf_idx")
+
+
+def _plan_full(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan_tree(df) -> str:
+    return _plan_full(df).split("\n\n")[0]
+
+
+def _path_to_join(tree: str, scan_substr: str) -> list[str]:
+    """Node names from the scan line upward to the first *Join node
+    (same walk as tests/test_dedup_index.py)."""
+    lines = tree.splitlines()
+    idx = next(i for i, ln in enumerate(lines) if scan_substr in ln)
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    names: list[str] = []
+    cur = indent(lines[idx])
+    for ln in reversed(lines[:idx]):
+        if indent(ln) < cur:
+            cur = indent(ln)
+            name = re.sub(r"[^A-Za-z].*", "", ln.lstrip(" :+-* "))
+            assert name, f"unparsed plan line {ln!r}"
+            names.append(name)
+            if "Join" in name:
+                return names
+    raise AssertionError(f"no join above {scan_substr!r} in:\n{tree}")
+
+
+def test_incremental_equals_full_build(spark, emb, centroids, tmp_path):
+    """build(evens) + append(odds) answers exactly like build(all):
+    frozen centroids make assignment independent of batch boundaries."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(
+        emb, cent_ids, cent_vecs, "test_ivf_full",
+        path=str(tmp_path / "full"),
+    )
+    try:
+        AI.write_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            cent_ids, cent_vecs, "test_ivf_incr",
+            path=str(tmp_path / "incr"),
+        )
+        AI.append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1),
+            cent_ids, cent_vecs, "test_ivf_incr",
+        )
+        full = sorted(
+            map(tuple, spark.table("test_ivf_full")
+                .select("vec_id", "cell").collect())
+        )
+        incr = sorted(
+            map(tuple, spark.table("test_ivf_incr")
+                .select("vec_id", "cell").collect())
+        )
+        assert full == incr and len(full) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_full")
+        spark.sql("DROP TABLE IF EXISTS test_ivf_incr")
+
+
+def test_indexed_topk_matches_unindexed_multiprobe(spark, emb, centroids,
+                                                   ivf_index):
+    cent_ids, cent_vecs = centroids
+    got = sorted(map(tuple, AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs,
+        emb.filter(F.col("vec_id") < 5), k=5, n_probe=2,
+    ).collect()))
+    want = sorted(map(tuple, S.ivf_multiprobe_topk(
+        emb, query_max_id=5, k=5, n_cells=N_CELLS, n_probe=2,
+    ).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_probe_scan_prunes_buckets(spark, emb, centroids, ivf_index):
+    """The probed cells reach the scan as IN literals and prune the
+    bucket set: SelectedBucketsCount strictly below the table's bucket
+    count. 5 queries x 2 probes hit <= 10 of 16 cells, and cells map
+    onto 8 buckets — with the golden corpus they never cover all 8."""
+    cent_ids, cent_vecs = centroids
+    df = AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs,
+        emb.filter(F.col("vec_id") < 2), k=5, n_probe=1,
+    )
+    plan = _plan_full(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_probe_has_no_index_side_exchange(spark, emb, centroids, ivf_index):
+    cent_ids, cent_vecs = centroids
+    df = AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs,
+        emb.filter(F.col("vec_id") < 5), k=5, n_probe=2,
+    )
+    tree = _plan_tree(df)
+    path = _path_to_join(tree, f"default.{ivf_index}")
+    assert "Join" in path[-1]
+    assert not any("Exchange" in n for n in path), (path, tree)
+
+
+def test_append_rejects_missing_index(spark, emb, centroids):
+    cent_ids, cent_vecs = centroids
+    with pytest.raises(Exception):
+        AI.append_to_ivf_index(
+            emb.limit(1), cent_ids, cent_vecs, "test_ivf_nonexistent"
+        )
+
+
+def test_centroid_guard(emb):
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        AI.ivf_centroids(emb, S.MAX_DRIVER_QUERY_ROWS + 1)
+    with pytest.raises(ValueError, match="n_probe"):
+        AI.ann_indexed_topk(
+            emb.sparkSession, "whatever", [0], [[0.0]], emb, n_probe=0
+        )
