@@ -120,7 +120,17 @@ def append_to_ivf_index(
     drift is an offline retrain + full rebuild decision, deliberately
     not part of the append path: mixing assignments from different
     centroid generations in one index would corrupt cell membership
-    silently."""
+    silently.
+
+    Delivery contract (r15 write-path hunt): appends must be
+    AT-MOST-ONCE per vector batch. A FAILED append commits nothing
+    (Spark's job-level file commit), so retrying a failure is safe;
+    re-running a SUCCEEDED append double-inserts its vec_ids and the
+    probe would return duplicate neighbors. Unlike the fingerprint
+    index there is no natural anti-join guard (every vector is new by
+    assumption), so the maintenance loop owns the exactly-once ack —
+    and :func:`verify_ivf_index` is the offline audit that catches a
+    violated contract before queries do."""
     spark = new_vectors.sparkSession
     buckets = DI._index_buckets(spark, name)
     (
@@ -132,6 +142,38 @@ def append_to_ivf_index(
         .sortBy("cell")
         .saveAsTable(name)
     )
+
+
+def verify_ivf_index(spark: SparkSession, index_table: str) -> None:
+    """Offline audit of the index's integrity invariants; raises on
+    violation. Meant for the maintenance loop (after appends, or
+    periodically), NOT the probe path — the vec_id-uniqueness check
+    re-keys the corpus, which is exactly the shuffle the probe design
+    avoids.
+
+    Checks: (a) no duplicate vec_id — a double-applied append (the
+    at-most-once contract of :func:`append_to_ivf_index` violated)
+    would make probes return duplicate neighbors; (b) no NULL cell —
+    every vector must be reachable through some probe."""
+    idx = spark.table(index_table)
+    dup = (
+        idx.groupBy("vec_id").count().filter(F.col("count") > 1)
+        .orderBy("vec_id").limit(5).collect()
+    )
+    if dup:
+        ids = [int(r.vec_id) for r in dup]
+        raise RuntimeError(
+            f"ivf index {index_table!r} holds duplicate vec_ids "
+            f"(first {len(ids)}: {ids}): an append was applied twice "
+            "— rebuild the index (write_ivf_index) or deduplicate "
+            "offline before serving probes"
+        )
+    n_null = idx.filter(F.col("cell").isNull()).count()
+    if n_null:
+        raise RuntimeError(
+            f"ivf index {index_table!r} holds {n_null} rows with NULL "
+            "cell — unreachable by any probe; rebuild the index"
+        )
 
 
 def ann_indexed_topk(

@@ -45,6 +45,7 @@ beyond-reference LLM-pipeline layer the build brief requires.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -195,6 +196,144 @@ def _save_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+    # Self-describing layout: a sidecar under the table location
+    # records the exact bucket spec + schema, so a FRESH session can
+    # re-register the index with attach_bucketed instead of rebuilding
+    # history (r15 write-path hunt: recovery-by-rebuild defeated the
+    # whole incremental design across restarts, and attaching with a
+    # GUESSED bucket count would silently mis-co-locate joins). Write
+    # order is clear → CTAS → sidecar: a crash before this line leaves
+    # no sidecar, so attach refuses loudly instead of trusting a spec
+    # that might not match the files; a STALE sidecar cannot survive
+    # because the location was cleared first (explicit path) or the
+    # managed location was dropped with the table.
+    loc = path if path is not None else _table_location(spark, name)
+    if loc is not None:
+        _write_sidecar(
+            spark,
+            loc,
+            {
+                "bucket_cols": list(bucket_cols),
+                "buckets": int(buckets),
+                "sorted_by": list(bucket_cols),
+                "schema": [
+                    [f.name, f.dataType.simpleString()]
+                    for f in df.schema.fields
+                ],
+            },
+        )
+
+
+_SIDECAR = "_spark_graft_index.json"
+
+
+def _write_sidecar(spark: SparkSession, location: str, meta: dict) -> None:
+    """Persist the index's bucket spec next to its files. Underscore
+    prefix = invisible to Spark/Hadoop input listing (like _SUCCESS).
+    Local writes go through tempfile + os.replace (a torn sidecar must
+    never exist — same rule as the engine's zip cache); remote ones
+    through the session's Hadoop FileSystem."""
+    data = json.dumps(meta, sort_keys=True).encode()
+    if _is_local_uri(location):
+        local = _strip_file_scheme(location)
+        os.makedirs(local, exist_ok=True)
+        tmp = os.path.join(local, "." + _SIDECAR + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(local, _SIDECAR))
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(location + "/" + _SIDECAR)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark: SparkSession, location: str) -> dict | None:
+    if _is_local_uri(location):
+        full = os.path.join(_strip_file_scheme(location), _SIDECAR)
+        if not os.path.isfile(full):
+            return None
+        with open(full, "rb") as f:
+            return json.loads(f.read())
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(location + "/" + _SIDECAR)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        chunks = []
+        buf = bytearray(65536)
+        while True:
+            n = stream.read(buf)
+            if n <= 0:
+                break
+            chunks.append(bytes(buf[:n]))
+        return json.loads(b"".join(chunks))
+    finally:
+        stream.close()
+
+
+def attach_bucketed(spark: SparkSession, name: str, path: str) -> None:
+    """Re-register a previously-built index in a FRESH session — the
+    restart/recovery half of the incremental loop (r15 write-path
+    hunt): probes and appends need a catalog table, and before this
+    existed the only way back after a session died was a full history
+    rebuild.
+
+    The bucket spec and schema come from the sidecar the builder wrote
+    (``_save_bucketed``), never from the caller: declaring a bucket
+    count that differs from how the files were actually written would
+    make Spark co-locate joins on the wrong assignment and return
+    WRONG RESULTS with no error anywhere. No sidecar → refuse loudly
+    (rebuild instead). Idempotent when the table is already registered
+    at the same location; raises if ``name`` points elsewhere (two
+    generations of an index must not be silently swapped)."""
+    if not spark.catalog.tableExists(name):
+        # A direct DROP TABLE elsewhere leaves a stale location cache
+        # entry; trusting it here would wrongly no-op (or refuse) the
+        # attach. The catalog is the truth for existence.
+        _LOCATION_CACHE.pop(
+            (spark.sparkContext.applicationId, name), None
+        )
+        existing = None
+    else:
+        existing = _table_location(spark, name)
+    if existing is not None:
+        want = _strip_file_scheme(path) if _is_local_uri(path) else path
+        have = (
+            _strip_file_scheme(existing)
+            if _is_local_uri(existing) else existing
+        )
+        if os.path.normpath(have) == os.path.normpath(want):
+            return
+        raise ValueError(
+            f"table {name!r} is already registered at {existing!r}, "
+            f"not {path!r}: drop it explicitly before attaching a "
+            "different index generation"
+        )
+    meta = _read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no {_SIDECAR} sidecar under {path!r}: the location does "
+            "not hold a complete index (builds write the sidecar "
+            "last) — rebuild with write_fingerprint_index/"
+            "write_band_index/write_ivf_index instead of attaching"
+        )
+    cols = ", ".join(f"`{n}` {t}" for n, t in meta["schema"])
+    bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
+    scols = ", ".join(f"`{c}`" for c in meta["sorted_by"])
+    spark.sql(
+        f"CREATE TABLE `{name}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "
+        f"INTO {int(meta['buckets'])} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    _LOCATION_CACHE[(spark.sparkContext.applicationId, name)] = path
 
 
 def write_fingerprint_index(
@@ -288,7 +427,18 @@ def append_to_band_index(
     appends so the batch is shingled once. Cost: two batch-sized
     shuffles onto the respective bucket hashes; the probe plan over
     the grown index is unchanged (still exchange-free on the history
-    side)."""
+    side).
+
+    Delivery contract (r15 write-path hunt): the two appends are NOT
+    atomic. Bands land first by design — a crash in between leaves
+    band rows without set rows, which the probe detects LOUDLY per
+    candidate (see ``incremental_minhash_indexed``); re-running this
+    append with the same accepted docs heals it (band duplicates
+    collapse in the probe's candidate groupBy, the missing sets
+    complete). Re-running a FULLY-succeeded append instead
+    double-inserts set rows and multiplies probe matches — appends are
+    at-most-once per accepted batch, and :func:`verify_band_index` is
+    the offline audit for both failure shapes."""
     spark = accepted_docs.sparkSession
     sig = _signatures_with_sets(accepted_docs).persist()
     try:
@@ -318,6 +468,46 @@ def append_to_band_index(
         )
     finally:
         sig.unpersist()
+
+
+def verify_band_index(spark: SparkSession, prefix: str) -> None:
+    """Offline audit of the two-table band index's integrity
+    invariants; raises on violation. For the maintenance loop (after
+    a crashed/uncertain append), NOT the probe path — both checks
+    re-key the full index.
+
+    Checks: (a) every bands doc_id has a sets row — the torn state a
+    crash between ``append_to_band_index``'s two appends leaves, which
+    the probe now also detects loudly per candidate; (b) no duplicate
+    sets doc_id — a double-applied append (at-least-once retry after a
+    lost ack) would multiply every match pair for that doc in probe
+    output. Orphan sets rows (sets without bands) are harmless — the
+    probe can never reach them — and are not flagged."""
+    bands_ids = spark.table(f"{prefix}_bands").select("doc_id").distinct()
+    sets_tbl = spark.table(f"{prefix}_sets")
+    torn = (
+        bands_ids.join(sets_tbl.select("doc_id"), "doc_id", "left_anti")
+        .orderBy("doc_id").limit(5).collect()
+    )
+    if torn:
+        ids = [int(r.doc_id) for r in torn]
+        raise RuntimeError(
+            f"band index {prefix!r} is torn: doc_ids {ids} have band "
+            "rows but no shingle-set row (crashed append) — re-run "
+            "append_to_band_index with that batch's accepted docs, or "
+            "rebuild with write_band_index"
+        )
+    dup = (
+        sets_tbl.groupBy("doc_id").count().filter(F.col("count") > 1)
+        .orderBy("doc_id").limit(5).collect()
+    )
+    if dup:
+        ids = [int(r.doc_id) for r in dup]
+        raise RuntimeError(
+            f"band index {prefix!r} holds duplicate set rows for "
+            f"doc_ids {ids}: an append was applied twice — rebuild "
+            "the index (write_band_index) before serving probes"
+        )
 
 
 def _index_buckets(spark: SparkSession, name: str) -> int:
@@ -469,12 +659,44 @@ def incremental_minhash_indexed(
         .groupBy("doc_id", "match_id")
         .agg(F.first("sa").alias("sa"))
     )
-    stats = cand.join(sets_idx, "match_id").select(
-        "doc_id",
-        "match_id",
-        F.size(F.array_intersect("sa", "sb")).cast("long").alias("common"),
-        F.size("sa").alias("na"),
-        F.col("nb"),
+    # LEFT join + loud check instead of a plain inner join: a crash
+    # between append_to_band_index's two appends leaves bands without
+    # sets, and an inner join would silently DROP those candidates —
+    # admitting near-duplicates of the torn doc as unique (r15
+    # write-path hunt: the torn doc itself self-heals on batch retry,
+    # band duplicates collapse in the groupBy above, but OTHER docs
+    # colliding with it would slip through unverified). The check
+    # lives INSIDE the nb value that the jaccard formula consumes — a
+    # standalone raise_error filter gets conjunct-combined with the
+    # threshold filter, and a NULL jaccard fails the threshold first,
+    # short-circuiting the raise (measured, not hypothetical). On a
+    # consistent index the branch never fires and the cost is one
+    # null check per candidate.
+    nb_checked = F.when(
+        F.col("nb").isNull(),
+        F.raise_error(F.concat(
+            F.lit("band index is torn: doc_id "),
+            F.col("match_id").cast("string"),
+            F.lit(
+                " has band rows but no shingle-set row — a crashed "
+                "append_to_band_index; re-run append_to_band_index "
+                "with that batch's accepted docs (duplicate band "
+                "rows collapse at probe time, the missing sets "
+                "complete), or rebuild with write_band_index; "
+                "verify_band_index is the offline audit"
+            ),
+        )).cast("long"),
+    ).otherwise(F.col("nb"))
+    stats = (
+        cand.join(sets_idx, "match_id", "left")
+        .select(
+            "doc_id",
+            "match_id",
+            F.size(F.array_intersect("sa", "sb")).cast("long")
+            .alias("common"),
+            F.size("sa").alias("na"),
+            nb_checked.alias("nb"),
+        )
     )
     return stats.select(
         "doc_id",

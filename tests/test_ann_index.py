@@ -177,3 +177,48 @@ def test_centroid_guard(emb):
         AI.ann_indexed_topk(
             emb.sparkSession, "whatever", [0], [[0.0]], emb, n_probe=0
         )
+
+
+def test_verify_ivf_index_audit(spark, emb, centroids, tmp_path):
+    """The offline integrity audit: green on a healthy index, loud on
+    a double-applied append (duplicate vec_ids — the at-most-once
+    contract violated)."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(
+        emb, cent_ids, cent_vecs, "test_ivf_audit",
+        path=str(tmp_path / "audit"),
+    )
+    try:
+        AI.verify_ivf_index(spark, "test_ivf_audit")  # healthy: no raise
+        batch = emb.filter(F.col("vec_id") % 7 == 3)
+        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
+                               "test_ivf_audit")  # double-apply
+        with pytest.raises(RuntimeError, match="duplicate vec_ids"):
+            AI.verify_ivf_index(spark, "test_ivf_audit")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_audit")
+
+
+def test_attach_recovers_ivf_index(spark, emb, centroids, tmp_path):
+    """The generic attach path covers the ANN index too: drop the
+    catalog entry, re-attach from the sidecar, probe identically."""
+    from duckdb_redis_olap_scanner_spark.operators import dedup_index as DI
+
+    cent_ids, cent_vecs = centroids
+    path = str(tmp_path / "ivf")
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_attach",
+                       path=path)
+    try:
+        q = emb.filter(F.col("vec_id") < 3)
+        want = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_attach", cent_ids, cent_vecs, q).collect()))
+        spark.sql("DROP TABLE test_ivf_attach")
+        DI._LOCATION_CACHE.pop(
+            (spark.sparkContext.applicationId, "test_ivf_attach"), None
+        )
+        DI.attach_bucketed(spark, "test_ivf_attach", path)
+        got = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_attach", cent_ids, cent_vecs, q).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_attach")

@@ -461,3 +461,140 @@ def test_index_ns_gc_semantics(spark, monkeypatch, tmp_path):
     assert path == str(parent / name)
     for d, keep in cases.items():
         assert (parent / d).exists() is keep, d
+
+
+def test_attach_bucketed_recovers_index_without_rebuild(
+    spark, split_docs, tmp_path, no_broadcast
+):
+    """Restart recovery (r15 write-path hunt): after the session that
+    BUILT an index dies, a fresh session must be able to re-register
+    it from the sidecar and probe/append with the original bucket
+    layout — no history rebuild, still no history-side Exchange."""
+    hist, inc = split_docs
+    path = str(tmp_path / "fp")
+    DI.write_fingerprint_index(hist, "test_fp_attach", path=path)
+    try:
+        want = sorted(
+            map(tuple, DI.incremental_dedup_indexed(
+                spark, inc, "test_fp_attach").collect())
+        )
+        # Simulate the restart: the catalog forgets the table (files
+        # survive — the table is external). Deliberately NOT clearing
+        # DI._LOCATION_CACHE: attach must trust the catalog, not a
+        # stale cache entry, for existence.
+        spark.sql("DROP TABLE test_fp_attach")
+
+        DI.attach_bucketed(spark, "test_fp_attach", path)
+        got = sorted(
+            map(tuple, DI.incremental_dedup_indexed(
+                spark, inc, "test_fp_attach").collect())
+        )
+        assert got == want and len(got) > 0
+        # the re-attached table still carries the bucket spec
+        assert DI._index_buckets(spark, "test_fp_attach") == \
+            DI.DEFAULT_BUCKETS
+        tree = _plan_tree(
+            DI.incremental_dedup_indexed(spark, inc, "test_fp_attach")
+        )
+        path_nodes = _path_to_join(tree, "default.test_fp_attach")
+        assert not any("Exchange" in n for n in path_nodes), path_nodes
+        # idempotent re-attach; a DIFFERENT location refuses
+        DI.attach_bucketed(spark, "test_fp_attach", path)
+        with pytest.raises(ValueError, match="already registered"):
+            DI.attach_bucketed(
+                spark, "test_fp_attach", str(tmp_path / "elsewhere")
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_fp_attach")
+
+
+def test_attach_refuses_location_without_sidecar(spark, tmp_path):
+    """Attaching a bare parquet directory (no sidecar = no provable
+    bucket spec) must refuse: a guessed bucket count that differs from
+    how the files were written silently mis-co-locates every join."""
+    loc = tmp_path / "bare"
+    loc.mkdir()
+    (loc / "part-00000.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="sidecar"):
+        DI.attach_bucketed(spark, "test_never_attached", str(loc))
+
+
+def test_torn_band_append_raises_loudly(spark, split_docs, tmp_path):
+    """A crash between append_to_band_index's two appends leaves band
+    rows without set rows. The probe must RAISE on such candidates —
+    the old inner join silently dropped them, admitting near-dups of
+    the torn doc as unique (r15 write-path hunt)."""
+    hist, inc = split_docs
+    DI.write_band_index(
+        hist, "test_band_torn", path_prefix=str(tmp_path / "band")
+    )
+    try:
+        accepted = inc.limit(20)
+        # Simulate the torn state: replay ONLY the bands half of the
+        # append (same math as append_to_band_index's first write).
+        sig = DI._signatures_with_sets(accepted)
+        bands = sig.select(
+            "doc_id", F.explode(DI._band_structs()).alias("bv")
+        ).select(
+            "doc_id",
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+        nb = DI._index_buckets(spark, "test_band_torn_bands")
+        (
+            bands.repartition(nb, F.col("band"), F.col("band_val"))
+            .write.format("parquet").mode("append")
+            .bucketBy(nb, "band", "band_val").sortBy("band", "band_val")
+            .saveAsTable("test_band_torn_bands")
+        )
+        with pytest.raises(Exception, match="band index is torn"):
+            DI.incremental_minhash_indexed(
+                spark, accepted, "test_band_torn"
+            ).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_band_torn_bands")
+        spark.sql("DROP TABLE IF EXISTS test_band_torn_sets")
+
+
+def test_verify_band_index_audit(spark, split_docs, tmp_path):
+    """Offline audit: green on a healthy index; loud on the torn
+    state (bands without sets) and on double-applied appends
+    (duplicate set rows)."""
+    hist, inc = split_docs
+    DI.write_band_index(
+        hist, "test_band_audit", path_prefix=str(tmp_path / "band")
+    )
+    try:
+        DI.verify_band_index(spark, "test_band_audit")  # healthy
+
+        accepted = inc.limit(10)
+        sig = DI._signatures_with_sets(accepted)
+        bands = sig.select(
+            "doc_id", F.explode(DI._band_structs()).alias("bv")
+        ).select(
+            "doc_id",
+            F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+        nb = DI._index_buckets(spark, "test_band_audit_bands")
+        (
+            bands.repartition(nb, F.col("band"), F.col("band_val"))
+            .write.format("parquet").mode("append")
+            .bucketBy(nb, "band", "band_val").sortBy("band", "band_val")
+            .saveAsTable("test_band_audit_bands")
+        )
+        with pytest.raises(RuntimeError, match="torn"):
+            DI.verify_band_index(spark, "test_band_audit")
+
+        # healing: the full append completes the sets half (and adds
+        # benign duplicate band rows)
+        DI.append_to_band_index(accepted, "test_band_audit")
+        DI.verify_band_index(spark, "test_band_audit")
+
+        # double-applying the SAME append -> duplicate set rows
+        DI.append_to_band_index(accepted, "test_band_audit")
+        with pytest.raises(RuntimeError, match="duplicate set rows"):
+            DI.verify_band_index(spark, "test_band_audit")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_band_audit_bands")
+        spark.sql("DROP TABLE IF EXISTS test_band_audit_sets")
