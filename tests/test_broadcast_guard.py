@@ -109,6 +109,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "≤query_max_id rows",
     ("operators/retrieval.py", "oov_stats", "vocab"):
         "trained vocab, ≤vocab_size",
+    ("operators/ann_index.py", "ann_indexed_topk", "q"):
+        "query-probe frame, ≤MAX_DRIVER_QUERY_ROWS enforced at the "
+        "collect that produces it (probed cells must be plan-time "
+        "bucket-pruning literals)",
 }
 
 
