@@ -204,6 +204,11 @@ def ann_indexed_topk(
     (query_id, neighbor_id, cell, cos_sim, rank)."""
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    # Probe-side liveness: like the dedup probes (ADVICE r14), a
+    # probe-only phase must refresh the index dir's mtime or the
+    # scratch-index GC treats the app as dead and reaps the live
+    # index (r15 review — the new ANN twin initially omitted this).
+    DI._touch_liveness(spark, index_table)
     q_assigned = S.ranked_with_centroids(
         fan_out(queries, key="vec_id"), cent_ids, cent_vecs, n_probe
     ).select(
@@ -211,13 +216,17 @@ def ann_indexed_topk(
         F.col("embedding").alias("qe"),
         "cell",
     )
-    q_rows = q_assigned.collect()
+    # LIMIT to the bound + 1 BEFORE collecting: a guard that fires
+    # after .collect() cannot prevent the driver OOM it exists for
+    # (r15 review) — the limit caps what can ever reach the driver,
+    # and one extra row distinguishes "at the bound" from "over it".
+    q_rows = q_assigned.limit(S.MAX_DRIVER_QUERY_ROWS + 1).collect()
     if len(q_rows) > S.MAX_DRIVER_QUERY_ROWS:
         raise ValueError(
-            f"{len(q_rows)} query-probe rows exceed "
-            f"MAX_DRIVER_QUERY_ROWS={S.MAX_DRIVER_QUERY_ROWS}: the "
-            "query batch is materialized on the driver to make the "
-            "probed cells plan-time bucket-pruning literals"
+            f"query batch exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{S.MAX_DRIVER_QUERY_ROWS} probe rows: the query batch "
+            "is materialized on the driver to make the probed cells "
+            "plan-time bucket-pruning literals — page the queries"
         )
     probed_cells = sorted({int(r.cell) for r in q_rows})
     q = spark.createDataFrame(q_rows, schema=q_assigned.schema)

@@ -243,13 +243,25 @@ def _write_sidecar(spark: SparkSession, location: str, meta: dict) -> None:
         os.replace(tmp, os.path.join(local, _SIDECAR))
         return
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(location + "/" + _SIDECAR)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
+    # Write to a sibling temp path and rename: fs.create+write is not
+    # atomic, and a torn sidecar would surface as a JSONDecodeError at
+    # attach time instead of the designed loud no-sidecar refusal
+    # (r15 review). Rename is atomic on HDFS; on object stores it is
+    # copy+delete, still leaving only absent-or-complete states.
+    tmp_path = jvm.org.apache.hadoop.fs.Path(
+        location + "/._" + _SIDECAR + ".tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(location + "/" + _SIDECAR)
+    fs = final.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(tmp_path, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp_path, final):
+        raise IOError(f"could not publish index sidecar at {final}")
 
 
 def _read_sidecar(spark: SparkSession, location: str) -> dict | None:
@@ -266,14 +278,14 @@ def _read_sidecar(spark: SparkSession, location: str) -> dict | None:
         return None
     stream = fs.open(hpath)
     try:
-        chunks = []
-        buf = bytearray(65536)
-        while True:
-            n = stream.read(buf)
-            if n <= 0:
-                break
-            chunks.append(bytes(buf[:n]))
-        return json.loads(b"".join(chunks))
+        # py4j passes Python bytearrays BY VALUE: stream.read(buf)
+        # fills a Java-side copy and the Python buffer stays zeroed
+        # (r15 review — every remote attach decoded NULs). Let the JVM
+        # materialize the bytes and hand them back as a return value.
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+        return json.loads(data)
     finally:
         stream.close()
 

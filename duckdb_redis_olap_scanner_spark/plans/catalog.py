@@ -240,6 +240,12 @@ def _code_imports(code, _cache: dict = {}) -> list:
             if current is not None and not saw_from:
                 pairs.append((current, None))  # plain ``import x.y``
             current, saw_from = ins.argval, False
+            if "." in current:
+                # ``import a.b.c as x`` compiles to IMPORT_NAME a.b.c
+                # + IMPORT_FROM per trailing component (3.7+), which
+                # would otherwise read as bogus attr pairs and never
+                # surface the leaf module itself (r15 review).
+                pairs.append((current, None))
         elif ins.opname == "IMPORT_FROM" and current is not None:
             pairs.append((current, ins.argval))
             saw_from = True
@@ -250,10 +256,14 @@ def _code_imports(code, _cache: dict = {}) -> list:
 
 
 def _resolve_import(modname: str, base_pkg: str, pkg: str):
-    """Best-effort resolution of an imported module name against
-    ``sys.modules``: absolute first, then relative to the importing
-    module's package chain. Only modules inside this package resolve
-    (stdlib/pyspark imports return None — they can't dirty entries)."""
+    """Best-effort resolution of an imported module name: absolute
+    first, then relative to the importing module's package chain. Only
+    modules inside this package resolve (stdlib/pyspark imports return
+    None — they can't dirty entries). Candidates under the package
+    prefix that aren't in ``sys.modules`` yet are IMPORTED: a module
+    referenced only from entry bodies (ann_index before any entry ran)
+    would otherwise be invisible to the dirty walk — the exact hole
+    the bytecode recovery exists to close (r15 review)."""
     candidates = []
     if modname:
         candidates.append(modname)
@@ -263,9 +273,26 @@ def _resolve_import(modname: str, base_pkg: str, pkg: str):
         p = p.rpartition(".")[0]
     for cand in candidates:
         mod = sys.modules.get(cand)
+        if mod is None and (cand + ".").startswith(pkg) \
+                and cand not in _IMPORT_MISSES:
+            import importlib
+
+            try:
+                mod = importlib.import_module(cand)
+            except Exception:
+                # ImportError for non-modules; anything else means the
+                # module can't import in THIS process state (e.g.
+                # custom_fns needs a live SparkSession at import) —
+                # either way it stays unresolved, exactly as it was
+                # before the import fallback existed.
+                _IMPORT_MISSES.add(cand)  # don't retry per walk
+                mod = None
         if mod is not None and (mod.__name__ + ".").startswith(pkg):
             return mod
     return None
+
+
+_IMPORT_MISSES: set[str] = set()
 
 
 def _referenced_pkg_callables(fn) -> frozenset:
@@ -349,6 +376,13 @@ def _referenced_pkg_callables(fn) -> frozenset:
             if mod is None:
                 continue
             target = getattr(mod, attr, None) if attr else mod
+            if target is None and attr:
+                # ``from pkg import submodule`` where the submodule
+                # was never imported: the attribute doesn't exist on
+                # the package object until import — resolve it as a
+                # module in its own right (r15 review: ann_index is
+                # imported only inside entry bodies).
+                target = _resolve_import(f"{mod.__name__}.{attr}", "", pkg)
             if isinstance(target, types.ModuleType):
                 # ``from . import dedup as D`` / ``import pkg.mod``:
                 # attribute uses (D.segment_dedup) resolve via co_names

@@ -19,7 +19,10 @@ detection is unavailable and the weaker at-most-once-past-trim
 contract applies — size MAXLEN to consumer lag; the fallback latest
 offset (newest SURVIVING entry, marked ``xrevrange_fallback`` in the
 checkpoint JSON) may sit below the checkpoint after such trims, which
-``partitions()`` treats as "no new entries" rather than a rollback. Whole-key deletion
+``partitions()`` treats as "no new entries" rather than a rollback
+(whole-key DEL stays loud there too: a trimmed-empty stream still
+EXISTS, so an empty fallback read is only marked benign when TYPE
+says the key survives). Whole-key deletion
 under a live checkpoint raises at the next read ('no such key' is
 loss, not a fresh start), and an offset that moves BACKWARDS (XSETID
 rollback, recreation with explicit lower ids) raises in partitions().
@@ -173,6 +176,14 @@ class RedisStreamReader(DataSourceStreamReader):
             # rides the checkpoint JSON alongside last_id.
             entries = c.xrevrange(self.key, "+", "-", count=1)
             if not entries:
+                # Empty can mean full-trim (benign) OR whole-key DEL
+                # (loss!). A trimmed-empty stream still EXISTS; only
+                # mark the offset benign when it does, so DEL under a
+                # live checkpoint keeps raising on pre-XINFO servers
+                # too (r15 review — the first fallback fix silently
+                # classified DEL as benign).
+                if _as_str(c.command("TYPE", self.key)) == "none":
+                    return {"last_id": "0-0"}
                 return {"last_id": "0-0", "xrevrange_fallback": True}
             return {"last_id": entries[0][0], "xrevrange_fallback": True}
 

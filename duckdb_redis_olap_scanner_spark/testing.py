@@ -303,6 +303,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     return _simple("zset")
                 if args[0] in store.lists:
                     return _simple("list")
+                if args[0] in store.streams or args[0] in store._stream_last:
+                    # A stream trimmed to zero entries still EXISTS
+                    # (real Redis keeps the key and its id counter) —
+                    # the stream source's pre-XINFO fallback leans on
+                    # exactly this to tell full-trim from DEL.
+                    return _simple("stream")
                 return _simple("none")
             if name == "ZADD":
                 z = store.zsets.setdefault(args[0], {})

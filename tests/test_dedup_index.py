@@ -598,3 +598,32 @@ def test_verify_band_index_audit(spark, split_docs, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS test_band_audit_bands")
         spark.sql("DROP TABLE IF EXISTS test_band_audit_sets")
+
+
+def test_sidecar_roundtrip_through_hadoop_filesystem(
+    spark, monkeypatch, tmp_path
+):
+    """Exercise the REMOTE sidecar branch against Hadoop's
+    LocalFileSystem (file:/// URI with _is_local_uri forced False):
+    the py4j read must hand bytes back as a JVM return value — a
+    Python bytearray passed to stream.read() is filled on a Java-side
+    COPY and stays zeroed here (r15 review: every remote attach
+    decoded NULs) — and the write must publish atomically via
+    tmp+rename."""
+    monkeypatch.setattr(DI, "_is_local_uri", lambda p: False)
+    loc = "file://" + str(tmp_path / "remote_idx")
+    meta = {"bucket_cols": ["content_fp"], "buckets": 8,
+            "sorted_by": ["content_fp"],
+            "schema": [["content_fp", "string"]]}
+    DI._write_sidecar(spark, loc, meta)
+    assert DI._read_sidecar(spark, loc) == meta
+    # absent sidecar reads as None (distinct location)
+    assert DI._read_sidecar(
+        spark, "file://" + str(tmp_path / "nothing")
+    ) is None
+    # no torn temp file left behind (Hadoop's .crc checksum sibling is
+    # expected — dot-prefixed, invisible to Spark's input listing)
+    import os as _os
+    files = _os.listdir(tmp_path / "remote_idx")
+    assert DI._SIDECAR in files, files
+    assert not [f for f in files if f.endswith(".tmp")], files

@@ -302,3 +302,38 @@ def test_dirty_ties_break_least_recently_verified_first(monkeypatch):
     frontier = len([n for n in rotated if n not in rounds])
     head = rotated[frontier : frontier + 2]
     assert head == [by_round[oldest], by_round[newest]]
+
+
+def test_referenced_callables_import_unloaded_modules():
+    """A module referenced ONLY from entry bodies (ann_index is
+    imported nowhere at module scope) must still reach the dirty walk
+    in a fresh process where no entry has executed yet — the walker
+    imports package-prefixed candidates instead of requiring them in
+    sys.modules (r15 review)."""
+    import sys
+
+    reg = catalog.registry()
+    modname = "duckdb_redis_olap_scanner_spark.operators.ann_index"
+    saved = sys.modules.pop(modname, None)
+    catalog._IMPORT_MISSES.discard(modname)
+    try:
+        quals = {f.__qualname__ for f in catalog._referenced_pkg_callables(
+            reg["pipeline_incremental_ann_indexed"].raw_fn)}
+        assert "ann_indexed_topk" in quals
+        assert "write_ivf_index" in quals
+    finally:
+        if saved is not None:
+            sys.modules[modname] = saved
+
+
+def test_referenced_callables_dotted_alias_import():
+    """``import pkg.mod as X`` inside a body compiles to IMPORT_NAME
+    pkg.mod + IMPORT_FROM per trailing component; the walker must
+    surface the LEAF module so X.attr uses resolve (r15 review)."""
+    def probe(df):
+        import duckdb_redis_olap_scanner_spark.operators.dedup as X
+        return X.segment_dedup(df)
+
+    quals = {f.__qualname__
+             for f in catalog._referenced_pkg_callables(probe)}
+    assert "segment_dedup" in quals

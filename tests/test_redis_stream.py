@@ -376,6 +376,46 @@ def test_pre_xinfo_fallback_trim_is_benign(redis_server):
         r.partitions({"last_id": "5-0"}, {"last_id": "3-0"})
 
 
+def test_pre_xinfo_del_under_checkpoint_stays_loud(redis_server):
+    """Whole-key DEL is loss even on a pre-XINFO server: the empty
+    XREVRANGE fallback must NOT be marked benign when the key is gone
+    (a trimmed-empty stream still EXISTS — that's the distinction), so
+    partitions() keeps raising (r15 review: the first fallback fix
+    silently classified DEL as benign)."""
+    import pytest as _pytest
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+    )
+    from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
+
+    key = "pre7del"
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        for i in range(1, 4):
+            c.xadd(key, {"v": str(i)}, entry_id=f"{i}-0")
+
+    redis_server.store.pre_xinfo = True
+    try:
+        r = RedisStreamReader(
+            {"host": redis_server.host, "port": redis_server.port,
+             "key": key}
+        )
+        # full trim: key survives -> benign marker
+        with RedisClient(redis_server.host, redis_server.port) as c:
+            c.command("XTRIM", key, "MAXLEN", "0")
+        off = r.latestOffset()
+        assert off == {"last_id": "0-0", "xrevrange_fallback": True}
+        # DEL: key gone -> unmarked offset -> loud under a checkpoint
+        with RedisClient(redis_server.host, redis_server.port) as c:
+            c.command("DEL", key)
+        off = r.latestOffset()
+        assert off == {"last_id": "0-0"}
+        with _pytest.raises(RuntimeError, match="offset regression"):
+            r.partitions({"last_id": "3-0"}, off)
+    finally:
+        redis_server.store.pre_xinfo = False
+
+
 def test_deleted_stream_under_checkpoint_raises(redis_server):
     """Whole-key DEL under a live checkpoint is loss ('no such key'),
     not a fresh start — the old over-broad except swallowed it and
