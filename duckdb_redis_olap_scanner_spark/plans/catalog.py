@@ -235,20 +235,29 @@ def _code_imports(code, _cache: dict = {}) -> list:
     pairs: list = []
     current: str | None = None
     saw_from = False
+    trailing: list = []  # components of a dotted ``import a.b.c as x``
     for ins in dis.get_instructions(code):
         if ins.opname == "IMPORT_NAME":
             if current is not None and not saw_from:
                 pairs.append((current, None))  # plain ``import x.y``
             current, saw_from = ins.argval, False
-            if "." in current:
-                # ``import a.b.c as x`` compiles to IMPORT_NAME a.b.c
-                # + IMPORT_FROM per trailing component (3.7+), which
-                # would otherwise read as bogus attr pairs and never
-                # surface the leaf module itself (r15 review).
-                pairs.append((current, None))
+            trailing = current.split(".")[1:]
         elif ins.opname == "IMPORT_FROM" and current is not None:
-            pairs.append((current, ins.argval))
             saw_from = True
+            if trailing and ins.argval == trailing[0]:
+                # ``import a.b.c as x`` compiles to IMPORT_NAME a.b.c
+                # + IMPORT_FROM per trailing component (3.7+): record
+                # the leaf MODULE, not bogus attr pairs. Matching each
+                # expected component in order keeps a genuine ``from
+                # a.b import c`` as an attr pair (a ``from a.b import
+                # b`` misreads as the module — a harmless
+                # over-approximation, the module covers the attr).
+                trailing.pop(0)
+                if (current, None) not in pairs:
+                    pairs.append((current, None))
+            else:
+                trailing = []
+                pairs.append((current, ins.argval))
     if current is not None and not saw_from:
         pairs.append((current, None))
     _cache[key] = (code, pairs)
@@ -274,18 +283,25 @@ def _resolve_import(modname: str, base_pkg: str, pkg: str):
     for cand in candidates:
         mod = sys.modules.get(cand)
         if mod is None and (cand + ".").startswith(pkg) \
-                and cand not in _IMPORT_MISSES:
+                and cand not in _IMPORT_MISSES \
+                and cand not in _IMPORT_TRANSIENT:
             import importlib
 
             try:
                 mod = importlib.import_module(cand)
+            except ModuleNotFoundError:
+                _IMPORT_MISSES.add(cand)  # permanent: not a module
+                mod = None
             except Exception:
-                # ImportError for non-modules; anything else means the
-                # module can't import in THIS process state (e.g.
-                # custom_fns needs a live SparkSession at import) —
-                # either way it stays unresolved, exactly as it was
-                # before the import fallback existed.
-                _IMPORT_MISSES.add(cand)  # don't retry per walk
+                # The module can't import in THIS process state (e.g.
+                # custom_fns needs a live SparkSession at import) — it
+                # stays unresolved for now, but the failure is only
+                # cached until the next walk (_changed_since_verified
+                # clears it): the state may have changed by then, and
+                # a forever-cached transient failure would re-open the
+                # missed-local-import hole for that module (r15
+                # review pass 2).
+                _IMPORT_TRANSIENT.add(cand)
                 mod = None
         if mod is not None and (mod.__name__ + ".").startswith(pkg):
             return mod
@@ -293,6 +309,7 @@ def _resolve_import(modname: str, base_pkg: str, pkg: str):
 
 
 _IMPORT_MISSES: set[str] = set()
+_IMPORT_TRANSIENT: set[str] = set()  # cleared per dirty walk
 
 
 def _referenced_pkg_callables(fn) -> frozenset:
@@ -440,6 +457,9 @@ def _changed_since_verified(rounds: dict[str, int]) -> dict[str, int]:
     hit = _DIRTY_CACHE.get(cache_key)
     if hit is not None:
         return hit
+    # Retry transiently-unimportable modules each fresh walk — the
+    # process state (a live SparkSession) may have changed since.
+    _IMPORT_TRANSIENT.clear()
     commits = _round_commits(root)
     if not commits:
         _DIRTY_CACHE[cache_key] = {}

@@ -182,7 +182,7 @@ class RedisStreamReader(DataSourceStreamReader):
                 # live checkpoint keeps raising on pre-XINFO servers
                 # too (r15 review — the first fallback fix silently
                 # classified DEL as benign).
-                if _as_str(c.command("TYPE", self.key)) == "none":
+                if c.type_of(self.key) == "none":
                     return {"last_id": "0-0"}
                 return {"last_id": "0-0", "xrevrange_fallback": True}
             return {"last_id": entries[0][0], "xrevrange_fallback": True}

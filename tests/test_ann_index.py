@@ -222,3 +222,27 @@ def test_attach_recovers_ivf_index(spark, emb, centroids, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_attach")
+
+
+def test_driver_bound_guard_fires_before_collect(spark, emb, centroids,
+                                                 ivf_index, monkeypatch):
+    """The driver-OOM guard must (a) raise when the query batch's
+    probe fan-out exceeds the bound, and (b) return COMPLETE results
+    at exactly the bound — a regression that drops the limit's +1
+    would silently truncate the batch instead of raising (r15 review
+    pass 2)."""
+    cent_ids, cent_vecs = centroids
+    q3 = emb.filter(F.col("vec_id") < 3)  # 3 queries x 2 probes = 6 rows
+    want = sorted(map(tuple, AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2,
+    ).collect()))
+    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 5)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
+        AI.ann_indexed_topk(
+            spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2
+        )
+    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 6)  # exactly at bound
+    got = sorted(map(tuple, AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2,
+    ).collect()))
+    assert got == want and len(got) > 0

@@ -304,26 +304,40 @@ def test_dirty_ties_break_least_recently_verified_first(monkeypatch):
     assert head == [by_round[oldest], by_round[newest]]
 
 
-def test_referenced_callables_import_unloaded_modules():
+def test_referenced_callables_import_unloaded_modules(monkeypatch):
     """A module referenced ONLY from entry bodies (ann_index is
     imported nowhere at module scope) must still reach the dirty walk
     in a fresh process where no entry has executed yet — the walker
     imports package-prefixed candidates instead of requiring them in
-    sys.modules (r15 review)."""
+    sys.modules (r15 review). The package ATTRIBUTE is removed too:
+    other tests import ann_index at collection time, and the leftover
+    attribute would let the pre-existing getattr path resolve it,
+    making this pin vacuous (r15 review pass 2). The fresh import the
+    walker performs re-binds both, so no diverged module copies
+    outlive the test."""
     import sys
+
+    from duckdb_redis_olap_scanner_spark import operators as ops_pkg
 
     reg = catalog.registry()
     modname = "duckdb_redis_olap_scanner_spark.operators.ann_index"
-    saved = sys.modules.pop(modname, None)
+    sys.modules.pop(modname, None)
+    monkeypatch.delattr(ops_pkg, "ann_index", raising=False)
     catalog._IMPORT_MISSES.discard(modname)
+    catalog._IMPORT_TRANSIENT.discard(modname)
     try:
         quals = {f.__qualname__ for f in catalog._referenced_pkg_callables(
             reg["pipeline_incremental_ann_indexed"].raw_fn)}
         assert "ann_indexed_topk" in quals
         assert "write_ivf_index" in quals
+        # The walker's own import re-populated sys.modules.
+        assert modname in sys.modules
     finally:
-        if saved is not None:
-            sys.modules[modname] = saved
+        # Undo monkeypatch's attr restore racing the fresh import:
+        # keep ONE live copy (the fresh one) bound consistently.
+        monkeypatch.undo()
+        sys.modules[modname] = getattr(ops_pkg, "ann_index",
+                                       sys.modules.get(modname))
 
 
 def test_referenced_callables_dotted_alias_import():
