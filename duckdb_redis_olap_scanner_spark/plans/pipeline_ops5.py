@@ -3008,3 +3008,45 @@ def pipeline_incremental_ann_indexed(spark: SparkSession, sf: str):
         spark, name, cent_ids, cent_vecs,
         emb.filter(F.col("vec_id") < 5), k=5, n_probe=2,
     )
+
+
+@register(
+    "pipeline_index_attach_recovery",
+    # Build the fingerprint index, lose the catalog entry (the restart
+    # shape: files survive, the session's in-memory catalog doesn't),
+    # re-register from the sidecar, probe. The recovered index holds
+    # the same DISTINCT history fingerprints, so the oracle is the
+    # incremental-dedup one unchanged.
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, sha256({_SQL_CANON}) AS content_fp FROM documents),
+    hist AS (SELECT DISTINCT content_fp FROM fp WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT content_fp, MIN(doc_id) AS keep_id,
+             COUNT(*) AS batch_dup_cnt
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY content_fp)
+    SELECT b.content_fp, b.keep_id, b.batch_dup_cnt
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist h WHERE h.content_fp = b.content_fp)
+    """,
+    tags=("dedup",),
+    doc="Restart recovery of a persisted index, end to end under the "
+    "gate: write_fingerprint_index -> DROP TABLE (the catalog dies "
+    "with a session; the files and their _spark_graft_index.json "
+    "sidecar survive) -> attach_bucketed re-registers from the "
+    "sidecar's recorded bucket spec -> the probe answers exactly what "
+    "the never-dropped index answers, still exchange-free on the "
+    "history side (operators/dedup_index.py:attach_bucketed).",
+)
+def pipeline_index_attach_recovery(spark: SparkSession, sf: str):
+    docs = table(spark, sf, "documents")
+    name, path = _index_ns(spark, f"attach_fp_idx_{_index_tag(sf)}")
+    DI.write_fingerprint_index(
+        docs.filter(F.col("doc_id") % 2 == 0), name, path=path
+    )
+    spark.sql(f"DROP TABLE {name}")  # simulate the session restart
+    DI.attach_bucketed(spark, name, path)
+    return DI.incremental_dedup_indexed(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), name
+    )
