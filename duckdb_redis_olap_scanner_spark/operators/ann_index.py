@@ -188,16 +188,20 @@ def ann_indexed_topk(
     """Top-k cosine search over the persisted index, probing each
     query's ``n_probe`` nearest cells.
 
-    The query batch (bounded like every ANN query set) is ranked
-    against the frozen centroids and COLLECTED — that is what turns
-    the probed cells into plan-time literals: the ``IN (cells...)``
-    filter on the bucket column is the only way the scan can prune to
+    The query batch (bounded like every ANN query set) is COLLECTED
+    and ranked against the frozen centroids ON THE DRIVER — both
+    already live there, and the collect is what turns the probed
+    cells into plan-time literals: the ``IN (cells...)`` filter on
+    the bucket column is the only way the scan can prune to
     ``SelectedBucketsCount < n`` buckets, and a join against a
-    DataFrame of cells would read every bucket. The collected rows are
-    re-emitted as a broadcast (query_id, qe, cell) frame; candidates
-    meet it with a broadcast hash join (index side: zero Exchange),
-    stream through the shared Arrow scorer's per-batch partial top-k,
-    and the final rank window sees ≤ batches·k rows per query.
+    DataFrame of cells would read every bucket. (A distributed Arrow
+    assignment pass for a driver-bounded set would spend one whole
+    Python-stage dispatch floor per probe call — measured ~0.15 s at
+    10x — ranking a handful of rows.) The assigned rows are emitted
+    as a broadcast (query_id, qe, cell) frame; candidates meet it
+    with a broadcast hash join (index side: zero Exchange), stream
+    through the shared Arrow scorer's per-batch partial top-k, and
+    the final rank window sees ≤ batches·k rows per query.
 
     Result contract: identical to
     :func:`similarity.ivf_multiprobe_topk` over the same corpus —
@@ -209,27 +213,55 @@ def ann_indexed_topk(
     # scratch-index GC treats the app as dead and reaps the live
     # index (r15 review — the new ANN twin initially omitted this).
     DI._touch_liveness(spark, index_table)
-    q_assigned = S.ranked_with_centroids(
-        fan_out(queries, key="vec_id"), cent_ids, cent_vecs, n_probe
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "cell",
-    )
     # LIMIT to the bound + 1 BEFORE collecting: a guard that fires
     # after .collect() cannot prevent the driver OOM it exists for
     # (r15 review) — the limit caps what can ever reach the driver,
     # and one extra row distinguishes "at the bound" from "over it".
-    q_rows = q_assigned.limit(S.MAX_DRIVER_QUERY_ROWS + 1).collect()
-    if len(q_rows) > S.MAX_DRIVER_QUERY_ROWS:
+    raw_q = (
+        queries.select("vec_id", "embedding")
+        .limit(S.MAX_DRIVER_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(raw_q) > S.MAX_DRIVER_QUERY_ROWS:
         raise ValueError(
             f"query batch exceeds MAX_DRIVER_QUERY_ROWS="
-            f"{S.MAX_DRIVER_QUERY_ROWS} probe rows: the query batch "
-            "is materialized on the driver to make the probed cells "
+            f"{S.MAX_DRIVER_QUERY_ROWS} rows: the query batch is "
+            "materialized on the driver to make the probed cells "
             "plan-time bucket-pruning literals — page the queries"
         )
-    probed_cells = sorted({int(r.cell) for r in q_rows})
-    q = spark.createDataFrame(q_rows, schema=q_assigned.schema)
+    # Assign the queries to cells ON THE DRIVER: the query set and the
+    # centroid table both already live here, so a distributed Arrow
+    # assignment pass would spend one whole Python-stage dispatch
+    # floor (~0.15 s measured at 10x) ranking a handful of rows. Same
+    # math as ranked_with_centroids to the bit: floor(float64*1000)
+    # int64 quantization, exact int64 dots, ties to the smallest
+    # centroid id (numpy lexsort, last-key-primary).
+    import numpy as np
+
+    cm = np.floor(
+        np.array(cent_vecs, dtype=np.float64) * 1000.0
+    ).astype(np.int64)
+    cids = np.array(cent_ids, dtype=np.int64)
+    q_rows = []
+    if raw_q:
+        qm = np.floor(
+            np.array([[float(x) for x in r.embedding] for r in raw_q],
+                     dtype=np.float64) * 1000.0
+        ).astype(np.int64)
+        dots = qm @ cm.T
+        order = np.lexsort(
+            (cids[None, :].repeat(len(qm), 0), -dots), axis=1
+        )[:, : int(n_probe)]
+        for i, r in enumerate(raw_q):
+            for c in order[i]:
+                q_rows.append(
+                    (int(r.vec_id), [float(x) for x in r.embedding],
+                     int(cids[c]))
+                )
+    probed_cells = sorted({c for _, _, c in q_rows})
+    q = spark.createDataFrame(
+        q_rows, schema="query_id bigint, qe array<float>, cell bigint"
+    )
     a = (
         spark.table(index_table)
         .filter(F.col("cell").isin(probed_cells))

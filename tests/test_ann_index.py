@@ -232,16 +232,16 @@ def test_driver_bound_guard_fires_before_collect(spark, emb, centroids,
     would silently truncate the batch instead of raising (r15 review
     pass 2)."""
     cent_ids, cent_vecs = centroids
-    q3 = emb.filter(F.col("vec_id") < 3)  # 3 queries x 2 probes = 6 rows
+    q3 = emb.filter(F.col("vec_id") < 3)  # 3 query rows
     want = sorted(map(tuple, AI.ann_indexed_topk(
         spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2,
     ).collect()))
-    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 5)
+    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 2)
     with pytest.raises(ValueError, match="MAX_DRIVER_QUERY_ROWS"):
         AI.ann_indexed_topk(
             spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2
         )
-    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 6)  # exactly at bound
+    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 3)  # exactly at bound
     got = sorted(map(tuple, AI.ann_indexed_topk(
         spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2,
     ).collect()))
