@@ -339,11 +339,12 @@ def attach_bucketed(spark: SparkSession, name: str, path: str) -> None:
     cols = ", ".join(f"`{n}` {t}" for n, t in meta["schema"])
     bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
     scols = ", ".join(f"`{c}`" for c in meta["sorted_by"])
+    loc = path.replace("'", "''")  # quote-safe SQL string literal
     spark.sql(
         f"CREATE TABLE `{name}` ({cols}) USING parquet "
         f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "
         f"INTO {int(meta['buckets'])} BUCKETS "
-        f"LOCATION '{path}'"
+        f"LOCATION '{loc}'"
     )
     _LOCATION_CACHE[(spark.sparkContext.applicationId, name)] = path
 
