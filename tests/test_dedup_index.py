@@ -627,3 +627,32 @@ def test_sidecar_roundtrip_through_hadoop_filesystem(
     files = _os.listdir(tmp_path / "remote_idx")
     assert DI._SIDECAR in files, files
     assert not [f for f in files if f.endswith(".tmp")], files
+
+
+def test_attach_recovers_band_index_pair(spark, split_docs, tmp_path,
+                                         no_broadcast):
+    """The two-table band index recovers by attaching BOTH tables from
+    their sidecars; the re-attached pair probes identically and still
+    exchange-free on the history side."""
+    hist, inc = split_docs
+    prefix = "test_band_reattach"
+    path_prefix = str(tmp_path / "band")
+    DI.write_band_index(hist, prefix, path_prefix=path_prefix)
+    try:
+        want = sorted(map(tuple, DI.incremental_minhash_indexed(
+            spark, inc, prefix).collect()))
+        spark.sql(f"DROP TABLE {prefix}_bands")
+        spark.sql(f"DROP TABLE {prefix}_sets")
+        DI.attach_bucketed(spark, f"{prefix}_bands", f"{path_prefix}_bands")
+        DI.attach_bucketed(spark, f"{prefix}_sets", f"{path_prefix}_sets")
+        got = sorted(map(tuple, DI.incremental_minhash_indexed(
+            spark, inc, prefix).collect()))
+        assert got == want and len(got) > 0
+        tree = _plan_tree(DI.incremental_minhash_indexed(spark, inc, prefix))
+        for scan in (f"default.{prefix}_bands", f"default.{prefix}_sets"):
+            path_nodes = _path_to_join(tree, scan)
+            assert not any("Exchange" in n for n in path_nodes), (
+                scan, path_nodes)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_sets")

@@ -351,3 +351,44 @@ def test_referenced_callables_dotted_alias_import():
     quals = {f.__qualname__
              for f in catalog._referenced_pkg_callables(probe)}
     assert "segment_dedup" in quals
+
+
+def test_referenced_callables_all_import_forms():
+    """One probe per import form the bytecode recovery must handle:
+    the walker's contract is 'editing a helper dirties exactly its
+    callers', so every form must surface the called helper — and the
+    from-import form must NOT drag in module members the body never
+    names (precision: over-wide closures manufacture false dirt)."""
+
+    def via_from_attr(df):
+        from duckdb_redis_olap_scanner_spark.operators.dedup import (
+            exact_dedup,
+        )
+        return exact_dedup(df)
+
+    def via_from_module(df):
+        from duckdb_redis_olap_scanner_spark.operators import dedup as D
+        return D.segment_dedup(df)
+
+    def via_plain_dotted(df):
+        import duckdb_redis_olap_scanner_spark.operators.dedup
+        return duckdb_redis_olap_scanner_spark.operators.dedup.exact_dedup(df)
+
+    def via_nested_scope(df):
+        def inner():
+            from duckdb_redis_olap_scanner_spark.operators.dedup import (
+                simhash_signatures,
+            )
+            return simhash_signatures(df)
+        return inner()
+
+    def quals(fn):
+        return {f.__qualname__
+                for f in catalog._referenced_pkg_callables(fn)}
+
+    assert "exact_dedup" in quals(via_from_attr)
+    # precision: the module's OTHER members stay out of the closure
+    assert "segment_dedup" not in quals(via_from_attr)
+    assert "segment_dedup" in quals(via_from_module)
+    assert "exact_dedup" in quals(via_plain_dotted)
+    assert "simhash_signatures" in quals(via_nested_scope)
