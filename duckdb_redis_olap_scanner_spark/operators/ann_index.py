@@ -97,13 +97,27 @@ def write_ivf_index(
     """(Re)build the coded-corpus table: every vector assigned to its
     nearest frozen centroid, persisted bucketed+sorted on ``cell`` so
     probes prune to their cells' buckets and never shuffle the
-    corpus."""
+    corpus.
+
+    The centroid table rides the index's sidecar: unlike the
+    deterministic first-N stand-in used at test scale, REAL centroids
+    come out of an offline k-means job and are not recomputable from
+    the corpus, so a restarted prober must read them back from the
+    index itself (:func:`load_ivf_centroids`) — appending or probing
+    against the wrong centroid generation silently corrupts cell
+    membership."""
     DI._save_bucketed(
         _assigned(embeddings, cent_ids, cent_vecs),
         name,
         ["cell"],
         buckets,
         path,
+        extra_meta={
+            "ivf_centroids": {
+                "ids": [int(i) for i in cent_ids],
+                "vecs": [[float(x) for x in v] for v in cent_vecs],
+            }
+        },
     )
 
 
@@ -141,6 +155,30 @@ def append_to_ivf_index(
         .bucketBy(buckets, "cell")
         .sortBy("cell")
         .saveAsTable(name)
+    )
+
+
+def load_ivf_centroids(
+    spark: SparkSession, path: str
+) -> tuple[list[int], list[list[float]]]:
+    """Read the frozen centroid table back from the index's sidecar —
+    the restart path: build once, then any fresh session does
+    ``attach_bucketed`` + ``load_ivf_centroids`` and probes/appends
+    with the exact centroid generation the corpus was coded against.
+    JSON round-trips the float32-exact doubles losslessly, so the
+    recovered assignment math is bit-identical."""
+    meta = DI._read_sidecar(spark, path)
+    if meta is None or "ivf_centroids" not in (meta or {}):
+        raise ValueError(
+            f"no ivf_centroids in the index sidecar under {path!r}: "
+            "not an IVF index built by write_ivf_index — rebuild it "
+            "(probing with guessed centroids silently mis-assigns "
+            "every query)"
+        )
+    c = meta["ivf_centroids"]
+    return (
+        [int(i) for i in c["ids"]],
+        [[float(x) for x in v] for v in c["vecs"]],
     )
 
 

@@ -153,6 +153,7 @@ def _save_bucketed(
     bucket_cols: list[str],
     buckets: int,
     path: str | None,
+    extra_meta: dict | None = None,
 ) -> None:
     """(Re)write ``df`` as a bucketed, per-bucket-sorted parquet table.
 
@@ -209,19 +210,20 @@ def _save_bucketed(
     # managed location was dropped with the table.
     loc = path if path is not None else _table_location(spark, name)
     if loc is not None:
-        _write_sidecar(
-            spark,
-            loc,
-            {
-                "bucket_cols": list(bucket_cols),
-                "buckets": int(buckets),
-                "sorted_by": list(bucket_cols),
-                "schema": [
-                    [f.name, f.dataType.simpleString()]
-                    for f in df.schema.fields
-                ],
-            },
-        )
+        meta = {
+            "bucket_cols": list(bucket_cols),
+            "buckets": int(buckets),
+            "sorted_by": list(bucket_cols),
+            "schema": [
+                [f.name, f.dataType.simpleString()]
+                for f in df.schema.fields
+            ],
+        }
+        # Caller-supplied payload (e.g. the ANN index's frozen
+        # centroid table) rides the same complete-or-absent contract.
+        if extra_meta:
+            meta.update(extra_meta)
+        _write_sidecar(spark, loc, meta)
 
 
 _SIDECAR = "_spark_graft_index.json"

@@ -246,3 +246,41 @@ def test_driver_bound_guard_fires_before_collect(spark, emb, centroids,
         spark, ivf_index, cent_ids, cent_vecs, q3, k=5, n_probe=2,
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_centroids_recover_from_sidecar(spark, emb, centroids, tmp_path):
+    """Full restart recovery: attach the index AND read the frozen
+    centroid generation back from its sidecar — real centroids come
+    from an offline k-means job and are not recomputable from the
+    corpus, so the index must carry them (r15)."""
+    from duckdb_redis_olap_scanner_spark.operators import dedup_index as DI
+
+    cent_ids, cent_vecs = centroids
+    path = str(tmp_path / "ivfc")
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_cent",
+                       path=path)
+    try:
+        q = emb.filter(F.col("vec_id") < 3)
+        want = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_cent", cent_ids, cent_vecs, q).collect()))
+        spark.sql("DROP TABLE test_ivf_cent")  # the restart
+
+        DI.attach_bucketed(spark, "test_ivf_cent", path)
+        rid, rvec = AI.load_ivf_centroids(spark, path)
+        assert rid == cent_ids and rvec == cent_vecs  # lossless JSON
+        got = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_cent", rid, rvec, q).collect()))
+        assert got == want and len(got) > 0
+        # a non-IVF index's sidecar refuses loudly
+        fp_path = str(tmp_path / "fp")
+        DI.write_fingerprint_index(
+            emb.sparkSession.table("test_ivf_cent").limit(0)
+            .selectExpr("'x' as doc_id", "'t' as text",
+                        "'en' as lang", "'w' as source"),
+            "test_fp_for_cent", path=fp_path,
+        )
+        with pytest.raises(ValueError, match="ivf_centroids"):
+            AI.load_ivf_centroids(spark, fp_path)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_cent")
+        spark.sql("DROP TABLE IF EXISTS test_fp_for_cent")
