@@ -146,6 +146,7 @@ def append_to_ivf_index(
     and :func:`verify_ivf_index` is the offline audit that catches a
     violated contract before queries do."""
     spark = new_vectors.sparkSession
+    _check_centroid_generation(spark, name, cent_ids, cent_vecs)
     buckets = DI._index_buckets(spark, name)
     (
         _assigned(new_vectors, cent_ids, cent_vecs)
@@ -158,6 +159,41 @@ def append_to_ivf_index(
     )
 
 
+def _check_centroid_generation(
+    spark: SparkSession,
+    index_table: str,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+) -> None:
+    """Compare caller-supplied centroids against the generation the
+    index's sidecar records, when reachable — mixing generations
+    silently corrupts cell membership, and the truth is stored, so
+    enforce it where the corruption happens (probe and append; r15
+    review). Unreachable/absent sidecars skip the check (pre-sidecar
+    indexes, location not resolvable) rather than failing probes."""
+    loc = DI._table_location(spark, index_table)
+    if loc is None:
+        return
+    try:
+        meta = DI._read_sidecar(spark, loc)
+    except Exception:
+        return
+    if not meta or "ivf_centroids" not in meta:
+        return
+    stored = meta["ivf_centroids"]
+    if [int(i) for i in stored["ids"]] != [int(i) for i in cent_ids] or \
+            [[float(x) for x in v] for v in stored["vecs"]] != \
+            [[float(x) for x in v] for v in cent_vecs]:
+        raise ValueError(
+            f"centroid generation mismatch for {index_table!r}: the "
+            "supplied centroids differ from the generation recorded "
+            "in the index sidecar — probing or appending across "
+            "generations mis-assigns cells silently; use "
+            "load_ivf_centroids, or rebuild with write_ivf_index "
+            "after a retrain"
+        )
+
+
 def load_ivf_centroids(
     spark: SparkSession, path: str
 ) -> tuple[list[int], list[list[float]]]:
@@ -168,7 +204,7 @@ def load_ivf_centroids(
     JSON round-trips the float32-exact doubles losslessly, so the
     recovered assignment math is bit-identical."""
     meta = DI._read_sidecar(spark, path)
-    if meta is None or "ivf_centroids" not in (meta or {}):
+    if meta is None or "ivf_centroids" not in meta:
         raise ValueError(
             f"no ivf_centroids in the index sidecar under {path!r}: "
             "not an IVF index built by write_ivf_index — rebuild it "
@@ -270,32 +306,25 @@ def ann_indexed_topk(
     # Assign the queries to cells ON THE DRIVER: the query set and the
     # centroid table both already live here, so a distributed Arrow
     # assignment pass would spend one whole Python-stage dispatch
-    # floor (~0.15 s measured at 10x) ranking a handful of rows. Same
-    # math as ranked_with_centroids to the bit: floor(float64*1000)
-    # int64 quantization, exact int64 dots, ties to the smallest
-    # centroid id (numpy lexsort, last-key-primary).
+    # floor (~0.15 s measured at 10x) ranking a handful of rows. The
+    # math is THE SAME CODE as the corpus coding, not a copy:
+    # similarity.make_cell_ranker is the one kernel both sides call.
     import numpy as np
 
-    cm = np.floor(
-        np.array(cent_vecs, dtype=np.float64) * 1000.0
-    ).astype(np.int64)
+    _check_centroid_generation(spark, index_table, cent_ids, cent_vecs)
     cids = np.array(cent_ids, dtype=np.int64)
     q_rows = []
     if raw_q:
-        qm = np.floor(
+        ranker = S.make_cell_ranker(cent_ids, cent_vecs)
+        order = ranker(
             np.array([[float(x) for x in r.embedding] for r in raw_q],
-                     dtype=np.float64) * 1000.0
-        ).astype(np.int64)
-        dots = qm @ cm.T
-        order = np.lexsort(
-            (cids[None, :].repeat(len(qm), 0), -dots), axis=1
-        )[:, : int(n_probe)]
+                     dtype=np.float64),
+            n_probe,
+        )
         for i, r in enumerate(raw_q):
+            qe = [float(x) for x in r.embedding]
             for c in order[i]:
-                q_rows.append(
-                    (int(r.vec_id), [float(x) for x in r.embedding],
-                     int(cids[c]))
-                )
+                q_rows.append((int(r.vec_id), qe, int(cids[c])))
     probed_cells = sorted({c for _, _, c in q_rows})
     q = spark.createDataFrame(
         q_rows, schema="query_id bigint, qe array<float>, cell bigint"

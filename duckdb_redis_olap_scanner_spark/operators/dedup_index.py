@@ -220,8 +220,18 @@ def _save_bucketed(
             ],
         }
         # Caller-supplied payload (e.g. the ANN index's frozen
-        # centroid table) rides the same complete-or-absent contract.
+        # centroid table) rides the same complete-or-absent contract —
+        # but must not shadow the reserved layout keys the attach path
+        # trusts: a clobbered bucket spec would re-register the table
+        # with a CLUSTERED BY that doesn't match the files and
+        # mis-co-locate every join with no error (r15 review).
         if extra_meta:
+            clash = set(extra_meta) & set(meta)
+            if clash:
+                raise ValueError(
+                    f"extra_meta must not override reserved sidecar "
+                    f"keys {sorted(clash)}"
+                )
             meta.update(extra_meta)
         _write_sidecar(spark, loc, meta)
 
@@ -341,7 +351,12 @@ def attach_bucketed(spark: SparkSession, name: str, path: str) -> None:
     cols = ", ".join(f"`{n}` {t}" for n, t in meta["schema"])
     bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
     scols = ", ".join(f"`{c}`" for c in meta["sorted_by"])
-    loc = path.replace("'", "''")  # quote-safe SQL string literal
+    # Quote-safe SQL string literal: double the quotes AND escape
+    # backslashes — Spark SQL interprets backslash escapes in string
+    # literals (verified: 'a\\b' parses to 'a\\x08'), so an unescaped
+    # backslash in a path would register a silently corrupted
+    # location (r15 review).
+    loc = path.replace("\\", "\\\\").replace("'", "''")
     spark.sql(
         f"CREATE TABLE `{name}` ({cols}) USING parquet "
         f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "

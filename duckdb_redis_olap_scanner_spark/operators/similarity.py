@@ -847,6 +847,40 @@ def ivf_ranked(
     return ranked_with_centroids(embeddings, cent_ids, cent_vecs, max_rank)
 
 
+def make_cell_ranker(cent_ids: list[int], cent_vecs: list[list[float]]):
+    """ONE copy of the cell-assignment math, shared by the Arrow
+    kernel below and ann_index's driver-side probe assignment (r15
+    review: the driver path originally duplicated this verbatim, so a
+    future change to the quantization or tie-break would silently
+    assign queries to different cells than the persisted corpus
+    coding). Returns ``rank(mat_f64, max_rank) -> order`` where
+    ``order[i]`` indexes the centroid arrays by (dot desc, centroid id
+    asc). The closure captures the quantized centroid matrix directly
+    and is serialized BY VALUE into worker closures — executors never
+    import this module for it (the similarity kernels' deliberate
+    no-package-import property)."""
+    import numpy as np
+
+    cm = np.floor(
+        np.array(cent_vecs, dtype=np.float64) * 1000.0
+    ).astype(np.int64)
+    cids = np.array(cent_ids, dtype=np.int64)
+
+    def rank(mat_f64, max_rank):
+        import numpy as np
+
+        qm = np.floor(mat_f64 * 1000.0).astype(np.int64)
+        dots = qm @ cm.T  # (rows, n_cells) exact int64
+        # Rank cells: dot desc, centroid id asc — lexsort keys are
+        # applied last-key-primary, mirroring the window's ORDER BY.
+        order = np.lexsort(
+            (cids[None, :].repeat(len(qm), 0), -dots), axis=1
+        )
+        return order[:, : int(max_rank)]
+
+    return rank
+
+
 def ranked_with_centroids(
     embeddings: DataFrame,
     cent_ids: list[int],
@@ -861,14 +895,12 @@ def ranked_with_centroids(
     derivation is split from assignment. Math and output contract are
     identical to :func:`ivf_ranked` (which now delegates here)."""
     mr = int(max_rank)
+    ranker = make_cell_ranker(cent_ids, cent_vecs)
 
     def _assign(batches):
         import numpy as np
         import pyarrow as pa
 
-        cm = np.floor(
-            np.array(cent_vecs, dtype=np.float64) * 1000.0
-        ).astype(np.int64)
         cids = np.array(cent_ids, dtype=np.int64)
         target = pa.schema(
             [
@@ -896,20 +928,15 @@ def ranked_with_centroids(
             if not n:
                 continue
             emb = batch.column("embedding")
-            qm = np.floor(_mat(emb, n) * 1000.0).astype(np.int64)
-            dots = qm @ cm.T  # (rows, n_cells) exact int64
-            # Rank cells: dot desc, centroid id asc — lexsort keys are
-            # applied last-key-primary, mirroring the window's ORDER BY.
-            order = np.lexsort((cids[None, :].repeat(len(qm), 0), -dots), axis=1)
-            top = order[:, :mr]
-            rows = np.repeat(np.arange(len(qm)), top.shape[1])
+            top = ranker(_mat(emb, n), mr)
+            rows = np.repeat(np.arange(n), top.shape[1])
             out = pa.table(
                 {
                     "vec_id": np.asarray(batch.column("vec_id"))[rows],
                     "cell": cids[top.ravel()],
                     "cell_rank": np.tile(
                         np.arange(1, top.shape[1] + 1, dtype=np.int32),
-                        len(qm),
+                        n,
                     ),
                 }
             ).append_column(

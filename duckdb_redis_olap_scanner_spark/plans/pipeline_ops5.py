@@ -2900,12 +2900,11 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     return name, os.path.join(parent, name)
 
 
-@register(
-    "pipeline_incremental_dedup_indexed",
-    # Same semantics — and oracle shape — as pipeline_incremental_dedup:
-    # the index holds DISTINCT history fingerprints, which leaves the
-    # anti join's answer unchanged.
-    oracle=f"""
+# Shared by pipeline_incremental_dedup_indexed and
+# pipeline_index_attach_recovery: the recovered index holds identical
+# distinct fingerprints, so one oracle serves both (a fingerprint/
+# canonicalization fix must change exactly one string).
+_SQL_INCR_DEDUP_ORACLE = f"""
     WITH fp AS (
       SELECT doc_id, sha256({_SQL_CANON}) AS content_fp FROM documents),
     hist AS (SELECT DISTINCT content_fp FROM fp WHERE doc_id % 2 = 0),
@@ -2917,7 +2916,15 @@ def _index_ns(spark: SparkSession, base: str) -> tuple[str, str]:
     FROM batch b
     WHERE NOT EXISTS (
       SELECT 1 FROM hist h WHERE h.content_fp = b.content_fp)
-    """,
+    """
+
+
+@register(
+    "pipeline_incremental_dedup_indexed",
+    # Same semantics — and oracle shape — as pipeline_incremental_dedup:
+    # the index holds DISTINCT history fingerprints, which leaves the
+    # anti join's answer unchanged.
+    oracle=_SQL_INCR_DEDUP_ORACLE,
     tags=("dedup",),
     doc="Incremental exact dedup against a PERSISTED fingerprint "
     "index bucketed+sorted on content_fp — the deployment shape "
@@ -3017,19 +3024,7 @@ def pipeline_incremental_ann_indexed(spark: SparkSession, sf: str):
     # re-register from the sidecar, probe. The recovered index holds
     # the same DISTINCT history fingerprints, so the oracle is the
     # incremental-dedup one unchanged.
-    oracle=f"""
-    WITH fp AS (
-      SELECT doc_id, sha256({_SQL_CANON}) AS content_fp FROM documents),
-    hist AS (SELECT DISTINCT content_fp FROM fp WHERE doc_id % 2 = 0),
-    batch AS (
-      SELECT content_fp, MIN(doc_id) AS keep_id,
-             COUNT(*) AS batch_dup_cnt
-      FROM fp WHERE doc_id % 2 = 1 GROUP BY content_fp)
-    SELECT b.content_fp, b.keep_id, b.batch_dup_cnt
-    FROM batch b
-    WHERE NOT EXISTS (
-      SELECT 1 FROM hist h WHERE h.content_fp = b.content_fp)
-    """,
+    oracle=_SQL_INCR_DEDUP_ORACLE,
     tags=("dedup",),
     doc="Restart recovery of a persisted index, end to end under the "
     "gate: write_fingerprint_index -> DROP TABLE (the catalog dies "

@@ -284,3 +284,31 @@ def test_centroids_recover_from_sidecar(spark, emb, centroids, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_cent")
         spark.sql("DROP TABLE IF EXISTS test_fp_for_cent")
+
+
+def test_centroid_generation_mismatch_is_loud(spark, emb, centroids,
+                                              tmp_path):
+    """Probing or appending with centroids that differ from the
+    generation the sidecar records must raise — mixing generations
+    silently mis-assigns cells (r15 review: the truth was stored but
+    unenforced at the two sites where corruption happens)."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_gen",
+                       path=str(tmp_path / "gen"))
+    try:
+        wrong = [[v + 1.0 for v in vec] for vec in cent_vecs]  # retrained
+        q = emb.filter(F.col("vec_id") < 2)
+        with pytest.raises(ValueError, match="generation mismatch"):
+            AI.ann_indexed_topk(
+                spark, "test_ivf_gen", cent_ids, wrong, q
+            )
+        with pytest.raises(ValueError, match="generation mismatch"):
+            AI.append_to_ivf_index(
+                emb.limit(1), cent_ids, wrong, "test_ivf_gen"
+            )
+        # the recorded generation still works
+        assert AI.ann_indexed_topk(
+            spark, "test_ivf_gen", cent_ids, cent_vecs, q
+        ).count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_gen")
