@@ -279,7 +279,11 @@ def ann_indexed_topk(
 
     Result contract: identical to
     :func:`similarity.ivf_multiprobe_topk` over the same corpus —
-    (query_id, neighbor_id, cell, cos_sim, rank)."""
+    (query_id, neighbor_id, cell, cos_sim, rank). Query ids share the
+    corpus id space: a query whose id equals a corpus vec_id never
+    returns that vector (the self-exclusion the dedup use case
+    needs), so EXTERNAL query batches must carry ids outside the
+    corpus range to receive unfiltered neighbors."""
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     # Probe-side liveness: like the dedup probes (ADVICE r14), a

@@ -312,3 +312,25 @@ def test_centroid_generation_mismatch_is_loud(spark, emb, centroids,
         ).count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_gen")
+
+
+def test_external_queries_outside_corpus_id_space(spark, emb, centroids,
+                                                  ivf_index):
+    """The serving case: query vectors NOT in the corpus. With ids
+    outside the corpus range the self-exclusion never fires, so an
+    exact duplicate of a corpus vector must come back as the rank-1
+    neighbor with cos_sim ~ 1.0 (dot == both norms in exact int64;
+    the double sqrt rounds the ratio a ulp under 1)."""
+    cent_ids, cent_vecs = centroids
+    # clone corpus vector 7 as an external query with a fresh id
+    src = emb.filter(F.col("vec_id") == 7).select("embedding").collect()
+    ext = spark.createDataFrame(
+        [(10_000_000, src[0].embedding)],
+        schema="vec_id bigint, embedding array<float>",
+    )
+    got = AI.ann_indexed_topk(
+        spark, ivf_index, cent_ids, cent_vecs, ext, k=3, n_probe=2
+    ).collect()
+    assert len(got) == 3
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 7 and top["cos_sim"] > 0.999999
