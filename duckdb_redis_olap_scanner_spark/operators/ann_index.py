@@ -136,20 +136,41 @@ def append_to_ivf_index(
     centroid generations in one index would corrupt cell membership
     silently.
 
-    Delivery contract (r15 write-path hunt): appends must be
-    AT-MOST-ONCE per vector batch. A FAILED append commits nothing
-    (Spark's job-level file commit), so retrying a failure is safe;
-    re-running a SUCCEEDED append double-inserts its vec_ids and the
-    probe would return duplicate neighbors. Unlike the fingerprint
-    index there is no natural anti-join guard (every vector is new by
-    assumption), so the maintenance loop owns the exactly-once ack —
-    and :func:`verify_ivf_index` is the offline audit that catches a
-    violated contract before queries do."""
+    Delivery contract (r15 write-path hunt, upgraded r16): appends
+    are RETRY-IDEMPOTENT, not merely at-most-once. A FAILED append
+    commits nothing (Spark's job-level file commit), so retrying a
+    failure is safe; and a retry of a SUCCEEDED append (a lost ack)
+    is absorbed by an anti-join against the index restricted to the
+    batch's own cells — the same construction that makes
+    ``dedup_index.append_fingerprints`` retry-safe. The cell
+    restriction is what keeps the guard cheap at volume: assignment
+    is deterministic given a centroid generation and the generation
+    is enforced above, so any pre-existing copy of a batch vec_id
+    MUST sit in one of the batch's assigned cells — the existing-ids
+    scan is bucket-pruned to those cells and reads only ``vec_id``.
+    Costs: one extra batch-sized Arrow pass (the distinct-cells job
+    recomputes the narrow assignment) plus one anti-join shuffled on
+    ``vec_id`` sized O(batch + index rows in the touched cells).
+    Concurrent appends are still the maintenance loop's problem
+    (two racing copies of the SAME batch can both pass the guard);
+    :func:`verify_ivf_index` remains the offline audit. A vec_id
+    re-appended with a DIFFERENT embedding is dropped, not updated —
+    vec_id is the identity, matching the fingerprint index."""
     spark = new_vectors.sparkSession
     _check_centroid_generation(spark, name, cent_ids, cent_vecs)
     buckets = DI._index_buckets(spark, name)
+    assigned = _assigned(new_vectors, cent_ids, cent_vecs)
+    batch_cells = [
+        int(r.cell)
+        for r in assigned.select("cell").distinct().collect()
+    ]
+    existing = (
+        spark.table(name)
+        .filter(F.col("cell").isin(batch_cells))
+        .select("vec_id")
+    )
     (
-        _assigned(new_vectors, cent_ids, cent_vecs)
+        assigned.join(existing, "vec_id", "left_anti")
         .repartition(buckets, F.col("cell"))
         .write.format("parquet")
         .mode("append")
@@ -166,18 +187,20 @@ def _check_centroid_generation(
     cent_vecs: list[list[float]],
 ) -> None:
     """Compare caller-supplied centroids against the generation the
-    index's sidecar records, when reachable — mixing generations
+    index's sidecar records, when recorded — mixing generations
     silently corrupts cell membership, and the truth is stored, so
     enforce it where the corruption happens (probe and append; r15
-    review). Unreachable/absent sidecars skip the check (pre-sidecar
-    indexes, location not resolvable) rather than failing probes."""
+    review). Only the DESIGNED absent states skip the check
+    (location not resolvable; sidecar file missing → ``_read_sidecar``
+    returns None; pre-IVF sidecar without the centroid key). A
+    sidecar that exists but cannot be READ OR PARSED propagates its
+    error instead of being swallowed (ADVICE r16): a corrupt sidecar
+    disabling the very generation guard it carries would let probes
+    and appends proceed against possibly wrong centroids."""
     loc = DI._table_location(spark, index_table)
     if loc is None:
         return
-    try:
-        meta = DI._read_sidecar(spark, loc)
-    except Exception:
-        return
+    meta = DI._read_sidecar(spark, loc)
     if not meta or "ivf_centroids" not in meta:
         return
     stored = meta["ivf_centroids"]
@@ -356,4 +379,47 @@ def ann_indexed_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )
+
+
+def probe(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    path: str | None = None,
+) -> DataFrame:
+    """The shape a real user wants: search a persisted IVF index by
+    NAME, without hand-carrying the centroid table through their code.
+    Attaches the index if this session has never seen it (``path``
+    names the on-disk location in that case — the restart scenario),
+    reads the frozen centroid generation back from the sidecar
+    (:func:`load_ivf_centroids`), and runs :func:`ann_indexed_topk` —
+    so every call exercises, and therefore continuously verifies, the
+    recovery path: the centroids used are by construction the ones
+    the corpus was coded against, never a caller's stale copy.
+
+    Same result contract and driver-bounded query batch as
+    :func:`ann_indexed_topk`."""
+    if not spark.catalog.tableExists(name):
+        if path is None:
+            raise ValueError(
+                f"ivf index {name!r} is not registered in this "
+                "session and no path was given — pass the index "
+                "location so it can be attached (attach_bucketed), "
+                "or build it first with write_ivf_index"
+            )
+        DI.attach_bucketed(spark, name, path)
+    loc = DI._table_location(spark, name)
+    if loc is None:
+        raise ValueError(
+            f"cannot resolve the storage location of {name!r}: the "
+            "centroid generation lives in the index sidecar and "
+            "probing with guessed centroids silently mis-assigns "
+            "every query"
+        )
+    cent_ids, cent_vecs = load_ivf_centroids(spark, loc)
+    return ann_indexed_topk(
+        spark, name, cent_ids, cent_vecs, queries, k=k, n_probe=n_probe
     )

@@ -181,8 +181,9 @@ def test_centroid_guard(emb):
 
 def test_verify_ivf_index_audit(spark, emb, centroids, tmp_path):
     """The offline integrity audit: green on a healthy index, loud on
-    a double-applied append (duplicate vec_ids — the at-most-once
-    contract violated)."""
+    duplicate vec_ids. append_to_ivf_index itself now absorbs retries
+    (r16), so the duplicates are injected with a RAW bucketed append —
+    the contract-violating legacy writer the audit exists to catch."""
     cent_ids, cent_vecs = centroids
     AI.write_ivf_index(
         emb, cent_ids, cent_vecs, "test_ivf_audit",
@@ -190,13 +191,49 @@ def test_verify_ivf_index_audit(spark, emb, centroids, tmp_path):
     )
     try:
         AI.verify_ivf_index(spark, "test_ivf_audit")  # healthy: no raise
-        batch = emb.filter(F.col("vec_id") % 7 == 3)
-        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
-                               "test_ivf_audit")  # double-apply
+        dup_rows = spark.table("test_ivf_audit").limit(3)
+        (
+            dup_rows.write.format("parquet").mode("append")
+            .bucketBy(AI.DEFAULT_IVF_BUCKETS, "cell").sortBy("cell")
+            .saveAsTable("test_ivf_audit")
+        )
         with pytest.raises(RuntimeError, match="duplicate vec_ids"):
             AI.verify_ivf_index(spark, "test_ivf_audit")
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_audit")
+
+
+def test_append_retry_absorbed_silently(spark, emb, centroids, tmp_path):
+    """The r16 delivery-contract upgrade: a lost-ack RETRY of a
+    succeeded append inserts nothing — the anti-join against the
+    batch's own (bucket-pruned) cells recognizes every vec_id as
+    already present. Count unchanged, audit clean, probe identical —
+    with no change to the entry's oracle (a first-time append still
+    inserts everything, pinned by test_incremental_equals_full_build)."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cent_ids, cent_vecs, "test_ivf_retry",
+        path=str(tmp_path / "retry"),
+    )
+    try:
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
+                               "test_ivf_retry")
+        q = emb.filter(F.col("vec_id") < 3)
+        before = spark.table("test_ivf_retry").count()
+        want = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_retry", cent_ids, cent_vecs, q).collect()))
+        # the retry: the maintenance loop lost the ack and resends
+        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
+                               "test_ivf_retry")
+        assert spark.table("test_ivf_retry").count() == before
+        AI.verify_ivf_index(spark, "test_ivf_retry")  # clean
+        got = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_retry", cent_ids, cent_vecs, q).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_retry")
 
 
 def test_attach_recovers_ivf_index(spark, emb, centroids, tmp_path):
@@ -334,3 +371,67 @@ def test_external_queries_outside_corpus_id_space(spark, emb, centroids,
     assert len(got) == 3
     top = [r for r in got if r["rank"] == 1][0]
     assert top["neighbor_id"] == 7 and top["cos_sim"] > 0.999999
+
+
+def test_probe_wrapper_recovers_and_matches(spark, emb, centroids,
+                                            tmp_path):
+    """probe(spark, name, queries): attach-if-absent + centroids from
+    the sidecar + topk — the user-facing shape that exercises the
+    recovery path on every call (VERDICT r15 #7). Must equal the
+    hand-carried ann_indexed_topk, both before and after a restart,
+    and refuse a cold probe with no path to attach from."""
+    cent_ids, cent_vecs = centroids
+    path = str(tmp_path / "pw")
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_probe",
+                       path=path)
+    try:
+        q = emb.filter(F.col("vec_id") < 3)
+        want = sorted(map(tuple, AI.ann_indexed_topk(
+            spark, "test_ivf_probe", cent_ids, cent_vecs, q).collect()))
+        got = sorted(map(tuple, AI.probe(
+            spark, "test_ivf_probe", q).collect()))
+        assert got == want and len(got) > 0
+        spark.sql("DROP TABLE test_ivf_probe")  # the restart
+        with pytest.raises(ValueError, match="not registered"):
+            AI.probe(spark, "test_ivf_probe", q)
+        got2 = sorted(map(tuple, AI.probe(
+            spark, "test_ivf_probe", q, path=path).collect()))
+        assert got2 == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_probe")
+
+
+def test_corrupt_sidecar_fails_generation_check(spark, emb, centroids,
+                                                tmp_path):
+    """ADVICE r16: a sidecar that EXISTS but cannot be parsed must
+    propagate, not silently disable the generation guard — probing or
+    appending against unverifiable centroids is exactly the corruption
+    the guard exists for. Absent sidecars still skip (pre-sidecar
+    indexes)."""
+    import os
+
+    cent_ids, cent_vecs = centroids
+    path = str(tmp_path / "corrupt")
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_corrupt",
+                       path=path)
+    try:
+        from duckdb_redis_olap_scanner_spark.operators import (
+            dedup_index as DI,
+        )
+
+        sidecar = os.path.join(path, DI._SIDECAR)
+        with open(sidecar, "wb") as f:
+            f.write(b"{not json")
+        q = emb.filter(F.col("vec_id") < 2)
+        with pytest.raises(Exception) as ei:
+            AI.ann_indexed_topk(
+                spark, "test_ivf_corrupt", cent_ids, cent_vecs, q
+            ).collect()
+        assert "json" in type(ei.value).__name__.lower() or \
+            "JSON" in str(ei.value)
+        os.remove(sidecar)  # absent sidecar: designed skip, probe runs
+        assert AI.ann_indexed_topk(
+            spark, "test_ivf_corrupt", cent_ids, cent_vecs, q
+        ).count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_corrupt")
