@@ -264,15 +264,22 @@ def _code_imports(code, _cache: dict = {}) -> list:
     return pairs
 
 
-def _resolve_import(modname: str, base_pkg: str, pkg: str):
-    """Best-effort resolution of an imported module name: absolute
-    first, then relative to the importing module's package chain. Only
-    modules inside this package resolve (stdlib/pyspark imports return
-    None — they can't dirty entries). Candidates under the package
-    prefix that aren't in ``sys.modules`` yet are IMPORTED: a module
-    referenced only from entry bodies (ann_index before any entry ran)
-    would otherwise be invisible to the dirty walk — the exact hole
-    the bytecode recovery exists to close (r15 review)."""
+def _resolve_import_all(modname: str, base_pkg: str, pkg: str):
+    """Best-effort resolution of an imported module name, yielding
+    EVERY in-package candidate: absolute first, then relative to the
+    importing module's package chain. Only modules inside this package
+    resolve (stdlib/pyspark imports yield nothing — they can't dirty
+    entries). Candidates under the package prefix that aren't in
+    ``sys.modules`` yet are IMPORTED: a module referenced only from
+    entry bodies (ann_index before any entry ran) would otherwise be
+    invisible to the dirty walk — the exact hole the bytecode recovery
+    exists to close (r15 review). Yielding ALL candidates, not just
+    the first, lets the caller keep looking when the imported attr is
+    missing on a shallower match: the bytecode drops the relative-
+    import LEVEL, so ``from .. import helper`` inside ``pkg.plans.x``
+    produces candidates ``pkg.plans`` (no ``helper`` attr) and then
+    ``pkg`` (the real target) — first-match-wins silently dropped the
+    pair (ADVICE r16)."""
     candidates = []
     if modname:
         candidates.append(modname)
@@ -304,8 +311,14 @@ def _resolve_import(modname: str, base_pkg: str, pkg: str):
                 _IMPORT_TRANSIENT.add(cand)
                 mod = None
         if mod is not None and (mod.__name__ + ".").startswith(pkg):
-            return mod
-    return None
+            yield mod
+
+
+def _resolve_import(modname: str, base_pkg: str, pkg: str):
+    """First in-package candidate, for callers that need exactly one
+    module (the submodule retry, where the name is already fully
+    qualified)."""
+    return next(_resolve_import_all(modname, base_pkg, pkg), None)
 
 
 _IMPORT_MISSES: set[str] = set()
@@ -389,17 +402,26 @@ def _referenced_pkg_callables(fn) -> frozenset:
             "__package__", None) or ""
         pkg_mods = []
         for modname, attr in local_imports:
-            mod = _resolve_import(modname, base_pkg, pkg)
-            if mod is None:
-                continue
-            target = getattr(mod, attr, None) if attr else mod
-            if target is None and attr:
-                # ``from pkg import submodule`` where the submodule
-                # was never imported: the attribute doesn't exist on
-                # the package object until import — resolve it as a
-                # module in its own right (r15 review: ann_index is
-                # imported only inside entry bodies).
-                target = _resolve_import(f"{mod.__name__}.{attr}", "", pkg)
+            target = None
+            # Try EVERY candidate module, not just the first: the
+            # bytecode loses the relative-import level, so the attr
+            # may only exist on a shallower package in the chain —
+            # first-match-wins silently dropped ``from .. import
+            # helper`` when a deeper candidate lacked it (ADVICE r16).
+            for mod in _resolve_import_all(modname, base_pkg, pkg):
+                target = getattr(mod, attr, None) if attr else mod
+                if target is None and attr:
+                    # ``from pkg import submodule`` where the
+                    # submodule was never imported: the attribute
+                    # doesn't exist on the package object until import
+                    # — resolve it as a module in its own right (r15
+                    # review: ann_index is imported only inside entry
+                    # bodies).
+                    target = _resolve_import(
+                        f"{mod.__name__}.{attr}", "", pkg
+                    )
+                if target is not None:
+                    break
             if isinstance(target, types.ModuleType):
                 # ``from . import dedup as D`` / ``import pkg.mod``:
                 # attribute uses (D.segment_dedup) resolve via co_names

@@ -392,3 +392,34 @@ def test_referenced_callables_all_import_forms():
     assert "segment_dedup" in quals(via_from_module)
     assert "exact_dedup" in quals(via_plain_dotted)
     assert "simhash_signatures" in quals(via_nested_scope)
+
+
+def test_referenced_callables_relative_import_falls_through():
+    """ADVICE r16: the bytecode drops the relative-import LEVEL, so
+    ``from .. import testing`` inside a plans/ module first resolves
+    the candidate ``...plans`` — which has no ``testing`` attr. The
+    walker must fall through to the next candidate (the top package,
+    where the submodule really lives) instead of dropping the import
+    pair; first-match-wins silently re-opened the missed-local-import
+    hole for exactly this form. The probe is a synthetic module so the
+    test controls __package__ without adding a package file; the
+    walker only reads bytecode, never runs the body."""
+    import sys
+    import types
+
+    src = (
+        "def probe(df):\n"
+        "    from .. import testing\n"
+        "    return testing.FakeRedisServer\n"
+    )
+    name = "duckdb_redis_olap_scanner_spark.plans._synthetic_probe"
+    m = types.ModuleType(name)
+    m.__package__ = "duckdb_redis_olap_scanner_spark.plans"
+    sys.modules[name] = m
+    try:
+        exec(compile(src, "<synthetic_probe>", "exec"), m.__dict__)
+        quals = {f.__qualname__ for f in
+                 catalog._referenced_pkg_callables(m.__dict__["probe"])}
+        assert "FakeRedisServer" in quals, quals
+    finally:
+        del sys.modules[name]
