@@ -155,11 +155,17 @@ def append_to_ivf_index(
     (two racing copies of the SAME batch can both pass the guard);
     :func:`verify_ivf_index` remains the offline audit. A vec_id
     re-appended with a DIFFERENT embedding is dropped, not updated —
-    vec_id is the identity, matching the fingerprint index."""
+    vec_id is the identity, matching the fingerprint index; the same
+    identity rule holds WITHIN a batch (a source that emits a vec_id
+    twice gets one row, like the fingerprint twin's per-key groupBy),
+    enforced by the dropDuplicates below — without it both copies
+    would pass the index anti-join and corrupt the index."""
     spark = new_vectors.sparkSession
     _check_centroid_generation(spark, name, cent_ids, cent_vecs)
     buckets = DI._index_buckets(spark, name)
-    assigned = _assigned(new_vectors, cent_ids, cent_vecs)
+    assigned = _assigned(new_vectors, cent_ids, cent_vecs).dropDuplicates(
+        ["vec_id"]
+    )
     batch_cells = [
         int(r.cell)
         for r in assigned.select("cell").distinct().collect()
@@ -196,7 +202,11 @@ def _check_centroid_generation(
     sidecar that exists but cannot be READ OR PARSED propagates its
     error instead of being swallowed (ADVICE r16): a corrupt sidecar
     disabling the very generation guard it carries would let probes
-    and appends proceed against possibly wrong centroids."""
+    and appends proceed against possibly wrong centroids. That
+    deliberately includes TRANSIENT remote-filesystem errors — a
+    probe that can't verify the generation right now must fail (the
+    caller's retry loop is the availability mechanism), not proceed
+    unverified."""
     loc = DI._table_location(spark, index_table)
     if loc is None:
         return
@@ -248,9 +258,11 @@ def verify_ivf_index(spark: SparkSession, index_table: str) -> None:
     re-keys the corpus, which is exactly the shuffle the probe design
     avoids.
 
-    Checks: (a) no duplicate vec_id — a double-applied append (the
-    at-most-once contract of :func:`append_to_ivf_index` violated)
-    would make probes return duplicate neighbors; (b) no NULL cell —
+    Checks: (a) no duplicate vec_id — :func:`append_to_ivf_index`
+    absorbs retries and in-batch duplicates itself (r16), so a
+    duplicate here means a raw/legacy writer appended around the
+    guard, or two copies of the same batch raced the anti-join — and
+    probes are returning duplicate neighbors; (b) no NULL cell —
     every vector must be reachable through some probe."""
     idx = spark.table(index_table)
     dup = (
@@ -261,8 +273,10 @@ def verify_ivf_index(spark: SparkSession, index_table: str) -> None:
         ids = [int(r.vec_id) for r in dup]
         raise RuntimeError(
             f"ivf index {index_table!r} holds duplicate vec_ids "
-            f"(first {len(ids)}: {ids}): an append was applied twice "
-            "— rebuild the index (write_ivf_index) or deduplicate "
+            f"(first {len(ids)}: {ids}): a writer bypassed "
+            "append_to_ivf_index's dedup guard (raw/legacy append, "
+            "or two copies of one batch racing the anti-join) — "
+            "rebuild the index (write_ivf_index) or deduplicate "
             "offline before serving probes"
         )
     n_null = idx.filter(F.col("cell").isNull()).count()
@@ -401,16 +415,23 @@ def probe(
     the corpus was coded against, never a caller's stale copy.
 
     Same result contract and driver-bounded query batch as
-    :func:`ann_indexed_topk`."""
-    if not spark.catalog.tableExists(name):
-        if path is None:
-            raise ValueError(
-                f"ivf index {name!r} is not registered in this "
-                "session and no path was given — pass the index "
-                "location so it can be attached (attach_bucketed), "
-                "or build it first with write_ivf_index"
-            )
+    :func:`ann_indexed_topk`.
+
+    When ``path`` is given it is ALWAYS handed to ``attach_bucketed``,
+    even if ``name`` is already registered: attach is idempotent on a
+    matching location and raises on a mismatch — silently preferring
+    the registered table would serve a DIFFERENT index generation
+    than the one the caller named (the exact generation swap
+    attach_bucketed exists to refuse)."""
+    if path is not None:
         DI.attach_bucketed(spark, name, path)
+    elif not spark.catalog.tableExists(name):
+        raise ValueError(
+            f"ivf index {name!r} is not registered in this "
+            "session and no path was given — pass the index "
+            "location so it can be attached (attach_bucketed), "
+            "or build it first with write_ivf_index"
+        )
     loc = DI._table_location(spark, name)
     if loc is None:
         raise ValueError(

@@ -397,8 +397,45 @@ def test_probe_wrapper_recovers_and_matches(spark, emb, centroids,
         got2 = sorted(map(tuple, AI.probe(
             spark, "test_ivf_probe", q, path=path).collect()))
         assert got2 == want
+        # path is honored even when the name is registered: a
+        # matching location is idempotent, a DIFFERENT location is
+        # the generation swap attach_bucketed refuses (review r16 —
+        # silently serving the registered table would answer from
+        # the wrong index generation).
+        got3 = sorted(map(tuple, AI.probe(
+            spark, "test_ivf_probe", q, path=path).collect()))
+        assert got3 == want
+        other = str(tmp_path / "pw_other")
+        cent_ids2, cent_vecs2 = cent_ids, cent_vecs
+        AI.write_ivf_index(emb, cent_ids2, cent_vecs2,
+                           "test_ivf_probe_other", path=other)
+        spark.sql("DROP TABLE test_ivf_probe_other")
+        with pytest.raises(ValueError):
+            AI.probe(spark, "test_ivf_probe", q, path=other)
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_probe")
+        spark.sql("DROP TABLE IF EXISTS test_ivf_probe_other")
+
+
+def test_append_dedupes_within_batch(spark, emb, centroids, tmp_path):
+    """vec_id is the identity WITHIN a batch too (review r16): a
+    source that emits the same vec_id twice gets ONE row — both
+    copies would pass the index anti-join (neither exists yet) and
+    corrupt the index the audit then condemns."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        cent_ids, cent_vecs, "test_ivf_batchdup",
+        path=str(tmp_path / "bd"),
+    )
+    try:
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        AI.append_to_ivf_index(batch.union(batch), cent_ids, cent_vecs,
+                               "test_ivf_batchdup")
+        assert spark.table("test_ivf_batchdup").count() == emb.count()
+        AI.verify_ivf_index(spark, "test_ivf_batchdup")  # clean
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_batchdup")
 
 
 def test_corrupt_sidecar_fails_generation_check(spark, emb, centroids,

@@ -45,8 +45,6 @@ from duckdb_redis_olap_scanner_spark.transport.resp import (
     RespError,
 )
 
-pytestmark = pytest.mark.usefixtures()
-
 FIX_IN_R17 = pytest.mark.xfail(
     strict=True,
     reason="known fake-Redis divergence from the public command docs; "
