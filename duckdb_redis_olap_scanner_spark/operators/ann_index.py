@@ -154,17 +154,38 @@ def append_to_ivf_index(
     Concurrent appends are still the maintenance loop's problem
     (two racing copies of the SAME batch can both pass the guard);
     :func:`verify_ivf_index` remains the offline audit. A vec_id
-    re-appended with a DIFFERENT embedding is dropped, not updated —
+    re-appended with the SAME embedding is dropped, not updated —
     vec_id is the identity, matching the fingerprint index; the same
     identity rule holds WITHIN a batch (a source that emits a vec_id
-    twice gets one row, like the fingerprint twin's per-key groupBy),
-    enforced by the dropDuplicates below — without it both copies
-    would pass the index anti-join and corrupt the index."""
+    twice gets one deterministic row, like the fingerprint twin's
+    per-key groupBy) — without the per-vec_id min-reduce below both
+    copies would pass the index anti-join and corrupt the index, and
+    a NONdeterministic survivor (dropDuplicates) would break retry
+    absorption: each retry recomputes the batch, so the survivor must
+    be a pure function of the batch's contents or the retry's
+    anti-join may look in the wrong cells (review r16).
+
+    THE ONE UNDETECTED CASE — mutating a vec_id's embedding across
+    calls: the cell restriction is sound only because a same-id copy
+    under the same centroid generation must sit in the same cell,
+    which assumes the embedding is unchanged. Re-appending a vec_id
+    with a DIFFERENT embedding than the indexed copy assigns to a
+    different cell the guard never scans, and the duplicate lands
+    silently (caught later by :func:`verify_ivf_index`, not here).
+    This is the append-only contract: an embedding CHANGE is a
+    mutation, which this index cannot express — rebuild, or dedup
+    offline. Guarding it inline would cost an index-wide semi-join
+    per append, exactly the history-sized work the design exists to
+    avoid."""
     spark = new_vectors.sparkSession
     _check_centroid_generation(spark, name, cent_ids, cent_vecs)
     buckets = DI._index_buckets(spark, name)
-    assigned = _assigned(new_vectors, cent_ids, cent_vecs).dropDuplicates(
-        ["vec_id"]
+    assigned = (
+        _assigned(new_vectors, cent_ids, cent_vecs)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("embedding", "cell")).alias("s"))
+        .select("vec_id", F.col("s.embedding").alias("embedding"),
+                F.col("s.cell").alias("cell"))
     )
     batch_cells = [
         int(r.cell)
@@ -275,9 +296,11 @@ def verify_ivf_index(spark: SparkSession, index_table: str) -> None:
             f"ivf index {index_table!r} holds duplicate vec_ids "
             f"(first {len(ids)}: {ids}): a writer bypassed "
             "append_to_ivf_index's dedup guard (raw/legacy append, "
-            "or two copies of one batch racing the anti-join) — "
-            "rebuild the index (write_ivf_index) or deduplicate "
-            "offline before serving probes"
+            "two copies of one batch racing the anti-join, or a "
+            "vec_id re-appended with a CHANGED embedding — a "
+            "mutation the append-only cell-pruned guard cannot "
+            "see) — rebuild the index (write_ivf_index) or "
+            "deduplicate offline before serving probes"
         )
     n_null = idx.filter(F.col("cell").isNull()).count()
     if n_null:

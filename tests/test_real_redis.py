@@ -404,7 +404,7 @@ def test_stream_reader_against_real_server(real_client, tracked_keys):
                     list(r.read(part))
 
 
-def test_audited_command_semantics(real_client, tracked_keys):
+def test_audited_command_semantics(real_engine, real_client, tracked_keys):
     """The r16 fake-audit's 14 divergences, asserted against the REAL
     server — the other half of the strict-xfail pins in
     tests/test_fake_redis_fidelity.py: the fake is being fixed toward
@@ -412,10 +412,19 @@ def test_audited_command_semantics(real_client, tracked_keys):
     the audit itself being wrong about any of them. (The RESP3-null
     wire shape is not re-checked here: this lane's client already
     negotiates RESP3 against the real server, so its parser exercises
-    the '_' null on every nil reply above.)"""
+    the '_' null on every nil reply above.)
+
+    real_engine is requested for its teardown alone: it owns the
+    tracked-key DEL cleanup, and a -k run of just this test must not
+    leak its namespaced keys (review r16). Bulk-string replies come
+    back as BYTES from the raw client (cf. the b'migrating' assert in
+    test_cluster_redirects) — decode before comparing."""
     from duckdb_redis_olap_scanner_spark.transport.resp import RespError
 
     c = real_client
+
+    def _s(v):
+        return v.decode() if isinstance(v, (bytes, bytearray)) else v
 
     # TTL is destroyed with the key and not resurrected by re-SET
     k = f"{NS}:aud:ttl"
@@ -485,12 +494,13 @@ def test_audited_command_semantics(real_client, tracked_keys):
     def _scan_all(*extra):
         cursor, found = "0", set()
         while True:
-            cursor, page = c.command(
+            reply = c.command(
                 "SCAN", cursor, "MATCH", f"{NS}:aud:*", *extra,
                 "COUNT", "100",
             )
-            found.update(page)
-            if str(cursor) == "0":
+            cursor = _s(reply[0])
+            found.update(_s(k) for k in reply[1])
+            if cursor == "0":
                 break
         return found
 
@@ -499,13 +509,17 @@ def test_audited_command_semantics(real_client, tracked_keys):
     assert z not in found, found
     if s in control:
         assert s in found, found
+    else:
+        # cluster seed node doesn't own the NS slot: nothing visible
+        # here, so the TYPE-filter property wasn't actually exercised
+        assert not control, control
 
     # ZRANGE REV is honored (descending), not silently ignored
-    assert c.command_redirected(
-        "ZRANGE", z, "0", "-1", "REV"
-    ) == ["c", "b", "a"]
+    assert [
+        _s(m) for m in c.command_redirected("ZRANGE", z, "0", "-1", "REV")
+    ] == ["c", "b", "a"]
 
     # HELLO with a bad version answers -NOPROTO; PING echoes its arg
     with pytest.raises(RespError, match="NOPROTO"):
         c.command("HELLO", 4)
-    assert c.command("PING", "hello") == "hello"
+    assert _s(c.command("PING", "hello")) == "hello"
