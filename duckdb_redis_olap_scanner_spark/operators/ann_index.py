@@ -180,16 +180,23 @@ def append_to_ivf_index(
     spark = new_vectors.sparkSession
     _check_centroid_generation(spark, name, cent_ids, cent_vecs)
     buckets = DI._index_buckets(spark, name)
+    raw = _assigned(new_vectors, cent_ids, cent_vecs)
     assigned = (
-        _assigned(new_vectors, cent_ids, cent_vecs)
-        .groupBy("vec_id")
+        raw.groupBy("vec_id")
         .agg(F.min(F.struct("embedding", "cell")).alias("s"))
         .select("vec_id", F.col("s.embedding").alias("embedding"),
                 F.col("s.cell").alias("cell"))
     )
+    # Cells from the PRE-dedup frame: a superset of the survivors'
+    # cells is still correct for the anti-join (extra cells only add
+    # existing vec_ids to reject against), it makes retry absorption
+    # independent of WHICH copy survived the earlier attempt, and the
+    # distinct prunes to one narrow (cell) column — through the
+    # min-struct reduce the same job would shuffle the full embedding
+    # arrays just to list cells (review r16, explain-verified).
     batch_cells = [
         int(r.cell)
-        for r in assigned.select("cell").distinct().collect()
+        for r in raw.select("cell").distinct().collect()
     ]
     existing = (
         spark.table(name)

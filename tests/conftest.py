@@ -14,6 +14,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def as_str(v):
+    """Normalize a RESP bulk-string reply (bytes) for comparisons —
+    the one shared copy for the fake-fidelity and real-Redis lanes
+    (review r16: three drifting copies existed)."""
+    return v.decode() if isinstance(v, (bytes, bytearray)) else v
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="tests", shuffle_partitions=8)

@@ -438,6 +438,45 @@ def test_append_dedupes_within_batch(spark, emb, centroids, tmp_path):
         spark.sql("DROP TABLE IF EXISTS test_ivf_batchdup")
 
 
+def test_append_dedup_survivor_is_deterministic_across_retry(
+    spark, emb, centroids, tmp_path
+):
+    """The scenario the min-reduce (not dropDuplicates) exists for
+    (review r16): one batch carries the SAME new vec_id with two
+    DIFFERENT embeddings that assign to different cells. The survivor
+    must be a pure function of the batch contents — a nondeterministic
+    pick would let a lost-ack retry keep the OTHER copy, whose
+    anti-join may not scan the first survivor's cell, double-inserting
+    the id. One row lands, the retry is absorbed, the audit stays
+    clean."""
+    cent_ids, cent_vecs = centroids
+    AI.write_ivf_index(emb, cent_ids, cent_vecs, "test_ivf_detdup",
+                       path=str(tmp_path / "dd"))
+    try:
+        # two corpus embeddings known to live in different cells
+        by_cell = {
+            int(r.cell): r.embedding
+            for r in spark.table("test_ivf_detdup")
+            .select("cell", "embedding").collect()
+        }
+        assert len(by_cell) >= 2, "golden corpus spans multiple cells"
+        (e1, e2) = list(by_cell.values())[:2]
+        batch = spark.createDataFrame(
+            [(10_000_001, e1), (10_000_001, e2)],
+            schema="vec_id bigint, embedding array<float>",
+        )
+        before = spark.table("test_ivf_detdup").count()
+        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
+                               "test_ivf_detdup")
+        assert spark.table("test_ivf_detdup").count() == before + 1
+        AI.append_to_ivf_index(batch, cent_ids, cent_vecs,
+                               "test_ivf_detdup")  # lost-ack retry
+        assert spark.table("test_ivf_detdup").count() == before + 1
+        AI.verify_ivf_index(spark, "test_ivf_detdup")  # clean
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_detdup")
+
+
 def test_corrupt_sidecar_fails_generation_check(spark, emb, centroids,
                                                 tmp_path):
     """ADVICE r16: a sidecar that EXISTS but cannot be parsed must

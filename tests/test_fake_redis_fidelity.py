@@ -45,11 +45,9 @@ from duckdb_redis_olap_scanner_spark.transport.resp import (
     RespError,
 )
 
-def _s(v):
-    """Bulk-string replies decode to bytes; normalize for compares so
-    each pin flips cleanly to XPASS once its fake fix lands."""
-    return v.decode() if isinstance(v, (bytes, bytearray)) else v
-
+# bulk-string replies decode to bytes; normalize for compares so each
+# pin flips cleanly to XPASS once its fake fix lands
+from .conftest import as_str as _s
 
 FIX_IN_R17 = pytest.mark.xfail(
     strict=True,

@@ -61,9 +61,18 @@ def real_client():
 
 
 @pytest.fixture(scope="module")
-def tracked_keys():
-    """Keys the lane created, DEL'd (redirect-following) on teardown."""
-    return set()
+def tracked_keys(real_client):
+    """Keys the lane created, DEL'd (redirect-following) on teardown.
+    The cleanup lives HERE, not on real_engine: any test that tracks
+    keys gets the teardown, including -k runs of client-only tests
+    that never instantiate a Spark session (review r16)."""
+    keys: set = set()
+    yield keys
+    for key in sorted(keys):
+        try:
+            real_client.command_redirected("DEL", key)
+        except Exception:
+            pass
 
 
 @pytest.fixture(scope="module")
@@ -93,12 +102,8 @@ def real_engine(spark, real_client, tracked_keys):
 
     eng = Engine(spark)
     eng.connect(addr)
-    yield eng
-    for key in sorted(tracked_keys):
-        try:
-            real_client.command_redirected("DEL", key)
-        except Exception:
-            pass
+    # key cleanup lives on the tracked_keys fixture itself
+    return eng
 
 
 def _seed_strings(client, tracked, pairs):
@@ -404,7 +409,7 @@ def test_stream_reader_against_real_server(real_client, tracked_keys):
                     list(r.read(part))
 
 
-def test_audited_command_semantics(real_engine, real_client, tracked_keys):
+def test_audited_command_semantics(real_client, tracked_keys):
     """The r16 fake-audit's 14 divergences, asserted against the REAL
     server — the other half of the strict-xfail pins in
     tests/test_fake_redis_fidelity.py: the fake is being fixed toward
@@ -412,19 +417,14 @@ def test_audited_command_semantics(real_engine, real_client, tracked_keys):
     the audit itself being wrong about any of them. (The RESP3-null
     wire shape is not re-checked here: this lane's client already
     negotiates RESP3 against the real server, so its parser exercises
-    the '_' null on every nil reply above.)
-
-    real_engine is requested for its teardown alone: it owns the
-    tracked-key DEL cleanup, and a -k run of just this test must not
-    leak its namespaced keys (review r16). Bulk-string replies come
+    the '_' null on every nil reply above.) Bulk-string replies come
     back as BYTES from the raw client (cf. the b'migrating' assert in
-    test_cluster_redirects) — decode before comparing."""
+    test_cluster_redirects) — decode via as_str before comparing."""
     from duckdb_redis_olap_scanner_spark.transport.resp import RespError
 
-    c = real_client
+    from .conftest import as_str as _s
 
-    def _s(v):
-        return v.decode() if isinstance(v, (bytes, bytearray)) else v
+    c = real_client
 
     # TTL is destroyed with the key and not resurrected by re-SET
     k = f"{NS}:aud:ttl"
@@ -509,10 +509,9 @@ def test_audited_command_semantics(real_engine, real_client, tracked_keys):
     assert z not in found, found
     if s in control:
         assert s in found, found
-    else:
-        # cluster seed node doesn't own the NS slot: nothing visible
-        # here, so the TYPE-filter property wasn't actually exercised
-        assert not control, control
+    # else: node-local SCAN on a node that doesn't own (or only
+    # partially sees — replica lag, mid-migration) the NS slot; the
+    # TYPE-exclusion assert above is the sound part either way
 
     # ZRANGE REV is honored (descending), not silently ignored
     assert [
