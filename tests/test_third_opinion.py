@@ -239,3 +239,110 @@ def test_exact_dedup_matches_python_hashlib(spark, reg):
         keep = r.doc_id if keep is None else min(keep, r.doc_id)
         ref[fp] = (keep, cnt + 1)
     assert got == ref and len(got) > 0
+
+
+def test_funnel_matches_python_loop(spark, reg, events_pd):
+    """The funnel's ORDERED gating (first view → first click strictly
+    AFTER it → first purchase strictly AFTER that, event_id as the
+    total order) re-derived with a per-user python loop; outer-join
+    semantics keep users who fell out mid-funnel."""
+    got = {
+        r.user_id: (r.view_id, r.click_id, r.purchase_id)
+        for r in reg["events_funnel"].fn(spark, SF_DIR).collect()
+    }
+    ref = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        views = grp[grp.event_type == "view"]["event_id"]
+        if views.empty:
+            continue
+        view_id = int(views.min())
+        clicks = grp[
+            (grp.event_type == "click") & (grp.event_id > view_id)
+        ]["event_id"]
+        click_id = int(clicks.min()) if not clicks.empty else None
+        purchase_id = None
+        if click_id is not None:
+            ps = grp[
+                (grp.event_type == "purchase") & (grp.event_id > click_id)
+            ]["event_id"]
+            purchase_id = int(ps.min()) if not ps.empty else None
+        ref[uid] = (view_id, click_id, purchase_id)
+    assert got == ref and len(got) > 0
+
+
+def test_sessionize_matches_python_loop(spark, reg, events_pd):
+    """The 30-minute gap rule's fence-post (> 1800 s on SECOND-
+    truncated epochs — 1800 exactly continues the session) re-derived
+    with a per-user loop over (ts, event_id)-sorted events."""
+    got = {
+        r.user_id: (int(r.n_sessions), int(r.n_events))
+        for r in reg["events_sessionize"].fn(spark, SF_DIR).collect()
+    }
+    e = events_pd[["user_id", "ts", "event_id"]].copy()
+    e["sec"] = _us(e["ts"]) // 1_000_000  # floor to whole seconds
+    ref = {}
+    for uid, grp in e.sort_values(
+        ["ts", "event_id"], kind="stable"
+    ).groupby("user_id"):
+        secs = grp["sec"].tolist()
+        n_sessions = 1 + sum(
+            1 for a, b in zip(secs, secs[1:]) if b - a > 1800
+        )
+        ref[uid] = (n_sessions, len(secs))
+    assert got == ref and len(got) > 0
+
+
+def test_hypertable_rollup_matches_direct_daily(spark, reg, events_pd):
+    """The cascading hourly→daily rollup must equal a DIRECT daily
+    aggregation (count/sum associativity is the whole premise of the
+    continuous-aggregate design) — computed here without the hourly
+    layer at all."""
+    got = {
+        r.day: (int(r.n_events), int(r.sum_value_cents))
+        for r in reg["hypertable_rollup"].fn(spark, SF_DIR).collect()
+    }
+    e = events_pd.copy()
+    e["day"] = e["ts"].dt.strftime("%Y-%m-%d")
+    e["cents"] = np.floor(e["value"].values * 100).astype("int64")
+    ref = {
+        day: (int(len(g)), int(g["cents"].sum()))
+        for day, g in e.groupby("day")
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_ann_cosine_topk_matches_numpy(spark, reg):
+    """Brute-force cosine top-10 re-derived in numpy with the entry's
+    own documented math (floor(x*1000) int64 quantization — dot and
+    norms exact in int64 — then cos = dot / (sqrt(na)*sqrt(nb)) in
+    double): neighbors, ranks, AND bit-exact cos values must agree.
+    Tie rank is (cos desc, neighbor asc), deterministic on both
+    sides."""
+    got = sorted(
+        (int(r.query_id), int(r.rank), int(r.neighbor_id),
+         float(r.cos_sim))
+        for r in reg["ann_cosine_topk"].fn(spark, SF_DIR).collect()
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    v = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype("float64") * 1000
+    ).astype("int64")
+    norms = (v * v).sum(axis=1)
+    ref = []
+    for qpos in np.where(ids < 5)[0]:
+        qid = int(ids[qpos])
+        dots = v @ v[qpos]
+        cos = dots.astype("float64") / (
+            np.sqrt(norms.astype("float64"))
+            * math.sqrt(float(norms[qpos]))
+        )
+        order = sorted(
+            (i for i in range(len(ids)) if int(ids[i]) != qid),
+            key=lambda i: (-cos[i], int(ids[i])),
+        )[:10]
+        ref.extend(
+            (qid, rank + 1, int(ids[i]), float(cos[i]))
+            for rank, i in enumerate(order)
+        )
+    assert got == sorted(ref) and len(got) == 50
