@@ -346,3 +346,54 @@ def test_ann_cosine_topk_matches_numpy(spark, reg):
             for rank, i in enumerate(order)
         )
     assert got == sorted(ref) and len(got) == 50
+
+
+def test_session_window_matches_python_interval_merge(spark, reg,
+                                                      events_pd):
+    """Spark's session_window gap rule, settled EMPIRICALLY (r16):
+    two events exactly gap apart MERGE (the boundary is inclusive —
+    new session iff gap > 30 min, matching the oracle's strict >).
+    The docs' half-open [start, start+gap) notation suggests the
+    opposite, so the boundary is pinned here with a two-row probe,
+    and the whole entry re-derived with a python interval merge at
+    microsecond precision."""
+    from pyspark.sql import functions as F
+
+    # the boundary probe: exactly-1800s apart -> ONE session
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.000000"),
+         (1, "2024-01-01 00:30:00.000000")],
+        "user_id int, s string",
+    ).select("user_id", F.to_timestamp("s").alias("ts"))
+    merged = (
+        probe.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count().collect()
+    )
+    assert len(merged) == 1 and merged[0]["count"] == 2
+
+    got = sorted(
+        (r.user_id, r.session_start, int(r.n_events))
+        for r in reg["stream_session_window"].fn(spark, SF_DIR).collect()
+    )
+    e = events_pd[["user_id", "ts", "event_id"]].copy()
+    e["us"] = _us(e["ts"])
+    ref = []
+    for uid, grp in e.sort_values(
+        ["ts", "event_id"], kind="stable"
+    ).groupby("user_id"):
+        us = grp["us"].tolist()
+        start, n = us[0], 1
+        for prev, cur in zip(us, us[1:]):
+            if cur - prev > 1_800_000_000:  # strict >: 1800s merges
+                ref.append((uid, start, n))
+                start, n = cur, 1
+            else:
+                n += 1
+        ref.append((uid, start, n))
+    ref = sorted(
+        (uid,
+         pd.Timestamp(start, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f"),
+         n)
+        for uid, start, n in ref
+    )
+    assert got == ref and len(got) > 0
