@@ -397,3 +397,45 @@ def test_session_window_matches_python_interval_merge(spark, reg,
         for uid, start, n in ref
     )
     assert got == ref and len(got) > 0
+
+
+def test_tumbling_window_matches_python_bucketing(spark, reg, events_pd):
+    """Tumbling 1h windows re-derived with integer floor-bucketing of
+    epoch microseconds — alignment (epoch-anchored starts) and the
+    per-bucket count/sum both pinned from the definition."""
+    got = sorted(
+        (r.win_start, r.event_type, int(r.n_events), int(r.value_cents))
+        for r in reg["stream_tumbling_window"].fn(spark, SF_DIR).collect()
+    )
+    e = events_pd.copy()
+    us = _us(e["ts"])
+    e["win"] = ((us - us % 3_600_000_000) // 1_000_000).map(
+        lambda s: pd.Timestamp(s, unit="s").strftime("%Y-%m-%d %H:%M:%S")
+    )
+    e["cents"] = np.floor(e["value"].values * 100).astype("int64")
+    ref = sorted(
+        (win, et, int(len(g)), int(g["cents"].sum()))
+        for (win, et), g in e.groupby(["win", "event_type"])
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_sliding_window_matches_python_two_starts(spark, reg, events_pd):
+    """Sliding 1h/30min: every event lands in EXACTLY the two
+    30-min-aligned window starts within its preceding hour — derived
+    here by explicit enumeration of both starts per event."""
+    got = sorted(
+        (r.win_start, int(r.n_events))
+        for r in reg["stream_sliding_window"].fn(spark, SF_DIR).collect()
+    )
+    us = _us(events_pd["ts"])
+    buckets: dict = {}
+    for u in us:
+        aligned = u - u % 1_800_000_000
+        for start in (aligned, aligned - 1_800_000_000):
+            key = pd.Timestamp(start // 1_000_000, unit="s").strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            buckets[key] = buckets.get(key, 0) + 1
+    ref = sorted(buckets.items())
+    assert got == [(w, int(n)) for w, n in ref] and len(got) > 0
