@@ -1,0 +1,314 @@
+"""Third-opinion audit, batch 10 (r16): curation composites and the
+incremental-dedup production shapes.
+
+Independent python re-derivations:
+
+* pipeline_segment_dedup   — C4-style 8-word segment removal with
+                             in-order reassembly (kept_md5 pins
+                             membership AND order; symmetric removal,
+                             every corpus-wide duplicate segment
+                             drops from ALL its docs).
+* pipeline_quality_classifier — the fixed-weight integer linear
+                             scorer (per-mille features, abs-distance
+                             term, floor divisions).
+* pipeline_curriculum_shards — margin-bucketed sharding via running
+                             counts over DISTINCT margins.
+* pipeline_quality_checks  — all six declarative checks by loop
+                             (ranges, composite-key uniqueness,
+                             FK orphans, temporal invariant).
+* pipeline_dataset_card    — the one-scan corpus card.
+* pipeline_source_overlap  — pairwise shared distinct shingle hashes.
+* pipeline_chunk_documents — 64-token windows at stride 48.
+* pipeline_incremental_dedup / pipeline_incremental_minhash — the
+                             history(even)/incoming(odd) split: exact
+                             anti-join survivors and LSH band probes
+                             with exact-Jaccard verification.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from duckdb_redis_olap_scanner_spark.operators.dedup import (
+    BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    N_MINHASH,
+    SEG_WORDS,
+)
+from duckdb_redis_olap_scanner_spark.operators.text import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    CLS_BIAS,
+    CLS_CPT_CENTER,
+    CLS_CPT_W_DIV,
+    CLS_STOP_W,
+    CLS_UNIQ_W,
+    HASH_P,
+    STOPWORDS,
+)
+from duckdb_redis_olap_scanner_spark.plans import catalog
+
+from .conftest import SF_DIR
+from .test_third_opinion3 import _canon, _md5_64, _shingles, _tokens
+
+
+@pytest.fixture(scope="module")
+def reg():
+    import duckdb_redis_olap_scanner_spark.plans  # noqa: F401 — registration
+
+    return catalog.registry()
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pd.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_segment_dedup_matches_python(spark, reg, docs_pd):
+    got = {
+        int(r.doc_id): (int(r.n_segs), int(r.n_kept), r.kept_md5)
+        for r in reg["pipeline_segment_dedup"].fn(spark, SF_DIR).collect()
+    }
+    segs: dict = {}
+    counts: Counter = Counter()
+    for r in docs_pd.itertuples(index=False):
+        toks = _tokens(r.text)
+        ss = [" ".join(toks[i: i + SEG_WORDS])
+              for i in range(0, len(toks), SEG_WORDS)]
+        segs[int(r.doc_id)] = ss
+        counts.update(ss)  # full-md5 keyed == content keyed
+    ref = {}
+    for doc_id, ss in segs.items():
+        kept = [s for s in ss if counts[s] == 1]
+        ref[doc_id] = (
+            len(ss), len(kept),
+            hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest(),
+        )
+    assert got == ref and len(got) == len(docs_pd)
+    # symmetric removal must actually fire on this corpus
+    assert any(v[1] < v[0] for v in ref.values())
+
+
+def _margin(text: str) -> tuple[int, int, int, int]:
+    toks = _tokens(text)
+    t, c = len(toks), len(text)
+    s = sum(1 for x in toks if x in STOPWORDS)
+    d = len(set(toks))
+    stop_m, uniq_m, cpt_m = 1000 * s // t, 1000 * d // t, 1000 * c // t
+    margin = (CLS_STOP_W * stop_m + CLS_UNIQ_W * uniq_m
+              - abs(cpt_m - CLS_CPT_CENTER) // CLS_CPT_W_DIV + CLS_BIAS)
+    return stop_m, uniq_m, cpt_m, margin
+
+
+def test_quality_classifier_matches_python(spark, reg, docs_pd):
+    got = {
+        int(r.doc_id): (int(r.stop_milli), int(r.uniq_milli),
+                        int(r.cpt_milli), int(r.margin), bool(r.keep))
+        for r in reg["pipeline_quality_classifier"].fn(spark, SF_DIR)
+        .collect()
+    }
+    ref = {}
+    for r in docs_pd.itertuples(index=False):
+        sm, um, cm, mg = _margin(r.text)
+        ref[int(r.doc_id)] = (sm, um, cm, mg, mg > 0)
+    assert got == ref and len(got) == len(docs_pd)
+    keep_rate = sum(v[4] for v in ref.values()) / len(ref)
+    assert 0.1 < keep_rate < 0.9  # both branches live
+
+
+def test_curriculum_shards_match_python(spark, reg, docs_pd):
+    got = {
+        int(r.shard): (int(r.n_docs), int(r.sum_tokens),
+                       int(r.min_margin), int(r.max_margin))
+        for r in reg["pipeline_curriculum_shards"].fn(spark, SF_DIR)
+        .collect()
+    }
+    rows = []
+    for r in docs_pd.itertuples(index=False):
+        _, _, _, mg = _margin(r.text)
+        rows.append((mg, len(_tokens(r.text))))
+    mc = Counter(mg for mg, _ in rows)
+    total = sum(mc.values())
+    shard_of = {}
+    cum_before = 0
+    for mg in sorted(mc, reverse=True):  # ORDER BY margin DESC
+        shard_of[mg] = min(8 * cum_before // total, 7)
+        cum_before += mc[mg]
+    agg: dict = {}
+    for mg, ntok in rows:
+        s = shard_of[mg]
+        nd, st, lo, hi = agg.get(s, (0, 0, mg, mg))
+        agg[s] = (nd + 1, st + ntok, min(lo, mg), max(hi, mg))
+    assert got == agg and len(got) > 1
+
+
+def test_quality_checks_match_python(spark, reg):
+    got = {
+        r.check_name: (int(r.n_checked), int(r.n_violations),
+                       bool(r.passed))
+        for r in reg["pipeline_quality_checks"].fn(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    n = len(li)
+    v_null = int(li["l_orderkey"].isna().sum())
+    v_qty = int(((li["l_quantity"] < 1) | (li["l_quantity"] > 50)).sum())
+    v_disc = int(((li["l_discount"] < 0) | (li["l_discount"] > 0.1)).sum())
+    grp = Counter(zip(li["l_orderkey"], li["l_linenumber"]))
+    v_dup = sum(c - 1 for c in grp.values())
+    n_groups = len(grp)
+    okeys = set(orders["o_orderkey"])
+    v_orphan = sum(1 for k in li["l_orderkey"] if k not in okeys)
+    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
+    joined = [(s, odate[k]) for k, s in zip(li["l_orderkey"],
+                                            li["l_shipdate"])
+              if k in okeys]
+    v_early = sum(1 for s, o in joined if pd.Timestamp(s) < pd.Timestamp(o))
+    ref = {
+        "pk_not_null": (n, v_null, v_null == 0),
+        "quantity_in_1_50": (n, v_qty, v_qty == 0),
+        "discount_in_0_01": (n, v_disc, v_disc == 0),
+        "unique_order_line": (n_groups, v_dup, v_dup == 0),
+        "fk_lineitem_orders": (n, v_orphan, v_orphan == 0),
+        "ship_after_order": (len(joined), v_early, v_early == 0),
+    }
+    assert got == ref and len(got) == 6
+
+
+def test_dataset_card_matches_python(spark, reg, docs_pd):
+    rows = reg["pipeline_dataset_card"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ntoks = [len(_tokens(t)) for t in docs_pd["text"]]
+    total = sum(ntoks)
+    assert (int(r.n_docs), int(r.n_sources), int(r.n_langs)) == (
+        len(docs_pd),
+        docs_pd["source"].nunique(),
+        docs_pd["lang"].nunique(),
+    )
+    assert int(r.total_tokens) == total
+    assert int(r.total_chars) == sum(len(t) for t in docs_pd["text"])
+    assert int(r.mean_tokens_milli) == total * 1000 // len(docs_pd)
+    assert (int(r.min_tokens), int(r.max_tokens)) == (min(ntoks),
+                                                      max(ntoks))
+
+
+def test_source_overlap_matches_python_sets(spark, reg, docs_pd):
+    got = {
+        (r.src_a, r.src_b): int(r.n_shared)
+        for r in reg["pipeline_source_overlap"].fn(spark, SF_DIR).collect()
+    }
+    per_source: dict = defaultdict(set)
+    for r in docs_pd.itertuples(index=False):
+        per_source[r.source].update(
+            _md5_64(s) for s in _shingles(r.text)
+        )
+    srcs = sorted(per_source)
+    ref = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(per_source[a] & per_source[b])
+            if shared:
+                ref[(a, b)] = shared
+    assert got == ref and len(got) > 0
+
+
+def test_chunk_documents_match_python(spark, reg, docs_pd):
+    got = sorted(
+        (int(r.doc_id), int(r.chunk_idx), int(r.start_tok),
+         int(r.chunk_len), int(r.chunk_hash))
+        for r in reg["pipeline_chunk_documents"].fn(spark, SF_DIR)
+        .collect()
+    )
+    ref = []
+    for r in docs_pd.itertuples(index=False):
+        toks = _tokens(r.text)
+        for start in range(0, len(toks), CHUNK_STRIDE):
+            chunk = toks[start: start + CHUNK_TOKENS]
+            ref.append((
+                int(r.doc_id), start // CHUNK_STRIDE, start,
+                min(CHUNK_TOKENS, len(toks) - start),
+                _md5_64(" ".join(chunk)),
+            ))
+    assert got == sorted(ref) and len(got) > len(docs_pd)
+
+
+def test_incremental_dedup_matches_python(spark, reg, docs_pd):
+    """History = even doc ids, incoming = odd: survivors are incoming
+    fingerprints absent from history, keep_id = first-in-batch."""
+    got = {
+        r.content_fp: (int(r.keep_id), int(r.batch_dup_cnt))
+        for r in reg["pipeline_incremental_dedup"].fn(spark, SF_DIR)
+        .collect()
+    }
+    hist = set()
+    batch: dict = {}
+    for r in docs_pd.itertuples(index=False):
+        fp = hashlib.sha256(_canon(r.text).encode("utf-8")).hexdigest()
+        if r.doc_id % 2 == 0:
+            hist.add(fp)
+        else:
+            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
+            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
+    ref = {fp: v for fp, v in batch.items() if fp not in hist}
+    # NB: at sf0.001 no odd-id doc exactly duplicates an even-id doc,
+    # so the anti-join removes nothing here — the compare still pins
+    # the fingerprints, keep ids, and batch-dup counts; the removal
+    # branch is exercised by tests/test_dedup_index.py fixtures.
+    assert got == ref and len(got) > 0
+
+
+def test_incremental_minhash_matches_python(spark, reg, docs_pd):
+    """Odd-id batch probes the even-id corpus band index; every
+    band-colliding (incoming, history) pair verified at exact Jaccard
+    >= 0.2 over the shingle-hash sets."""
+    got = sorted(
+        (int(r.doc_id), int(r.match_id), int(r.common), float(r.jaccard))
+        for r in reg["pipeline_incremental_minhash"].fn(spark, SF_DIR)
+        .collect()
+    )
+
+    def bands_of(text: str):
+        s = {_md5_64(x) for x in _shingles(text)}
+        if not s:
+            return None, []
+        m = [min((a * h + b) % HASH_P for h in s)
+             for a, b in zip(MINHASH_A, MINHASH_B)]
+        return s, [
+            (j, m[BAND_ROWS * j] * HASH_P + m[BAND_ROWS * j + 1])
+            for j in range(N_MINHASH // BAND_ROWS)
+        ]
+
+    hist_bands: dict = defaultdict(set)
+    hist_sets: dict = {}
+    inc: dict = {}
+    for r in docs_pd.itertuples(index=False):
+        s, bl = bands_of(r.text)
+        if s is None:
+            continue
+        if r.doc_id % 2 == 0:
+            hist_sets[int(r.doc_id)] = s
+            for bv in bl:
+                hist_bands[bv].add(int(r.doc_id))
+        else:
+            inc[int(r.doc_id)] = (s, bl)
+    ref = []
+    for doc_id, (s, bl) in inc.items():
+        matches = set()
+        for bv in bl:
+            matches |= hist_bands.get(bv, set())
+        for m in matches:
+            common = len(s & hist_sets[m])
+            j = common / (len(s) + len(hist_sets[m]) - common)
+            if j >= 0.2:
+                ref.append((doc_id, m, common, j))
+    assert got == sorted(ref) and len(got) > 0
