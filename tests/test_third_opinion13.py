@@ -233,3 +233,85 @@ def test_null_funcs_matches_python(spark, reg):
     assert any(v[1] for v in ref.values())
     assert any(not v[1] for v in ref.values())
     assert any(v[2] is None for v in ref.values())
+
+
+def test_subquery_correlated_integer_cross_multiply(spark, reg):
+    """Customers above their nation's mean balance, via the entry's
+    exact integer cross-multiplication (cents * n > sum_cents) —
+    re-derived with plain dict loops, no division anywhere."""
+    import numpy as np
+
+    got = sorted(
+        (int(r.c_custkey), int(r.c_nationkey))
+        for r in reg["subquery_correlated"].fn(spark, SF_DIR).collect()
+    )
+    c = pd.read_parquet(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    c["cents"] = np.floor(c["c_acctbal"].values * 100).astype("int64")
+    n_of: dict = Counter(int(k) for k in c["c_nationkey"])
+    sum_of: dict = {}
+    for nk, grp in c.groupby("c_nationkey"):
+        sum_of[int(nk)] = int(grp["cents"].sum())
+    ref = sorted(
+        (int(r.c_custkey), int(r.c_nationkey))
+        for r in c.itertuples(index=False)
+        if int(r.cents) * n_of[int(r.c_nationkey)]
+        > sum_of[int(r.c_nationkey)]
+    )
+    assert got == ref and 0 < len(got) < len(c)
+
+
+def test_ann_index_entry_equals_numpy_multiprobe(spark, reg):
+    """pipeline_incremental_ann_indexed shares ann_ivf_multiprobe's
+    oracle by construction; it must also equal the INDEPENDENT numpy
+    multiprobe re-derivation — build+append+probe through the
+    persisted bucketed index may not change a row."""
+    from .test_third_opinion6 import _ivf_assign, _topk_within
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    import numpy as np
+
+    ids = emb["vec_id"].to_numpy()
+    q = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype("float64") * 1000.0
+    ).astype("int64")
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    got = sorted(
+        (int(r.query_id), int(r.neighbor_id), int(r.cell),
+         float(r.cos_sim), int(r.rank))
+        for r in reg["pipeline_incremental_ann_indexed"]
+        .fn(spark, SF_DIR).collect()
+    )
+    assign1 = _ivf_assign(ids, q, 1)
+    probes = _ivf_assign(ids, q, 2)
+    assert got == _topk_within(ids, q, probes, assign1) and len(got) > 0
+
+
+def test_attach_recovery_entry_equals_python_incremental(spark, reg):
+    """pipeline_index_attach_recovery (build -> DROP TABLE -> attach
+    from the sidecar -> probe) must equal the independent incremental-
+    dedup reference: recovery may not change a row."""
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {
+        r.content_fp: (int(r.keep_id), int(r.batch_dup_cnt))
+        for r in reg["pipeline_index_attach_recovery"]
+        .fn(spark, SF_DIR).collect()
+    }
+    from .test_third_opinion3 import _canon as canon
+
+    hist = set()
+    batch: dict = {}
+    for r in docs.itertuples(index=False):
+        fp = hashlib.sha256(canon(r.text).encode("utf-8")).hexdigest()
+        if r.doc_id % 2 == 0:
+            hist.add(fp)
+        else:
+            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
+            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
+    assert got == {fp: v for fp, v in batch.items() if fp not in hist}
+    assert len(got) > 0
