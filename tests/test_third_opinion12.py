@@ -448,65 +448,26 @@ def test_distinct_having_sort_topk(spark, reg, orders_pd, customer_pd):
     ]
 
 
-def test_indexed_variants_equal_indexfree_references(spark, reg, docs_pd=None):
+def test_indexed_variants_equal_indexfree_references(spark, reg):
     """The persisted-index production variants must return EXACTLY the
     rows the independent references predict — the bucketed index, the
     sidecar, and the attach path may not change a single value."""
+    from .third_opinion_refs import (
+        incremental_dedup_ref,
+        incremental_minhash_ref,
+    )
+
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"])
-    # exact: same reference as pipeline_incremental_dedup (batch 10)
     got = {
         r.content_fp: (int(r.keep_id), int(r.batch_dup_cnt))
         for r in reg["pipeline_incremental_dedup_indexed"]
         .fn(spark, SF_DIR).collect()
     }
-    hist = set()
-    batch: dict = {}
-    for r in docs.itertuples(index=False):
-        fp = hashlib.sha256(_canon(r.text).encode("utf-8")).hexdigest()
-        if r.doc_id % 2 == 0:
-            hist.add(fp)
-        else:
-            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
-            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
-    assert got == {fp: v for fp, v in batch.items() if fp not in hist}
-    # minhash: same reference as pipeline_incremental_minhash
-    from .test_third_opinion3 import _md5_64, _shingles
-    from duckdb_redis_olap_scanner_spark.operators.dedup import (
-        BAND_ROWS, MINHASH_A, MINHASH_B, N_MINHASH,
-    )
-    from duckdb_redis_olap_scanner_spark.operators.text import HASH_P
-
+    assert got == incremental_dedup_ref(docs)
     got_mh = sorted(
         (int(r.doc_id), int(r.match_id), int(r.common), float(r.jaccard))
         for r in reg["pipeline_incremental_minhash_indexed"]
         .fn(spark, SF_DIR).collect()
     )
-    hist_bands: dict = defaultdict(set)
-    hist_sets: dict = {}
-    inc: dict = {}
-    for r in docs.itertuples(index=False):
-        s = {_md5_64(x) for x in _shingles(r.text)}
-        if not s:
-            continue
-        m = [min((a * h + b) % HASH_P for h in s)
-             for a, b in zip(MINHASH_A, MINHASH_B)]
-        bl = [(j, m[BAND_ROWS * j] * HASH_P + m[BAND_ROWS * j + 1])
-              for j in range(N_MINHASH // BAND_ROWS)]
-        if r.doc_id % 2 == 0:
-            hist_sets[int(r.doc_id)] = s
-            for bv in bl:
-                hist_bands[bv].add(int(r.doc_id))
-        else:
-            inc[int(r.doc_id)] = (s, bl)
-    ref_mh = []
-    for doc_id, (s, bl) in inc.items():
-        matches: set = set()
-        for bv in bl:
-            matches |= hist_bands.get(bv, set())
-        for m2 in matches:
-            common = len(s & hist_sets[m2])
-            j = common / (len(s) + len(hist_sets[m2]) - common)
-            if j >= 0.2:
-                ref_mh.append((doc_id, m2, common, j))
-    assert got_mh == sorted(ref_mh) and len(got_mh) > 0
+    assert got_mh == incremental_minhash_ref(docs) and len(got_mh) > 0

@@ -23,14 +23,21 @@ from collections import Counter
 import pandas as pd
 import pytest
 
-from duckdb_redis_olap_scanner_spark.operators.text import (
-    PII_CC_RE,
-    PII_EMAIL_RE,
-    PII_IP_RE,
-    PII_PHONE_RE,
-    PII_SSN_RE,
-)
 from duckdb_redis_olap_scanner_spark.plans import catalog
+
+# The PII patterns ARE the spec being exercised (which strings count
+# as each class), re-stated here as literals rather than imported from
+# operators/text.py so a silent edit to the product regexes fails this
+# audit instead of rewriting its reference (review finding r16). The
+# semantics under audit — per-class counts on the original text, the
+# fixed redaction order, Luhn gating, md5/len_delta — are re-derived
+# below with python re.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+PII_IP_RE = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
+PII_CC_RE = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
 
 from .conftest import SF_DIR
 
@@ -295,6 +302,8 @@ def test_attach_recovery_entry_equals_python_incremental(spark, reg):
     """pipeline_index_attach_recovery (build -> DROP TABLE -> attach
     from the sidecar -> probe) must equal the independent incremental-
     dedup reference: recovery may not change a row."""
+    from .third_opinion_refs import incremental_dedup_ref
+
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["doc_id", "text"])
     got = {
@@ -302,16 +311,4 @@ def test_attach_recovery_entry_equals_python_incremental(spark, reg):
         for r in reg["pipeline_index_attach_recovery"]
         .fn(spark, SF_DIR).collect()
     }
-    from .test_third_opinion3 import _canon as canon
-
-    hist = set()
-    batch: dict = {}
-    for r in docs.itertuples(index=False):
-        fp = hashlib.sha256(canon(r.text).encode("utf-8")).hexdigest()
-        if r.doc_id % 2 == 0:
-            hist.add(fp)
-        else:
-            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
-            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
-    assert got == {fp: v for fp, v in batch.items() if fp not in hist}
-    assert len(got) > 0
+    assert got == incremental_dedup_ref(docs) and len(got) > 0

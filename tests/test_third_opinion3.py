@@ -304,15 +304,24 @@ def _python_lsh_pairs(docs_pd, threshold: float = 0.2):
     return pairs
 
 
-def test_minhash_lsh_matches_python_pipeline(spark, reg, docs_pd):
+@pytest.fixture(scope="module")
+def lsh_pairs(docs_pd):
+    """The full hashlib LSH reference, computed once per module (it
+    re-shingles and re-hashes the whole corpus — review finding r16:
+    three tests recomputed it)."""
+    return _python_lsh_pairs(docs_pd)
+
+
+def test_minhash_lsh_matches_python_pipeline(spark, reg, docs_pd,
+                                             lsh_pairs):
     got = sorted(
         (int(r.doc_a), int(r.doc_b), int(r.common), float(r.jaccard))
         for r in reg["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
     )
-    assert got == _python_lsh_pairs(docs_pd) and len(got) > 0
+    assert got == lsh_pairs and len(got) > 0
 
 
-def test_minhash_clusters_match_union_find(spark, reg, docs_pd):
+def test_minhash_clusters_match_union_find(spark, reg, lsh_pairs):
     """Connected components over the near-dup pairs via union-find —
     a third algorithm against the entry's min-label propagation and
     the oracle's recursive CTE."""
@@ -320,7 +329,7 @@ def test_minhash_clusters_match_union_find(spark, reg, docs_pd):
         int(r.doc_id): int(r.cluster_id)
         for r in reg["dedup_minhash_clusters"].fn(spark, SF_DIR).collect()
     }
-    pairs = _python_lsh_pairs(docs_pd)
+    pairs = lsh_pairs
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -339,12 +348,13 @@ def test_minhash_clusters_match_union_find(spark, reg, docs_pd):
     assert got == ref and len(got) > 0
 
 
-def test_cluster_survivors_match_union_find(spark, reg, docs_pd):
+def test_cluster_survivors_match_union_find(spark, reg, docs_pd,
+                                            lsh_pairs):
     got = [
         int(r.doc_id)
         for r in reg["dedup_cluster_survivors"].fn(spark, SF_DIR).collect()
     ]
-    pairs = _python_lsh_pairs(docs_pd)
+    pairs = lsh_pairs
     losers = set()
     parent: dict = {}
 

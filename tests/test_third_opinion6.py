@@ -44,9 +44,28 @@ from duckdb_redis_olap_scanner_spark.operators.similarity import (
     N_LSH_TABLES,
     N_PLANES,
     RP_OUT_DIM,
-    hyperplane_weights,
-    table_planes,
 )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """The plane family re-derived from its DOCUMENTED closed form
+    ('w[j][i] = ((j*2654435761 + i*40503) % 2001) - 1000'), NOT
+    imported from operators/similarity — so a drift between the code
+    and its spec is caught here (review finding r16: importing the
+    product function made the plane generation a shared, unaudited
+    input to all three opinions)."""
+    return [
+        [((j * 2654435761 + i * 40503) % 2001) - 1000
+         for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def table_planes(t: int, n_planes: int = N_PLANES,
+                 dim: int = 64) -> list[list[int]]:
+    """Per-table plane sets from the same documented family: table t
+    uses planes t*n_planes .. (t+1)*n_planes - 1."""
+    return hyperplane_weights((t + 1) * n_planes, dim)[t * n_planes:]
 from duckdb_redis_olap_scanner_spark.operators.text import STOPWORDS
 from duckdb_redis_olap_scanner_spark.plans import catalog
 

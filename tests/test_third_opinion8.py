@@ -103,21 +103,28 @@ def _python_bpe_train(docs_pd, n_merges: int = BPE_N_MERGES):
     return merges
 
 
-def test_bpe_train_matches_python_sennrich(spark, reg, docs_pd):
+@pytest.fixture(scope="module")
+def bpe_merges(docs_pd):
+    """The Sennrich training reference, computed once per module
+    (review finding r16: train and encode each re-ran it)."""
+    return _python_bpe_train(docs_pd)
+
+
+def test_bpe_train_matches_python_sennrich(spark, reg, bpe_merges):
     got = sorted(
         (int(r.merge_rank), r.lhs, r.rhs, r.merged, int(r.pair_freq))
         for r in reg["pipeline_bpe_train"].fn(spark, SF_DIR).collect()
     )
-    ref = _python_bpe_train(docs_pd)
-    assert got == ref and len(got) == BPE_N_MERGES
+    assert got == bpe_merges and len(got) == BPE_N_MERGES
 
 
-def test_bpe_encode_matches_python_apply(spark, reg, docs_pd):
+def test_bpe_encode_matches_python_apply(spark, reg, docs_pd,
+                                         bpe_merges):
     got = {
         int(r.doc_id): (int(r.n_words), int(r.n_bpe_tokens), r.tokens_md5)
         for r in reg["pipeline_bpe_encode"].fn(spark, SF_DIR).collect()
     }
-    merges = _python_bpe_train(docs_pd)
+    merges = bpe_merges
     ref = {}
     for r in docs_pd.itertuples(index=False):
         streams = []

@@ -245,70 +245,30 @@ def test_chunk_documents_match_python(spark, reg, docs_pd):
 def test_incremental_dedup_matches_python(spark, reg, docs_pd):
     """History = even doc ids, incoming = odd: survivors are incoming
     fingerprints absent from history, keep_id = first-in-batch."""
+    from .third_opinion_refs import incremental_dedup_ref
+
     got = {
         r.content_fp: (int(r.keep_id), int(r.batch_dup_cnt))
         for r in reg["pipeline_incremental_dedup"].fn(spark, SF_DIR)
         .collect()
     }
-    hist = set()
-    batch: dict = {}
-    for r in docs_pd.itertuples(index=False):
-        fp = hashlib.sha256(_canon(r.text).encode("utf-8")).hexdigest()
-        if r.doc_id % 2 == 0:
-            hist.add(fp)
-        else:
-            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
-            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
-    ref = {fp: v for fp, v in batch.items() if fp not in hist}
     # NB: at sf0.001 no odd-id doc exactly duplicates an even-id doc,
     # so the anti-join removes nothing here — the compare still pins
     # the fingerprints, keep ids, and batch-dup counts; the removal
-    # branch is exercised by tests/test_dedup_index.py fixtures.
-    assert got == ref and len(got) > 0
+    # branch is exercised by the adversarial corpus and
+    # tests/test_dedup_index.py fixtures.
+    assert got == incremental_dedup_ref(docs_pd) and len(got) > 0
 
 
 def test_incremental_minhash_matches_python(spark, reg, docs_pd):
     """Odd-id batch probes the even-id corpus band index; every
     band-colliding (incoming, history) pair verified at exact Jaccard
     >= 0.2 over the shingle-hash sets."""
+    from .third_opinion_refs import incremental_minhash_ref
+
     got = sorted(
         (int(r.doc_id), int(r.match_id), int(r.common), float(r.jaccard))
         for r in reg["pipeline_incremental_minhash"].fn(spark, SF_DIR)
         .collect()
     )
-
-    def bands_of(text: str):
-        s = {_md5_64(x) for x in _shingles(text)}
-        if not s:
-            return None, []
-        m = [min((a * h + b) % HASH_P for h in s)
-             for a, b in zip(MINHASH_A, MINHASH_B)]
-        return s, [
-            (j, m[BAND_ROWS * j] * HASH_P + m[BAND_ROWS * j + 1])
-            for j in range(N_MINHASH // BAND_ROWS)
-        ]
-
-    hist_bands: dict = defaultdict(set)
-    hist_sets: dict = {}
-    inc: dict = {}
-    for r in docs_pd.itertuples(index=False):
-        s, bl = bands_of(r.text)
-        if s is None:
-            continue
-        if r.doc_id % 2 == 0:
-            hist_sets[int(r.doc_id)] = s
-            for bv in bl:
-                hist_bands[bv].add(int(r.doc_id))
-        else:
-            inc[int(r.doc_id)] = (s, bl)
-    ref = []
-    for doc_id, (s, bl) in inc.items():
-        matches = set()
-        for bv in bl:
-            matches |= hist_bands.get(bv, set())
-        for m in matches:
-            common = len(s & hist_sets[m])
-            j = common / (len(s) + len(hist_sets[m]) - common)
-            if j >= 0.2:
-                ref.append((doc_id, m, common, j))
-    assert got == sorted(ref) and len(got) > 0
+    assert got == incremental_minhash_ref(docs_pd) and len(got) > 0

@@ -144,25 +144,25 @@ def test_watermark_dedup_fires(spark, reg, adv_dir):
 
 
 def test_incremental_dedup_removal_fires(spark, reg, adv_dir):
+    from .third_opinion_refs import incremental_dedup_ref
+
     got = {
         r.content_fp: (int(r.keep_id), int(r.batch_dup_cnt))
         for r in reg["pipeline_incremental_dedup"].fn(spark, adv_dir)
         .collect()
     }
-    hist = set()
-    batch: dict = {}
-    for r in _mk_docs().itertuples(index=False):
-        fp = hashlib.sha256(_canon(r.text).encode("utf-8")).hexdigest()
-        if r.doc_id % 2 == 0:
-            hist.add(fp)
-        else:
-            keep, cnt = batch.get(fp, (int(r.doc_id), 0))
-            batch[fp] = (min(keep, int(r.doc_id)), cnt + 1)
-    ref = {fp: v for fp, v in batch.items() if fp not in hist}
+    docs = _mk_docs()
+    ref = incremental_dedup_ref(docs)
     assert got == ref
     # doc 1 duplicates doc 0 (history side); "" and whitespace-only
-    # canonicalize identically, so doc 3 (odd) collides with doc 2
-    assert len(ref) < len(batch)
+    # canonicalize identically, so doc 3 (odd) collides with doc 2 —
+    # the anti-join removal branch genuinely fires (there are odd-id
+    # batch fingerprints, but fewer survivors)
+    n_batch_fps = len({
+        hashlib.sha256(_canon(r.text).encode("utf-8")).hexdigest()
+        for r in docs.itertuples(index=False) if r.doc_id % 2 == 1
+    })
+    assert len(ref) < n_batch_fps
 
 
 def test_dau_wau_empty_window_days_excluded(spark, reg, adv_dir):

@@ -191,9 +191,11 @@ def test_sessionize_exact_gap_boundary(spark, reg, adv_dir):
     }
     # u3: 1800 s continues (300->301 same session), then 1801 s splits
     assert got[3] == (2, 3)
-    # u2: all events within an hour+1us -> gaps 0, 3600, 1(+)s: the
-    # 3600 s gap SPLITS (> 1800)
-    assert got[2][1] == 4
+    # u2: events at +10h, +10h, +11h, +12h+1us -> second-truncated
+    # gaps 0 s, 3600 s, 3600 s; both 3600 s gaps SPLIT (> 1800), so
+    # exactly THREE sessions over four events (review finding r16:
+    # asserting only n_events let a merge-at-3600s bug pass)
+    assert got[2] == (3, 4)
 
 
 def test_funnel_order_gating(spark, reg, adv_dir):
