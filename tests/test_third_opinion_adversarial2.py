@@ -214,6 +214,9 @@ def test_funnel_order_gating(spark, reg, adv_dir):
     assert got[5] == (500, 501, None)
     # u2/u3: views only — no click stage
     assert got[2][1] is None and got[3][1] is None
+    # u1 has clicks and purchases but NO view: the funnel is view-
+    # gated, so the user must be absent entirely
+    assert 1 not in got and set(got) == {2, 3, 4, 5}
 
 
 def test_percent_rank_singleton_partition(spark, reg, adv_dir):
