@@ -27,7 +27,14 @@ ENTRIES = registry()
 
 
 def plan_of(spark, name: str) -> str:
-    df = ENTRIES[name].fn(spark, SF_DIR)
+    # raw_fn, not the memoized fn: once ANY earlier test has executed
+    # the memoized DataFrame, AQE finalizes its plan and
+    # explain("formatted") renders the adaptive final plan (different
+    # exchange-line counts) — the reverse-file-order r16 sweep caught
+    # test_window_plans_single_shuffle flipping on exactly this. A
+    # fresh unexecuted frame always shows the submitted plan.
+    e = ENTRIES[name]
+    df = (e.raw_fn or e.fn)(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
