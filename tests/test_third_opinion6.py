@@ -227,23 +227,35 @@ def test_range_search_matches_numpy(spark, reg, vecs):
     assert got == sorted(ref) and len(got) > 0
 
 
+def _all_pairs_cosine(ids, q) -> dict:
+    """All-pairs quantized cosine in ONE int64 matmul — per-element
+    IEEE ops identical to the scalar form (int64 dots are exact;
+    the division and sqrts are element-wise), so values stay
+    bit-exact while the reference scales to sf0.01 (the per-pair
+    python loop did not — it was deselected from the sf0.01 sweep
+    until this vectorization)."""
+    dots = q @ q.T  # exact int64
+    norms = (q * q).sum(axis=1).astype("float64")
+    denom = np.sqrt(norms)[:, None] * np.sqrt(norms)[None, :]
+    cos = dots.astype("float64") / denom
+    out = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            out[(int(ids[a]), int(ids[b]))] = float(cos[a, b])
+    return out
+
+
 def test_embedding_cosine_pairs_match_numpy(spark, reg, vecs):
     ids, q = vecs
     got = sorted(
         (int(r.vec_a), int(r.vec_b), float(r.cos_sim))
         for r in reg["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
     )
-    norms = (q * q).sum(axis=1)
-    ref = []
-    for a in range(len(ids)):
-        for b in range(a + 1, len(ids)):
-            if ids[a] == ids[b]:
-                continue
-            lo, hi = (a, b) if ids[a] < ids[b] else (b, a)
-            c = _cos(int(q[lo] @ q[hi]), int(norms[lo]), int(norms[hi]))
-            if c >= 0.45:
-                ref.append((int(ids[lo]), int(ids[hi]), c))
-    assert got == sorted(ref) and len(got) > 0
+    allc = _all_pairs_cosine(ids, q)
+    ref = sorted(
+        (a, b, c) for (a, b), c in allc.items() if c >= 0.45
+    )
+    assert got == ref and len(got) > 0
 
 
 def test_embedding_lsh_matches_numpy_tables(spark, reg, vecs):
@@ -266,22 +278,13 @@ def test_embedding_lsh_matches_numpy_tables(spark, reg, vecs):
         for x, a in enumerate(ms):
             for b in ms[x + 1:]:
                 cand.add((a, b))
-    norms = (q * q).sum(axis=1)
-    pos = {int(i): k for k, i in enumerate(ids)}
-    ref = []
-    for a, b in sorted(cand):
-        c = _cos(int(q[pos[a]] @ q[pos[b]]),
-                 int(norms[pos[a]]), int(norms[pos[b]]))
-        if c >= 0.45:
-            ref.append((a, b, c))
-    assert got == sorted(ref) and len(got) > 0
-    brute = {
-        (a, b): c
-        for a in pos for b in pos if a < b
-        for c in [_cos(int(q[pos[a]] @ q[pos[b]]),
-                       int(norms[pos[a]]), int(norms[pos[b]]))]
-        if c >= 0.45
-    }
+    allc = _all_pairs_cosine(ids, q)
+    ref = sorted(
+        (a, b, allc[(a, b)]) for a, b in sorted(cand)
+        if allc[(a, b)] >= 0.45
+    )
+    assert got == ref and len(got) > 0
+    brute = {k for k, c in allc.items() if c >= 0.45}
     assert all((a, b) in brute for a, b, _ in got)  # precision == 1
 
 
