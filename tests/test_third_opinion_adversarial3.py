@@ -265,3 +265,48 @@ def test_pack_manifest_fullness_invariant_real_corpus(spark, reg):
             assert fill == 1.0, (s, fill)
         partial += seqs[-1][1] < 1.0
     assert partial >= 1  # at least one bucket has a partial tail
+
+
+@pytest.fixture(scope="module")
+def twin_centroid_dir(tmp_path_factory):
+    """A corpus whose IVF seed centroids 2 and 3 are IDENTICAL: every
+    vector's dot products to the two cells tie exactly, so the
+    (dot desc, cid asc) tie-break decides EVERY assignment between
+    them — a fence-post no random corpus exercises."""
+    d = tmp_path_factory.mktemp("adv_twin_cent")
+    vecs = {}
+    for i in range(24):
+        vecs[i] = [math.sin(0.9 * i + 0.21 * j) for j in range(DIM)]
+    vecs[3] = list(vecs[2])  # identical centroid pair
+    _write_embeddings(d / "embeddings.parquet", vecs)
+    return str(d), vecs
+
+
+def test_ivf_identical_centroids_tie_to_lower_cell(spark, reg,
+                                                   twin_centroid_dir):
+    from .test_third_opinion6 import _ivf_assign, _topk_within
+
+    path, vecs = twin_centroid_dir
+    q = np.floor(
+        np.stack([np.array(vecs[i], dtype=np.float32)
+                  for i in sorted(vecs)]).astype("float64") * 1000.0
+    ).astype("int64")
+    ids = np.array(sorted(vecs), dtype="int64")
+    got = sorted(
+        (int(r.query_id), int(r.neighbor_id), int(r.cell),
+         float(r.cos_sim), int(r.rank))
+        for r in reg["ann_ivf_topk"].fn(spark, path).collect()
+    )
+    assign = _ivf_assign(ids, q, 1)
+    assert got == _topk_within(ids, q, assign, assign) and len(got) > 0
+    # the tie-break fence-post: quantization makes cells 2 and 3
+    # identical, so NOTHING may land in cell 3 (first-max == lowest
+    # cid) — including vector 3 itself
+    assert all(c[0] != 3 for c in assign.values())
+    assert assign[3][0] == 2
+    got_cells = {
+        int(r.vec_id): int(r.cell0)
+        for r in reg["pipeline_kmeans_refine"].fn(spark, path).collect()
+    }
+    assert got_cells == {i: c[0] for i, c in assign.items()}
+    assert 3 not in set(got_cells.values())
