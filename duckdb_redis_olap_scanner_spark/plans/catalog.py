@@ -54,12 +54,39 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 
 
 def _session_key(spark: SparkSession) -> str:
-    """Stable cache key for a session. ``id(spark)`` is unsafe: CPython
-    reuses object ids after GC, so a DataFrame bound to a stopped session
-    could be served to a new session whose id() collides. applicationId +
-    startTime is unique per SparkContext lifetime."""
+    """Stable, session-unique cache key.
+
+    ``id(spark)`` is unsafe: CPython reuses object ids after GC, so a
+    DataFrame bound to a stopped session could be served to a new
+    session whose id() collides. applicationId + startTime alone is
+    also unsafe: ``spark.newSession()`` shares the SparkContext (same
+    applicationId and startTime) but has its OWN session state — temp
+    views registered in one session are invisible in the other, so a
+    context-scoped key lets a fresh-session ``table()`` call poison
+    view-based entries for the main session (found by the r16
+    third-opinion audit: sf0.01 rows served at sf0.001). The JVM
+    ``sessionUUID`` is generated per SparkSession instance and never
+    reused, so it disambiguates sibling sessions; applicationId +
+    startTime stays in the key as a belt-and-braces context scope.
+    """
     sc = spark.sparkContext
-    return f"{sc.applicationId}:{sc.startTime}"
+    try:
+        uuid = spark._jsparkSession.sessionUUID()
+    except Exception:
+        # No JVM handle (e.g. Spark Connect): fall back to a nonce
+        # attached to the Python session wrapper. setattr keeps the
+        # nonce alive exactly as long as the wrapper object, so a
+        # recycled id() can never inherit a stale nonce.
+        uuid = getattr(spark, "_drosp_session_nonce", None)
+        if uuid is None:
+            import uuid as _uuid
+
+            uuid = _uuid.uuid4().hex
+            try:
+                spark._drosp_session_nonce = uuid
+            except Exception:
+                pass
+    return f"{sc.applicationId}:{sc.startTime}:{uuid}"
 
 
 def register(

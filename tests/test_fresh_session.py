@@ -14,6 +14,9 @@ class impossible to reintroduce:
    entry whose source reads a `redis_*` format string directly must
    also call `register_datasources` (or go through `_engine`/`Engine`,
    which registers in `Engine.__init__` — engine.py:155).
+3. `test_table_cache_is_session_unique` pins the r16 cache-poisoning
+   finding (fixed in r17): `_session_key` now includes the JVM
+   sessionUUID, so sibling `newSession()`s can never share cache rows.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import pytest
 
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_ORACLE
 
 
 def _redis_entries():
@@ -37,33 +40,10 @@ def test_redis_entries_exist():
     assert len(_redis_entries()) >= 10
 
 
-@pytest.fixture
-def _quarantined_table_cache():
-    """Cache-poisoning quarantine (r16 audit finding): `newSession()`
-    shares the applicationId, so `catalog._session_key` gives a FRESH
-    session the SAME cache key as the main session. A `table()` call
-    on the fresh session then stores a fresh-session-bound DataFrame
-    that later MAIN-session entries receive from the cache — and
-    `createOrReplaceTempView` on that DataFrame registers the view in
-    the FRESH session's namespace, so a main-session `spark.sql`
-    entry silently resolves the view name to whatever an earlier test
-    left in the main namespace (observed: subquery entries at sf0.001
-    returning sf0.01 rows after oracle-parity ran). Until the cache
-    key is session-unique (a `table()`/`_session_key` edit — in every
-    entry's dirty closure, so deferred with gate arithmetic), every
-    fresh-session test must drop the table-cache entries it created."""
-    before = set(catalog._TABLE_CACHE)
-    yield
-    for k in set(catalog._TABLE_CACHE) - before:
-        del catalog._TABLE_CACHE[k]
-
-
 @pytest.mark.parametrize(
     "name", [e.name for e in _redis_entries()]
 )
-def test_redis_entries_survive_fresh_session(
-    spark, name, monkeypatch, _quarantined_table_cache
-):
+def test_redis_entries_survive_fresh_session(spark, name, monkeypatch):
     """Each redis entry must bootstrap its own session state: a fresh
     `newSession()` shares the SparkContext (no JVM restart) but has
     empty session-local data source registrations and conf — the same
@@ -71,10 +51,8 @@ def test_redis_entries_survive_fresh_session(
     Env is cleared so the entries take the same golden-server path the
     driver's gate takes.
 
-    `raw_fn`, not `entry.fn`: the registry memo shares the fresh
-    session's cache key (see _quarantined_table_cache), so going
-    through `fn` would ALSO pin fresh-session DataFrames into the
-    memo that later main-session callers receive."""
+    `raw_fn`, not `entry.fn`: the point is to exercise the entry's own
+    bootstrap, not the registry memo's (now session-unique) cache."""
     monkeypatch.delenv("SPARK_GRAFT_REDIS_ADDR", raising=False)
     fresh = spark.newSession()
     entry = catalog.registry()[name]
@@ -103,9 +81,7 @@ def test_direct_format_reads_register_first():
         "pipeline_incremental_minhash_indexed",
     ],
 )
-def test_indexed_entries_survive_fresh_session_twice(
-    spark, name, _quarantined_table_cache
-):
+def test_indexed_entries_survive_fresh_session_twice(spark, name):
     """The r12 indexed-dedup entries create catalog tables as part of
     their build — the same session-state bug class the redis entries
     had: they must work in a blank `newSession()` (first gate entry
@@ -115,35 +91,41 @@ def test_indexed_entries_survive_fresh_session_twice(
     n_rows = []
     for _ in range(2):
         fresh = spark.newSession()
-        # raw_fn bypasses the registry's per-(app, sf_dir) plan memo —
-        # newSession() shares the applicationId, so entry.fn would
-        # serve iteration 1's DataFrame and never rebuild the index.
+        # raw_fn bypasses the registry's per-(session, sf_dir) memo so
+        # iteration 2 rebuilds the index instead of serving a plan.
         df = catalog.registry()[name].raw_fn(fresh, SF_DIR)
         n_rows.append(df.count())
     assert n_rows[0] == n_rows[1] >= 0
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="catalog._session_key keys caches by applicationId, which "
-    "newSession() shares: a fresh-session table() poisons the cache "
-    "for main-session callers, whose createOrReplaceTempView then "
-    "registers in the FRESH session's namespace so spark.sql resolves "
-    "the view to stale main-session state (r16 audit finding — the "
-    "subquery third-opinion tests caught sf0.01 rows at sf0.001). "
-    "Strict xfail = the r17 session-unique-key fix flips this to "
-    "XPASS and forces removing the marker.",
-)
-def test_table_cache_is_session_unique(spark, _quarantined_table_cache):
-    """THE poisoning scenario, reproduced deterministically: after a
-    fresh-session table() touch and a stale main-session view, a
-    view-based entry rebuilt on the MAIN session at sf0.001 must
-    still return sf0.001 rows."""
+def test_session_key_is_session_unique(spark):
+    """Sibling sessions of one SparkContext must get distinct keys —
+    the root cause of the r16 poisoning was both mapping to
+    applicationId:startTime."""
+    fresh = spark.newSession()
+    assert catalog._session_key(spark) != catalog._session_key(fresh)
+    # and the key is stable for a given session
+    assert catalog._session_key(spark) == catalog._session_key(spark)
+
+
+def test_table_cache_is_session_unique(spark):
+    """THE r16 poisoning scenario, reproduced deterministically: after
+    a fresh-session table() touch and a stale main-session view, a
+    view-based entry rebuilt on the MAIN session at the small sf must
+    still return small-sf rows. Fixed in r17 by including the JVM
+    sessionUUID in `_session_key`.
+
+    The big-sf side uses SF_DIR_ORACLE; if the suite is ever run with
+    SF_DIR == SF_DIR_ORACLE the poisoned and truth counts coincide and
+    the test proves nothing, so it skips (ADVICE r16)."""
     sf_small = SF_DIR
-    sf_big = "/root/testdata/sf0.01"
+    sf_big = SF_DIR_ORACLE
+    import os
+
+    if os.path.abspath(sf_small) == os.path.abspath(sf_big):
+        pytest.skip("SF_DIR == SF_DIR_ORACLE: poisoning is unobservable")
     entry = catalog.registry()["subquery_correlated"]
     truth = (entry.raw_fn or entry.fn)(spark, sf_small).count()
-    import os
 
     key = (
         catalog._session_key(spark),
@@ -151,12 +133,12 @@ def test_table_cache_is_session_unique(spark, _quarantined_table_cache):
         "customer",
     )
     try:
-        # 0) the poisoning requires the FRESH session to be the first
-        # owner of the cache key — evict the main-session entry the
-        # truth computation just created
+        # 0) the historical poisoning required the FRESH session to be
+        # the first owner of the cache key — evict the main-session
+        # entry the truth computation just created
         catalog._TABLE_CACHE.pop(key, None)
-        # 1) any fresh-session code path touching the dim table now
-        # stores a FRESH-session-bound DataFrame under the shared key
+        # 1) a fresh-session code path touches the dim table; with the
+        # session-unique key this stores under the FRESH session's key
         catalog.table(spark.newSession(), sf_small, "customer")
         # 2) an earlier test left the main-session view at another sf
         catalog.table(spark, sf_big, "customer").createOrReplaceTempView(
@@ -166,7 +148,7 @@ def test_table_cache_is_session_unique(spark, _quarantined_table_cache):
         got = (entry.raw_fn or entry.fn)(spark, sf_small).count()
         assert got == truth
     finally:
-        # drop the poisoned cache row and restore the main-session
+        # drop this test's cache rows and restore the main-session
         # view for any later view-based test
         catalog._TABLE_CACHE.pop(key, None)
         catalog.table(spark, sf_small, "customer").createOrReplaceTempView(
