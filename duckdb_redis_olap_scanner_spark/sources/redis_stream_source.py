@@ -70,6 +70,10 @@ from ..transport.resp import RedisClient
 
 BATCH_COUNT = 2048  # XRANGE COUNT page size, parity with SCAN COUNT
 
+import logging
+
+_log = logging.getLogger(__name__)
+
 
 class StreamRange(InputPartition):
     def __init__(
@@ -199,7 +203,26 @@ class RedisStreamReader(DataSourceStreamReader):
                 # entries", not a rollback; raising here permanently
                 # killed the query on every routine XTRIM (r15
                 # ADVICE). Real rollbacks on pre-7.0 servers fall
-                # under the documented weaker no-XINFO contract.
+                # under the documented weaker no-XINFO contract — but
+                # an indefinitely-silent [] would hide one forever, so
+                # warn once per reader with the operator's options
+                # (ADVICE r16).
+                if not getattr(self, "_warned_fallback_regression", False):
+                    self._warned_fallback_regression = True
+                    _log.warning(
+                        "redis_stream %r (pre-XINFO server): newest "
+                        "surviving id %s is below the checkpoint %s. "
+                        "This is benign if retention (XTRIM) removed "
+                        "fully-consumed entries, but a genuine id "
+                        "rollback (XSETID / stream recreation) looks "
+                        "identical without XINFO and would be silently "
+                        "skipped — verify the stream's id counter, or "
+                        "clear the checkpoint to restart from the "
+                        "current stream.",
+                        self.key,
+                        end["last_id"],
+                        start["last_id"],
+                    )
                 return []
             # The newest live id fell BELOW the checkpoint: the stream
             # was deleted/recreated or XSETID-rolled-back. Returning []

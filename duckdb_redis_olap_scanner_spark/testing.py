@@ -11,6 +11,18 @@ SCAN semantics: we snapshot the key list per cursor sequence and page
 through it — a *stable* keyspace scan, which matches the assumption the
 reference's own golden tests make (stable keyspace, sorted assertions).
 
+Fidelity (r16 audit → r17 fixes): the fake now matches the public
+command docs on WRONGTYPE (reads and writes), TTL lifecycle (DEL/SET/
+FLUSHALL destroy TTLs; EXPIRE <= 0 deletes), HSET arity, XRANGE/
+XREVRANGE incomplete-id seq defaults, SCAN COUNT/TYPE validation,
+HELLO -NOPROTO, single-prefix error lines, RESP3 ``_`` nulls, ZRANGE
+REV, and PING echo — pinned by tests/test_fake_redis_fidelity.py.
+Remaining DESIGN CHOICES (re-affirmed by the audit, intentionally kept):
+snapshot SCAN (within the public SCAN guarantee), static TTLs (no
+wall-clock decay), deterministic XADD '*' ids (last+1, not server
+time), stand-in slot numbers in -MOVED/-ASK redirects (clients parse
+but never interpret the slot), and inline-command rejection.
+
 Protocol: connections start RESP2; HELLO 3 switches the connection to
 RESP3, flipping the two reply shapes that changed (HGETALL → ``%`` map,
 ZRANGE WITHSCORES → [member, double] pairs), as real Redis does.
@@ -32,10 +44,14 @@ from typing import Any
 from .transport.resp import CRLF, RespProtocolError, _SocketReader
 
 
-def _encode(obj: Any) -> bytes:
-    """Encode a Python value as a RESP2 reply."""
+def _encode(obj: Any, proto: int = 2) -> bytes:
+    """Encode a Python value as a RESP reply. ``proto`` only affects
+    the null shape: RESP3 connections get the ``_`` null, RESP2 the
+    null bulk ``$-1`` — the one reply encoding HELLO 3 changes that
+    this fake emits (r17 fidelity fix; the map/double switches are
+    handled by their commands directly)."""
     if obj is None:
-        return b"$-1\r\n"
+        return b"_\r\n" if proto >= 3 else b"$-1\r\n"
     if isinstance(obj, bool):
         return b":1\r\n" if obj else b":0\r\n"
     if isinstance(obj, int):
@@ -45,9 +61,19 @@ def _encode(obj: Any) -> bytes:
     if isinstance(obj, bytes):
         return b"$%d\r\n" % len(obj) + obj + CRLF
     if isinstance(obj, (list, tuple)):
-        return b"*%d\r\n" % len(obj) + b"".join(_encode(x) for x in obj)
+        return b"*%d\r\n" % len(obj) + b"".join(
+            _encode(x, proto) for x in obj
+        )
     if isinstance(obj, Exception):
-        return b"-ERR " + str(obj).encode("utf-8") + CRLF
+        # Real error lines carry exactly ONE leading code token; only
+        # prepend the generic ERR when the message doesn't already
+        # start with a code (r17 fix for '-ERR ERR ...' double
+        # prefixes from ValueError('ERR ...') raises).
+        msg = str(obj)
+        first = msg.split(" ", 1)[0]
+        if not (first.isalpha() and first.isupper()):
+            msg = "ERR " + msg
+        return b"-" + msg.encode("utf-8") + CRLF
     raise TypeError(f"cannot encode {type(obj)}")
 
 
@@ -66,6 +92,12 @@ def _encode_double(x: float) -> bytes:
 def _error(msg: str) -> bytes:
     """A verbatim RESP error line (no ERR prefix prepended)."""
     return b"-" + msg.encode("utf-8") + CRLF
+
+
+# The exact real-server wording; clients match on the WRONGTYPE code.
+_WRONGTYPE = (
+    "WRONGTYPE Operation against a key holding the wrong kind of value"
+)
 
 
 def _fake_slot(key: str) -> int:
@@ -150,6 +182,40 @@ class FakeRedisStore:
             + list(self.zsets.keys())
             + list(self.lists.keys())
         )
+
+    def type_of(self, key: str) -> str | None:
+        """The key's value type, or None when absent — the single
+        source of truth for TYPE, SCAN TYPE filtering, and the
+        WRONGTYPE guards (r17 fidelity fix: before this, per-type
+        dicts could silently fork one key into two types)."""
+        if key in self.strings:
+            return "string"
+        if key in self.hashes:
+            return "hash"
+        if key in self.zsets:
+            return "zset"
+        if key in self.lists:
+            return "list"
+        if key in self.streams or key in self._stream_last:
+            # A stream trimmed to zero entries still EXISTS (real
+            # Redis keeps the key and its id counter).
+            return "stream"
+        return None
+
+    def del_key(self, key: str) -> int:
+        """Remove a key and ALL its state — value, stream id counter,
+        and TTL (r17 fix: DEL must not resurrect a TTL onto a later
+        SET of the same name). Returns 1 if the key existed."""
+        existed = self.type_of(key) is not None
+        self.strings.pop(key, None)
+        self.hashes.pop(key, None)
+        self.zsets.pop(key, None)
+        self.lists.pop(key, None)
+        self.streams.pop(key, None)
+        self._stream_last.pop(key, None)
+        self._stream_max_deleted.pop(key, None)
+        self.ttls.pop(key, None)
+        return 1 if existed else 0
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -238,13 +304,22 @@ class _Handler(socketserver.BaseRequestHandler):
                     if red is not None:
                         return red
             if name == "PING":
+                # PING with a message echoes it as a bulk string, as
+                # real Redis (r17 fidelity fix).
+                if args:
+                    return _encode(args[0])
                 return _simple("PONG")
             if name == "HELLO":
                 if args:
-                    want = int(args[0])
+                    try:
+                        want = int(args[0])
+                    except ValueError:
+                        want = -1
                     if want not in (2, 3):
-                        return _encode(
-                            ValueError("unsupported protocol version")
+                        # Real Redis keys client fallback logic off the
+                        # -NOPROTO prefix (r17 fidelity fix).
+                        return _error(
+                            "NOPROTO unsupported protocol version"
                         )
                     self.proto = want
                 info = {
@@ -260,31 +335,32 @@ class _Handler(socketserver.BaseRequestHandler):
                 # SET replaces a key of ANY type, as real Redis —
                 # leaving a stale container entry would make the
                 # type-strict GET answer WRONGTYPE for a string key.
+                # Plain SET (no KEEPTTL) also discards any TTL the key
+                # had — the documented semantic since 2.x (r17 fix).
+                store.del_key(args[0])
                 store.strings[args[0]] = args[1]
-                store.hashes.pop(args[0], None)
-                store.zsets.pop(args[0], None)
-                store.lists.pop(args[0], None)
-                store.streams.pop(args[0], None)
-                store._stream_last.pop(args[0], None)
-                store._stream_max_deleted.pop(args[0], None)
                 return _simple("OK")
             if name == "GET":
                 # Type-strict like real Redis: GET on a non-string key
                 # is WRONGTYPE (while MGET below yields nil for it).
-                if (
-                    args[0] in store.hashes
-                    or args[0] in store.zsets
-                    or args[0] in store.lists
-                    or args[0] in store.streams
-                ):
-                    return _error(
-                        "WRONGTYPE Operation against a key holding "
-                        "the wrong kind of value"
-                    )
-                return _encode(store.strings.get(args[0]))
+                if store.type_of(args[0]) not in (None, "string"):
+                    return _error(_WRONGTYPE)
+                return _encode(store.strings.get(args[0]), self.proto)
             if name == "MGET":
-                return _encode([store.strings.get(k) for k in args])
+                return _encode(
+                    [store.strings.get(k) for k in args], self.proto
+                )
             if name == "HSET":
+                if len(args) < 3 or (len(args) - 1) % 2 != 0:
+                    # A dangling field with no value is a wrong-arity
+                    # error in real Redis, not a silently-dropped
+                    # write (r17 fix).
+                    return _error(
+                        "ERR wrong number of arguments for "
+                        "'hset' command"
+                    )
+                if store.type_of(args[0]) not in (None, "hash"):
+                    return _error(_WRONGTYPE)
                 h = store.hashes.setdefault(args[0], {})
                 added = 0
                 for f, v in zip(args[1::2], args[2::2]):
@@ -292,25 +368,15 @@ class _Handler(socketserver.BaseRequestHandler):
                     h[f] = v
                 return _encode(added)
             if name == "HGETALL":
+                if store.type_of(args[0]) not in (None, "hash"):
+                    return _error(_WRONGTYPE)
                 h = store.hashes.get(args[0], {})
                 return _encode_map(h, self.proto)
             if name == "TYPE":
-                if args[0] in store.strings:
-                    return _simple("string")
-                if args[0] in store.hashes:
-                    return _simple("hash")
-                if args[0] in store.zsets:
-                    return _simple("zset")
-                if args[0] in store.lists:
-                    return _simple("list")
-                if args[0] in store.streams or args[0] in store._stream_last:
-                    # A stream trimmed to zero entries still EXISTS
-                    # (real Redis keeps the key and its id counter) —
-                    # the stream source's pre-XINFO fallback leans on
-                    # exactly this to tell full-trim from DEL.
-                    return _simple("stream")
-                return _simple("none")
+                return _simple(store.type_of(args[0]) or "none")
             if name == "ZADD":
+                if store.type_of(args[0]) not in (None, "zset"):
+                    return _error(_WRONGTYPE)
                 z = store.zsets.setdefault(args[0], {})
                 added = 0
                 for sc, member in zip(args[1::2], args[2::2]):
@@ -318,13 +384,21 @@ class _Handler(socketserver.BaseRequestHandler):
                     z[member] = float(sc)
                 return _encode(added)
             if name == "ZCARD":
+                if store.type_of(args[0]) not in (None, "zset"):
+                    return _error(_WRONGTYPE)
                 return _encode(len(store.zsets.get(args[0], {})))
             if name == "ZRANGE":
-                # ZRANGE key start stop [WITHSCORES] — index-based over
-                # the (score, member) order; negative indices from the
-                # end, as in real Redis.
+                # ZRANGE key start stop [REV] [WITHSCORES] —
+                # index-based over the (score, member) order; negative
+                # indices from the end; REV (6.2+) indexes from the
+                # HIGHEST-ranked member down (r17 fix: previously
+                # silently ignored, returning ascending order).
+                if store.type_of(args[0]) not in (None, "zset"):
+                    return _error(_WRONGTYPE)
                 z = store.zsets.get(args[0], {})
                 ordered = sorted(z.items(), key=lambda kv: (kv[1], kv[0]))
+                if any(a.upper() == "REV" for a in args[3:]):
+                    ordered.reverse()
                 start, stop = int(args[1]), int(args[2])
                 n = len(ordered)
                 if start < 0:
@@ -352,12 +426,18 @@ class _Handler(socketserver.BaseRequestHandler):
                         )
                 return _encode(flat)
             if name == "RPUSH":
+                if store.type_of(args[0]) not in (None, "list"):
+                    return _error(_WRONGTYPE)
                 lst = store.lists.setdefault(args[0], [])
                 lst.extend(args[1:])
                 return _encode(len(lst))
             if name == "LLEN":
+                if store.type_of(args[0]) not in (None, "list"):
+                    return _error(_WRONGTYPE)
                 return _encode(len(store.lists.get(args[0], [])))
             if name == "LRANGE":
+                if store.type_of(args[0]) not in (None, "list"):
+                    return _error(_WRONGTYPE)
                 lst = store.lists.get(args[0], [])
                 start, stop = int(args[1]), int(args[2])
                 n = len(lst)
@@ -369,21 +449,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     lst[max(start, 0) : stop + 1] if stop >= 0 else []
                 )
             if name == "DEL":
-                n = 0
-                for k in args:
-                    n += 1 if (store.strings.pop(k, None) is not None) else 0
-                    n += 1 if (store.hashes.pop(k, None) is not None) else 0
-                    n += 1 if (store.zsets.pop(k, None) is not None) else 0
-                    n += 1 if (store.lists.pop(k, None) is not None) else 0
-                    # DEL destroys ALL stream state, as real Redis: a
-                    # recreated stream starts its id counter fresh and
-                    # XINFO on the deleted key errors (r14 review —
-                    # the stream source's loss detection depends on
-                    # this fidelity)
-                    n += 1 if (store.streams.pop(k, None) is not None) else 0
-                    store._stream_last.pop(k, None)
-                    store._stream_max_deleted.pop(k, None)
-                return _encode(n)
+                # del_key destroys ALL key state, as real Redis: a
+                # recreated stream starts its id counter fresh, XINFO
+                # on the deleted key errors (r14 review), and the TTL
+                # dies with the key so a later SET cannot resurrect it
+                # (r17 fix).
+                return _encode(sum(store.del_key(k) for k in args))
             if name == "FLUSHALL":
                 store.strings.clear()
                 store.hashes.clear()
@@ -392,19 +463,29 @@ class _Handler(socketserver.BaseRequestHandler):
                 store.streams.clear()
                 store._stream_last.clear()
                 store._stream_max_deleted.clear()
+                # TTLs die with their keys (same resurrection hazard
+                # DEL had — r17 fix).
+                store.ttls.clear()
                 return _simple("OK")
             if name == "DBSIZE":
                 return _encode(len(store.all_keys()))
             if name == "TTL":
                 k = args[0]
-                if k not in store.all_keys():
+                if store.type_of(k) is None:
                     return _encode(-2)
                 return _encode(store.ttls.get(k, -1))
             if name == "EXPIRE":
                 k = args[0]
-                if k not in store.all_keys():
+                if store.type_of(k) is None:
                     return _encode(0)
-                store.ttls[k] = int(args[1])
+                secs = int(args[1])
+                if secs <= 0:
+                    # A non-positive timeout deletes the key outright,
+                    # documented since 2.1.3 (r17 fix: previously the
+                    # negative TTL was stored and the key kept).
+                    store.del_key(k)
+                else:
+                    store.ttls[k] = secs
                 return _encode(1)
             if name == "SCAN":
                 return self._scan(store, args)
@@ -426,6 +507,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 # stream's last id — rejecting non-increasing ids keeps
                 # the entry list sorted, which XRANGE paging relies on.
                 key, req_id = args[0], args[1]
+                if store.type_of(key) not in (None, "stream"):
+                    return _error(_WRONGTYPE)
                 last = store._stream_last.get(key, (0, 0))
                 if req_id == "*":
                     new = (last[0], last[1] + 1)
@@ -442,12 +525,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 store.streams.setdefault(key, []).append((entry_id, args[2:]))
                 return _encode(entry_id)
             if name == "XLEN":
+                if store.type_of(args[0]) not in (None, "stream"):
+                    return _error(_WRONGTYPE)
                 return _encode(len(store.streams.get(args[0], [])))
             if name == "XTRIM":
                 # XTRIM key MAXLEN [~] n — evict oldest entries past the
                 # cap, tracking the largest evicted id (what real Redis
                 # surfaces as max-deleted-entry-id).
                 key = args[0]
+                if store.type_of(key) not in (None, "stream"):
+                    return _error(_WRONGTYPE)
                 rest = [a for a in args[1:] if a != "~"]
                 if not rest or rest[0].upper() != "MAXLEN":
                     raise ValueError("ERR syntax error")
@@ -491,7 +578,12 @@ class _Handler(socketserver.BaseRequestHandler):
             if name == "XRANGE":
                 # XRANGE key start end [COUNT n]; '-'/'+' = min/max; a
                 # '(' prefix on start means exclusive (Redis 6.2+).
+                # Incomplete-id rule (r17 fix): an ms-only id means
+                # seq 0 at the START bound but seq MAX at the END
+                # bound, so 'XRANGE s 5 5' spans all of ms 5.
                 key, start, end = args[0], args[1], args[2]
+                if store.type_of(key) not in (None, "stream"):
+                    return _error(_WRONGTYPE)
                 count = None
                 if len(args) >= 5 and args[3].upper() == "COUNT":
                     count = int(args[4])
@@ -499,12 +591,12 @@ class _Handler(socketserver.BaseRequestHandler):
                 if exclusive:
                     start = start[1:]
 
-                def _key(sid: str) -> tuple[int, int]:
-                    ms, seq = sid.split("-")
-                    return (int(ms), int(seq))
+                def _key(sid: str, default_seq: int = 0) -> tuple[int, int]:
+                    ms, _, seq = sid.partition("-")
+                    return (int(ms), int(seq) if seq else default_seq)
 
-                lo = _key(start) if start != "-" else (-1, -1)
-                hi = _key(end) if end != "+" else (2**62, 2**62)
+                lo = _key(start, 0) if start != "-" else (-1, -1)
+                hi = _key(end, 2**62) if end != "+" else (2**62, 2**62)
                 out = []
                 for sid, fields in store.streams.get(key, []):
                     k = _key(sid)
@@ -518,16 +610,20 @@ class _Handler(socketserver.BaseRequestHandler):
                 # COUNT 1 form is how latestOffset() reads the newest id
                 # without materializing the stream.
                 key, end, start = args[0], args[1], args[2]
+                if store.type_of(key) not in (None, "stream"):
+                    return _error(_WRONGTYPE)
                 count = None
                 if len(args) >= 5 and args[3].upper() == "COUNT":
                     count = int(args[4])
 
-                def _rkey(sid: str) -> tuple[int, int]:
-                    ms, seq = sid.split("-")
-                    return (int(ms), int(seq))
+                def _rkey(sid: str, default_seq: int = 0) -> tuple[int, int]:
+                    ms, _, seq = sid.partition("-")
+                    return (int(ms), int(seq) if seq else default_seq)
 
-                hi = _rkey(end) if end != "+" else (2**62, 2**62)
-                lo = _rkey(start) if start != "-" else (-1, -1)
+                # Same incomplete-id rule as XRANGE: seq defaults to
+                # max at the END bound, 0 at the START bound.
+                hi = _rkey(end, 2**62) if end != "+" else (2**62, 2**62)
+                lo = _rkey(start, 0) if start != "-" else (-1, -1)
                 out = []
                 for sid, fields in reversed(store.streams.get(key, [])):
                     k = _rkey(sid)
@@ -540,14 +636,27 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _scan(self, store: FakeRedisStore, args: list[str]) -> bytes:
         cursor = int(args[0])
-        match, count = "*", 10
+        match, count, want_type = "*", 10, None
         i = 1
         while i < len(args):
             opt = args[i].upper()
+            if i + 1 >= len(args):
+                return _error("ERR syntax error")
             if opt == "MATCH":
                 match = args[i + 1]
             elif opt == "COUNT":
                 count = int(args[i + 1])
+                if count <= 0:
+                    # Real SCAN rejects COUNT <= 0; serving an empty
+                    # page with an unchanged cursor would loop a
+                    # paging client forever (r17 fix).
+                    return _error("ERR syntax error")
+            elif opt == "TYPE":
+                # SCAN TYPE (6.0+) filters by value type (r17 fix:
+                # previously silently ignored = over-matching).
+                want_type = args[i + 1].lower()
+            else:
+                return _error("ERR syntax error")
             i += 2
         # cursor encoding: snapshot_id * 1_000_000_000 + offset
         if cursor == 0:
@@ -565,7 +674,12 @@ class _Handler(socketserver.BaseRequestHandler):
             store._scan_snapshots.pop(snap_id, None)
         else:
             next_cursor = str(snap_id * 1_000_000_000 + new_offset)
-        matched = [k for k in page if _glob_match(match, k)]
+        matched = [
+            k
+            for k in page
+            if _glob_match(match, k)
+            and (want_type is None or store.type_of(k) == want_type)
+        ]
         return _encode([next_cursor, matched])
 
 

@@ -2,26 +2,17 @@
 against the PUBLIC Redis command docs — VERDICT r15 "Next round" #5.
 
 Every redis catalog entry is verified against the fake, so a fake bug
-is a systematic blind spot the oracle gate cannot see. This file pins
-each divergence found by the r16 audit as a strict-xfail test asserting
-the REAL server's documented behavior:
-
-* today each test FAILS against the fake (xfail: the divergence is
-  known and recorded);
-* when the r17 fake-fidelity fixes land, the tests PASS and
-  ``strict=True`` turns them into hard XPASS failures — forcing the
-  marker removal in the same commit, so the pin can never silently rot.
-
-The fixes are deferred to r17 deliberately: testing.py's _Handler sits
-in the closure of all 10 redis catalog entries (just re-verified in
-r15), so editing the dispatch re-gates the whole cohort — r16's brief
-is to drain the r8-r10 backlog through the 50-slot window instead
-(gate-budget arithmetic in COVERAGE.md). None of the divergences below
-can have corrupted a verified entry: each was checked against the
-engine's actual call sites (the engine never sends SET options, odd
-HSET pairs, incomplete XRANGE ids, SCAN TYPE, ZRANGE REV, or COUNT<=0,
-and the scan pushdown re-verifies every filter Spark-side, so glob
-over/under-match cannot yield wrong rows).
+is a systematic blind spot the oracle gate cannot see. The r16 audit
+found 14 divergences and pinned each as a strict xfail asserting the
+REAL server's documented behavior; the r17 fidelity fixes landed in
+testing.py and flipped every pin to a plain passing test — this file
+now guards the fixed behavior against regression. (None of the
+divergences had corrupted a verified entry: each was checked against
+the engine's actual call sites before the fixes were scheduled — the
+engine never sends SET options, odd HSET pairs, incomplete XRANGE ids,
+SCAN TYPE, ZRANGE REV, or COUNT<=0, and the scan pushdown re-verifies
+every filter Spark-side, so glob over/under-match cannot yield wrong
+rows.)
 
 Divergences that are DESIGN CHOICES, not bugs (documented in
 testing.py, re-affirmed by this audit, no pin needed): snapshot SCAN
@@ -49,13 +40,6 @@ from duckdb_redis_olap_scanner_spark.transport.resp import (
 # pin flips cleanly to XPASS once its fake fix lands
 from .conftest import as_str as _s
 
-FIX_IN_R17 = pytest.mark.xfail(
-    strict=True,
-    reason="known fake-Redis divergence from the public command docs; "
-    "fix queued for the r17 redis-cohort re-gate (see COVERAGE.md r16)",
-)
-
-
 @pytest.fixture()
 def srv():
     with FakeRedisServer() as s:
@@ -70,7 +54,6 @@ def cli(srv):
     c.close()
 
 
-@FIX_IN_R17
 def test_del_then_set_does_not_resurrect_ttl(srv, cli):
     """DEL destroys the key's TTL with the key; a later SET of the
     same name creates a FRESH key with no TTL (real: TTL -> -1). The
@@ -83,7 +66,6 @@ def test_del_then_set_does_not_resurrect_ttl(srv, cli):
     assert cli.command("TTL", "k") == -1
 
 
-@FIX_IN_R17
 def test_set_clears_existing_ttl(srv, cli):
     """Plain SET (no KEEPTTL) removes any TTL the key had — the
     documented SET semantic since 2.x."""
@@ -93,7 +75,6 @@ def test_set_clears_existing_ttl(srv, cli):
     assert cli.command("TTL", "k") == -1
 
 
-@FIX_IN_R17
 def test_hset_odd_field_value_args_error(cli):
     """HSET with a dangling field (no value) is a wrong-arity error in
     real Redis; the fake's zip silently drops the dangling field and
@@ -102,7 +83,6 @@ def test_hset_odd_field_value_args_error(cli):
         cli.command("HSET", "h", "f1", "v1", "f2")
 
 
-@FIX_IN_R17
 def test_container_writes_on_wrong_type_are_wrongtype(srv, cli):
     """HSET/ZADD/RPUSH/XADD against an existing key of another type
     answer -WRONGTYPE in real Redis. The fake's per-type dicts happily
@@ -119,7 +99,6 @@ def test_container_writes_on_wrong_type_are_wrongtype(srv, cli):
             cli.command(*c)
 
 
-@FIX_IN_R17
 def test_container_reads_on_wrong_type_are_wrongtype(srv, cli):
     """HGETALL/ZRANGE/LRANGE/XRANGE/ZCARD/LLEN/XLEN against a string
     key are -WRONGTYPE in real Redis; the fake returns empty results,
@@ -138,7 +117,6 @@ def test_container_reads_on_wrong_type_are_wrongtype(srv, cli):
             cli.command(*c)
 
 
-@FIX_IN_R17
 def test_xrange_incomplete_end_id_seq_defaults_to_max(cli):
     """XRANGE with an ms-only END id means 'through the LAST seq of
     that ms' (seq defaults to max for end, 0 for start — the documented
@@ -151,7 +129,6 @@ def test_xrange_incomplete_end_id_seq_defaults_to_max(cli):
     assert len(cli.command("XRANGE", "s", "5", "5")) == 3
 
 
-@FIX_IN_R17
 def test_scan_count_zero_is_syntax_error(cli):
     """Real SCAN rejects COUNT <= 0 with a syntax error; the fake
     serves an empty page with an UNCHANGED cursor — an infinite loop
@@ -160,7 +137,6 @@ def test_scan_count_zero_is_syntax_error(cli):
         cli.command("SCAN", "0", "COUNT", "0")
 
 
-@FIX_IN_R17
 def test_scan_type_option_filters(srv, cli):
     """SCAN's TYPE option (Redis 6.0+) filters by value type; the fake
     silently IGNORES unknown option pairs, returning keys of every
@@ -173,7 +149,6 @@ def test_scan_type_option_filters(srv, cli):
     assert [_s(k) for k in keys] == ["str:1"]
 
 
-@FIX_IN_R17
 def test_hello_bad_version_is_noproto(srv):
     """HELLO with an unsupported version answers -NOPROTO in real
     Redis (clients key fallback logic off that prefix); the fake
@@ -187,7 +162,6 @@ def test_hello_bad_version_is_noproto(srv):
     assert reply.startswith(b"-NOPROTO"), reply
 
 
-@FIX_IN_R17
 def test_error_replies_are_not_double_prefixed(cli):
     """The fake's dispatch encodes raised ValueError('ERR ...') via
     _encode(Exception), which prepends ANOTHER 'ERR ' — so XADD's
@@ -199,7 +173,6 @@ def test_error_replies_are_not_double_prefixed(cli):
     assert not str(ei.value).startswith("ERR ERR"), str(ei.value)
 
 
-@FIX_IN_R17
 def test_resp3_null_is_underscore(srv):
     """After HELLO 3, real Redis encodes nulls as the RESP3 null
     ('_\\r\\n'), not the RESP2 null bulk ('$-1'). The engine's parser
@@ -217,7 +190,6 @@ def test_resp3_null_is_underscore(srv):
     assert reply == b"_\r\n", reply
 
 
-@FIX_IN_R17
 def test_expire_nonpositive_deletes_key(srv, cli):
     """EXPIRE with a non-positive timeout deletes the key outright
     (documented since 2.1.3); the fake stores the negative TTL and
@@ -227,7 +199,6 @@ def test_expire_nonpositive_deletes_key(srv, cli):
     assert cli.command("GET", "k") is None
 
 
-@FIX_IN_R17
 def test_zrange_rev_is_honored_not_ignored(srv, cli):
     """ZRANGE's REV flag (6.2+) reverses the traversal; the fake scans
     args[3:] only for WITHSCORES and silently ignores REV, returning
@@ -238,7 +209,6 @@ def test_zrange_rev_is_honored_not_ignored(srv, cli):
     assert [_s(m) for m in got] == ["c", "b", "a"]
 
 
-@FIX_IN_R17
 def test_ping_with_message_echoes(cli):
     """PING with an argument echoes it as a bulk string; the fake
     answers +PONG regardless."""

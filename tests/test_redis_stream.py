@@ -376,6 +376,58 @@ def test_pre_xinfo_fallback_trim_is_benign(redis_server):
         r.partitions({"last_id": "5-0"}, {"last_id": "3-0"})
 
 
+def test_pre_xinfo_fallback_regression_warns_once(redis_server, caplog):
+    """The benign-trim [] on pre-XINFO servers is indistinguishable
+    from a genuine rollback there, so it must not be SILENT: the
+    reader logs one warning naming the key, ids, and the operator's
+    options — once per reader, not per trigger (ADVICE r16)."""
+    import logging
+
+    from duckdb_redis_olap_scanner_spark.sources.redis_stream_source import (
+        RedisStreamReader,
+    )
+
+    r = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port,
+         "key": "warnstream"}
+    )
+    end = {"last_id": "3-0", "xrevrange_fallback": True}
+    with caplog.at_level(
+        logging.WARNING,
+        logger="duckdb_redis_olap_scanner_spark.sources.redis_stream_source",
+    ):
+        assert r.partitions({"last_id": "5-0"}, end) == []
+        assert r.partitions({"last_id": "5-0"}, end) == []
+    warns = [
+        rec
+        for rec in caplog.records
+        if "below the checkpoint" in rec.getMessage()
+    ]
+    assert len(warns) == 1  # once per reader, not per trigger
+    msg = warns[0].getMessage()
+    assert "warnstream" in msg and "5-0" in msg and "3-0" in msg
+    # a fresh reader (new query/restart) warns again
+    r2 = RedisStreamReader(
+        {"host": redis_server.host, "port": redis_server.port,
+         "key": "warnstream"}
+    )
+    with caplog.at_level(
+        logging.WARNING,
+        logger="duckdb_redis_olap_scanner_spark.sources.redis_stream_source",
+    ):
+        assert r2.partitions({"last_id": "5-0"}, end) == []
+    assert (
+        len(
+            [
+                rec
+                for rec in caplog.records
+                if "below the checkpoint" in rec.getMessage()
+            ]
+        )
+        == 2
+    )
+
+
 def test_pre_xinfo_del_under_checkpoint_stays_loud(redis_server):
     """Whole-key DEL is loss even on a pre-XINFO server: the empty
     XREVRANGE fallback must NOT be marked benign when the key is gone
