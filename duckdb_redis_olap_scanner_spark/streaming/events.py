@@ -92,18 +92,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if os.path.lexists(link) and (
-        not os.path.islink(link) or os.readlink(link) != target
-    ):
-        # Stale link from a moved/removed sf_dir — or a non-symlink
-        # leftover (another tool's file/dir at the shared temp path),
-        # on which readlink would raise EINVAL (r15 ADVICE).
-        if os.path.isdir(link) and not os.path.islink(link):
-            import shutil
-
-            shutil.rmtree(link)
-        else:
-            os.unlink(link)
+    if os.path.lexists(link) and not os.path.islink(link):
+        # A NON-symlink at the staging path is not ours: this module
+        # only ever creates symlinks here, and recursively deleting a
+        # foreign file/directory at a predictable shared $TMPDIR path
+        # is a TOCTOU hazard (ADVICE r16 — the old code rmtree'd it).
+        # Fail loudly and let the operator inspect it.
+        raise RuntimeError(
+            f"streaming stage path {link!r} is occupied by a "
+            "non-symlink this engine did not create; remove it "
+            "manually or set TMPDIR to a private directory"
+        )
+    if os.path.islink(link) and os.readlink(link) != target:
+        # Stale link from a moved/removed sf_dir: unlink removes only
+        # the link itself, never what it points at.
+        os.unlink(link)
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)

@@ -640,3 +640,55 @@ def test_events_stream_stages_absolute_symlink(spark, monkeypatch):
     assert os.readlink(link) == target
     assert os.path.exists(link)  # not dangling
     SE.read_events_stream(spark, "testdata/sf0.001")  # idempotent
+
+
+def test_events_stream_never_deletes_foreign_stage_content(spark):
+    """The staging path is predictable and lives in the shared
+    $TMPDIR, so the cleanup must NEVER recursively delete a
+    non-symlink it finds there (TOCTOU hazard, ADVICE r16): a foreign
+    file or directory raises loudly and survives; a stale SYMLINK is
+    still retargeted via unlink (which touches only the link)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    sf_dir = "/root/testdata/sf0.001"
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(target.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
+    link = os.path.join(stage, "events.parquet")
+    os.makedirs(stage, exist_ok=True)
+    # clear whatever an earlier test staged
+    if os.path.lexists(link):
+        os.unlink(link)
+    try:
+        # 1) a foreign DIRECTORY with content must survive untouched
+        os.makedirs(link)
+        sentinel = os.path.join(link, "precious.txt")
+        with open(sentinel, "w") as f:
+            f.write("do not delete")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="non-symlink"):
+            SE.read_events_stream(spark, sf_dir)
+        assert os.path.isfile(sentinel)  # nothing was deleted
+        shutil.rmtree(link)
+        # 2) a foreign plain FILE also raises and survives
+        with open(link, "w") as f:
+            f.write("foreign")
+        with _pytest.raises(RuntimeError, match="non-symlink"):
+            SE.read_events_stream(spark, sf_dir)
+        assert os.path.isfile(link)
+        os.unlink(link)
+        # 3) a stale SYMLINK (moved dataset) is retargeted in place
+        os.symlink("/nonexistent/elsewhere.parquet", link)
+        df = SE.read_events_stream(spark, sf_dir)
+        assert df.isStreaming
+        assert os.readlink(link) == target
+    finally:
+        if os.path.lexists(link) and not os.path.islink(link):
+            if os.path.isdir(link):
+                shutil.rmtree(link)
+            else:
+                os.unlink(link)
