@@ -325,6 +325,7 @@ def ann_indexed_topk(
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 2,
+    page_queries: bool = False,
 ) -> DataFrame:
     """Top-k cosine search over the persisted index, probing each
     query's ``n_probe`` nearest cells.
@@ -350,7 +351,17 @@ def ann_indexed_topk(
     corpus id space: a query whose id equals a corpus vec_id never
     returns that vector (the self-exclusion the dedup use case
     needs), so EXTERNAL query batches must carry ids outside the
-    corpus range to receive unfiltered neighbors."""
+    corpus range to receive unfiltered neighbors.
+
+    ``page_queries=True`` lifts the MAX_DRIVER_QUERY_ROWS hard error:
+    the batch streams to the driver via ``toLocalIterator`` (one
+    partition resident at a time), runs as a loop of bounded probes,
+    and the per-page RESULTS (≤ k tiny rows per query — the page's
+    embeddings are dropped before the next page collects) come back
+    as one DataFrame, rank-identical to manual paging. The paged path
+    executes eagerly per page; for genuinely unbounded query sets use
+    the distributed scorer (:func:`similarity.ivf_multiprobe_topk`)
+    instead of driver paging."""
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     # Probe-side liveness: like the dedup probes (ADVICE r14), a
@@ -358,6 +369,11 @@ def ann_indexed_topk(
     # scratch-index GC treats the app as dead and reaps the live
     # index (r15 review — the new ANN twin initially omitted this).
     DI._touch_liveness(spark, index_table)
+    _check_centroid_generation(spark, index_table, cent_ids, cent_vecs)
+    if page_queries:
+        return _paged_topk(
+            spark, index_table, cent_ids, cent_vecs, queries, k, n_probe
+        )
     # LIMIT to the bound + 1 BEFORE collecting: a guard that fires
     # after .collect() cannot prevent the driver OOM it exists for
     # (r15 review) — the limit caps what can ever reach the driver,
@@ -372,8 +388,27 @@ def ann_indexed_topk(
             f"query batch exceeds MAX_DRIVER_QUERY_ROWS="
             f"{S.MAX_DRIVER_QUERY_ROWS} rows: the query batch is "
             "materialized on the driver to make the probed cells "
-            "plan-time bucket-pruning literals — page the queries"
+            "plan-time bucket-pruning literals — pass "
+            "page_queries=True to run it as a loop of bounded probes"
         )
+    return _bounded_topk(
+        spark, index_table, cent_ids, cent_vecs, raw_q, k, n_probe
+    )
+
+
+def _bounded_topk(
+    spark: SparkSession,
+    index_table: str,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    raw_q: list,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """One driver-bounded probe over an already-collected (vec_id,
+    embedding) row list of ≤ MAX_DRIVER_QUERY_ROWS — the plan-building
+    core of :func:`ann_indexed_topk`. Callers have done the liveness
+    touch and the centroid-generation check."""
     # Assign the queries to cells ON THE DRIVER: the query set and the
     # centroid table both already live here, so a distributed Arrow
     # assignment pass would spend one whole Python-stage dispatch
@@ -382,7 +417,6 @@ def ann_indexed_topk(
     # similarity.make_cell_ranker is the one kernel both sides call.
     import numpy as np
 
-    _check_centroid_generation(spark, index_table, cent_ids, cent_vecs)
     cids = np.array(cent_ids, dtype=np.int64)
     q_rows = []
     if raw_q:
@@ -426,6 +460,51 @@ def ann_indexed_topk(
     )
 
 
+_TOPK_SCHEMA = (
+    "query_id bigint, neighbor_id bigint, cell bigint, "
+    "cos_sim double, rank int"
+)
+
+
+def _paged_topk(
+    spark: SparkSession,
+    index_table: str,
+    cent_ids: list[int],
+    cent_vecs: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """A loop of bounded probes for query batches past the driver
+    bound. ``toLocalIterator`` keeps at most one query partition on
+    the driver; each MAX_DRIVER_QUERY_ROWS page is probed and its
+    RESULT collected (≤ k small rows per query) before the next page's
+    embeddings arrive, so peak driver residency is one page of
+    embeddings + the accumulated top-k tuples — output-sized, which
+    the caller materializes anyway. Per-query top-k is page-local by
+    construction (a query row lives in exactly one page), so the
+    concatenation is rank-identical to manual paging."""
+    out_rows: list = []
+    page: list = []
+
+    def _flush() -> None:
+        if not page:
+            return
+        out_rows.extend(
+            _bounded_topk(
+                spark, index_table, cent_ids, cent_vecs, page, k, n_probe
+            ).collect()
+        )
+        page.clear()
+
+    for row in queries.select("vec_id", "embedding").toLocalIterator():
+        page.append(row)
+        if len(page) >= S.MAX_DRIVER_QUERY_ROWS:
+            _flush()
+    _flush()
+    return spark.createDataFrame(out_rows, schema=_TOPK_SCHEMA)
+
+
 def probe(
     spark: SparkSession,
     name: str,
@@ -433,6 +512,7 @@ def probe(
     k: int = 5,
     n_probe: int = 2,
     path: str | None = None,
+    page_queries: bool = False,
 ) -> DataFrame:
     """The shape a real user wants: search a persisted IVF index by
     NAME, without hand-carrying the centroid table through their code.
@@ -472,5 +552,6 @@ def probe(
         )
     cent_ids, cent_vecs = load_ivf_centroids(spark, loc)
     return ann_indexed_topk(
-        spark, name, cent_ids, cent_vecs, queries, k=k, n_probe=n_probe
+        spark, name, cent_ids, cent_vecs, queries,
+        k=k, n_probe=n_probe, page_queries=page_queries,
     )
