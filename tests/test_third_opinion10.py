@@ -43,7 +43,7 @@ from duckdb_redis_olap_scanner_spark.plans import catalog
 from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import V2_BUDGET
 
 from .conftest import SF_DIR
-from .test_third_opinion3 import _canon, _md5_64, _shingles, _tokens
+from .third_opinion_refs import _canon, _md5_64, _shingles, _tokens
 from .test_third_opinion9 import _margin
 
 

@@ -42,7 +42,7 @@ from duckdb_redis_olap_scanner_spark.operators.text import (
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
 from .conftest import SF_DIR
-from .test_third_opinion3 import _canon, _tokens
+from .third_opinion_refs import _canon, _tokens
 
 
 @pytest.fixture(scope="module")

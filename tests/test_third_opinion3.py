@@ -36,9 +36,7 @@ md5/conv/decimal chain and DuckDB's md5_number_lower.
 
 from __future__ import annotations
 
-import hashlib
 import math
-import re
 from collections import defaultdict
 
 import pandas as pd
@@ -69,34 +67,12 @@ from duckdb_redis_olap_scanner_spark.plans import catalog
 
 from .conftest import SF_DIR
 
-# Java/RE2 \s is ASCII-only; python \s is unicode-aware — spell it out.
-_WS = r"[ \t\n\x0b\f\r]+"
-
-
-def _tokens(text: str) -> list[str]:
-    """tokens_col twin: split(lower(trim(text)), \\s+)."""
-    return re.split(_WS, text.strip(" ").lower())
-
-
-def _canon(text: str) -> str:
-    """canonical_text twin: lower(trim(regexp_replace(text, \\s+, ' ')))."""
-    return re.sub(_WS, " ", text).strip(" ").lower()
-
-
-def _md5_64(s: str) -> int:
-    """md5_hash64 twin from raw hashlib bytes: little-endian u64 of the
-    LAST 8 digest bytes, mod HASH_P — independent of Spark's
-    md5/substring/conv/decimal chain and DuckDB's md5_number_lower."""
-    return int.from_bytes(
-        hashlib.md5(s.encode("utf-8")).digest()[8:16], "little"
-    ) % HASH_P
-
-
-def _shingles(text: str, n: int = 3) -> set[str]:
-    toks = _tokens(text)
-    if len(toks) < n:
-        return set()
-    return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+from .third_opinion_refs import (  # noqa: F401 — shared twins
+    _canon,
+    _md5_64,
+    _shingles,
+    _tokens,
+)
 
 
 @pytest.fixture(scope="module")

@@ -50,7 +50,7 @@ from duckdb_redis_olap_scanner_spark.operators.text import (
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
 from .conftest import SF_DIR
-from .test_third_opinion3 import _canon, _md5_64, _shingles, _tokens
+from .third_opinion_refs import _canon, _md5_64, _shingles, _tokens
 
 _WS_CLASS = " \t\n\x0b\f\r"
 BPEISH = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"  # ASCII \s spelled out

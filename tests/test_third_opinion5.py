@@ -44,7 +44,7 @@ from duckdb_redis_olap_scanner_spark.plans import catalog
 from duckdb_redis_olap_scanner_spark.plans.pipeline_ops5 import TOKEN_BUDGET
 
 from .conftest import SF_DIR
-from .test_third_opinion3 import _canon, _md5_64, _tokens
+from .third_opinion_refs import _canon, _md5_64, _tokens
 
 
 @pytest.fixture(scope="module")

@@ -44,7 +44,7 @@ from duckdb_redis_olap_scanner_spark.operators.retrieval import (
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
 from .conftest import SF_DIR
-from .test_third_opinion3 import _tokens
+from .third_opinion_refs import _tokens
 
 
 @pytest.fixture(scope="module")

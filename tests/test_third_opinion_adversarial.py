@@ -31,7 +31,7 @@ import pytest
 
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
-from .test_third_opinion3 import _canon, _md5_64, _tokens
+from .third_opinion_refs import _canon, _md5_64, _tokens
 
 T0 = pd.Timestamp("2024-03-01 00:00:00")
 

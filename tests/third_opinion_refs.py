@@ -7,11 +7,18 @@ silently diverge).
 These are the REFERENCES, not the product code: plain hashlib/dict
 loops re-deriving the documented semantics. Product modules are never
 imported here beyond the fixed constants that ARE the spec.
+
+The text-canonicalization twins (_tokens/_canon/_md5_64/_shingles)
+live HERE and the audit files import them from this module (ADVICE
+r16: the previous direction — this module importing from
+test_third_opinion3 — treated a test file as a library, so renaming
+or splitting that audit file would have broken every consumer).
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import defaultdict
 
 from duckdb_redis_olap_scanner_spark.operators.dedup import (
@@ -22,7 +29,35 @@ from duckdb_redis_olap_scanner_spark.operators.dedup import (
 )
 from duckdb_redis_olap_scanner_spark.operators.text import HASH_P
 
-from .test_third_opinion3 import _canon, _md5_64, _shingles
+# Java/RE2 \s is ASCII-only; python \s is unicode-aware — spell it out.
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _tokens(text: str) -> list[str]:
+    """tokens_col twin: split(lower(trim(text)), \\s+)."""
+    return re.split(_WS, text.strip(" ").lower())
+
+
+def _canon(text: str) -> str:
+    """canonical_text twin: lower(trim(regexp_replace(text, \\s+, ' ')))."""
+    return re.sub(_WS, " ", text).strip(" ").lower()
+
+
+def _md5_64(s: str) -> int:
+    """md5_hash64 twin from raw hashlib bytes: little-endian u64 of the
+    LAST 8 digest bytes, mod HASH_P — independent of Spark's
+    md5/substring/conv/decimal chain and DuckDB's md5_number_lower."""
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[8:16], "little"
+    ) % HASH_P
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = _tokens(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
 
 
 def incremental_dedup_ref(docs_pd) -> dict:
