@@ -70,22 +70,28 @@ def _session_key(spark: SparkSession) -> str:
     startTime stays in the key as a belt-and-braces context scope.
     """
     sc = spark.sparkContext
-    try:
-        uuid = spark._jsparkSession.sessionUUID()
-    except Exception:
-        # No JVM handle (e.g. Spark Connect): fall back to a nonce
-        # attached to the Python session wrapper. setattr keeps the
-        # nonce alive exactly as long as the wrapper object, so a
-        # recycled id() can never inherit a stale nonce.
-        uuid = getattr(spark, "_drosp_session_nonce", None)
-        if uuid is None:
+    # The sessionUUID lookup is a py4j round trip; memoize it on the
+    # Python wrapper (safe: the wrapper holds its JVM session for
+    # life, and a different wrapper for the same JVM session re-reads
+    # the same UUID). _session_key sits on every cached-plan call, so
+    # this keeps the fix off the per-query dispatch floor.
+    uuid = getattr(spark, "_drosp_session_uuid", None)
+    if uuid is None:
+        try:
+            uuid = spark._jsparkSession.sessionUUID()
+        except Exception:
+            # No JVM handle (e.g. Spark Connect): fall back to a
+            # nonce attached to the Python session wrapper. setattr
+            # keeps the nonce alive exactly as long as the wrapper
+            # object, so a recycled id() can never inherit a stale
+            # nonce.
             import uuid as _uuid
 
             uuid = _uuid.uuid4().hex
-            try:
-                spark._drosp_session_nonce = uuid
-            except Exception:
-                pass
+        try:
+            spark._drosp_session_uuid = uuid
+        except Exception:
+            pass
     return f"{sc.applicationId}:{sc.startTime}:{uuid}"
 
 
