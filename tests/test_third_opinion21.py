@@ -1,0 +1,313 @@
+"""Third-opinion audit, batch 21 (r17): FLAC — an independent decoder
+typed from RFC 9639 / the format spec, no product helpers.
+
+The product both encodes and decodes FLAC (operators/flac.py), so a
+matched pair of spec misreadings (wrong Rice zigzag, wrong mid/side
+reconstruction, wrong fixed-predictor coefficients) would cancel in
+the oracle gate. This decoder is written independently: its own
+MSB-first bit reader, UTF-8 frame-number reader, CRC-8/CRC-16
+(bit-serial, not table-driven like the product's), the full blocksize
+/ sample-rate / sample-size code tables, CONSTANT / VERBATIM /
+FIXED 0-4 / LPC subframes, wasted bits, Rice methods 0/1 with
+partitions and the raw escape, and all three stereo decorrelations.
+The product's synthesis cycles every one of those per document, so a
+single corpus pass exercises the whole surface.
+
+Entry audited here: multimodal_decode_flac.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_redis_olap_scanner_spark.operators import flac as FL
+from duckdb_redis_olap_scanner_spark.plans import catalog
+
+from .conftest import SF_DIR
+
+DOC_IDS = list(range(0, 48)) + [97, 101, 211, 509]
+
+
+def ref_params(d: int) -> tuple[int, int, int]:
+    return 1 + d % 2, 8000 + (d % 3) * 4000, 24 + d % 41
+
+
+def ref_samples(d: int) -> list[int]:
+    ch, _sr, n = ref_params(d)
+    return [((d * 11 + i * 97) % 65536) - 32768 for i in range(n * ch)]
+
+
+# ---------------------------------------------------------------------------
+# independent bit reader + CRCs (bit-serial, vs the product's tables)
+# ---------------------------------------------------------------------------
+
+class Bits:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def tell_byte(self) -> int:
+        assert self.bit == 0
+        return self.byte
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def crc8_serial(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def crc16_serial(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+    return c
+
+
+def read_utf8_no(bits: Bits) -> int:
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (bits.read(8) & 0x3F)
+    return v
+
+
+_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _residual(bits: Bits, bs: int, order: int) -> list[int]:
+    method = bits.read(2)
+    assert method in (0, 1)
+    pbits, escape = (4, 15) if method == 0 else (5, 31)
+    po = bits.read(4)
+    res: list[int] = []
+    nparts = 1 << po
+    for p in range(nparts):
+        count = bs // nparts - (order if p == 0 else 0)
+        k = bits.read(pbits)
+        if k == escape:
+            raw = bits.read(5)
+            res += [bits.read_signed(raw) if raw else 0
+                    for _ in range(count)]
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                u = (q << k) | bits.read(k)
+                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    return res
+
+
+def _subframe(bits: Bits, bs: int, bps: int) -> list[int]:
+    assert bits.read(1) == 0  # reserved
+    t = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if t == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        out = [v] * bs
+    elif t == 1:  # VERBATIM
+        out = [bits.read_signed(eff) for _ in range(bs)]
+    elif 8 <= t <= 12:  # FIXED order t-8
+        order = t - 8
+        out = [bits.read_signed(eff) for _ in range(order)]
+        coefs = _FIXED[order]
+        for r in _residual(bits, bs, order):
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(pred + r)
+    elif t & 0x20:  # LPC, order (t & 31) + 1
+        order = (t & 0x1F) + 1
+        out = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4) + 1
+        shift = bits.read_signed(5)
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        for r in _residual(bits, bs, order):
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append((pred >> shift) + r)
+    else:
+        raise AssertionError(f"reserved subframe type {t}")
+    return [v << wasted for v in out]
+
+
+_BS_CODE = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+            **{n: 256 << (n - 8) for n in range(8, 16)}}
+_SR_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+            6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+            11: 96000}
+_SS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def ind_decode_flac(payload: bytes):
+    assert payload[:4] == b"fLaC"
+    pos = 4
+    si = None
+    while True:
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            si = payload[pos + 4 : pos + 4 + size]
+        pos += 4 + size
+        if last:
+            break
+    assert si is not None
+    sib = Bits(si)
+    sib.read(16)  # min blocksize
+    sib.read(16)  # max blocksize
+    sib.read(24)
+    sib.read(24)
+    sr = sib.read(20)
+    n_ch = sib.read(3) + 1
+    bps = sib.read(5) + 1
+    total = sib.read(36)
+
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    while len(chans[0]) < total:
+        frame_start = pos
+        bits = Bits(payload, pos)
+        assert bits.read(14) == 0b11111111111110
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_asgn = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        read_utf8_no(bits)
+        if bs_code == 6:
+            bs = bits.read(8) + 1
+        elif bs_code == 7:
+            bs = bits.read(16) + 1
+        else:
+            bs = _BS_CODE[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        frame_sr = sr if sr_code == 0 else _SR_CODE.get(sr_code)
+        frame_bps = bps if ss_code == 0 else _SS_CODE[ss_code]
+        bits.align()
+        hdr_end = bits.tell_byte()
+        assert bits.read(8) == crc8_serial(payload[frame_start:hdr_end])
+        assert frame_sr == sr and frame_bps == bps
+
+        if ch_asgn < 8:
+            assert ch_asgn + 1 == n_ch
+            subs = [_subframe(bits, bs, bps) for _ in range(n_ch)]
+        else:
+            # side channel carries one extra bit
+            if ch_asgn == 8:  # left/side
+                left = _subframe(bits, bs, bps)
+                side = _subframe(bits, bs, bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_asgn == 9:  # right/side
+                side = _subframe(bits, bs, bps + 1)
+                right = _subframe(bits, bs, bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                assert ch_asgn == 10
+                mid = _subframe(bits, bs, bps)
+                side = _subframe(bits, bs, bps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        bits.align()
+        body_end = bits.tell_byte()
+        want_crc = int.from_bytes(payload[body_end : body_end + 2], "big")
+        assert want_crc == crc16_serial(payload[frame_start:body_end])
+        pos = body_end + 2
+        for c in range(n_ch):
+            chans[c] += subs[c]
+    inter = [chans[c][i] for i in range(total) for c in range(n_ch)]
+    return n_ch, sr, bps, inter
+
+
+@pytest.mark.parametrize("d", DOC_IDS)
+def test_flac_independent_decoder_reads_product_files(d):
+    ch, sr, n = ref_params(d)
+    got_ch, got_sr, got_bps, inter = ind_decode_flac(
+        FL.encode_flac_payload(d)
+    )
+    assert (got_ch, got_sr, got_bps) == (ch, sr, 16)
+    assert inter == ref_samples(d)
+
+
+def test_flac_verbatim_lpc_fixed_all_present():
+    """Self-check of audit power: the synthesis must actually cycle
+    the subframe types (frame 0 verbatim, (frame+ch)%7==3 LPC, rest
+    fixed 0..4) or this file proves less than it claims — pin the
+    frame count so the cycle is really exercised."""
+    for d in (0, 1, 40):
+        ch, _sr, n = ref_params(d)
+        n_frames = -(-n // FL.FLAC_BLOCKSIZE)
+        assert n_frames >= 2  # at least one non-verbatim frame
+        if n_frames * ch >= 8:
+            # some (frame, ch) hits the LPC branch
+            assert any(
+                (f + c) % 7 == 3
+                for f in range(n_frames) for c in range(ch)
+            )
+
+
+@pytest.fixture(scope="module")
+def reg():
+    import duckdb_redis_olap_scanner_spark.plans  # noqa: F401
+
+    return catalog.registry()
+
+
+def test_entry_flac_rows_match_independent_decode(reg, spark):
+    rows = {
+        int(r[0]): tuple(r)
+        for r in reg["multimodal_decode_flac"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) > 0
+    for did, row in sorted(rows.items())[:16]:
+        ch, sr, _bps, inter = ind_decode_flac(FL.encode_flac_payload(did))
+        want = (
+            did, ch, sr, 16, len(inter) // ch,
+            sum(inter[0::ch]),
+            sum(inter[1::ch]) if ch > 1 else 0,
+            sum((i + 1) * v for i, v in enumerate(inter)),
+        )
+        assert row == want, f"flac doc {did}"
