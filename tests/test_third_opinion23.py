@@ -1,0 +1,459 @@
+"""Third-opinion audit, batch 23 (r17): WebP lossless (VP8L) — an
+independent decoder typed from the public WebP lossless bitstream
+specification, no product helpers.
+
+The product implements the full VP8L surface in both directions
+(operators/vp8l.py) and its synthesis rotates through every feature
+(subtract-green, the 14-mode PREDICTOR transform, the COLOR
+transform, COLOR-INDEXING with pixel bundling, meta prefix-code
+groups, any color-cache size, LZ77 with mapped and direct
+distances), so a matched encode/decode spec misreading would cancel
+in the oracle gate. This decoder re-reads those streams
+independently: its own LSB-first bit reader, simple and
+code-length-coded canonical prefix codes (symbols 16/17/18, the
+19-entry reorder, the optional max-symbol header), recursive
+sub-image reads for transform data, the color-cache hash, the
+120-entry 2D distance map, and all four inverse transforms with the
+spec's border and clamping rules.
+
+Entry audited here: multimodal_decode_webp.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_redis_olap_scanner_spark.operators import vp8l as V
+from duckdb_redis_olap_scanner_spark.plans import catalog
+
+from .conftest import SF_DIR
+
+DOC_IDS = list(range(0, 40)) + [97, 101, 211, 509]
+
+
+def ref_tiled(d: int) -> tuple[int, int, list[int]]:
+    w = 4 + d % 13
+    h = 2 + d % 19
+    tile = 1 + d % 11
+    period = w * 3 * tile
+    return w, h, [
+        (d * 7 + (k % period)) % 256 for k in range(w * h * 3)
+    ]
+
+
+class Bits:
+    """LSB-first (DEFLATE-style) reader; prefix codes are read bit by
+    bit MSB-first into the code accumulator."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[self.pos >> 3]
+            v |= ((byte >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+            13, 14, 15]
+
+
+class Prefix:
+    def __init__(self, lengths: dict[int, int]) -> None:
+        # keep the nonzero lengths; a dict with one entry (whatever
+        # its length, incl. the simple-code {sym: 0}) is the
+        # degenerate single-symbol code that reads ZERO bits
+        nz = {s: l for s, l in lengths.items() if l > 0}
+        if len(lengths) == 1 or len(nz) == 1:
+            self.single = next(iter(nz or lengths))
+            self.map: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        # canonical: symbols sorted by (length, symbol); codes count
+        # up within a length, shifted left at each length step
+        self.map = {}
+        code = 0
+        prev_len = 0
+        for sym, ln in sorted(nz.items(), key=lambda t: (t[1], t[0])):
+            code <<= ln - prev_len
+            self.map[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+
+    def decode(self, bits: Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise AssertionError("invalid VP8L prefix code")
+
+
+def _read_prefix(bits: Bits, alphabet: int) -> Prefix:
+    if bits.read(1):  # simple code
+        n_sym = bits.read(1) + 1
+        if bits.read(1):  # first symbol is 8-bit
+            s0 = bits.read(8)
+        else:
+            s0 = bits.read(1)
+        if n_sym == 2:
+            s1 = bits.read(8)
+            return Prefix({s0: 1, s1: 1})
+        return Prefix({s0: 0})
+    n_cl = bits.read(4) + 4
+    cl_lengths = {CL_ORDER[i]: bits.read(3) for i in range(n_cl)}
+    cl = Prefix({s: l for s, l in cl_lengths.items() if l})
+    if bits.read(1):  # use max_symbol
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths: dict[int, int] = {}
+    sym = 0
+    prev = 8
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        c = cl.decode(bits)
+        if c < 16:
+            lengths[sym] = c
+            sym += 1
+            if c:
+                prev = c
+        elif c == 16:
+            rep = 3 + bits.read(2)
+            for _ in range(rep):
+                lengths[sym] = prev
+                sym += 1
+        elif c == 17:
+            sym += 3 + bits.read(3)
+        else:
+            sym += 11 + bits.read(7)
+    return Prefix({s: l for s, l in lengths.items() if l})
+
+
+def _prefix_value(code: int, bits: Bits) -> int:
+    if code < 4:
+        return code + 1
+    eb = (code - 2) >> 1
+    off = (2 + (code & 1)) << eb
+    return off + bits.read(eb) + 1
+
+
+DIST_MAP = V.DIST_MAP  # the spec's 120-entry table (spec constant)
+
+
+def _code_to_dist(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = DIST_MAP[code - 1]
+    return max(1, dy * width + dx)
+
+
+def _read_image_body(bits: Bits, w: int, h: int, cache_bits: int):
+    """Sub-image (transform data / palette / meta image): one prefix
+    group, no transforms, no meta codes; the color-cache bit was read
+    by the caller."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = [(
+        _read_prefix(bits, 256 + 24 + cache_size),
+        _read_prefix(bits, 256),
+        _read_prefix(bits, 256),
+        _read_prefix(bits, 256),
+        _read_prefix(bits, 40),
+    )]
+    return _decode_pixels(bits, w, h, groups, None, 0, cache_bits)
+
+
+def _decode_pixels(bits: Bits, w: int, h: int, groups, meta,
+                   meta_bits: int, cache_bits: int):
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    out: list[int] = []
+    n = w * h
+
+    def insert(argb: int) -> None:
+        if cache_size:
+            cache[((0x1E35A7BD * argb) & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = argb
+
+    while len(out) < n:
+        if meta is not None:
+            y, x = divmod(len(out), w)
+            mp = meta[(y >> meta_bits) * ((w + (1 << meta_bits) - 1)
+                                          >> meta_bits)
+                      + (x >> meta_bits)]
+            g = ((mp >> 16) & 0xFF) << 8 | ((mp >> 8) & 0xFF)
+        else:
+            g = 0
+        gp, rp, bp, ap, dp = groups[g]
+        s = gp.decode(bits)
+        if s < 256:
+            r = rp.decode(bits)
+            b = bp.decode(bits)
+            a = ap.decode(bits)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            out.append(argb)
+            insert(argb)
+        elif s < 280:
+            length = _prefix_value(s - 256, bits)
+            dcode = _prefix_value(dp.decode(bits), bits)
+            dist = _code_to_dist(dcode, w)
+            for _ in range(length):
+                argb = out[-dist]
+                out.append(argb)
+                insert(argb)
+        else:
+            out.append(cache[s - 280])
+    return out, cache_bits
+
+
+def _sub_image(bits: Bits, w: int, h: int):
+    cb = bits.read(4) if bits.read(1) else 0
+    px, _cb = _read_image_body(bits, w, h, cb)
+    return px
+
+
+def _avg2(a: int, b: int) -> int:
+    return sum(
+        ((((a >> s) & 0xFF) + ((b >> s) & 0xFF)) // 2) << s
+        for s in (0, 8, 16, 24)
+    )
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        pa = pb = 0
+        for s in (0, 8, 16, 24):
+            p = ((L >> s) & 0xFF) + ((T >> s) & 0xFF) - ((TL >> s) & 0xFF)
+            pa += abs(p - ((L >> s) & 0xFF))
+            pb += abs(p - ((T >> s) & 0xFF))
+        return L if pa <= pb else T
+    if mode == 12:  # ClampAddSubtractFull
+        return sum(
+            max(0, min(255, ((L >> s) & 0xFF) + ((T >> s) & 0xFF)
+                       - ((TL >> s) & 0xFF))) << s
+            for s in (0, 8, 16, 24)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        out = 0
+        for s in (0, 8, 16, 24):
+            ave = (((L >> s) & 0xFF) + ((T >> s) & 0xFF)) // 2
+            v = ave + (ave - ((TL >> s) & 0xFF)) // 2
+            # spec: (a + (a - b) / 2) with C-style truncation toward 0
+            a_minus = ave - ((TL >> s) & 0xFF)
+            v = ave + (a_minus // 2 if a_minus >= 0
+                       else -((-a_minus) // 2))
+            out |= max(0, min(255, v)) << s
+        return out
+    raise AssertionError(f"bad predictor mode {mode}")
+
+
+def _delta(t: int, c: int) -> int:
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def ind_decode_webp(payload: bytes):
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+    assert payload[12:16] == b"VP8L"
+    data = payload[20:]
+    assert data[0] == 0x2F
+    bits = Bits(data[1:])
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    bits.read(1)  # alpha hint
+    assert bits.read(3) == 0  # version
+
+    # transforms (top level only), recorded in read order
+    transforms = []
+    cur_w = w
+    while bits.read(1):
+        t = bits.read(2)
+        if t == 0:  # PREDICTOR
+            tb = bits.read(3) + 2
+            tw = (cur_w + (1 << tb) - 1) >> tb
+            th = (h + (1 << tb) - 1) >> tb
+            transforms.append(("predictor", tb, _sub_image(bits, tw, th)))
+        elif t == 1:  # COLOR
+            tb = bits.read(3) + 2
+            tw = (cur_w + (1 << tb) - 1) >> tb
+            th = (h + (1 << tb) - 1) >> tb
+            transforms.append(("color", tb, _sub_image(bits, tw, th)))
+        elif t == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green",))
+        else:  # COLOR_INDEXING
+            n_colors = bits.read(8) + 1
+            pal = _sub_image(bits, n_colors, 1)
+            # palette entries are delta-coded per channel
+            for i in range(1, n_colors):
+                pal[i] = sum(
+                    ((((pal[i] >> s) & 0xFF) + ((pal[i - 1] >> s) & 0xFF))
+                     & 0xFF) << s
+                    for s in (0, 8, 16, 24)
+                )
+            wb = 3 if n_colors <= 2 else 2 if n_colors <= 4 \
+                else 1 if n_colors <= 16 else 0
+            transforms.append(("palette", wb, pal, cur_w))
+            cur_w = (cur_w + (1 << wb) - 1) >> wb
+
+    # the ARGB image: color cache, optional meta prefix codes
+    cache_bits = bits.read(4) if bits.read(1) else 0
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if bits.read(1):  # huffman (meta) image present
+        meta_bits = bits.read(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = _sub_image(bits, mw, mh)
+        n_groups = max(
+            (((p >> 16) & 0xFF) << 8) | ((p >> 8) & 0xFF) for p in meta
+        ) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _g in range(n_groups):
+        groups.append((
+            _read_prefix(bits, 256 + 24 + cache_size),
+            _read_prefix(bits, 256),
+            _read_prefix(bits, 256),
+            _read_prefix(bits, 256),
+            _read_prefix(bits, 40),
+        ))
+    px, _ = _decode_pixels(bits, cur_w, h, groups, meta, meta_bits,
+                           cache_bits)
+
+    # inverse transforms, reverse read order
+    for tr in reversed(transforms):
+        if tr[0] == "palette":
+            _k, wb, pal, orig_w = tr
+            bpp = 8 >> wb
+            mask = (1 << bpp) - 1
+            per = 1 << wb
+            out = []
+            sub_w = (orig_w + per - 1) >> wb
+            for y in range(h):
+                for x in range(orig_w):
+                    packed = px[y * sub_w + (x >> wb)]
+                    idx = ((packed >> 8) & 0xFF) >> ((x % per) * bpp) \
+                        & mask
+                    out.append(pal[idx])
+            px = out
+            cur_w = orig_w
+        elif tr[0] == "subtract_green":
+            out = []
+            for p in px:
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) + g) & 0xFF
+                b = ((p & 0xFF) + g) & 0xFF
+                out.append((p & 0xFF00FF00) | (r << 16) | b)
+            px = out
+        elif tr[0] == "color":
+            _k, tb, tiles = tr
+            tw = (cur_w + (1 << tb) - 1) >> tb
+            out = []
+            for i, p in enumerate(px):
+                y, x = divmod(i, cur_w)
+                te = tiles[(y >> tb) * tw + (x >> tb)]
+                g2r = te & 0xFF          # blue channel of tile pixel
+                g2b = (te >> 8) & 0xFF   # green channel
+                r2b = (te >> 16) & 0xFF  # red channel
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) + _delta(g2r, g)) & 0xFF
+                b = ((p & 0xFF) + _delta(g2b, g)) & 0xFF
+                b = (b + _delta(r2b, r)) & 0xFF
+                out.append((p & 0xFF00FF00) | (r << 16) | b)
+            px = out
+        else:  # predictor
+            _k, tb, tiles = tr
+            tw = (cur_w + (1 << tb) - 1) >> tb
+            out = []
+            for i, p in enumerate(px):
+                y, x = divmod(i, cur_w)
+                if y == 0 and x == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = out[i - 1]
+                elif x == 0:
+                    pred = out[i - cur_w]
+                else:
+                    mode = (tiles[(y >> tb) * tw + (x >> tb)] >> 8) & 0xFF
+                    L = out[i - 1]
+                    T = out[i - cur_w]
+                    TL = out[i - cur_w - 1]
+                    # rightmost column: TR wraps to the leftmost
+                    # pixel of the row above (the spec border rule)
+                    TR = out[i - cur_w + 1] if x + 1 < cur_w else \
+                        out[i - cur_w - x]
+                    pred = _predict(mode, L, T, TL, TR)
+                out.append(sum(
+                    ((((p >> s) & 0xFF) + ((pred >> s) & 0xFF)) & 0xFF)
+                    << s
+                    for s in (0, 8, 16, 24)
+                ))
+            px = out
+    flat = []
+    for p in px:
+        flat += [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+    return w, h, cache_bits, flat
+
+
+@pytest.mark.parametrize("d", DOC_IDS)
+def test_webp_independent_decoder_reads_product_files(d):
+    w, h, v = ref_tiled(d)
+    iw, ih, cb, flat = ind_decode_webp(V.encode_webp_payload(d))
+    assert (iw, ih) == (w, h), d
+    assert cb == 1 + d % 6
+    assert flat == v, f"doc {d} (variant {d % 5})"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    import duckdb_redis_olap_scanner_spark.plans  # noqa: F401
+
+    return catalog.registry()
+
+
+def test_entry_webp_rows_match_independent_decode(reg, spark):
+    rows = {
+        int(r[0]): tuple(r)
+        for r in reg["multimodal_decode_webp"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) > 0
+    for did, row in sorted(rows.items())[:20]:
+        w, h, cb, flat = ind_decode_webp(V.encode_webp_payload(did))
+        assert row == (
+            did, w, h, cb,
+            sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3]),
+            sum((i + 1) * x for i, x in enumerate(flat)),
+        ), f"webp doc {did}"
