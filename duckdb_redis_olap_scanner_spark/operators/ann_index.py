@@ -477,32 +477,46 @@ def _paged_topk(
 ) -> DataFrame:
     """A loop of bounded probes for query batches past the driver
     bound. ``toLocalIterator`` keeps at most one query partition on
-    the driver; each MAX_DRIVER_QUERY_ROWS page is probed and its
-    RESULT collected (≤ k small rows per query) before the next page's
-    embeddings arrive, so peak driver residency is one page of
-    embeddings + the accumulated top-k tuples — output-sized, which
-    the caller materializes anyway. Per-query top-k is page-local by
-    construction (a query row lives in exactly one page), so the
-    concatenation is rank-identical to manual paging."""
-    out_rows: list = []
+    the driver; each MAX_DRIVER_QUERY_ROWS page is probed, its RESULT
+    collected (≤ k small rows per query), parallelized back out, and
+    ``localCheckpoint``-ed — so the page's rows live as executor
+    blocks, not driver objects, before the next page's embeddings
+    arrive. Peak driver residency is ONE page of embeddings plus one
+    page of result tuples, regardless of total batch size (r17
+    review: accumulating all pages' rows driver-side reintroduced
+    exactly the unbounded growth the guard exists to prevent). The
+    returned union references the checkpointed blocks; their
+    lifetime is the executors', like any localCheckpoint. Per-query
+    top-k is page-local by construction (a query row lives in exactly
+    one page), so the concatenation is rank-identical to manual
+    paging."""
+    pages_out: list[DataFrame] = []
     page: list = []
 
     def _flush() -> None:
         if not page:
             return
-        out_rows.extend(
-            _bounded_topk(
-                spark, index_table, cent_ids, cent_vecs, page, k, n_probe
-            ).collect()
-        )
+        rows = _bounded_topk(
+            spark, index_table, cent_ids, cent_vecs, page, k, n_probe
+        ).collect()
         page.clear()
+        if rows:
+            pages_out.append(
+                spark.createDataFrame(rows, schema=_TOPK_SCHEMA)
+                .localCheckpoint(eager=True)
+            )
 
     for row in queries.select("vec_id", "embedding").toLocalIterator():
         page.append(row)
         if len(page) >= S.MAX_DRIVER_QUERY_ROWS:
             _flush()
     _flush()
-    return spark.createDataFrame(out_rows, schema=_TOPK_SCHEMA)
+    if not pages_out:
+        return spark.createDataFrame([], schema=_TOPK_SCHEMA)
+    out = pages_out[0]
+    for p in pages_out[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def probe(

@@ -92,7 +92,42 @@ def _session_key(spark: SparkSession) -> str:
             spark._drosp_session_uuid = uuid
         except Exception:
             pass
-    return f"{sc.applicationId}:{sc.startTime}:{uuid}"
+    key = f"{sc.applicationId}:{sc.startTime}:{uuid}"
+    _touch_session(key)
+    return key
+
+
+# Session-unique keys make the caches CORRECT across newSession(),
+# but without eviction they would also make them a leak: every fresh
+# session's analyzed DataFrames would stay in _TABLE_CACHE and the
+# per-entry memos forever, each pinning its (possibly discarded)
+# SparkSession wrapper (r17 review). A weak-keyed map can't work here
+# — the cached DataFrames hold their session strongly, so the cycle
+# never collects. Instead: bounded per-session LRU. The cap covers
+# any realistic number of CONCURRENT sessions; a long-lived driver
+# cycling newSession() per request evicts the dead ones as it goes.
+_MAX_CACHED_SESSIONS = 8
+_SESSION_LRU: dict[str, None] = {}
+# every register() memo enrolls here so eviction can sweep it; keys
+# of both _TABLE_CACHE and the memos start with the session key
+_ALL_MEMOS: list[dict] = []
+
+
+def _touch_session(key: str) -> None:
+    if key in _SESSION_LRU:
+        # dict preserves insertion order; re-insert = move to end
+        del _SESSION_LRU[key]
+        _SESSION_LRU[key] = None
+        return
+    _SESSION_LRU[key] = None
+    while len(_SESSION_LRU) > _MAX_CACHED_SESSIONS:
+        dead = next(iter(_SESSION_LRU))
+        del _SESSION_LRU[dead]
+        for memo in _ALL_MEMOS:
+            for k in [k for k in memo if k[0] == dead]:
+                del memo[k]
+        for k in [k for k in _TABLE_CACHE if k[0] == dead]:
+            del _TABLE_CACHE[k]
 
 
 def register(
@@ -114,6 +149,7 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate catalog entry {name!r}")
         memo: dict[tuple[str, str], DataFrame] = {}
+        _ALL_MEMOS.append(memo)  # so session eviction can sweep it
 
         def cached_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             k = (_session_key(spark), os.path.abspath(sf_dir))

@@ -375,6 +375,14 @@ class _Handler(socketserver.BaseRequestHandler):
             if name == "TYPE":
                 return _simple(store.type_of(args[0]) or "none")
             if name == "ZADD":
+                if len(args) < 3 or (len(args) - 1) % 2 != 0:
+                    # dangling score/member pairs are a wrong-arity
+                    # error in real Redis and must not create a
+                    # phantom empty key (r17 review)
+                    return _error(
+                        "ERR wrong number of arguments for "
+                        "'zadd' command"
+                    )
                 if store.type_of(args[0]) not in (None, "zset"):
                     return _error(_WRONGTYPE)
                 z = store.zsets.setdefault(args[0], {})
@@ -426,6 +434,13 @@ class _Handler(socketserver.BaseRequestHandler):
                         )
                 return _encode(flat)
             if name == "RPUSH":
+                if len(args) < 2:
+                    # RPUSH with no elements errors in real Redis and
+                    # must not create a phantom empty list (r17 review)
+                    return _error(
+                        "ERR wrong number of arguments for "
+                        "'rpush' command"
+                    )
                 if store.type_of(args[0]) not in (None, "list"):
                     return _error(_WRONGTYPE)
                 lst = store.lists.setdefault(args[0], [])
@@ -506,6 +521,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 # real Redis) and must be strictly greater than the
                 # stream's last id — rejecting non-increasing ids keeps
                 # the entry list sorted, which XRANGE paging relies on.
+                if len(args) < 4 or (len(args) - 2) % 2 != 0:
+                    # at least one full field/value pair, no dangling
+                    # field (r17 review — same arity class as HSET)
+                    return _error(
+                        "ERR wrong number of arguments for "
+                        "'xadd' command"
+                    )
                 key, req_id = args[0], args[1]
                 if store.type_of(key) not in (None, "stream"):
                     return _error(_WRONGTYPE)

@@ -213,3 +213,23 @@ def test_ping_with_message_echoes(cli):
     """PING with an argument echoes it as a bulk string; the fake
     answers +PONG regardless."""
     assert _s(cli.command("PING", "hello")) == "hello"
+
+
+def test_container_write_arity_creates_no_phantom_key(srv, cli):
+    """ZADD/RPUSH/XADD with missing member/value args are
+    wrong-number-of-arguments errors in real Redis and must NOT
+    create an empty key (r17 review: the fake's setdefault ran before
+    any arity check, so 'ZADD z' left a phantom zset visible to TYPE,
+    SCAN TYPE, EXPIRE, and DBSIZE)."""
+    for c in (
+        ("ZADD", "pz"),
+        ("ZADD", "pz", "1"),           # dangling score
+        ("RPUSH", "pl"),
+        ("XADD", "px", "1-1"),         # no field/value pair
+        ("XADD", "px", "1-1", "f"),    # dangling field
+    ):
+        with pytest.raises(RespError, match="wrong number"):
+            cli.command(*c)
+    for k in ("pz", "pl", "px"):
+        assert _s(cli.command("TYPE", k)) == "none"
+    assert cli.command("DBSIZE") == 0

@@ -98,6 +98,32 @@ def test_indexed_entries_survive_fresh_session_twice(spark, name):
     assert n_rows[0] == n_rows[1] >= 0
 
 
+def test_dead_session_cache_rows_are_evicted(spark):
+    """Session-unique keys without eviction would leak: every
+    newSession()'s analyzed DataFrames would stay in _TABLE_CACHE and
+    the entry memos forever, pinning the discarded session (r17
+    review). The bounded session LRU must sweep a dead session's rows
+    once enough newer sessions appear, while the ACTIVE main session's
+    rows survive because each use re-touches it."""
+    main_key = catalog._session_key(spark)
+    victim = spark.newSession()
+    victim_key = catalog._session_key(victim)
+    catalog.table(victim, SF_DIR, "region")
+    assert any(k[0] == victim_key for k in catalog._TABLE_CACHE)
+    # churn more sessions than the cap, touching main in between
+    for _ in range(catalog._MAX_CACHED_SESSIONS + 2):
+        catalog.table(spark.newSession(), SF_DIR, "region")
+        catalog._session_key(spark)  # keep main most-recently-used
+    assert not any(k[0] == victim_key for k in catalog._TABLE_CACHE)
+    assert not any(
+        k[0] == victim_key for memo in catalog._ALL_MEMOS for k in memo
+    )
+    # the main session's rows survived the churn
+    catalog.table(spark, SF_DIR, "region")
+    assert any(k[0] == main_key for k in catalog._TABLE_CACHE)
+    assert len(catalog._SESSION_LRU) <= catalog._MAX_CACHED_SESSIONS
+
+
 def test_session_key_is_session_unique(spark):
     """Sibling sessions of one SparkContext must get distinct keys —
     the root cause of the r16 poisoning was both mapping to
