@@ -109,10 +109,11 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "≤query_max_id rows",
     ("operators/retrieval.py", "oov_stats", "vocab"):
         "trained vocab, ≤vocab_size",
-    ("operators/ann_index.py", "ann_indexed_topk", "q"):
+    ("operators/ann_index.py", "_bounded_topk", "q"):
         "query-probe frame, ≤MAX_DRIVER_QUERY_ROWS enforced at the "
         "collect that produces it (probed cells must be plan-time "
-        "bucket-pruning literals)",
+        "bucket-pruning literals; r17 moved the site from "
+        "ann_indexed_topk into the extracted _bounded_topk core)",
 }
 
 

@@ -85,10 +85,13 @@ def test_udfs_null_key_in_null_out(engine, spark, redis_server):
 
     from duckdb_redis_olap_scanner_spark.transport.resp import RedisClient
 
-    # make the conflation observable: seed the legal empty-string key
+    # make the conflation observable: seed the legal empty-string key.
+    # One key can only hold ONE type now (the fake answers WRONGTYPE
+    # like real Redis — r17 fidelity fix), so the string-UDF and
+    # hash-UDF conflation probes run as two phases over two realistic
+    # server states instead of the old forked-type state.
     with RedisClient(redis_server.host, redis_server.port) as c:
         c.command("SET", "", "empty-key-value")
-        c.command("HSET", "", "f", "v")
 
     df = spark.createDataFrame(
         [("testkey:0001",), (None,), ("no-such-key",)], "k string"
@@ -96,23 +99,30 @@ def test_udfs_null_key_in_null_out(engine, spark, redis_server):
     g = engine.redis_get_udf()
     ge = engine.redis_get_udf(missing="empty")
     t = engine.redis_ttl_udf()
-    h = engine.redis_hgetall_udf()
     rows = df.select(
         "k",
         g("k").alias("v"),
         ge("k").alias("ve"),
         t("k").alias("ttl"),
-        h("k").alias("m"),
     ).collect()
     by_k = {r.k: r for r in rows}
     assert by_k["testkey:0001"].v == "value:0001"
     assert by_k[None].v is None  # NOT 'empty-key-value'
     assert by_k[None].ve is None  # missing='empty' is for missing KEYS
     assert by_k[None].ttl is None  # NOT -2, NOT ""'s ttl
-    assert by_k[None].m is None  # NOT {'f': 'v'}
     assert by_k["no-such-key"].v is None
     assert by_k["no-such-key"].ve == ""
     assert by_k["no-such-key"].ttl == -2
+
+    # phase 2: "" as a HASH, so a NULL->"" substitution in the
+    # hgetall UDF would surface as {'f': 'v'}
+    with RedisClient(redis_server.host, redis_server.port) as c:
+        c.command("DEL", "")
+        c.command("HSET", "", "f", "v")
+    h = engine.redis_hgetall_udf()
+    rows = df.select("k", h("k").alias("m")).collect()
+    by_k = {r.k: r for r in rows}
+    assert by_k[None].m is None  # NOT {'f': 'v'}
 
     with RedisClient(redis_server.host, redis_server.port) as c:
         c.command("DEL", "")
