@@ -477,18 +477,18 @@ def _paged_topk(
 ) -> DataFrame:
     """A loop of bounded probes for query batches past the driver
     bound. ``toLocalIterator`` keeps at most one query partition on
-    the driver; each MAX_DRIVER_QUERY_ROWS page is probed, its RESULT
-    collected (≤ k small rows per query), parallelized back out, and
-    ``localCheckpoint``-ed — so the page's rows live as executor
-    blocks, not driver objects, before the next page's embeddings
-    arrive. Peak driver residency is ONE page of embeddings plus one
-    page of result tuples, regardless of total batch size (r17
-    review: accumulating all pages' rows driver-side reintroduced
-    exactly the unbounded growth the guard exists to prevent). The
-    returned union references the checkpointed blocks; their
-    lifetime is the executors', like any localCheckpoint. Per-query
-    top-k is page-local by construction (a query row lives in exactly
-    one page), so the concatenation is rank-identical to manual
+    the driver; each MAX_DRIVER_QUERY_ROWS page is probed and its
+    result plan ``localCheckpoint(eager=True)``-ed — the page
+    executes immediately and its rows (≤ k per query) land as
+    executor blocks WITHOUT ever visiting the driver (r17 review
+    pass 2: the first fix collected each page and re-parallelized it,
+    paying two jobs plus a JVM↔Python round trip of rows the driver
+    never needed). Peak driver residency is ONE page of query
+    embeddings, regardless of total batch size. The returned
+    DataFrame unions the checkpointed pages; block lifetime is the
+    executors', like any localCheckpoint. Per-query top-k is
+    page-local by construction (a query row lives in exactly one
+    page), so the concatenation is rank-identical to manual
     paging."""
     pages_out: list[DataFrame] = []
     page: list = []
@@ -496,15 +496,12 @@ def _paged_topk(
     def _flush() -> None:
         if not page:
             return
-        rows = _bounded_topk(
-            spark, index_table, cent_ids, cent_vecs, page, k, n_probe
-        ).collect()
+        pages_out.append(
+            _bounded_topk(
+                spark, index_table, cent_ids, cent_vecs, page, k, n_probe
+            ).localCheckpoint(eager=True)
+        )
         page.clear()
-        if rows:
-            pages_out.append(
-                spark.createDataFrame(rows, schema=_TOPK_SCHEMA)
-                .localCheckpoint(eager=True)
-            )
 
     for row in queries.select("vec_id", "embedding").toLocalIterator():
         page.append(row)

@@ -104,30 +104,70 @@ def _session_key(spark: SparkSession) -> str:
 # SparkSession wrapper (r17 review). A weak-keyed map can't work here
 # — the cached DataFrames hold their session strongly, so the cycle
 # never collects. Instead: bounded per-session LRU. The cap covers
-# any realistic number of CONCURRENT sessions; a long-lived driver
-# cycling newSession() per request evicts the dead ones as it goes.
-_MAX_CACHED_SESSIONS = 8
+# any realistic number of CONCURRENT sessions (tunable for drivers
+# that genuinely serve more — exceeding it with LIVE sessions turns
+# the prepared-plan cache into thrash, so the first eviction warns
+# once with the knob's name); a long-lived driver cycling
+# newSession() per request evicts the dead ones as it goes.
+_MAX_CACHED_SESSIONS = int(
+    os.environ.get("SPARK_GRAFT_MAX_CACHED_SESSIONS", "8")
+)
 _SESSION_LRU: dict[str, None] = {}
 # every register() memo enrolls here so eviction can sweep it; keys
 # of both _TABLE_CACHE and the memos start with the session key
 _ALL_MEMOS: list[dict] = []
+# One lock for every mutation of _SESSION_LRU / _TABLE_CACHE / the
+# memos: the eviction sweep iterates these dicts, and an unlocked
+# concurrent insert from another session's thread would raise
+# "dictionary changed size during iteration" (r17 review pass 2).
+_CACHE_LOCK = __import__("threading").RLock()
+_WARNED_EVICTION = False
 
 
 def _touch_session(key: str) -> None:
-    if key in _SESSION_LRU:
-        # dict preserves insertion order; re-insert = move to end
-        del _SESSION_LRU[key]
+    global _WARNED_EVICTION
+    with _CACHE_LOCK:
+        if key in _SESSION_LRU:
+            # dict preserves insertion order; re-insert = move to end
+            del _SESSION_LRU[key]
+            _SESSION_LRU[key] = None
+            return
         _SESSION_LRU[key] = None
-        return
-    _SESSION_LRU[key] = None
-    while len(_SESSION_LRU) > _MAX_CACHED_SESSIONS:
-        dead = next(iter(_SESSION_LRU))
-        del _SESSION_LRU[dead]
-        for memo in _ALL_MEMOS:
-            for k in [k for k in memo if k[0] == dead]:
-                del memo[k]
-        for k in [k for k in _TABLE_CACHE if k[0] == dead]:
-            del _TABLE_CACHE[k]
+        while len(_SESSION_LRU) > _MAX_CACHED_SESSIONS:
+            dead = next(iter(_SESSION_LRU))
+            del _SESSION_LRU[dead]
+            if not _WARNED_EVICTION:
+                _WARNED_EVICTION = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "evicting cached plans of session %s (more than "
+                    "%d session keys seen). Benign for discarded "
+                    "newSession()s; if this many sessions are LIVE, "
+                    "raise SPARK_GRAFT_MAX_CACHED_SESSIONS to avoid "
+                    "prepared-plan cache thrash.",
+                    dead,
+                    _MAX_CACHED_SESSIONS,
+                )
+            for memo in _ALL_MEMOS:
+                for k in [k for k in memo if k[0] == dead]:
+                    _evict(memo, k)
+            for k in [k for k in _TABLE_CACHE if k[0] == dead]:
+                _evict(_TABLE_CACHE, k)
+
+
+def _evict(cache: dict, k) -> None:
+    """Drop a cache row AND release its JVM-side storage: table_keyed
+    frames are persisted (.cache()), and deleting the last Python
+    reference would strand their blocks in the shared CacheManager
+    with no handle left to free them (r17 review pass 2). unpersist
+    on a never-persisted frame is a no-op; a stopped session raises,
+    which is equally fine — its blocks died with the context."""
+    df = cache.pop(k)
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def register(
@@ -156,7 +196,8 @@ def register(
             df = memo.get(k)
             if df is None:
                 df = fn(spark, sf_dir)
-                memo[k] = df
+                with _CACHE_LOCK:
+                    memo[k] = df
             return df
 
         cached_fn.__name__ = fn.__name__
@@ -974,7 +1015,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 sort_partitions=True,
                 force_layout=True,
             )
-    _TABLE_CACHE[key] = df
+    with _CACHE_LOCK:
+        _TABLE_CACHE[key] = df
     return df
 
 
@@ -1009,5 +1051,6 @@ def table_keyed(
         # bucketed copy instead of re-shuffling the base table per query.
         .cache()
     )
-    _TABLE_CACHE[ckey] = df
+    with _CACHE_LOCK:
+        _TABLE_CACHE[ckey] = df
     return df
