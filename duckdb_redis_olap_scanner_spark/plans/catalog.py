@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -109,9 +110,21 @@ def _session_key(spark: SparkSession) -> str:
 # the prepared-plan cache into thrash, so the first eviction warns
 # once with the knob's name); a long-lived driver cycling
 # newSession() per request evicts the dead ones as it goes.
-_MAX_CACHED_SESSIONS = int(
-    os.environ.get("SPARK_GRAFT_MAX_CACHED_SESSIONS", "8")
-)
+def _session_cap() -> int:
+    raw = os.environ.get("SPARK_GRAFT_MAX_CACHED_SESSIONS", "8")
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_MAX_CACHED_SESSIONS={raw!r} is not an "
+            "integer"
+        ) from None
+    # 0/negative would evict the CURRENT session on every call
+    # (permanent thrash + unsweepable inserts); clamp to >= 1.
+    return max(1, v)
+
+
+_MAX_CACHED_SESSIONS = _session_cap()
 _SESSION_LRU: dict[str, None] = {}
 # every register() memo enrolls here so eviction can sweep it; keys
 # of both _TABLE_CACHE and the memos start with the session key
@@ -120,19 +133,20 @@ _ALL_MEMOS: list[dict] = []
 # memos: the eviction sweep iterates these dicts, and an unlocked
 # concurrent insert from another session's thread would raise
 # "dictionary changed size during iteration" (r17 review pass 2).
-_CACHE_LOCK = __import__("threading").RLock()
+_CACHE_LOCK = threading.RLock()
 _WARNED_EVICTION = False
 
 
 def _touch_session(key: str) -> None:
     global _WARNED_EVICTION
+    doomed: list = []
     with _CACHE_LOCK:
         if key in _SESSION_LRU:
             # dict preserves insertion order; re-insert = move to end
             del _SESSION_LRU[key]
             _SESSION_LRU[key] = None
-            return
-        _SESSION_LRU[key] = None
+        else:
+            _SESSION_LRU[key] = None
         while len(_SESSION_LRU) > _MAX_CACHED_SESSIONS:
             dead = next(iter(_SESSION_LRU))
             del _SESSION_LRU[dead]
@@ -151,23 +165,35 @@ def _touch_session(key: str) -> None:
                 )
             for memo in _ALL_MEMOS:
                 for k in [k for k in memo if k[0] == dead]:
-                    _evict(memo, k)
+                    doomed.append(memo.pop(k))
             for k in [k for k in _TABLE_CACHE if k[0] == dead]:
-                _evict(_TABLE_CACHE, k)
+                doomed.append(_TABLE_CACHE.pop(k))
+    # Release JVM-side storage OUTSIDE the lock: table_keyed frames
+    # are persisted (.cache()), and dropping the last Python
+    # reference would strand their blocks in the shared CacheManager
+    # with no handle left to free them (r17 review pass 2) — but each
+    # unpersist is a py4j round trip, and holding the global lock
+    # across the sweep would stall every catalog call in every
+    # session (pass 3). unpersist on a never-persisted frame is a
+    # no-op; a stopped session raises, which is equally fine — its
+    # blocks died with the context.
+    for df in doomed:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
-def _evict(cache: dict, k) -> None:
-    """Drop a cache row AND release its JVM-side storage: table_keyed
-    frames are persisted (.cache()), and deleting the last Python
-    reference would strand their blocks in the shared CacheManager
-    with no handle left to free them (r17 review pass 2). unpersist
-    on a never-persisted frame is a no-op; a stopped session raises,
-    which is equally fine — its blocks died with the context."""
-    df = cache.pop(k)
-    try:
-        df.unpersist()
-    except Exception:
-        pass
+def _insert_cache_row(cache: dict, k, df) -> None:
+    """All cache inserts go through here: under the lock, AND with the
+    session key re-touched — a key evicted between the caller's
+    _session_key() and this insert would otherwise leave the new row
+    unsweepable forever (r17 review pass 3). The RLock makes the
+    nested _touch_session safe; its eviction work happens before our
+    insert, so the row we add belongs to a key that is in the LRU."""
+    with _CACHE_LOCK:
+        _touch_session(k[0])
+        cache[k] = df
 
 
 def register(
@@ -196,8 +222,7 @@ def register(
             df = memo.get(k)
             if df is None:
                 df = fn(spark, sf_dir)
-                with _CACHE_LOCK:
-                    memo[k] = df
+                _insert_cache_row(memo, k, df)
             return df
 
         cached_fn.__name__ = fn.__name__
@@ -1015,8 +1040,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 sort_partitions=True,
                 force_layout=True,
             )
-    with _CACHE_LOCK:
-        _TABLE_CACHE[key] = df
+    _insert_cache_row(_TABLE_CACHE, key, df)
     return df
 
 
@@ -1051,6 +1075,5 @@ def table_keyed(
         # bucketed copy instead of re-shuffling the base table per query.
         .cache()
     )
-    with _CACHE_LOCK:
-        _TABLE_CACHE[ckey] = df
+    _insert_cache_row(_TABLE_CACHE, ckey, df)
     return df
