@@ -793,3 +793,38 @@ def test_entry_avi_rows_match_independent_decode(reg, spark):
             did, w, h, nf, (nf + 1) // 2,
             sum(flat), sum(sampled), _weighted(flat),
         ), f"avi doc {did}"
+
+
+@pytest.mark.parametrize("d", [0, 7, 25])
+def test_audit_has_teeth_corruption_is_detected(d):
+    """Sanity of the audit itself: flipping a payload byte in the
+    DATA region must change the independent decode (or make it raise)
+    — proving these tests actually read the bytes rather than
+    vacuously agreeing with the closed form."""
+    w, h, v = ref_image(d)
+    # BMP: corrupt the first pixel byte at the data offset
+    p = bytearray(M.encode_bmp_payload(d))
+    off = int.from_bytes(p[10:14], "little")
+    p[off] ^= 0xFF  # first data byte = a pixel byte (bottom row)
+    assert ind_decode_bmp(bytes(p))[2] != v
+    # PPM: corrupt the last pixel byte
+    p = bytearray(M.encode_ppm_payload(d))
+    p[-1] ^= 0xFF
+    assert ind_decode_ppm(bytes(p))[2] != v
+    # WAV: corrupt the last data byte (int16 stream, even length)
+    p = bytearray(M.encode_wav_payload(d))
+    p[-1] ^= 0xFF
+    _c, _s, samples = ind_decode_wav(bytes(p))
+    assert samples != ref_pcm16(d)
+    # PNG: corrupt an IDAT byte — the CRC walk must refuse
+    p = bytearray(M.encode_png_payload(d))
+    idat = bytes(p).index(b"IDAT")
+    p[idat + 6] ^= 0xFF
+    with pytest.raises(AssertionError):
+        ind_decode_png(bytes(p))
+    # AVI: corrupt the first byte of the last frame's DIB data (the
+    # payload's final bytes can be row/chunk PADDING a correct parser
+    # ignores — the first data byte never is)
+    p = bytearray(M.encode_avi_payload(d))
+    p[bytes(p).rindex(b"00db") + 8] ^= 0xFF
+    assert ind_decode_avi(bytes(p))[3] != ref_video(d)[3]

@@ -417,3 +417,45 @@ def test_entry_gif_rows_match_independent_parse(reg, spark):
             sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3]),
             _weighted(flat),
         ), f"gif doc {did}"
+
+
+@pytest.mark.parametrize("d", [0, 5, 26])
+def test_audit_has_teeth_corruption_is_detected(d):
+    """Sanity of the audit itself: corrupting strip/stream data must
+    change the independent decode or make it raise — these parsers
+    really read the compressed bytes."""
+    w, h, v = ref_image(d)
+    # TIFF: flip the FIRST byte of the first strip (the last payload
+    # byte can be LZW EOI/pad bits a correct reader never consumes) —
+    # locate it through tag 273, honoring the byte order
+    p = bytearray(M.encode_tiff_payload(d))
+    order = "little" if p[:2] == b"II" else "big"
+
+    def u(off, n):
+        return int.from_bytes(p[off : off + n], order)
+
+    ifd = u(4, 4)
+    first_strip = None
+    for t in range(u(ifd, 2)):
+        e = ifd + 2 + 12 * t
+        if u(e, 2) == 273:
+            slot = u(e + 8, 4)
+            first_strip = slot if u(e + 4, 4) == 1 else u(slot, 4)
+    p[first_strip] ^= 0xFF
+    try:
+        flat = ind_decode_tiff(bytes(p))[5]
+        detected = flat != v
+    except Exception:
+        detected = True
+    assert detected
+    # GIF: flip a byte inside the first LZW sub-block (after the
+    # image descriptor + min-code-size byte)
+    p = bytearray(G.encode_gif_payload(d))
+    desc = bytes(p).index(b"\x2c")
+    p[desc + 12] ^= 0xFF  # descriptor(10) + mcs(1) + block len(1)
+    try:
+        flat = ind_decode_gif(bytes(p))[4]
+        detected = flat != v
+    except (AssertionError, IndexError, KeyError):
+        detected = True
+    assert detected

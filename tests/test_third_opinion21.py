@@ -311,3 +311,14 @@ def test_entry_flac_rows_match_independent_decode(reg, spark):
             sum((i + 1) * v for i, v in enumerate(inter)),
         )
         assert row == want, f"flac doc {did}"
+
+
+@pytest.mark.parametrize("d", [0, 3, 40])
+def test_audit_has_teeth_corruption_is_detected(d):
+    """Corrupting any frame byte must trip the independent CRC-16
+    check — proving the audit verifies the stream, not just the
+    metadata."""
+    p = bytearray(FL.encode_flac_payload(d))
+    p[-3] ^= 0xFF  # inside the last frame body or its CRC
+    with pytest.raises(AssertionError):
+        ind_decode_flac(bytes(p))

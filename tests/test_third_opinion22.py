@@ -551,3 +551,22 @@ def test_entry_jpeg_lossless_rows_match_independent_decode(reg, spark):
             sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
             sum((i + 1) * x for i, x in enumerate(px)),
         ), f"lossless doc {did}"
+
+
+@pytest.mark.parametrize("variant", ["444", "prog"])
+@pytest.mark.parametrize("d", [0, 7])
+def test_audit_has_teeth_corruption_is_detected(d, variant):
+    """Corrupting entropy-coded data must change the independent
+    coefficient store or make the decode raise."""
+    p = bytearray(J.encode_jpeg_payload(d, variant))
+    sos = bytes(p).index(b"\xff\xda")
+    ns = p[sos + 4]
+    scan_start = sos + 2 + 2 + 1 + 2 * ns + 3
+    p[scan_start + 1] ^= 0x55
+    want = _expected_stats(d, "444" if variant == "prog" else variant)
+    try:
+        _m, _sof, stats, _px = ind_decode_jpeg(bytes(p))
+        detected = stats != want
+    except (AssertionError, IndexError, KeyError):
+        detected = True
+    assert detected

@@ -457,3 +457,18 @@ def test_entry_webp_rows_match_independent_decode(reg, spark):
             sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3]),
             sum((i + 1) * x for i, x in enumerate(flat)),
         ), f"webp doc {did}"
+
+
+@pytest.mark.parametrize("d", [0, 1, 2, 3, 4])
+def test_audit_has_teeth_corruption_is_detected(d):
+    """One doc per wire-format variant: corrupting the VP8L bitstream
+    must change the independent decode or make it raise."""
+    w, h, v = ref_tiled(d)
+    p = bytearray(V.encode_webp_payload(d))
+    p[-2] ^= 0x55  # inside the entropy-coded tail
+    try:
+        flat = ind_decode_webp(bytes(p))[3]
+        detected = flat != v
+    except (AssertionError, IndexError, KeyError):
+        detected = True
+    assert detected
