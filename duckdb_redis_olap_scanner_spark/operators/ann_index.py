@@ -489,7 +489,21 @@ def _paged_topk(
     executors', like any localCheckpoint. Per-query top-k is
     page-local by construction (a query row lives in exactly one
     page), so the concatenation is rank-identical to manual
-    paging."""
+    paging.
+
+    Block lifecycle (r18, VERDICT/ADVICE r17): the page blocks stay
+    pinned for the session unless released — a long-lived driver
+    looping paged probes accumulates executor storage. Call
+    :func:`release_paged_result` on the returned DataFrame once its
+    rows are consumed (or persisted elsewhere) to unpersist every
+    page block. And because ``localCheckpoint`` TRUNCATES lineage,
+    the result is *unrecoverable* after any block loss: a released
+    result — or one whose hosting executor died (dynamic allocation,
+    decommission) — fails at its next action rather than recomputing.
+    For results that must outlive executors, write them out
+    (``df.write``) or use a reliable checkpoint
+    (``spark.sparkContext.setCheckpointDir(...)`` + per-page
+    ``.checkpoint()``) instead of holding the returned handle."""
     pages_out: list[DataFrame] = []
     page: list = []
 
@@ -513,7 +527,63 @@ def _paged_topk(
     out = pages_out[0]
     for p in pages_out[1:]:
         out = out.unionByName(p)
+    _register_paged_result(out, pages_out)
     return out
+
+
+# Paged-probe results → their page DataFrames, keyed by result id()
+# with a weakref.finalize that drops the entry when the result handle
+# is collected, so an abandoned result stops pinning the Python-side
+# page objects (the EXECUTOR blocks still need an explicit release or
+# session end — exactly the leak release_paged_result closes).
+_PAGED_RESULT_PAGES: dict[int, list[DataFrame]] = {}
+
+
+def _register_paged_result(out: DataFrame, pages: list[DataFrame]) -> None:
+    """Remember which checkpointed page plans back a paged-probe
+    result, keyed weakly by the result DataFrame identity."""
+    import weakref
+
+    key = id(out)
+    _PAGED_RESULT_PAGES[key] = pages
+    # Drop the entry when the result handle is collected WITHOUT
+    # keeping the result alive ourselves (a strong key would pin it,
+    # and with it every page plan, forever).
+    weakref.finalize(out, _PAGED_RESULT_PAGES.pop, key, None)
+
+
+def release_paged_result(result: DataFrame, blocking: bool = False) -> list[int]:
+    """Unpersist every page block behind a paged-probe result.
+
+    ``ann_indexed_topk(..., page_queries=True)`` pins one
+    ``localCheckpoint`` block set per page for the life of the
+    session; a driver looping paged probes would accumulate executor
+    storage without bound. Calling this after consuming the result
+    releases those blocks. Returns the released RDD ids (empty for a
+    DataFrame that is not a live paged result — calling twice is a
+    safe no-op). AFTER release the result DataFrame is DEAD: its
+    lineage was truncated by the checkpoint, so any further action on
+    it fails rather than recomputing (asserted in
+    tests/test_ann_index.py).
+
+    The unpersist reaches the checkpointed RDD through the analyzed
+    ``LogicalRDD`` plan (``jdf.queryExecution().analyzed().rdd()``) —
+    the same RDD ``Dataset.localCheckpoint`` persisted; removing it
+    from the context's persistent-RDD registry frees the blocks on
+    every executor."""
+    pages = _PAGED_RESULT_PAGES.pop(id(result), None)
+    released: list[int] = []
+    for p in pages or ():
+        try:
+            jrdd = p._jdf.queryExecution().analyzed().rdd()
+            released.append(jrdd.id())
+            jrdd.unpersist(blocking)
+        except Exception:  # pragma: no cover - plan shape drift guard
+            # A page whose plan is not a LogicalRDD (Spark internals
+            # moved) is left to the session-end cleanup rather than
+            # failing the caller's teardown path.
+            continue
+    return released
 
 
 def probe(

@@ -321,6 +321,53 @@ def test_paged_probe_matches_manual_pages(spark, emb, centroids,
     assert sorted(map(tuple, via_probe)) == sorted(map(tuple, got))
 
 
+def test_paged_probe_release(spark, emb, centroids, ivf_index,
+                             monkeypatch):
+    """release_paged_result (VERDICT r17 #3): two paged probes, release
+    the first, assert ITS page blocks are gone from the context's
+    persistent-RDD registry while the second probe's blocks survive;
+    the released result is dead (lineage truncated — next action
+    fails, per the ADVICE r17 unrecoverability note); double release
+    is a safe no-op; the survivor still collects."""
+    cent_ids, cent_vecs = centroids
+    monkeypatch.setattr(S, "MAX_DRIVER_QUERY_ROWS", 3)
+    q6 = emb.filter(F.col("vec_id") < 6)  # 2 pages of 3
+
+    def run_paged():
+        return AI.ann_indexed_topk(
+            spark, ivf_index, cent_ids, cent_vecs, q6,
+            k=5, n_probe=2, page_queries=True,
+        )
+
+    def persistent_ids() -> set[int]:
+        # JavaSparkContext returns a java.util.Map (py4j-iterable);
+        # the scala Map from _jsc.sc() is not.
+        return {
+            int(i) for i in spark.sparkContext._jsc
+            .getPersistentRDDs().keySet()
+        }
+
+    r1 = run_paged()
+    r2 = run_paged()
+    want = sorted(map(tuple, r2.collect()))
+    ids1 = AI.release_paged_result(r1)
+    assert len(ids1) == 2  # one checkpointed block set per page
+    live = persistent_ids()
+    assert not (set(ids1) & live), "released page blocks still pinned"
+    # released result is DEAD: truncated lineage cannot recompute
+    with pytest.raises(Exception):
+        r1.collect()
+    # double release: no-op, nothing new released
+    assert AI.release_paged_result(r1) == []
+    # the OTHER probe's pages were untouched by r1's release (still in
+    # the live set captured just after it) and collected fine
+    ids2 = AI.release_paged_result(r2, blocking=True)
+    assert len(ids2) == 2 and not (set(ids2) & set(ids1))
+    assert set(ids2) <= live, "r1's release must not touch r2's blocks"
+    assert want  # r2 collected fine before ITS release
+    assert not (set(ids2) & persistent_ids())
+
+
 def test_centroids_recover_from_sidecar(spark, emb, centroids, tmp_path):
     """Full restart recovery: attach the index AND read the frozen
     centroid generation back from its sidecar — real centroids come
