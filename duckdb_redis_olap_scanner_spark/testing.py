@@ -43,6 +43,18 @@ from typing import Any
 
 from .transport.resp import CRLF, RespProtocolError, _SocketReader
 
+# Error classes real Redis replies lead with — the only first tokens
+# _encode treats as an already-coded error line. Everything else
+# (including all-caps command names leaking from a future
+# ValueError('XADD requires ...')) gets the generic ERR prefix.
+_REDIS_ERROR_CODES = frozenset({
+    "ERR", "WRONGTYPE", "MOVED", "ASK", "NOPROTO", "NOAUTH",
+    "WRONGPASS", "NOPERM", "LOADING", "BUSYGROUP", "BUSYKEY",
+    "CLUSTERDOWN", "CROSSSLOT", "TRYAGAIN", "EXECABORT", "NOSCRIPT",
+    "NOTBUSY", "READONLY", "OOM", "MASTERDOWN", "MISCONF",
+    "NOREPLICAS", "NOGROUP", "UNBLOCKED",
+})
+
 
 def _encode(obj: Any, proto: int = 2) -> bytes:
     """Encode a Python value as a RESP reply. ``proto`` only affects
@@ -68,10 +80,14 @@ def _encode(obj: Any, proto: int = 2) -> bytes:
         # Real error lines carry exactly ONE leading code token; only
         # prepend the generic ERR when the message doesn't already
         # start with a code (r17 fix for '-ERR ERR ...' double
-        # prefixes from ValueError('ERR ...') raises).
+        # prefixes from ValueError('ERR ...') raises). The code check
+        # is a WHITELIST of error classes real Redis emits, not "any
+        # all-caps first word": a raise like ValueError('XADD requires
+        # ...') must surface as '-ERR XADD requires ...', not invent a
+        # non-existent '-XADD' error class (ADVICE r17).
         msg = str(obj)
         first = msg.split(" ", 1)[0]
-        if not (first.isalpha() and first.isupper()):
+        if first not in _REDIS_ERROR_CODES:
             msg = "ERR " + msg
         return b"-" + msg.encode("utf-8") + CRLF
     raise TypeError(f"cannot encode {type(obj)}")

@@ -173,6 +173,33 @@ def test_error_replies_are_not_double_prefixed(cli):
     assert not str(ei.value).startswith("ERR ERR"), str(ei.value)
 
 
+def test_error_code_detection_is_a_whitelist():
+    """_encode's already-coded check must not treat ANY all-caps first
+    word as an error class: a raise like ValueError('XADD requires
+    ...') would otherwise go out as the invented '-XADD' error class
+    instead of '-ERR XADD requires ...' (ADVICE r17). Known codes
+    still pass through un-prefixed, exactly once."""
+    from duckdb_redis_olap_scanner_spark.testing import _encode
+
+    assert _encode(ValueError("XADD requires an id")) == (
+        b"-ERR XADD requires an id\r\n"
+    )
+    assert _encode(ValueError("GET wants 1 argument")) == (
+        b"-ERR GET wants 1 argument\r\n"
+    )
+    # real codes: exactly one prefix, verbatim
+    assert _encode(ValueError("ERR syntax error")) == b"-ERR syntax error\r\n"
+    assert _encode(ValueError(
+        "WRONGTYPE Operation against a key holding the wrong kind of value"
+    )).startswith(b"-WRONGTYPE Operation")
+    assert _encode(ValueError("MOVED 866 127.0.0.1:7001")) == (
+        b"-MOVED 866 127.0.0.1:7001\r\n"
+    )
+    assert _encode(ValueError("NOPROTO unsupported protocol version")) == (
+        b"-NOPROTO unsupported protocol version\r\n"
+    )
+
+
 def test_resp3_null_is_underscore(srv):
     """After HELLO 3, real Redis encodes nulls as the RESP3 null
     ('_\\r\\n'), not the RESP2 null bulk ('$-1'). The engine's parser
