@@ -4,19 +4,22 @@ re-derivation (tests/test_third_opinion*.py) and which do not.
 
 The oracle gate proves Spark == DuckDB; the third-opinion tests prove
 the shared SPEC reading against an independent implementation. This
-script scans the audit files for quoted entry names (any quoting or
-access spelling — `reg["x"]`, `registry()["x"]`, `ENTRIES["x"]`,
-parametrize lists) and intersects them with the registry, printing a
-JSON summary:
+script AST-parses the audit files and counts a registry entry as
+covered when its name appears as a string literal in an EXPRESSION
+context — a subscript (``reg["x"]``), a call argument
+(``_check(reg, spark, "x", ...)``), or a list/tuple element feeding a
+loop or ``parametrize`` — and prints a JSON summary:
 
     {"entries_total": N, "with_third_opinion": K,
-     "without": [names...], "detection": "quoted-name heuristic"}
+     "without": [names...], "detection": "ast-expression contexts"}
 
-Detection is a HEURISTIC (ADVICE r16): any registry entry name quoted
-anywhere in an audit file counts as covered — it can over-count a
-name mentioned in a comment string, and under-counting is only
-possible for an entry exercised without its name ever appearing
-quoted (none of the audit files do that).
+Tightened from the r17 quoted-token regex (ADVICE r17): names that
+appear ONLY in docstrings, comments, or skip/xfail ``reason`` strings
+no longer count, so a mention in an audit file's header prose cannot
+inflate the completeness claim. Under-counting remains possible only
+for an entry exercised without its name ever appearing as a string
+expression (none of the audit files do that — they all go through the
+``reg`` fixture by quoted name).
 
 Entries listed under `without` fall into documented classes (see
 COVERAGE.md "Third-opinion audit, session 2"): engine-builtin scalar
@@ -28,12 +31,47 @@ fake-fidelity audit), and skew (invariance-tested).
 
 from __future__ import annotations
 
+import ast
 import json
 import pathlib
-import re
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _expression_strings(tree: ast.AST) -> set[str]:
+    """String constants in expression contexts: everything except
+    bare-string statements (docstrings / prose) and the ``reason=``
+    keyword of skip/xfail marks."""
+    skip: set[int] = set()
+    for node in ast.walk(tree):
+        # Bare string statement — module/class/function docstrings and
+        # any free-standing prose block.
+        if isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+            skip.add(id(node.value))
+        # reason="..." on skip/xfail/skipif marks (and pytest.skip
+        # positional is a sentence, excluded here too for symmetry).
+        if isinstance(node, ast.Call):
+            for kw in node.keywords:
+                if kw.arg == "reason" and isinstance(kw.value, ast.Constant):
+                    skip.add(id(kw.value))
+            fn = node.func
+            attr = fn.attr if isinstance(fn, ast.Attribute) else (
+                fn.id if isinstance(fn, ast.Name) else ""
+            )
+            if attr in ("skip", "xfail", "fail", "importorskip"):
+                for a in node.args:
+                    if isinstance(a, ast.Constant):
+                        skip.add(id(a))
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in skip
+        ):
+            out.add(node.value)
+    return out
 
 
 def main() -> int:
@@ -44,13 +82,7 @@ def main() -> int:
     names = set(catalog.registry())
     covered: set[str] = set()
     for f in sorted((ROOT / "tests").glob("test_third_opinion*.py")):
-        # Any quoted identifier, whatever the access spelling around
-        # it (reg["x"], registry()["x"], ENTRIES["x"], parametrize
-        # lists, f-string lookups) — the registry intersection below
-        # filters non-entry strings.
-        covered.update(
-            re.findall(r'''["']([a-z0-9_]+)["']''', f.read_text())
-        )
+        covered.update(_expression_strings(ast.parse(f.read_text())))
     covered &= names
     print(
         json.dumps(
@@ -58,7 +90,8 @@ def main() -> int:
                 "entries_total": len(names),
                 "with_third_opinion": len(covered),
                 "without": sorted(names - covered),
-                "detection": "quoted-name heuristic over "
+                "detection": "ast-expression contexts (docstrings, "
+                "comments and skip reasons excluded) over "
                 "tests/test_third_opinion*.py",
             },
             indent=2,
