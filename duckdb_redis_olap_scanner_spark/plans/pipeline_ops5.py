@@ -1498,6 +1498,84 @@ def multimodal_decode_avi(spark: SparkSession, sf: str):
     return M.decode_media_pipeline(table(spark, sf, "documents"), "avi")
 
 
+@register(
+    "multimodal_decode_avi_mjpeg",
+    # MJPEG-in-AVI (r18, the one media family previously limited to
+    # uncompressed frames): frame f of doc d is the closed-form JFIF
+    # for jid = d + 6*f (operators/jpeg.py module docstring — the +6
+    # stride keeps jid%3/jid%2, hence the avih geometry, constant
+    # across a doc's frames). The oracle reproduces the per-(frame,
+    # block, component) sparse coefficient synthesis and both
+    # quantization tables in SQL, summed over frames with weight
+    # (f+1) on the checksum so frame ORDER is pinned. i enumerates
+    # (f, b, c) flat: f = i // (nb*3), b = (i % (nb*3)) // 3,
+    # c = i % 3.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb,
+             2 + doc_id % 4 AS nf
+      FROM documents),
+    fbc AS (
+      SELECT doc_id, width, height, nb, nf,
+             unnest(range(0, nf * nb * 3)) AS i
+      FROM dims),
+    t AS (
+      SELECT doc_id, width, height, nb, nf,
+             i // (nb * 3) AS f,
+             (i % (nb * 3)) // 3 AS b,
+             i % 3 AS c,
+             doc_id + 6 * (i // (nb * 3)) AS jid
+      FROM fbc),
+    q AS (
+      SELECT doc_id, width, height, nb, nf, f, b, c,
+             ((jid*5 + b*11 + c*23) % 61) - 30 AS dc,
+             1 + ((jid + b + c) % 9) AS z1,
+             ((jid + 7*b + 13*c) % 19) - 9 AS v1,
+             20 + ((jid*3 + b*7 + c*5) % 40) AS z2,
+             ((jid*7 + 3*b + 5*c) % 13) - 6 AS v2
+      FROM t),
+    d AS (
+      SELECT doc_id, width, height, nb, nf, f, b, c, z1, z2,
+             dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dq0,
+             v1 * (CASE WHEN c = 0 THEN 1 + (5*z1) % 16
+                        ELSE 2 + (3*z1) % 24 END) AS dq1,
+             v2 * (CASE WHEN c = 0 THEN 1 + (5*z2) % 16
+                        ELSE 2 + (3*z2) % 24 END) AS dq2
+      FROM q)
+    SELECT doc_id, width, height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf * nb * 3 AS INT) AS n_blocks,
+           CAST(SUM(dq0) AS BIGINT) AS sum_dc,
+           CAST(SUM(dq1 + dq2) AS BIGINT) AS sum_ac,
+           CAST(SUM((f + 1) * ((b*192 + c*64 + 1) * dq0
+                             + (b*192 + c*64 + z1 + 1) * dq1
+                             + (b*192 + c*64 + z2 + 1) * dq2))
+                AS BIGINT) AS frame_checksum
+    FROM d
+    GROUP BY doc_id, width, height, nb, nf
+    """,
+    tags=("multimodal",),
+    doc="REAL decode of a COMPRESSED video format, no codec library: "
+    "synthesize a true Motion-JPEG AVI per doc (RIFF hdrl/strl with "
+    "MJPG handler + biCompression, movi of '00dc' chunks each "
+    "carrying a complete baseline JFIF — the de-facto MJPEG-in-AVI "
+    "convention), then fully parse it back: recursive LIST walk, "
+    "strict MJPG/geometry/frame-count validation, and a complete "
+    "marker-walk + canonical-Huffman + dequantize JPEG decode PER "
+    "FRAME, composing the T.81 decoder with the RIFF walk "
+    "(operators/multimodal.decode_avi_mjpeg). frame_checksum weights "
+    "each frame's coefficient checksum by (f+1), so frame order is "
+    "pinned.",
+)
+def multimodal_decode_avi_mjpeg(spark: SparkSession, sf: str):
+    return M.decode_avi_mjpeg_features(
+        M.synthesize_avi_mjpeg(table(spark, sf, "documents"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (merge induction) — chained-CTE oracle
 # ---------------------------------------------------------------------------
