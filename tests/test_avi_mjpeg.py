@@ -157,3 +157,36 @@ def test_corruption_is_detected(d):
     except Exception:
         return  # detected loudly
     assert got != clean, "corrupted scan decoded to identical stats"
+
+
+def test_corruption_never_hangs_and_is_mostly_detected():
+    """The sibling codec-fuzz pin (test_multimodal_codecs.py), applied
+    to the composed container+codec path: deterministic truncations
+    and bit/byte flips must terminate promptly and be DETECTED for
+    most mutations (marker walks + strict container validation), never
+    loop or crash with a non-contract exception."""
+    import random
+
+    ok = bad = 0
+    for doc_id in (3, 7):
+        payload = M.encode_avi_mjpeg_payload(doc_id)
+        rng = random.Random(181 + doc_id)
+        for _ in range(40):
+            kind = rng.randrange(3)
+            if kind == 0 and len(payload) > 4:
+                mut = payload[: rng.randrange(4, len(payload))]
+            else:
+                i = rng.randrange(len(payload))
+                b = bytearray(payload)
+                if kind == 1:
+                    b[i] ^= 1 << rng.randrange(8)
+                else:
+                    b[i] = rng.randrange(256)
+                mut = bytes(b)
+            try:
+                M.decode_avi_mjpeg(mut)
+                ok += 1  # landed in a don't-care byte
+            except (ValueError, NotImplementedError, struct.error,
+                    AssertionError):
+                bad += 1
+    assert bad > ok
