@@ -576,8 +576,8 @@ def release_paged_result(result: DataFrame, blocking: bool = False) -> list[int]
     for p in pages or ():
         try:
             jrdd = p._jdf.queryExecution().analyzed().rdd()
-            released.append(jrdd.id())
             jrdd.unpersist(blocking)
+            released.append(jrdd.id())  # only ids that DID unpersist
         except Exception:  # pragma: no cover - plan shape drift guard
             # A page whose plan is not a LogicalRDD (Spark internals
             # moved) is left to the session-end cleanup rather than
