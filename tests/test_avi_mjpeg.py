@@ -190,3 +190,19 @@ def test_corruption_never_hangs_and_is_mostly_detected():
                     AssertionError):
                 bad += 1
     assert bad > ok
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_roundtrip_property_any_doc_id(d):
+    """The fixed-id pins above cover the small residue classes; this
+    widens the round-trip to arbitrary nonnegative ids (the 10x bench
+    dir offsets ids by 1e9 per replica, so the modular closed forms
+    must hold far beyond the sf corpus range)."""
+    assert M.decode_avi_mjpeg(M.encode_avi_mjpeg_payload(d)) == (
+        closed_form_stats(d)
+    )
