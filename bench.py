@@ -47,6 +47,31 @@ def load_recorded_bench(path: str) -> dict | None:
         return None
 
 
+def resolve_baseline(repo_root: str, sf: float | None = None) -> dict | None:
+    """The record ``regression_report`` compares against, exposed so
+    callers (tests, scripts/round_preflight.py) share the exact same
+    resolution order instead of re-deriving it: the quiet-host
+    ``BENCH_BASELINE_LOCAL.json`` when present and sf-compatible, else
+    the NEWEST recorded ``BENCH_r*.json``. Driver-written wrapper
+    records (the ones with a ``tail`` field) parse the same as raw
+    ones, so they are eligible fallbacks — which is exactly why a
+    committed quiet-host baseline should always exist."""
+    import glob
+
+    local = load_recorded_bench(os.path.join(repo_root, "BENCH_BASELINE_LOCAL.json"))
+    if local and local.get("queries") and (sf is None or local.get("sf") == sf):
+        return local
+    for path in sorted(
+        glob.glob(os.path.join(repo_root, "BENCH_r*.json")), reverse=True
+    ):
+        rec = load_recorded_bench(path)
+        # Only compare like-for-like scale factors: a local sf0.01 run
+        # against recorded sf0.1 numbers would flag everything.
+        if rec and rec.get("queries") and (sf is None or rec.get("sf") == sf):
+            return rec
+    return None
+
+
 def regression_report(
     timings: dict[str, float],
     repo_root: str,
@@ -55,10 +80,8 @@ def regression_report(
     floor_sec: dict[str, float] | None = None,
 ) -> list[str]:
     """Per-query guard against silent slowdowns: compare this run's
-    timings to the recorded baseline and report every query slower than
-    ``tolerance``× it. The baseline is ``BENCH_BASELINE_LOCAL.json``
-    (written by ``--record-baseline`` from a quiet-host min-of-N run)
-    when present, else the NEWEST recorded BENCH_r*.json. The per-query
+    timings to the recorded baseline (``resolve_baseline``) and report
+    every query slower than ``tolerance``× it. The per-query
     threshold is ``tolerance × max(recorded, floor_sec)``: floors are
     measured live on THIS host in THIS run, so a noisy-neighbor window
     that inflates dispatch cost raises the bar with it instead of
@@ -67,22 +90,7 @@ def regression_report(
     inflate any single run ±25%; a genuine regression (like round 2's
     8 s suite) still trips it in-round instead of surfacing in the
     judge's verdict."""
-    import glob
-
-    prev = None
-    local = load_recorded_bench(os.path.join(repo_root, "BENCH_BASELINE_LOCAL.json"))
-    if local and local.get("queries") and (sf is None or local.get("sf") == sf):
-        prev = local
-    if not prev:
-        for path in sorted(
-            glob.glob(os.path.join(repo_root, "BENCH_r*.json")), reverse=True
-        ):
-            rec = load_recorded_bench(path)
-            # Only compare like-for-like scale factors: a local sf0.01 run
-            # against recorded sf0.1 numbers would flag everything.
-            if rec and rec.get("queries") and (sf is None or rec.get("sf") == sf):
-                prev = rec
-                break
+    prev = resolve_baseline(repo_root, sf=sf)
     if not prev:
         return []
     floors = floor_sec or prev.get("floor_sec") or {}
@@ -539,9 +547,14 @@ def main() -> None:
         path = os.path.join(repo_dir, "BENCH_BASELINE_LOCAL.json")
         old = load_recorded_bench(path)
         rec = dict(timings)
-        if old and old.get("sf") == sf:
+        if old and old.get("sf") == sf and "--fresh-baseline" not in sys.argv:
             # Successive recordings keep the per-query min — each run
-            # adds an independent time window to the min-of-N.
+            # adds an independent time window to the min-of-N. Pass
+            # --fresh-baseline to REPLACE instead: a min carried across
+            # round containers only ever decreases, so environment
+            # drift (r18: identical dedup code measuring ~1.6× the
+            # r17-container min in every run) turns the 1.5× guard
+            # into a coin-flip. Re-record fresh at each round HEAD.
             for k, v in (old.get("queries") or {}).items():
                 rec[k] = min(v, rec.get(k, v))
         with open(path, "w") as f:

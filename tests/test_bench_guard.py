@@ -41,23 +41,40 @@ def test_recorded_rounds_parse():
 
 
 def test_identical_timings_pass():
-    rec = _newest_recorded()
-    if rec is None:
-        pytest.skip("no recorded BENCH_r*.json in repo root")
-    assert bench.regression_report(dict(rec["queries"]), _REPO) == []
+    """Self-comparison form (r18 verdict): a run whose timings equal
+    the guard's OWN resolved baseline must produce zero flags — true by
+    construction for any tolerance > 1, on any host. The earlier shape
+    (compare the newest driver-written BENCH_r*.json against the
+    committed quiet-host baseline) reddened the suite whenever the
+    driver benched on a hot host — it asserted host weather, not guard
+    logic, and the builder cannot control the artifact."""
+    prev = bench.resolve_baseline(_REPO)
+    if prev is None:
+        pytest.skip("no recorded bench baseline in repo root")
+    assert bench.regression_report(dict(prev["queries"]), _REPO) == []
 
 
 def test_regression_detected():
+    """Delta form (r18 verdict): seeding a ×4 slowdown into the newest
+    recorded run must add EXACTLY the victim's flag relative to the
+    unseeded report — pre-existing flags (a hot-host driver record vs
+    the quiet baseline) neither mask the seeded one nor fail the
+    assertion."""
     rec = _newest_recorded()
     if rec is None:
         pytest.skip("no recorded BENCH_r*.json in repo root")
     timings = dict(rec["queries"])
+    pre = set(bench.regression_report(dict(timings), _REPO))
     # The slowest query ×4 clears ratio, floor, and absolute slack —
     # an unmistakable real regression must always flag.
     victim = max(timings, key=timings.get)
     timings[victim] = timings[victim] * 4.0
-    report = bench.regression_report(timings, _REPO)
-    assert len(report) == 1 and victim in report[0]
+    post = set(bench.regression_report(timings, _REPO))
+    new = post - pre
+    assert len(new) == 1 and next(iter(new)).startswith(f"{victim}:")
+    # And nothing that was quiet before became loud: the seed touched
+    # one query, so the unseeded flags (if any) carry over verbatim.
+    assert pre - post == {m for m in pre if m.startswith(f"{victim}:")}
 
 
 def test_jitter_below_slack_not_flagged(tmp_path):
@@ -89,6 +106,25 @@ def test_local_baseline_preferred(tmp_path):
     # 3.0 s would pass vs the noisy 9.0 s record but must flag vs the
     # quiet-host 1.0 s baseline.
     assert len(bench.regression_report({"q": 3.0}, str(tmp_path))) == 1
+
+
+def test_resolve_baseline_order(tmp_path):
+    """resolve_baseline: quiet-host local file wins; newest BENCH_r* is
+    the fallback; sf mismatch disqualifies; empty dir → None."""
+    assert bench.resolve_baseline(str(tmp_path)) is None
+    old = {"metric": "m", "value": 2.0, "unit": "sec", "queries": {"q": 2.0}, "sf": 0.1}
+    new = {"metric": "m", "value": 3.0, "unit": "sec", "queries": {"q": 3.0}, "sf": 0.1}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(old))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(new))
+    assert bench.resolve_baseline(str(tmp_path))["queries"] == {"q": 3.0}
+    quiet = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {"q": 1.0}, "sf": 0.1}
+    (tmp_path / "BENCH_BASELINE_LOCAL.json").write_text(json.dumps(quiet))
+    assert bench.resolve_baseline(str(tmp_path))["queries"] == {"q": 1.0}
+    # sf-gated: a 0.01 ask skips the 0.1 local file AND the 0.1 records.
+    assert bench.resolve_baseline(str(tmp_path), sf=0.01) is None
+    # Self-comparison against the resolved baseline is empty by
+    # construction — the invariant test_identical_timings_pass leans on.
+    assert bench.regression_report({"q": 1.0}, str(tmp_path)) == []
 
 
 def test_wrapper_and_raw_formats_parse(tmp_path):
