@@ -47,6 +47,39 @@ def _bench_summary(name: str, fields: tuple[str, ...]) -> dict | str:
     return {k: data.get(k) for k in fields}
 
 
+def _bench_guard_verdict() -> dict:
+    """The r18-verdict ask: surface the bench-guard suite's verdict in
+    the preflight so a red suite can't survive to end-of-round
+    unnoticed. Runs the real tests (tests/test_bench_guard.py — pure
+    parsing, no Spark, <2 s) rather than re-deriving their logic, plus
+    the guard's own self-comparison over the resolved baseline."""
+    sys.path.insert(0, str(ROOT))
+    import bench  # noqa: E402
+
+    prev = bench.resolve_baseline(str(ROOT))
+    self_flags = (
+        bench.regression_report(dict(prev["queries"]), str(ROOT))
+        if prev else []
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q",
+         str(ROOT / "tests" / "test_bench_guard.py")],
+        capture_output=True, text=True, cwd=str(ROOT),
+    )
+    tail = (proc.stdout.strip().splitlines() or [""])[-1]
+    return {
+        "tests": "pass" if proc.returncode == 0 else f"FAIL: {tail}",
+        "baseline_source": (
+            "none" if prev is None
+            else "BENCH_BASELINE_LOCAL.json"
+            if prev == bench.load_recorded_bench(
+                str(ROOT / "BENCH_BASELINE_LOCAL.json"))
+            else "newest BENCH_r*.json"
+        ),
+        "self_comparison_flags": self_flags,
+    }
+
+
 def main() -> int:
     cov = _run_json("coverage_counts.py")
     audit = _run_json("third_opinion_coverage.py")
@@ -70,6 +103,7 @@ def main() -> int:
         "bench_baseline_local": _bench_summary(
             "BENCH_BASELINE_LOCAL.json", ("sf", "value")
         ),
+        "bench_guard": _bench_guard_verdict(),
         "redis_server_present": bool(
             any(
                 os.access(os.path.join(p, "redis-server"), os.X_OK)
