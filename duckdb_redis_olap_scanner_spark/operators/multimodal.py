@@ -2753,6 +2753,292 @@ def decode_avi_mjpeg_features(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interleaved audio+video AVI: MJPEG '00dc' frames + G.711 mu-law
+# '01wb' audio chunks in one movi stream — the canonical two-stream
+# container composition (r18 VERDICT task 6). New top-level functions
+# (not new kinds in synthesize_media / decode_avi_mjpeg) so landing
+# them cannot re-dirty any verified closure; the catalog entry that
+# drives them is QUEUED in plans/queued_entries_r20.py until the r20
+# gate window has slack (COVERAGE.md "Round 19").
+# ---------------------------------------------------------------------------
+
+AVI_AV_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, n_blocks int, "
+    "sum_dc long, sum_ac long, frame_checksum long, sample_rate int, "
+    "n_audio_samples int, audio_sum long, audio_checksum long"
+)
+
+# One audio chunk per video frame (the standard 1:1 interleave for
+# AVIs without an index): ceil(8000 Hz / 30 fps) mono mu-law bytes.
+AVI_AV_SAMPLE_RATE = 8000
+AVI_AV_SAMPLES_PER_FRAME = 267
+
+
+def _av_mulaw_bytes(doc_id: int, nf: int):
+    """Encoded mu-law bytes for the WHOLE audio stream, global sample
+    index s = frame*267 + j: b_s = (doc_id*13 + s*31) % 256 — the
+    :func:`_mulaw_samples` synthesis formula over the interleaved
+    stream, so the oracle expands the identical closed form."""
+    import numpy as np
+
+    s = np.arange(nf * AVI_AV_SAMPLES_PER_FRAME, dtype=np.int64)
+    return ((doc_id * 13 + s * 31) % 256).astype(np.uint8)
+
+
+def encode_avi_mjpeg_mulaw_payload(doc_id: int) -> bytes:
+    """A real TWO-STREAM AVI: stream 0 is the MJPEG video of
+    :func:`encode_avi_mjpeg_payload` (strh 'vids'/'MJPG', one complete
+    baseline JFIF per '00dc' chunk, jid = doc_id + 6*f), stream 1 is
+    G.711 mu-law audio (strh 'auds', strf WAVEFORMAT wFormatTag=7,
+    mono, 8000 Hz, 8-bit), interleaved one '01wb' chunk of 267
+    samples after each video frame — the de-facto AV interleave for
+    index-less AVIs. strh rate fields declare 30 fps / 8000 Hz
+    correctly (dwRate/dwScale)."""
+    import struct
+
+    w, h, nf = _mjpeg_params(doc_id)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack("<4sI", fourcc, len(data))
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, nf, 0, 2, 0, w, h, 0, 0, 0, 0
+    )
+    strh_v = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, 30, 0, nf, 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24,
+        struct.unpack("<I", b"MJPG")[0],
+        0, 2835, 2835, 0, 0,
+    )
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", bytes(4), 0, 0, 0, 0, 1, AVI_AV_SAMPLE_RATE, 0,
+        nf * AVI_AV_SAMPLES_PER_FRAME, 0, 0, 0, 0, 0, 0, 0,
+    )
+    strf_a = struct.pack(
+        "<HHIIHH", 7, 1, AVI_AV_SAMPLE_RATE, AVI_AV_SAMPLE_RATE, 1, 8
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    audio = _av_mulaw_bytes(doc_id, nf).tobytes()
+    spf = AVI_AV_SAMPLES_PER_FRAME
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(
+                b"00dc",
+                _jpeg.encode_jpeg_payload(
+                    doc_id + AVI_MJPEG_JID_STRIDE * f
+                ),
+            )
+            + chunk(b"01wb", audio[f * spf : (f + 1) * spf])
+            for f in range(nf)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_mjpeg_mulaw(payload: bytes) -> dict:
+    """Parse a two-stream MJPEG+mu-law AVI into per-stream statistics,
+    composing THREE real decoders this package already carries: the
+    RIFF/LIST container walk, the full baseline-JPEG entropy decode
+    (:func:`jpeg.decode_jpeg`) per '00dc' chunk, and the G.711 mu-law
+    integer expansion (:func:`mulaw_expand`) over the concatenated
+    '01wb' chunks.
+
+    Stream binding is positional like a real demuxer: each strl's strf
+    is bound to the strh that opened it, the VIDEO codec decision
+    comes from the FIRST 'vids' strh (a trailing audio strl cannot
+    overwrite it), and only '00dc' (compressed stream-0) / '01wb'
+    (stream-1 wave) chunks are consumed. Strict: rejects non-MJPG
+    video, non-mu-law (wFormatTag != 7), non-mono or non-8-bit audio,
+    frame counts disagreeing with avih dwTotalFrames, geometry
+    disagreeing with avih, and audio chunk counts that break the 1:1
+    interleave. Returns video stats as :func:`decode_avi_mjpeg` plus
+    {sample_rate, n_audio_samples, audio_sum, audio_checksum} where
+    audio_checksum = Σ (s+1)·expand(b_s) over the CONCATENATED chunk
+    order — a reordered, dropped, or duplicated audio chunk cannot
+    hash-match."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    avih = None
+    video_handler = None
+    streams: list[bytes] = []  # strh fccTypes in strl order
+    audio_fmt = None
+    video_frames: list[bytes] = []
+    audio_chunks: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, video_handler, audio_fmt
+        pos = start
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            data_start = pos + 8
+            if cid == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif cid == b"avih":
+                avih = struct.unpack_from("<14I", payload, data_start)
+            elif cid == b"strh":
+                fcc_type = payload[data_start : data_start + 4]
+                streams.append(fcc_type)
+                if fcc_type == b"vids" and video_handler is None:
+                    video_handler = payload[data_start + 4 : data_start + 8]
+            elif cid == b"strf":
+                # bound to the strl this strf sits in = last strh seen
+                if streams and streams[-1] == b"auds" and audio_fmt is None:
+                    audio_fmt = struct.unpack_from(
+                        "<HHIIHH", payload, data_start
+                    )
+            elif cid == b"00dc":
+                video_frames.append(payload[data_start : data_start + size])
+            elif cid == b"01wb":
+                audio_chunks.append(payload[data_start : data_start + size])
+            pos = data_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    if video_handler != b"MJPG":
+        raise ValueError(
+            f"not an MJPEG video stream (strh handler {video_handler!r})"
+        )
+    if audio_fmt is None:
+        raise ValueError("AVI missing 'auds' stream (strh + strf)")
+    fmt_tag, n_ch, rate, _bps, _align, bits = audio_fmt
+    if (fmt_tag, n_ch, bits) != (7, 1, 8):
+        raise ValueError(
+            f"unsupported audio format (tag={fmt_tag}, ch={n_ch}, "
+            f"bits={bits}): only mono 8-bit G.711 mu-law is decodable "
+            "here"
+        )
+    w, h = avih[8], avih[9]
+    if avih[4] != len(video_frames):
+        raise ValueError(
+            f"avih says {avih[4]} frames, movi carries "
+            f"{len(video_frames)}"
+        )
+    if len(audio_chunks) != len(video_frames):
+        raise ValueError(
+            f"broken 1:1 interleave: {len(video_frames)} video frames "
+            f"vs {len(audio_chunks)} audio chunks"
+        )
+    n_blocks = sum_dc = sum_ac = frame_checksum = 0
+    for f, jfif in enumerate(video_frames):
+        _px, st = _jpeg.decode_jpeg(bytes(jfif))
+        if (st["width"], st["height"]) != (w, h):
+            raise ValueError(
+                f"frame {f} geometry {st['width']}x{st['height']} "
+                f"disagrees with avih {w}x{h}"
+            )
+        n_blocks += st["n_blocks"]
+        sum_dc += st["sum_dc"]
+        sum_ac += st["sum_ac"]
+        frame_checksum += (f + 1) * st["coef_checksum"]
+    enc = np.frombuffer(b"".join(audio_chunks), dtype=np.uint8)
+    lin = mulaw_expand(enc.astype(np.int64))
+    s = np.arange(len(lin), dtype=np.int64)
+    return {
+        "width": w, "height": h, "n_frames": len(video_frames),
+        "n_blocks": n_blocks, "sum_dc": sum_dc, "sum_ac": sum_ac,
+        "frame_checksum": frame_checksum,
+        "sample_rate": int(rate),
+        "n_audio_samples": int(len(lin)),
+        "audio_sum": int(lin.sum()),
+        "audio_checksum": int(((s + 1) * lin).sum()),
+    }
+
+
+def synthesize_avi_interleaved(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, mime): one real two-stream MJPEG +
+    mu-law AVI per doc, synthesized in the workers (the
+    :func:`synthesize_avi_mjpeg` shape; own function for the same
+    no-re-dirty reason)."""
+    from ..engine import ship_package
+
+    def _synth(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_avi_mjpeg_mulaw_payload(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                    "mime": "video/x-msvideo",
+                }
+            )
+
+    ship_package(docs.sparkSession)
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="doc_id long, payload binary, mime string"
+    )
+
+
+def decode_avi_interleaved_features(media: DataFrame) -> DataFrame:
+    """Two-stream A/V decode over a binary column: RIFF walk + per-
+    frame T.81 entropy decode + G.711 expansion in one narrow Arrow
+    map — payload bytes stream through the workers and never visit
+    the driver, like every codec sibling."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                st = decode_avi_mjpeg_mulaw(bytes(payload))
+                rows.append(
+                    (int(did), st["width"], st["height"],
+                     st["n_frames"], st["n_blocks"], st["sum_dc"],
+                     st["sum_ac"], st["frame_checksum"],
+                     st["sample_rate"], st["n_audio_samples"],
+                     st["audio_sum"], st["audio_checksum"])
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames",
+                         "n_blocks", "sum_dc", "sum_ac",
+                         "frame_checksum", "sample_rate",
+                         "n_audio_samples", "audio_sum",
+                         "audio_checksum"],
+            )
+            for col, t in (("doc_id", "int64"), ("width", "int32"),
+                           ("height", "int32"), ("n_frames", "int32"),
+                           ("n_blocks", "int32"), ("sum_dc", "int64"),
+                           ("sum_ac", "int64"),
+                           ("frame_checksum", "int64"),
+                           ("sample_rate", "int32"),
+                           ("n_audio_samples", "int32"),
+                           ("audio_sum", "int64"),
+                           ("audio_checksum", "int64")):
+                out[col] = out[col].astype(t)
+            yield out
+
+    ship_package(media.sparkSession)
+    return media.mapInPandas(_run, schema=AVI_AV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Compressed text ingestion (gzip/zlib payloads — stdlib)
 # ---------------------------------------------------------------------------
 
