@@ -207,30 +207,61 @@ def test_roundtrip_property_any_doc_id(d):
     ) == closed_form_av_stats(d)
 
 
+def test_register_queued_is_idempotent_and_inert_until_called():
+    """Importing the queued module must NOT register (the whole point
+    of queuing), register_queued() must register exactly once even if
+    called repeatedly (registry() re-runs its import block per call),
+    and the entry must land with its oracle. Run in a subprocess so
+    THIS process's registry stays agreed with the coverage scripts."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from duckdb_redis_olap_scanner_spark.plans import "
+        "queued_entries_r20 as Q\n"
+        "from duckdb_redis_olap_scanner_spark.plans.catalog import "
+        "_REGISTRY, registry\n"
+        "n0 = len(registry())\n"
+        "assert Q.ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
+        "Q.register_queued(); Q.register_queued()\n"
+        "assert Q.ENTRY_NAME in _REGISTRY\n"
+        "assert len(registry()) == n0 + 1\n"
+        "e = _REGISTRY[Q.ENTRY_NAME]\n"
+        "assert e.oracle == Q.ORACLE and e.tags == Q.TAGS\n"
+        "print('QUEUED_OK')\n"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=root, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "QUEUED_OK" in out.stdout
+
+
 def test_queued_entry_matches_duckdb_oracle(spark):
     """The r20 registration dry run: the queued entry's Spark query vs
     its DuckDB oracle at sf0.001 — the driver gate's comparison, run
-    locally so landing the entry is purely mechanical. Imported
-    lazily so registry() coverage elsewhere is unaffected by test
-    collection order."""
+    locally so landing the entry is purely mechanical. The queued
+    module is import-side-effect-free (registration is the explicit
+    register_queued() call r20 makes), so exercising it here cannot
+    make the in-process registry disagree with the subprocess scripts
+    (test_plans.py::test_coverage_counts_script_matches_registry)."""
     import duckdb
 
-    from duckdb_redis_olap_scanner_spark.plans import (  # noqa: F401
-        queued_entries_r20,
-    )
-    from duckdb_redis_olap_scanner_spark.plans.catalog import _REGISTRY
+    from duckdb_redis_olap_scanner_spark.plans import queued_entries_r20 as Q
 
     from .conftest import SF_DIR
 
-    e = _REGISTRY["multimodal_decode_avi_interleaved"]
-    sdf = e.fn(spark, SF_DIR)
+    sdf = Q.multimodal_decode_avi_interleaved(spark, SF_DIR)
     srows = sorted(tuple(r) for r in sdf.collect())
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
-    orows = sorted(tuple(r) for r in con.execute(e.oracle).fetchall())
+    orows = sorted(tuple(r) for r in con.execute(Q.ORACLE).fetchall())
     con.close()
     assert len(srows) == len(orows) > 0
     assert srows == orows

@@ -146,19 +146,18 @@ def test_independent_demux_matches_closed_form(d):
 
 
 @pytest.fixture(scope="module")
-def queued_entry():
-    from duckdb_redis_olap_scanner_spark.plans import (  # noqa: F401
-        queued_entries_r20,
-    )
-    from duckdb_redis_olap_scanner_spark.plans.catalog import _REGISTRY
+def queued_entry_fn():
+    # the queued module is import-side-effect-free: this cannot
+    # perturb registry() for other tests in the same process
+    from duckdb_redis_olap_scanner_spark.plans import queued_entries_r20 as Q
 
-    return _REGISTRY["multimodal_decode_avi_interleaved"]
+    return Q.multimodal_decode_avi_interleaved
 
 
-def test_entry_rows_match_independent_decode(queued_entry, spark):
+def test_entry_rows_match_independent_decode(queued_entry_fn, spark):
     rows = {
         int(r[0]): tuple(r)
-        for r in queued_entry.fn(spark, SF_DIR).collect()
+        for r in queued_entry_fn(spark, SF_DIR).collect()
     }
     assert len(rows) > 0
     for did, row in sorted(rows.items())[:16]:
