@@ -113,6 +113,31 @@ def regression_report(
     return out
 
 
+def merge_baseline(
+    old: dict | None,
+    timings: dict[str, float],
+    sf: float,
+    fresh: bool = False,
+) -> dict[str, float]:
+    """What ``--record-baseline`` writes as the per-query map.
+
+    Default: per-query min with the existing same-sf baseline — each
+    recording adds an independent time window to the min-of-N, the
+    right accumulation WITHIN one environment. ``fresh`` REPLACES
+    instead: a min carried across round containers only ever
+    decreases, so environment drift (r18: identical dedup code
+    measuring ~1.6× the r17-container min in every run) turns the
+    1.5× guard into a coin-flip — re-record fresh at each round HEAD.
+    A different-sf old record never merges (the numbers aren't
+    comparable), and queries newly absent from this run keep their old
+    entry only via the min path, never fabricated on fresh."""
+    rec = dict(timings)
+    if not fresh and old and old.get("sf") == sf:
+        for k, v in (old.get("queries") or {}).items():
+            rec[k] = min(v, rec.get(k, v))
+    return rec
+
+
 def _force(df) -> None:
     """Materialize every row/column of the plan without collecting."""
     df.write.format("noop").mode("overwrite").save()
@@ -545,18 +570,12 @@ def main() -> None:
         # have measured ±25% hotter — r10 recorded 3.027 s for code an
         # idle host runs in 2.243 s).
         path = os.path.join(repo_dir, "BENCH_BASELINE_LOCAL.json")
-        old = load_recorded_bench(path)
-        rec = dict(timings)
-        if old and old.get("sf") == sf and "--fresh-baseline" not in sys.argv:
-            # Successive recordings keep the per-query min — each run
-            # adds an independent time window to the min-of-N. Pass
-            # --fresh-baseline to REPLACE instead: a min carried across
-            # round containers only ever decreases, so environment
-            # drift (r18: identical dedup code measuring ~1.6× the
-            # r17-container min in every run) turns the 1.5× guard
-            # into a coin-flip. Re-record fresh at each round HEAD.
-            for k, v in (old.get("queries") or {}).items():
-                rec[k] = min(v, rec.get(k, v))
+        rec = merge_baseline(
+            load_recorded_bench(path),
+            timings,
+            sf,
+            fresh="--fresh-baseline" in sys.argv,
+        )
         with open(path, "w") as f:
             json.dump(
                 {

@@ -127,6 +127,75 @@ def test_resolve_baseline_order(tmp_path):
     assert bench.regression_report({"q": 1.0}, str(tmp_path)) == []
 
 
+def test_merge_baseline_semantics():
+    """The --record-baseline write path, unit-pinned (the r18 stale-
+    optimism came exactly from this logic being untested inline):
+    same-sf min-merge by default, REPLACE on fresh, never merge across
+    sf, keep-old-only-via-min."""
+    old = {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0, "gone": 0.5}}
+    new = {"a": 1.5, "b": 1.5, "new": 3.0}
+    # default: per-query min, old-only queries carried, new ones added
+    assert bench.merge_baseline(old, new, 0.1) == {
+        "a": 1.0, "b": 1.5, "gone": 0.5, "new": 3.0
+    }
+    # fresh: replacement — no ratcheted minima, no resurrected queries
+    assert bench.merge_baseline(old, new, 0.1, fresh=True) == new
+    # sf mismatch: numbers aren't comparable, never merge
+    assert bench.merge_baseline(old, new, 0.01) == new
+    # no prior baseline
+    assert bench.merge_baseline(None, new, 0.1) == new
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_timings = st.dictionaries(
+    st.text(st.characters(categories=("Ll",)), min_size=1, max_size=8),
+    st.floats(min_value=0.001, max_value=50.0, allow_nan=False),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_timings, st.floats(min_value=0.0, max_value=10.0))
+def test_guard_self_comparison_is_always_empty(tmp_path_factory, queries, floor):
+    """Invariant behind test_identical_timings_pass: ANY recorded run
+    compared against itself is flag-free — for every timing mix and
+    floor, since tolerance > 1 and slack > 0."""
+    import json as _json
+
+    d = tmp_path_factory.mktemp("selfcmp")
+    rec = {
+        "metric": "m", "value": sum(queries.values()), "unit": "sec",
+        "queries": queries, "sf": 0.1,
+        "floor_sec": {k: floor for k in queries},
+    }
+    (d / "BENCH_BASELINE_LOCAL.json").write_text(_json.dumps(rec))
+    assert bench.regression_report(dict(queries), str(d)) == []
+
+
+@settings(max_examples=80, deadline=None)
+@given(_timings)
+def test_guard_seeding_flags_exactly_the_victim(tmp_path_factory, queries):
+    """Invariant behind test_regression_detected: multiplying ONE
+    query by 4 (plus the full absolute slack) over its own baseline
+    adds exactly that query's flag and no other."""
+    import json as _json
+
+    d = tmp_path_factory.mktemp("seed")
+    rec = {
+        "metric": "m", "value": sum(queries.values()), "unit": "sec",
+        "queries": queries, "sf": 0.1,
+    }
+    (d / "BENCH_BASELINE_LOCAL.json").write_text(_json.dumps(rec))
+    victim = sorted(queries)[0]
+    seeded = dict(queries)
+    seeded[victim] = seeded[victim] * 4.0 + 0.31
+    report = bench.regression_report(seeded, str(d))
+    assert len(report) == 1 and report[0].startswith(f"{victim}:")
+
+
 def test_wrapper_and_raw_formats_parse(tmp_path):
     line = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {"q": 0.5}, "sf": 0.1}
     raw = tmp_path / "BENCH_r01.json"
