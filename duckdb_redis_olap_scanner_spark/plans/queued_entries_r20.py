@@ -25,8 +25,11 @@ inside ``catalog.registry()``'s round-2 import block add
 
 — or cut the block below into pipeline_ops5.py as a plain
 ``@register`` entry, matching the r18 precedent. Either way the
-module-level edit dirties nothing (function-level closure hashing;
-see COVERAGE.md "Round 19").
+module-level edit dirties nothing (function-level closure hashing) —
+PROBED in r19 on a throwaway clone: the registry() edit above yields
+entries_total 224, gate_window_frontier [multimodal_decode_avi_
+interleaved], dirty_total unchanged at 123. Only the frontier gate
+slot is the cost (see COVERAGE.md "Round 19").
 """
 
 from __future__ import annotations
