@@ -66,8 +66,14 @@ def test_regression_detected():
     timings = dict(rec["queries"])
     pre = set(bench.regression_report(dict(timings), _REPO))
     # The slowest query ×4 clears ratio, floor, and absolute slack —
-    # an unmistakable real regression must always flag.
-    victim = max(timings, key=timings.get)
+    # an unmistakable real regression must always flag. The victim
+    # must exist in the guard's RESOLVED baseline (a query added to
+    # bench.py after the committed baseline was recorded is invisible
+    # to the guard until the next --record-baseline, by design).
+    prev = bench.resolve_baseline(_REPO)
+    candidates = [q for q in timings if q in prev["queries"]]
+    assert candidates, "no overlap between newest record and baseline"
+    victim = max(candidates, key=timings.get)
     timings[victim] = timings[victim] * 4.0
     post = set(bench.regression_report(timings, _REPO))
     new = post - pre
