@@ -2889,15 +2889,27 @@ def decode_avi_mjpeg_mulaw(payload: bytes) -> dict:
     video_frames: list[bytes] = []
     audio_chunks: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
-        nonlocal avih, video_handler, audio_fmt
-        pos = start
-        while pos + 8 <= end:
-            cid, size = struct.unpack_from("<4sI", payload, pos)
-            data_start = pos + 8
-            if cid == b"LIST":
-                walk(data_start + 4, data_start + size)
-            elif cid == b"avih":
+    # Iterative span-stack walk (same document order as the recursive
+    # form: on LIST, push the continuation and descend), so a deeply
+    # nested LIST chain can never raise RecursionError, and truncated
+    # avih/strf headers surface as the decoder's contract ValueError
+    # rather than raw struct.error inside the Arrow map.
+    spans: list[tuple[int, int]] = []
+    pos, end = 12, len(payload)
+    while True:
+        if pos + 8 > end:
+            if not spans:
+                break
+            pos, end = spans.pop()
+            continue
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        data_start = pos + 8
+        if cid == b"LIST":
+            spans.append((data_start + size + (size & 1), end))
+            pos, end = data_start + 4, min(data_start + size, len(payload))
+            continue
+        try:
+            if cid == b"avih":
                 avih = struct.unpack_from("<14I", payload, data_start)
             elif cid == b"strh":
                 fcc_type = payload[data_start : data_start + 4]
@@ -2910,13 +2922,13 @@ def decode_avi_mjpeg_mulaw(payload: bytes) -> dict:
                     audio_fmt = struct.unpack_from(
                         "<HHIIHH", payload, data_start
                     )
-            elif cid == b"00dc":
-                video_frames.append(payload[data_start : data_start + size])
-            elif cid == b"01wb":
-                audio_chunks.append(payload[data_start : data_start + size])
-            pos = data_start + size + (size & 1)
-
-    walk(12, len(payload))
+        except struct.error as exc:
+            raise ValueError(f"truncated {cid!r} header: {exc}") from exc
+        if cid == b"00dc":
+            video_frames.append(payload[data_start : data_start + size])
+        elif cid == b"01wb":
+            audio_chunks.append(payload[data_start : data_start + size])
+        pos = data_start + size + (size & 1)
     if avih is None:
         raise ValueError("AVI missing avih header")
     if video_handler != b"MJPG":

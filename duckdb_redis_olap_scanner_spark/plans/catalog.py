@@ -696,6 +696,12 @@ def registry() -> dict[str, CatalogEntry]:
     from . import pipeline_ops4  # noqa: F401
     from . import pipeline_ops5  # noqa: F401
 
+    # r20 landing of the r19-queued interleaved-AVI entry (the
+    # prescribed one-call step from plans/queued_entries_r20.py).
+    from . import queued_entries_r20
+
+    queued_entries_r20.register_queued()
+
     rounds = _verified_rounds()
     frontier = {n: e for n, e in _REGISTRY.items() if n not in rounds}
     dirty = _changed_since_verified(rounds)

@@ -160,6 +160,38 @@ def test_audio_chunk_order_is_pinned():
     assert a["frame_checksum"] == b["frame_checksum"]
 
 
+def test_deeply_nested_lists_never_recurse():
+    """A pathological AVI whose hdrl is buried under thousands of
+    nested LISTs must not raise RecursionError: the walk is an
+    iterative span stack (ADVICE r19). Built by wrapping a valid
+    file's post-RIFF body in N no-op LIST shells."""
+    payload = M.encode_avi_mjpeg_mulaw_payload(3)
+    body = payload[12:]
+    depth = 4000  # >> CPython's default recursion limit
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"wrap" + body
+    nested = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    assert M.decode_avi_mjpeg_mulaw(nested) == M.decode_avi_mjpeg_mulaw(
+        payload
+    )
+
+
+def test_truncated_headers_raise_contract_valueerror():
+    """avih/strf headers whose declared chunk runs past the payload
+    must surface as the decoder's contract ValueError, never a raw
+    struct.error escaping the Arrow map (ADVICE r19)."""
+    payload = M.encode_avi_mjpeg_mulaw_payload(2)
+    cuts = [
+        payload.index(b"avih"),
+        # the AUDIO strf (the video one is skipped by the walk)
+        payload.index(b"strf", payload.index(b"strf") + 1),
+    ]
+    for at in cuts:
+        cut = payload[: at + 10]  # keep the fourcc+size, starve the body
+        with pytest.raises(ValueError):
+            M.decode_avi_mjpeg_mulaw(cut)
+
+
 def test_corruption_never_hangs_and_is_mostly_detected():
     """Deterministic truncations and bit/byte flips must terminate
     promptly and be DETECTED for most mutations, never loop or crash
@@ -207,12 +239,14 @@ def test_roundtrip_property_any_doc_id(d):
     ) == closed_form_av_stats(d)
 
 
-def test_register_queued_is_idempotent_and_inert_until_called():
-    """Importing the queued module must NOT register (the whole point
-    of queuing), register_queued() must register exactly once even if
-    called repeatedly (registry() re-runs its import block per call),
-    and the entry must land with its oracle. Run in a subprocess so
-    THIS process's registry stays agreed with the coverage scripts."""
+def test_register_queued_is_idempotent_and_landed_via_registry():
+    """r20 landed the entry: importing the queued module alone must
+    still have NO side effect, ``registry()`` (which now performs the
+    explicit ``register_queued()`` call) must include the entry with
+    its oracle, and repeated ``register_queued()`` calls must stay
+    idempotent (registry() re-runs its import block per call). Run in
+    a subprocess so THIS process's registry stays agreed with the
+    coverage scripts."""
     import os
     import subprocess
     import sys
@@ -221,12 +255,14 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "from duckdb_redis_olap_scanner_spark.plans import "
         "queued_entries_r20 as Q\n"
         "from duckdb_redis_olap_scanner_spark.plans.catalog import "
-        "_REGISTRY, registry\n"
-        "n0 = len(registry())\n"
+        "_REGISTRY\n"
         "assert Q.ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
+        "from duckdb_redis_olap_scanner_spark.plans.catalog import "
+        "registry\n"
+        "n0 = len(registry())\n"
+        "assert Q.ENTRY_NAME in _REGISTRY, 'registry() did not land it'\n"
         "Q.register_queued(); Q.register_queued()\n"
-        "assert Q.ENTRY_NAME in _REGISTRY\n"
-        "assert len(registry()) == n0 + 1\n"
+        "assert len(registry()) == n0\n"
         "e = _REGISTRY[Q.ENTRY_NAME]\n"
         "assert e.oracle == Q.ORACLE and e.tags == Q.TAGS\n"
         "print('QUEUED_OK')\n"
