@@ -93,7 +93,10 @@ def regression_report(
     prev = resolve_baseline(repo_root, sf=sf)
     if not prev:
         return []
-    floors = floor_sec or prev.get("floor_sec") or {}
+    # None = "not provided, use recorded floors"; an explicit {} means
+    # the caller is forcing a no-floors comparison (r19 ADVICE — the
+    # old `floor_sec or ...` made {} indistinguishable from None).
+    floors = (prev.get("floor_sec") or {}) if floor_sec is None else floor_sec
     # Absolute slack on top of the ratio: host scheduling jitter is
     # additive (~0.1 s observed on back-to-back identical runs), so a
     # pure ratio guard flaps on sub-0.25 s queries where 1.5× is under

@@ -51,9 +51,11 @@ def _bench_guard_verdict() -> dict:
     """The r18-verdict ask: surface the bench-guard suite's verdict in
     the preflight so a red suite can't survive to end-of-round
     unnoticed. Runs the real tests (tests/test_bench_guard.py — pure
-    parsing, no Spark, <2 s) rather than re-deriving their logic, plus
-    the guard's own self-comparison over the resolved baseline."""
-    sys.path.insert(0, str(ROOT))
+    parsing, no Spark; ~5-7 s now that it carries 160 hypothesis
+    examples) rather than re-deriving their logic, plus the guard's
+    own self-comparison over the resolved baseline."""
+    if str(ROOT) not in sys.path:
+        sys.path.insert(0, str(ROOT))
     import bench  # noqa: E402
 
     prev = bench.resolve_baseline(str(ROOT))

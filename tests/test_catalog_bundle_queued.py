@@ -2,7 +2,7 @@
 branch ``r20-catalog-bundle``; see COVERAGE.md "Round 19").
 
 The bundle holds every deferred ADVICE fix that would re-dirty
-verified catalog entries, so they land as ONE commit and the 223-entry
+verified catalog entries, so they land as ONE commit and the 224-entry
 re-gate is paid once (VERDICT r18 task 4):
 
 1. catalog.py — ``_insert_cache_row`` must not hold ``_CACHE_LOCK``
@@ -23,10 +23,11 @@ re-gate is paid once (VERDICT r18 task 4):
    encoders: (dwScale=30, dwRate=1) declares 1/30 fps, contradicting
    avih dwMicroSecPerFrame=33333 (r18 ADVICE).
 
-Every test here skips until the bundle lands — keyed on ONE marker
-(the split ``_touch_session_locked`` helper the lock fix introduces)
-so a partial landing is loud: once the marker exists, ALL five fixes
-are asserted for real.
+Each fix GROUP skips on its own observable behavior — not a single
+shared attribute name — so a renamed helper or a partial landing can
+never silently skip the whole file forever (r19 ADVICE). A canary
+test (never skipped) additionally pins that the three probes agree:
+all landed or none.
 """
 
 from __future__ import annotations
@@ -42,14 +43,66 @@ from duckdb_redis_olap_scanner_spark.operators import ann_index as AI
 from duckdb_redis_olap_scanner_spark.operators import multimodal as MM
 from duckdb_redis_olap_scanner_spark.plans import catalog
 
-BUNDLE_LANDED = hasattr(catalog, "_touch_session_locked")
 
-pytestmark = pytest.mark.skipif(
-    not BUNDLE_LANDED,
-    reason="r20 catalog bundle not landed yet (queued on branch "
-    "r20-catalog-bundle to pay the 223-entry re-gate once; "
-    "COVERAGE.md r19)",
+class _Collectable:
+    """weakref-able stand-in for a page/result DataFrame."""
+
+
+def _catalog_fixes_landed() -> bool:
+    """Fixes 1+2 land together in catalog.py; the latch fix turns
+    ``_WARNED_EVICTION`` from a process-wide bool into a per-key set —
+    an observable independent of any helper's name."""
+    return isinstance(getattr(catalog, "_WARNED_EVICTION", None), set)
+
+
+def _ann_fix_landed() -> bool:
+    """Fix 3, probed behaviorally: pre-fix, registering a single-page
+    result pins it strongly (the entry IS ``[out]``), so the weakref
+    survives; post-fix the slot is weak and the finalize pops the
+    entry. No release call — release would drop the strong ref and
+    make the pre-fix state look fixed."""
+    out = _Collectable()
+    AI._register_paged_result(out, [out])
+    ref = weakref.ref(out)
+    del out
+    gc.collect()
+    return ref() is None
+
+
+def _multimodal_fixes_landed() -> bool:
+    """Fixes 4+5 land together in multimodal.py; the strh rate fix
+    (dwScale=1, dwRate=30) is directly observable in a fresh encode."""
+    payload = MM.encode_avi_mjpeg_payload(0)
+    at = payload.index(b"strh") + 8
+    return struct.unpack_from("<II", payload, at + 20) == (1, 30)
+
+
+_CATALOG_LANDED = _catalog_fixes_landed()
+_ANN_LANDED = _ann_fix_landed()
+_MM_LANDED = _multimodal_fixes_landed()
+
+_SKIP_REASON = (
+    "r20 catalog bundle not landed yet (queued on branch "
+    "r20-catalog-bundle to pay the 224-entry re-gate once; "
+    "COVERAGE.md r19)"
 )
+skip_unless_catalog = pytest.mark.skipif(not _CATALOG_LANDED, reason=_SKIP_REASON)
+skip_unless_ann = pytest.mark.skipif(not _ANN_LANDED, reason=_SKIP_REASON)
+skip_unless_mm = pytest.mark.skipif(not _MM_LANDED, reason=_SKIP_REASON)
+
+
+def test_bundle_probes_agree():
+    """Canary — never skipped. The bundle is ONE commit; a state where
+    some fix probes read landed and others do not means a partial or
+    renamed landing, and must be loud, not silently skipped."""
+    states = {
+        "catalog": _CATALOG_LANDED,
+        "ann_index": _ANN_LANDED,
+        "multimodal": _MM_LANDED,
+    }
+    assert len(set(states.values())) == 1, (
+        f"partial bundle landing detected: {states}"
+    )
 
 
 class _StubDF:
@@ -80,6 +133,7 @@ def _churn_keys(prefix: str, n: int, memo: dict, sink: dict) -> None:
         catalog._insert_cache_row(memo, (f"{prefix}-{i}", "sf"), _StubDF(sink))
 
 
+@skip_unless_catalog
 def test_insert_cache_row_unpersists_outside_lock():
     """Evictions triggered THROUGH _insert_cache_row must run their
     unpersist round trips with _CACHE_LOCK released: a py4j call under
@@ -101,6 +155,7 @@ def test_insert_cache_row_unpersists_outside_lock():
         catalog._ALL_MEMOS.remove(memo)
 
 
+@skip_unless_catalog
 def test_eviction_warns_per_evicted_key(caplog):
     """Two distinct evicted session keys → two warnings, each naming
     its key. The old once-per-process latch went silent after the
@@ -137,10 +192,7 @@ def test_eviction_warns_per_evicted_key(caplog):
         catalog._ALL_MEMOS.remove(memo)
 
 
-class _Collectable:
-    """weakref-able stand-in for a page/result DataFrame."""
-
-
+@skip_unless_ann
 def test_single_page_result_is_not_pinned_by_registry():
     """Single-page shape: pages == [out]. The registry entry must not
     hold OUT strongly — before the fix _PAGED_RESULT_PAGES[id(out)]
@@ -157,6 +209,7 @@ def test_single_page_result_is_not_pinned_by_registry():
     assert key not in AI._PAGED_RESULT_PAGES
 
 
+@skip_unless_ann
 def test_multi_page_registration_still_releases_and_finalizes():
     """Multi-page behavior is unchanged: pages are held until the
     result handle dies (release needs them), then the finalize drops
@@ -178,6 +231,7 @@ def test_multi_page_registration_still_releases_and_finalizes():
     assert page_ref() is None
 
 
+@skip_unless_ann
 def test_release_resolves_single_page_weakref():
     """release_paged_result on a live single-page result must still
     find the page through the weak slot (and pop the entry). The stub
@@ -253,6 +307,7 @@ def _mjpeg_avi_with_audio(doc_id: int) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+@skip_unless_mm
 def test_decode_avi_mjpeg_tolerates_trailing_audio_stream():
     """A second (audio) strl must not overwrite the video handler, and
     '01wb' / stream-0 raw chunks must not reach the JPEG decoder: the
@@ -263,6 +318,7 @@ def test_decode_avi_mjpeg_tolerates_trailing_audio_stream():
     assert got == want
 
 
+@skip_unless_mm
 def test_decode_avi_mjpeg_ignores_raw_dib_chunks():
     """'00db' (stream-0 UNCOMPRESSED) chunks are not MJPEG frames; a
     stray one must not be fed to the JPEG decoder. With the fix the
@@ -284,6 +340,7 @@ def test_decode_avi_mjpeg_ignores_raw_dib_chunks():
     assert MM.decode_avi_mjpeg(bytes(out)) == want
 
 
+@skip_unless_mm
 @pytest.mark.parametrize(
     "encode", [MM.encode_avi_payload, MM.encode_avi_mjpeg_payload]
 )

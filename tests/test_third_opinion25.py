@@ -13,9 +13,9 @@ frames, and an independent G.711 mu-law expansion typed from the
 standard (complement, 4-bit mantissa, 3-bit exponent, bias 0x84 —
 restated below, not imported) for the '01wb' chunks.
 
-Entries audited here: multimodal_decode_avi_interleaved (QUEUED in
-plans/queued_entries_r20.py; audited now so r20 registration is
-purely mechanical).
+Entries audited here: multimodal_decode_avi_interleaved (registered
+in r20 via plans/queued_entries_r20.register_queued(), called from
+catalog.registry(); audited in r19 ahead of the landing).
 """
 
 from __future__ import annotations
@@ -146,18 +146,17 @@ def test_independent_demux_matches_closed_form(d):
 
 
 @pytest.fixture(scope="module")
-def queued_entry_fn():
-    # the queued module is import-side-effect-free: this cannot
-    # perturb registry() for other tests in the same process
-    from duckdb_redis_olap_scanner_spark.plans import queued_entries_r20 as Q
+def reg():
+    from duckdb_redis_olap_scanner_spark.plans import catalog
 
-    return Q.multimodal_decode_avi_interleaved
+    return catalog.registry()
 
 
-def test_entry_rows_match_independent_decode(queued_entry_fn, spark):
+def test_entry_rows_match_independent_decode(reg, spark):
     rows = {
         int(r[0]): tuple(r)
-        for r in queued_entry_fn(spark, SF_DIR).collect()
+        for r in reg["multimodal_decode_avi_interleaved"]
+        .fn(spark, SF_DIR).collect()
     }
     assert len(rows) > 0
     for did, row in sorted(rows.items())[:16]:
