@@ -3415,3 +3415,198 @@ def image_flip_augment(media: DataFrame) -> DataFrame:
 
     ship_package(media.sparkSession)
     return media.mapInPandas(_run, schema=AUGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset MULTIMODAL shards (r20): image+audio+text+label samples
+# ---------------------------------------------------------------------------
+
+WDS_MM_SAMPLES_PER_SHARD = 8
+# WebDataset convention: members of one sample share the dotted key
+# and sit ADJACENT in the tar; extensions are emitted sorted.
+WDS_MM_EXTS = ("cls", "ppm", "txt", "wav")
+
+
+def _wds_mm_text(doc_id: int) -> bytes:
+    """Closed-form printable-ASCII text member: n = 32 + doc_id % 41
+    bytes, byte_j = 32 + ((doc_id*3 + j*7) % 95) — SQL-replayable and
+    free of tar-hostile values."""
+    n = 32 + doc_id % 41
+    return bytes(32 + ((doc_id * 3 + j * 7) % 95) for j in range(n))
+
+
+def encode_webdataset_mm_sample(doc_id: int) -> list:
+    """One multimodal sample, four members in sorted-extension order:
+    ``{key}.cls`` (ASCII class label = doc_id % 10), ``{key}.ppm``
+    (the P6 image the PPM entry decodes), ``{key}.txt`` (closed-form
+    ASCII), ``{key}.wav`` (the PCM16 RIFF the WAV entry decodes)."""
+    key = f"{doc_id:09d}"
+    return [
+        (f"{key}.cls", str(doc_id % 10).encode("ascii")),
+        (f"{key}.ppm", encode_ppm_payload(doc_id)),
+        (f"{key}.txt", _wds_mm_text(doc_id)),
+        (f"{key}.wav", encode_wav_payload(doc_id)),
+    ]
+
+
+def encode_webdataset_mm_shard(doc_ids) -> bytes:
+    """One deterministic multi-sample ustar shard: samples in
+    ascending doc_id order, members per sample in sorted-extension
+    order, zero mtime/uid/gid and fixed mode so the byte stream is a
+    pure function of the ids."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for did in sorted(int(d) for d in doc_ids):
+            for name, data in encode_webdataset_mm_sample(did):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def decode_webdataset_mm_shard(payload: bytes) -> list:
+    """Demux one multimodal shard back into per-sample feature rows,
+    through the package's OWN codec parsers (decode_ppm, decode_wav).
+    Strict like the codec siblings: unknown extensions, split (non-
+    adjacent) samples, and incomplete samples raise ValueError.
+
+    Row: (doc_id, label, width, height, img_checksum, n_channels,
+    sample_rate, n_frames, audio_checksum, txt_len, txt_checksum,
+    n_members); checksums are position-weighted Σ (k+1)·value like
+    every codec entry, so member corruption or reordering cannot
+    hash-match."""
+    import io
+    import tarfile
+
+    import numpy as np
+
+    samples: list[tuple[str, dict]] = []  # ordered (key, ext->bytes)
+    with tarfile.open(fileobj=io.BytesIO(payload), mode="r") as tf:
+        for m in tf.getmembers():
+            if "." not in m.name:
+                raise ValueError(f"member without extension: {m.name!r}")
+            key, ext = m.name.split(".", 1)
+            if ext not in WDS_MM_EXTS:
+                raise ValueError(f"unknown member extension: {m.name!r}")
+            data = tf.extractfile(m).read()
+            if samples and samples[-1][0] == key:
+                if ext in samples[-1][1]:
+                    raise ValueError(f"duplicate member: {m.name!r}")
+                samples[-1][1][ext] = data
+            else:
+                if any(k == key for k, _ in samples):
+                    raise ValueError(
+                        f"split sample {key!r}: members must be adjacent"
+                    )
+                samples.append((key, {ext: data}))
+    rows = []
+    for key, members in samples:
+        missing = [e for e in WDS_MM_EXTS if e not in members]
+        if missing:
+            raise ValueError(f"sample {key!r} missing members {missing}")
+        doc_id = int(key)
+        label = int(members["cls"].decode("ascii"))
+        px = decode_ppm(members["ppm"])
+        h, w, _ = px.shape
+        flat = px.reshape(-1).astype(np.int64)
+        img_checksum = int(
+            ((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()
+        )
+        txt = members["txt"]
+        tvals = np.frombuffer(txt, dtype=np.uint8).astype(np.int64)
+        txt_checksum = int(
+            ((np.arange(tvals.size, dtype=np.int64) + 1) * tvals).sum()
+        )
+        ch, sr, bits, samples_arr = decode_wav(members["wav"])
+        if bits != 16:
+            raise ValueError(f"sample {key!r}: expected PCM16 wav member")
+        s = samples_arr.astype(np.int64)
+        audio_checksum = int(
+            ((np.arange(s.size, dtype=np.int64) + 1) * s).sum()
+        )
+        rows.append(
+            (
+                doc_id, label, w, h, img_checksum,
+                int(ch), int(sr), int(s.size // ch), audio_checksum,
+                len(txt), txt_checksum, len(members),
+            )
+        )
+    return rows
+
+
+def synthesize_webdataset_mm_shards(
+    docs: DataFrame, samples_per_shard: int = WDS_MM_SAMPLES_PER_SHARD
+) -> DataFrame:
+    """(shard_id, payload binary, n_samples): one multimodal ustar
+    shard per contiguous doc_id block, each built whole by ONE task
+    (applyInPandas over the shard group — the standard WebDataset
+    export shape: a 100 TB corpus becomes #docs/8 independent shard
+    builds, one shuffle on the shard key, shard bytes never on the
+    driver)."""
+    from ..engine import ship_package
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(d) for d in pdf["doc_id"])
+        return pd.DataFrame(
+            {
+                "shard_id": [ids[0] // samples_per_shard],
+                "payload": [encode_webdataset_mm_shard(ids)],
+                "n_samples": [len(ids)],
+            }
+        )
+
+    ship_package(docs.sparkSession)
+    shard = (F.col("doc_id") / samples_per_shard).cast("long")
+    return (
+        docs.select("doc_id")
+        .groupBy(shard.alias("shard_id"))
+        .applyInPandas(_build, schema="shard_id long, payload binary, n_samples int")
+    )
+
+
+WDS_MM_READER_SCHEMA = (
+    "doc_id long, shard_id long, label int, width int, height int, "
+    "img_checksum long, n_channels int, sample_rate int, n_frames int, "
+    "audio_checksum long, txt_len int, txt_checksum long, n_members int"
+)
+
+
+def read_webdataset_mm_features(shards: DataFrame) -> DataFrame:
+    """The READ half: demux + decode every sample of every shard in
+    one narrow Arrow map — no shuffle (shards are already independent
+    units of work; at 100 TB this is the map over object-storage
+    shard blobs), payloads never on the driver."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "label", "width", "height", "img_checksum",
+            "n_channels", "sample_rate", "n_frames", "audio_checksum",
+            "txt_len", "txt_checksum", "n_members",
+        ]
+        for pdf in batch_iter:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for row in decode_webdataset_mm_shard(bytes(payload)):
+                    rows.append((row[0], int(sid)) + row[1:])
+            out = pd.DataFrame(rows, columns=["doc_id", "shard_id"] + cols[1:])
+            for c in ("doc_id", "shard_id", "img_checksum",
+                      "audio_checksum", "txt_checksum"):
+                out[c] = out[c].astype("int64")
+            for c in ("label", "width", "height", "n_channels",
+                      "sample_rate", "n_frames", "txt_len", "n_members"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    ship_package(shards.sparkSession)
+    return shards.select("shard_id", "payload").mapInPandas(
+        _run, schema=WDS_MM_READER_SCHEMA
+    )

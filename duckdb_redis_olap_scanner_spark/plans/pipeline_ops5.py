@@ -1818,6 +1818,90 @@ def pipeline_webdataset_shards(spark: SparkSession, sf: str):
 
 
 @register(
+    "multimodal_webdataset_reader",
+    # Every column is a closed form over doc_id: the image replays the
+    # shared synthesis contract of the PPM entry, the audio the PCM16
+    # WAV entry, the text member its own printable-ASCII ramp, and the
+    # label/shard are modular arithmetic — so a demux misrouting (a
+    # member fed to the wrong decoder, a sample split across keys, a
+    # reordered shard) cannot hash-match.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 7 AS INT) AS height
+      FROM documents),
+    ik AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS k
+      FROM img),
+    istat AS (
+      SELECT doc_id, width, height,
+             CAST(SUM((k + 1) * ((doc_id * 7 + k) % 256)) AS BIGINT)
+               AS img_checksum
+      FROM ik GROUP BY doc_id, width, height),
+    aud AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 17 AS INT) AS n_frames
+      FROM documents),
+    ak AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT) * n_channels)) AS i
+      FROM aud),
+    astat AS (
+      SELECT doc_id, n_channels, sample_rate, n_frames,
+             CAST(SUM((i + 1) * (((doc_id * 11 + i * 97) % 65536)
+                                 - 32768)) AS BIGINT) AS audio_checksum
+      FROM ak GROUP BY doc_id, n_channels, sample_rate, n_frames),
+    txt AS (
+      SELECT doc_id, CAST(32 + doc_id % 41 AS INT) AS txt_len
+      FROM documents),
+    tk AS (
+      SELECT doc_id, txt_len,
+             unnest(range(0, CAST(txt_len AS BIGINT))) AS j
+      FROM txt),
+    tstat AS (
+      SELECT doc_id, txt_len,
+             CAST(SUM((j + 1) * (32 + ((doc_id * 3 + j * 7) % 95)))
+                  AS BIGINT) AS txt_checksum
+      FROM tk GROUP BY doc_id, txt_len)
+    SELECT d.doc_id,
+           CAST(d.doc_id // 8 AS BIGINT) AS shard_id,
+           CAST(d.doc_id % 10 AS INT) AS label,
+           i.width, i.height, i.img_checksum,
+           a.n_channels, a.sample_rate, a.n_frames, a.audio_checksum,
+           t.txt_len, t.txt_checksum,
+           CAST(4 AS INT) AS n_members
+    FROM documents d
+    JOIN istat i ON d.doc_id = i.doc_id
+    JOIN astat a ON d.doc_id = a.doc_id
+    JOIN tstat t ON d.doc_id = t.doc_id
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="MULTIMODAL WebDataset shard round trip (r20; the text-only "
+    "ingest/export twins' capability stretch): pack 8 samples per "
+    "ustar shard, each sample four adjacent members under one key — "
+    ".cls label, .ppm image, .txt text, .wav PCM16 audio — then demux "
+    "every shard and route each member through the package's OWN "
+    "codec parsers (decode_ppm, decode_wav) in one narrow Arrow map. "
+    "Per-sample output: label, image dims + position-weighted pixel "
+    "checksum, audio layout + position-weighted sample checksum, "
+    "text length + byte checksum, member count. Strict demux: "
+    "unknown extensions, split samples, duplicate or missing members "
+    "all raise. One shuffle total (the export's shard grouping); the "
+    "read half is shuffle-free — at 100 TB it is the map over "
+    "object-storage shard blobs "
+    "(operators/multimodal.decode_webdataset_mm_shard).",
+)
+def multimodal_webdataset_reader(spark: SparkSession, sf: str):
+    return M.read_webdataset_mm_features(
+        M.synthesize_webdataset_mm_shards(table(spark, sf, "documents"))
+    )
+
+
+@register(
     "pipeline_xz_bz2_ingest",
     oracle="""
     SELECT doc_id,
