@@ -636,3 +636,372 @@ def probe(
         spark, name, cent_ids, cent_vecs, queries,
         k=k, n_probe=n_probe, page_queries=page_queries,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (r20): codes on disk, ADC probes from the index
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_codebooks(
+    embeddings: DataFrame,
+    n_cells: int = S.N_IVF_CELLS,
+    m: int = S.PQ_M,
+    ks: int = S.PQ_KS,
+) -> tuple:
+    """The frozen IVF-PQ training artifacts as driver lists: coarse
+    centroid vectors (the first ``n_cells`` quantized vectors, exactly
+    :func:`similarity.ivf_pq_topk`'s derivation) and the per-subspace
+    PQ codebooks (:func:`similarity._pq_centroids` — one integer-mean
+    Lloyd's step over deterministic seeds). Trained on the FULL corpus
+    once, before any history/batch split, so builder, appender, and
+    prober all encode against identical generations — the same
+    freeze rule as :func:`ivf_centroids`."""
+    if n_cells > S.MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{S.MAX_DRIVER_QUERY_ROWS}"
+        )
+    coarse_rows = sorted(
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", S.quantized().alias("v"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    coarse = [[int(x) for x in r.v] for r in coarse_rows]
+    cent, sd = S._pq_centroids(embeddings, m, ks)
+    return coarse, cent, sd
+
+
+def _pq_coded(
+    embeddings: DataFrame,
+    coarse: list,
+    cent: list,
+    sd: int,
+) -> DataFrame:
+    """(vec_id, cell, codes): coarse max-dot cell + per-subspace
+    nearest-codebook codes, all as one pure column-expression frame
+    against the frozen literals — zero shuffles, the plan that encodes
+    100 TB of vectors at scan speed (the corpus half of
+    :func:`similarity.ivf_pq_topk`, shared by build and append so the
+    persisted codes cannot drift from the one-shot plan)."""
+    from pyspark.sql import Column
+
+    m = len(cent)
+
+    def _dot_lit(col: Column, c: list) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _l2(sub: Column, c: list) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = embeddings.select("vec_id", S.quantized().alias("v")).select(
+        "vec_id",
+        F.col("v"),
+        *[F.slice("v", j * sd + 1, sd).alias(f"s{j}") for j in range(m)],
+    )
+    dots = F.array(*[_dot_lit(F.col("v"), c) for c in coarse])
+    cell_col = (F.array_position(dots, F.array_max(dots)) - 1).alias("cell")
+    code_cols = []
+    for j in range(m):
+        dj = F.array(*[_l2(F.col(f"s{j}"), c) for c in cent[j]])
+        code_cols.append(
+            (F.array_position(dj, F.array_min(dj)) - 1).alias(f"code{j}")
+        )
+    return base.select("vec_id", cell_col, *code_cols).select(
+        "vec_id",
+        "cell",
+        F.array(*[f"code{j}" for j in range(m)]).alias("codes"),
+    )
+
+
+def write_ivf_pq_index(
+    embeddings: DataFrame,
+    coarse: list,
+    cent: list,
+    sd: int,
+    name: str,
+    buckets: int = DEFAULT_IVF_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """(Re)build the PQ-coded corpus table: (vec_id, cell, codes)
+    bucketed+sorted on ``cell`` — ~85x smaller on disk than the raw
+    IVF index (m codes instead of the embedding array), which is what
+    makes the persisted form the 100 TB deployment shape: probes scan
+    codes, never raw vectors. Codebooks AND coarse centroids ride the
+    sidecar (:func:`load_ivf_pq_codebooks`): real generations come out
+    of offline training and are not recomputable from the codes, so a
+    restarted prober must read them back from the index itself —
+    encoding or probing against the wrong generation silently corrupts
+    both cells and codes."""
+    DI._save_bucketed(
+        _pq_coded(embeddings, coarse, cent, sd),
+        name,
+        ["cell"],
+        buckets,
+        path,
+        extra_meta={
+            "ivf_pq_codebooks": {
+                "coarse": [[int(x) for x in c] for c in coarse],
+                "cent": [
+                    [[int(x) for x in c] for c in cj] for cj in cent
+                ],
+                "sd": int(sd),
+            }
+        },
+    )
+
+
+def _check_pq_generation(
+    spark: SparkSession, index_table: str, coarse: list, cent: list, sd: int
+) -> None:
+    """The IVF-PQ twin of :func:`_check_centroid_generation`: same
+    designed-absent states skip, same read/parse errors propagate
+    (a corrupt sidecar must not silently disable the guard)."""
+    loc = DI._table_location(spark, index_table)
+    if loc is None:
+        return
+    meta = DI._read_sidecar(spark, loc)
+    if not meta or "ivf_pq_codebooks" not in meta:
+        return
+    stored = meta["ivf_pq_codebooks"]
+    if (
+        [[int(x) for x in c] for c in stored["coarse"]]
+        != [[int(x) for x in c] for c in coarse]
+        or [[[int(x) for x in c] for c in cj] for cj in stored["cent"]]
+        != [[[int(x) for x in c] for c in cj] for cj in cent]
+        or int(stored["sd"]) != int(sd)
+    ):
+        raise ValueError(
+            f"IVF-PQ generation mismatch for {index_table!r}: the "
+            "supplied coarse centroids / codebooks differ from the "
+            "generation recorded in the index sidecar — encoding or "
+            "probing across generations corrupts cells and codes "
+            "silently; use load_ivf_pq_codebooks, or rebuild with "
+            "write_ivf_pq_index after a retrain"
+        )
+
+
+def load_ivf_pq_codebooks(spark: SparkSession, path: str) -> tuple:
+    """Restart path: recover (coarse, cent, sd) from the index
+    sidecar, so a fresh session can append and probe without the
+    original training artifacts in memory."""
+    meta = DI._read_sidecar(spark, path)
+    if not meta or "ivf_pq_codebooks" not in meta:
+        raise ValueError(
+            f"no IVF-PQ codebooks recorded in the sidecar at {path!r}"
+        )
+    stored = meta["ivf_pq_codebooks"]
+    return (
+        [[int(x) for x in c] for c in stored["coarse"]],
+        [[[int(x) for x in c] for c in cj] for cj in stored["cent"]],
+        int(stored["sd"]),
+    )
+
+
+def append_to_ivf_pq_index(
+    new_vectors: DataFrame,
+    coarse: list,
+    cent: list,
+    sd: int,
+    name: str,
+) -> None:
+    """Index maintenance for the PQ form: encode a batch against the
+    SAME frozen generations and append into the existing bucket
+    layout. The delivery contract is :func:`append_to_ivf_index`'s,
+    unchanged — retry-idempotent via the cell-restricted anti-join
+    (assignment is deterministic per generation, so a pre-existing
+    copy of a batch vec_id must sit in one of the batch's cells),
+    per-vec_id min-struct dedup WITHIN the batch so the survivor is a
+    pure function of the batch contents, and the same one undetected
+    case: re-appending a vec_id with a DIFFERENT embedding is a
+    mutation this append-only index cannot express (caught by
+    :func:`verify_ivf_pq_index`'s duplicate audit, not here)."""
+    spark = new_vectors.sparkSession
+    _check_pq_generation(spark, name, coarse, cent, sd)
+    buckets = DI._index_buckets(spark, name)
+    raw = _pq_coded(new_vectors, coarse, cent, sd)
+    deduped = (
+        raw.groupBy("vec_id")
+        .agg(F.min(F.struct("cell", "codes")).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell"),
+                F.col("s.codes").alias("codes"))
+    )
+    batch_cells = [
+        int(r.cell) for r in raw.select("cell").distinct().collect()
+    ]
+    existing = (
+        spark.table(name)
+        .filter(F.col("cell").isin(batch_cells))
+        .select("vec_id")
+    )
+    (
+        deduped.join(existing, "vec_id", "left_anti")
+        .repartition(buckets, F.col("cell"))
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(name)
+    )
+
+
+def verify_ivf_pq_index(spark: SparkSession, index_table: str) -> None:
+    """Offline audit of a persisted IVF-PQ index — the invariants the
+    write paths promise but concurrent maintenance can break:
+    duplicate vec_ids, codes of the wrong arity or out of the
+    codebook's range, cells outside the coarse table. Raises on the
+    first violation; cheap enough to run after every maintenance
+    window (one pruned-projection pass, no shuffle beyond the
+    aggregate)."""
+    loc = DI._table_location(spark, index_table)
+    meta = DI._read_sidecar(spark, loc) if loc else None
+    if not meta or "ivf_pq_codebooks" not in meta:
+        raise ValueError(
+            f"{index_table!r} has no IVF-PQ sidecar: not a PQ index"
+        )
+    stored = meta["ivf_pq_codebooks"]
+    m = len(stored["cent"])
+    ks = len(stored["cent"][0])
+    n_cells = len(stored["coarse"])
+    idx = spark.table(index_table)
+    bad = idx.select(
+        F.sum(
+            (F.size("codes") != m).cast("long")
+        ).alias("bad_arity"),
+        F.sum(
+            (
+                F.aggregate(
+                    "codes",
+                    F.lit(0).cast("long"),
+                    lambda acc, c: acc
+                    + ((c < 0) | (c >= ks)).cast("long"),
+                )
+                > 0
+            ).cast("long")
+        ).alias("bad_code"),
+        F.sum(
+            ((F.col("cell") < 0) | (F.col("cell") >= n_cells)).cast("long")
+        ).alias("bad_cell"),
+        (F.count("*") - F.countDistinct("vec_id")).alias("dup_ids"),
+    ).collect()[0]
+    problems = {
+        k: int(bad[k])
+        for k in ("bad_arity", "bad_code", "bad_cell", "dup_ids")
+        if int(bad[k])
+    }
+    if problems:
+        raise ValueError(
+            f"IVF-PQ index {index_table!r} failed verification: "
+            f"{problems}"
+        )
+
+
+def ivf_pq_indexed_topk(
+    spark: SparkSession,
+    index_table: str,
+    coarse: list,
+    cent: list,
+    sd: int,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ADC top-k over the PERSISTED PQ codes, probing each query's
+    ``n_probe`` nearest coarse cells. The query batch is collected
+    (bounded, LIMIT-before-collect like :func:`ann_indexed_topk`) so
+    the probed cells become plan-time ``IN`` literals — the only form
+    the bucketed scan can prune on — and each query ships its m x ks
+    ADC lookup table in a broadcast Q-row frame; candidates score as
+    a pure zip_with/element_at expression over the stored codes and
+    rank under WindowGroupLimit. The index side reads codes only —
+    never raw vectors — and never shuffles.
+
+    Result contract: identical to :func:`similarity.ivf_pq_topk` over
+    the same corpus — (query_id, neighbor_id, cell, adc_dist, rank),
+    self-matches excluded."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    DI._touch_liveness(spark, index_table)
+    _check_pq_generation(spark, index_table, coarse, cent, sd)
+    m = len(cent)
+    raw_q = (
+        queries.select("vec_id", S.quantized().alias("v"))
+        .limit(S.MAX_DRIVER_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(raw_q) > S.MAX_DRIVER_QUERY_ROWS:
+        raise ValueError(
+            f"query batch exceeds MAX_DRIVER_QUERY_ROWS="
+            f"{S.MAX_DRIVER_QUERY_ROWS} rows: the query batch is "
+            "materialized on the driver to make the probed cells "
+            "plan-time bucket-pruning literals"
+        )
+    qdata = []
+    for r in sorted(raw_q, key=lambda r: r.vec_id):
+        v = [int(x) for x in r.v]
+        cdots = [
+            (sum(a * b for a, b in zip(v, c)), cid)
+            for cid, c in enumerate(coarse)
+        ]
+        probed = [
+            cid for _d, cid in sorted(cdots, key=lambda t: (-t[0], t[1]))
+        ][:n_probe]
+        lut = [
+            [
+                sum((v[j * sd + i] - c[i]) ** 2 for i in range(sd))
+                for c in cent[j]
+            ]
+            for j in range(m)
+        ]
+        qdata.append((int(r.vec_id), probed, lut))
+    all_cells = sorted({c for _q, probed, _l in qdata for c in probed})
+    qf = spark.createDataFrame(
+        qdata,
+        "query_id bigint, probed array<bigint>, lut array<array<bigint>>",
+    )
+    scored = (
+        spark.table(index_table)
+        .filter(F.col("cell").isin(all_cells))  # bucket-pruning literals
+        .crossJoin(F.broadcast(qf))
+        .filter(F.array_contains("probed", F.col("cell")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    "lut",
+                    lambda c, l: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "adc_dist", "rank")
+    )

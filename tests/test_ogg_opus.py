@@ -209,11 +209,14 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "_REGISTRY, registry\n"
         "n0 = len(registry())\n"
         "assert Q.ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
+        "assert Q.PQ_ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
         "Q.register_queued(); Q.register_queued()\n"
-        "assert Q.ENTRY_NAME in _REGISTRY\n"
-        "assert len(registry()) == n0 + 1\n"
+        "assert Q.ENTRY_NAME in _REGISTRY and Q.PQ_ENTRY_NAME in _REGISTRY\n"
+        "assert len(registry()) == n0 + 2\n"
         "e = _REGISTRY[Q.ENTRY_NAME]\n"
         "assert e.oracle == Q.ORACLE and e.tags == Q.TAGS\n"
+        "p = _REGISTRY[Q.PQ_ENTRY_NAME]\n"
+        "assert p.oracle == Q.PQ_ORACLE and p.tags == Q.PQ_TAGS\n"
         "print('QUEUED_OK')\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
