@@ -3610,3 +3610,71 @@ def read_webdataset_mm_features(shards: DataFrame) -> DataFrame:
     return shards.select("shard_id", "payload").mapInPandas(
         _run, schema=WDS_MM_READER_SCHEMA
     )
+
+
+def write_webdataset_mm_files(shards: DataFrame, out_dir: str) -> list:
+    """Materialize multimodal shards as REAL ``.tar`` files — one file
+    per shard, written by the task that owns the shard (the actual
+    WebDataset export pattern: N independent shard writers, no
+    driver-side funnel). Publication is atomic per shard (write to a
+    dotted temp name, ``os.replace`` to ``shard-%06d.tar``), so a
+    killed task never leaves a half shard under the published glob
+    and a retry simply overwrites its own temp. ``out_dir`` must be
+    storage every executor can reach (on a cluster: a shared
+    filesystem or fuse mount; object stores want a committer, which
+    Spark's file sinks provide — this path is for the tar-shard
+    layout those sinks cannot express).
+
+    Returns the published (shard_id, n_bytes) pairs, sorted — tiny
+    (one row per shard), safe to return to the driver."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        for pdf in batch_iter:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                data = bytes(payload)
+                final = _os.path.join(
+                    out_dir, f"shard-{int(sid):06d}.tar"
+                )
+                tmp = _os.path.join(
+                    out_dir, f".shard-{int(sid):06d}.tar.tmp"
+                )
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                _os.replace(tmp, final)
+                rows.append((int(sid), len(data)))
+            yield pd.DataFrame(rows, columns=["shard_id", "n_bytes"])
+
+    from ..engine import ship_package
+
+    ship_package(shards.sparkSession)
+    out = shards.select("shard_id", "payload").mapInPandas(
+        _write, schema="shard_id long, n_bytes long"
+    )
+    return sorted((int(r[0]), int(r[1])) for r in out.collect())
+
+
+def read_webdataset_mm_dir(spark, in_dir: str) -> DataFrame:
+    """The ingest half of the filesystem round trip: load published
+    shard files through Spark's built-in ``binaryFile`` source (the
+    glob excludes in-flight ``.tmp`` names by construction) and demux
+    them with :func:`read_webdataset_mm_features`. At 100 TB this IS
+    the deployment read path — shard blobs from object storage, one
+    Arrow map, no shuffle; shard_id is recovered from the filename so
+    the rows are comparable to the in-memory reader's."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(in_dir + "/shard-*.tar")
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.tar$", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return read_webdataset_mm_features(files)

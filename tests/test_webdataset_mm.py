@@ -242,3 +242,51 @@ def test_read_half_plan_is_shuffle_free(spark):
         "Exchange"
     )
     assert n_exchanges_full == n_exchanges_export
+
+
+def test_filesystem_roundtrip_matches_in_memory(spark, tmp_path):
+    """Write real shard-%06d.tar files (atomic publish), read them
+    back through Spark's binaryFile source: rows identical to the
+    in-memory reader, no .tmp leftovers under the published glob."""
+    import os
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+    docs = table(spark, SF_DIR, "documents").filter("doc_id < 40")
+    shards = M.synthesize_webdataset_mm_shards(docs)
+    out_dir = str(tmp_path / "wds")
+    published = M.write_webdataset_mm_files(shards, out_dir)
+    names = sorted(os.listdir(out_dir))
+    assert names == [f"shard-{sid:06d}.tar" for sid, _ in published]
+    for sid, n_bytes in published:
+        assert os.path.getsize(
+            os.path.join(out_dir, f"shard-{sid:06d}.tar")
+        ) == n_bytes
+    want = sorted(
+        tuple(r) for r in M.read_webdataset_mm_features(shards).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in M.read_webdataset_mm_dir(spark, out_dir).collect()
+    )
+    assert got == want
+
+
+def test_filesystem_write_is_idempotent(spark, tmp_path):
+    """A retried export (same shards, same dir) republishes the same
+    bytes — the atomic-replace contract."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+    docs = table(spark, SF_DIR, "documents").filter("doc_id < 16")
+    shards = M.synthesize_webdataset_mm_shards(docs)
+    out_dir = str(tmp_path / "wds2")
+    first = M.write_webdataset_mm_files(shards, out_dir)
+    second = M.write_webdataset_mm_files(shards, out_dir)
+    assert first == second
+    got = sorted(
+        int(r["doc_id"])
+        for r in M.read_webdataset_mm_dir(spark, out_dir).collect()
+    )
+    assert got == sorted(
+        int(r[0]) for r in docs.select("doc_id").collect()
+    )
