@@ -3678,3 +3678,31 @@ def read_webdataset_mm_dir(spark, in_dir: str) -> DataFrame:
         )
     )
     return read_webdataset_mm_features(files)
+
+
+def stream_webdataset_mm_dir(spark, in_dir: str) -> DataFrame:
+    """STREAMING ingest of published multimodal shards: a Structured
+    Streaming `binaryFile` file source over the shard glob (the file
+    stream source tracks seen files in the checkpoint, so each
+    published shard is demuxed exactly once across restarts), feeding
+    the SAME Arrow demux map as the batch reader — the continuous
+    deployment shape where shards land in object storage as upstream
+    packers publish them. File stream sources require an explicit
+    schema; binaryFile's is fixed. The dotted in-flight temp names of
+    :func:`write_webdataset_mm_files` fall outside the glob, so a
+    half-written shard can never be picked up."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(in_dir + "/shard-*.tar")
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.tar$", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return read_webdataset_mm_features(files)

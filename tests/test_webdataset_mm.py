@@ -290,3 +290,52 @@ def test_filesystem_write_is_idempotent(spark, tmp_path):
     assert got == sorted(
         int(r[0]) for r in docs.select("doc_id").collect()
     )
+
+
+def test_streaming_ingest_is_incremental_and_exactly_once(spark, tmp_path):
+    """Structured Streaming over the published shard glob: run 1
+    ingests the first publication, run 2 (same checkpoint) ingests
+    ONLY the newly published shards — each sample row lands exactly
+    once across both runs, and the union equals the batch reader."""
+    from duckdb_redis_olap_scanner_spark.plans.catalog import table
+
+    docs = table(spark, SF_DIR, "documents").filter("doc_id < 32")
+    shard_dir = str(tmp_path / "shards")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            M.stream_webdataset_mm_dir(spark, shard_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    M.write_webdataset_mm_files(
+        M.synthesize_webdataset_mm_shards(docs.filter("doc_id < 16")),
+        shard_dir,
+    )
+    run_once()
+    first = sorted(
+        int(r[0]) for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert first == list(range(16))
+    M.write_webdataset_mm_files(
+        M.synthesize_webdataset_mm_shards(docs.filter("doc_id >= 16")),
+        shard_dir,
+    )
+    run_once()
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert [r[0] for r in rows] == list(range(32))  # exactly once each
+    want = sorted(
+        tuple(r)
+        for r in M.read_webdataset_mm_dir(spark, shard_dir).collect()
+    )
+    assert rows == want
