@@ -5,13 +5,23 @@ Round 20's gate budget already carries two frontier slots
 (``multimodal_decode_avi_interleaved``, landed from the r19 queue, and
 the new ``multimodal_webdataset_reader``), which puts the post-r20
 drain at 25 — the staged-bundle landing condition ("dirty <= ~25",
-COVERAGE.md r19). A third frontier registration would push it to 26,
-so the round's second capability stretch — the real Ogg/Opus container
-walk (operators/ogg.py: RFC 3533 page CRC + lacing/continuation
-reassembly, RFC 7845 OpusHead/OpusTags parse) — follows the r19 queue
-pattern: fully implemented, tested (tests/test_ogg_opus.py,
-third-opinion batch 27) and oracle-verified in-suite, registration
-DEFERRED.
+COVERAGE.md r19). Further frontier registrations would push it past
+that bar, so the round's remaining capability stretches follow the
+r19 queue pattern — fully implemented, tested, third-opinion audited
+and oracle-verified in-suite, registration DEFERRED:
+
+* ``multimodal_ogg_opus_walk`` — real Ogg/Opus container walk
+  (operators/ogg.py: RFC 3533 page CRC + lacing/continuation
+  reassembly, RFC 7845 OpusHead/OpusTags parse);
+  tests/test_ogg_opus.py, third-opinion batch 27.
+* ``ann_ivf_pq_persisted`` — persisted IVF-PQ index
+  (operators/ann_index.py: bucketed code table, sidecar codebooks,
+  generation-checked retry-idempotent append, bucket-pruned ADC
+  probe); tests/test_ivf_pq_index.py, third-opinion batch 28.
+* ``multimodal_mp4_box_walk`` — ISO-BMFF container walk
+  (operators/mp4.py: largesize boxes, stbl sample tables, full
+  stco/stsc/stsz sample extraction); tests/test_mp4_box_walk.py,
+  third-opinion batch 29.
 
 IMPORTING THIS MODULE HAS NO SIDE EFFECT — registration is an
 explicit :func:`register_queued` call (idempotent), so the suite can
@@ -257,6 +267,91 @@ def ann_ivf_pq_persisted(spark: SparkSession, sf: str):
     )
 
 
+MP4_ENTRY_NAME = "multimodal_mp4_box_walk"
+
+MP4_ORACLE = (
+    # Closed forms over doc_id (synthesis contract at
+    # operators/mp4.py): n samples of per-sample length len_s,
+    # byte (s,j) = (doc_id*3 + s*11 + j*17) % 256 over the global
+    # concatenated-sample index; geometry/timescale/duration are
+    # modular arithmetic. The checksum is position-weighted over the
+    # EXTRACTED samples in stco/stsc/stsz order, so a mis-parsed
+    # offset, size, or chunk run cannot hash-match.
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 6 AS n FROM documents),
+    sp AS (
+      SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS s
+      FROM d),
+    sl AS (
+      SELECT doc_id, n, s,
+             50 + (doc_id * 7 + s * 13) % 120 AS len_s
+      FROM sp),
+    so AS (
+      SELECT doc_id, s, len_s,
+             COALESCE(SUM(len_s) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM sl),
+    sb AS (
+      SELECT doc_id, s, off,
+             unnest(range(0, CAST(len_s AS BIGINT))) AS j
+      FROM so),
+    ck AS (
+      SELECT doc_id,
+             CAST(SUM((off + j + 1)
+                      * ((doc_id * 3 + s * 11 + j * 17) % 256))
+                  AS BIGINT) AS sample_checksum
+      FROM sb GROUP BY doc_id),
+    tb AS (
+      SELECT doc_id, CAST(SUM(len_s) AS INT) AS total_sample_bytes
+      FROM sl GROUP BY doc_id)
+    SELECT dd.doc_id,
+           'isom' AS brand,
+           CAST(1000 + (dd.doc_id % 5) * 200 AS INT) AS timescale,
+           CAST((4 + dd.doc_id % 6) * 40 AS INT) AS duration,
+           'vide' AS handler,
+           CAST(16 * (1 + dd.doc_id % 3) AS INT) AS width,
+           CAST(16 * (1 + dd.doc_id % 2) AS INT) AS height,
+           CAST(4 + dd.doc_id % 6 AS INT) AS n_samples,
+           CAST(2 AS INT) AS n_chunks,
+           tb.total_sample_bytes,
+           ck.sample_checksum
+    FROM documents dd
+    JOIN tb ON dd.doc_id = tb.doc_id
+    JOIN ck ON dd.doc_id = ck.doc_id
+    """
+)
+
+MP4_TAGS = ("multimodal",)
+
+MP4_DOC = (
+    "REAL ISO-BMFF (MP4) container walk, no codec library (r20, "
+    "queued): synthesize a spec-shaped progressive MP4 per doc (ftyp; "
+    "moov with mvhd, one 'vide' trak whose stbl carries a true "
+    "86-byte VisualSampleEntry, one-run stts, two-chunk stsc, "
+    "explicit stsz, ABSOLUTE stco offsets; mdat written in the "
+    "64-bit largesize form), then walk it back with an iterative "
+    "span-stack box parser and EXTRACT every sample through "
+    "stco+stsc+stsz — geometry cross-checked between tkhd and stsd, "
+    "stts span against mvhd duration, extracted bytes against mdat, "
+    "and a position-weighted checksum over the samples in decode "
+    "order. Samples stay opaque (codec bitstreams belong to the "
+    "codec entries); the entry pins the container layer, like the "
+    "AVI and Ogg walks (operators/mp4.decode_mp4). One narrow Arrow "
+    "map, no shuffle; payloads never on the driver."
+)
+
+
+def multimodal_mp4_box_walk(spark: SparkSession, sf: str):
+    from ..operators import mp4 as V
+
+    return V.decode_mp4_features(
+        V.synthesize_mp4_streams(table(spark, sf, "documents"))
+    )
+
+
 def register_queued() -> None:
     """Register the queued entries (the one-call landing step).
     Idempotent so ``registry()`` — which re-runs its import block on
@@ -269,3 +364,7 @@ def register_queued() -> None:
         register(
             PQ_ENTRY_NAME, oracle=PQ_ORACLE, tags=PQ_TAGS, doc=PQ_DOC
         )(ann_ivf_pq_persisted)
+    if MP4_ENTRY_NAME not in _REGISTRY:
+        register(
+            MP4_ENTRY_NAME, oracle=MP4_ORACLE, tags=MP4_TAGS, doc=MP4_DOC
+        )(multimodal_mp4_box_walk)

@@ -208,15 +208,18 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "from duckdb_redis_olap_scanner_spark.plans.catalog import "
         "_REGISTRY, registry\n"
         "n0 = len(registry())\n"
-        "assert Q.ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
-        "assert Q.PQ_ENTRY_NAME not in _REGISTRY, 'import had a side effect'\n"
+        "names = (Q.ENTRY_NAME, Q.PQ_ENTRY_NAME, Q.MP4_ENTRY_NAME)\n"
+        "for nm in names:\n"
+        "    assert nm not in _REGISTRY, 'import had a side effect'\n"
         "Q.register_queued(); Q.register_queued()\n"
-        "assert Q.ENTRY_NAME in _REGISTRY and Q.PQ_ENTRY_NAME in _REGISTRY\n"
-        "assert len(registry()) == n0 + 2\n"
+        "assert all(nm in _REGISTRY for nm in names)\n"
+        "assert len(registry()) == n0 + len(names)\n"
         "e = _REGISTRY[Q.ENTRY_NAME]\n"
         "assert e.oracle == Q.ORACLE and e.tags == Q.TAGS\n"
         "p = _REGISTRY[Q.PQ_ENTRY_NAME]\n"
         "assert p.oracle == Q.PQ_ORACLE and p.tags == Q.PQ_TAGS\n"
+        "v = _REGISTRY[Q.MP4_ENTRY_NAME]\n"
+        "assert v.oracle == Q.MP4_ORACLE and v.tags == Q.MP4_TAGS\n"
         "print('QUEUED_OK')\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
