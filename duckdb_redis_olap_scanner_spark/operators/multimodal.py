@@ -3634,6 +3634,9 @@ def write_webdataset_mm_files(shards: DataFrame, out_dir: str) -> list:
     def _write(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os as _os
 
+        # also in the worker: on a real cluster the driver-side
+        # makedirs above ran on a different machine
+        _os.makedirs(out_dir, exist_ok=True)
         for pdf in batch_iter:
             rows = []
             for sid, payload in zip(pdf["shard_id"], pdf["payload"]):

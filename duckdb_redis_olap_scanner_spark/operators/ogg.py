@@ -262,21 +262,27 @@ def decode_ogg_opus(payload: bytes) -> dict:
     head = packets[0]
     if head[:8] != b"OpusHead" or len(head) < 19:
         raise ValueError("first packet is not a valid OpusHead")
-    version, ch, pre_skip, _rate, _gain, mapping = struct.unpack_from(
-        "<BBHIhB", head, 8
-    )
+    try:
+        version, ch, pre_skip, _rate, _gain, mapping = struct.unpack_from(
+            "<BBHIhB", head, 8
+        )
+    except struct.error as exc:  # contract error, like the RIFF walks
+        raise ValueError(f"truncated OpusHead: {exc}") from exc
     if version != 1 or mapping != 0:
         raise ValueError("unsupported OpusHead version/mapping family")
     tags = packets[1]
     if tags[:8] != b"OpusTags":
         raise ValueError("second packet is not a valid OpusTags")
-    (vlen,) = struct.unpack_from("<I", tags, 8)
-    tpos = 12 + vlen
-    (n_comments,) = struct.unpack_from("<I", tags, tpos)
-    tpos += 4
-    for _ in range(n_comments):
-        (clen,) = struct.unpack_from("<I", tags, tpos)
-        tpos += 4 + clen
+    try:
+        (vlen,) = struct.unpack_from("<I", tags, 8)
+        tpos = 12 + vlen
+        (n_comments,) = struct.unpack_from("<I", tags, tpos)
+        tpos += 4
+        for _ in range(n_comments):
+            (clen,) = struct.unpack_from("<I", tags, tpos)
+            tpos += 4 + clen
+    except struct.error as exc:
+        raise ValueError(f"truncated OpusTags: {exc}") from exc
     if tpos > len(tags):
         raise ValueError("OpusTags comment vector overruns the packet")
     audio = b"".join(packets[2:])
