@@ -22,6 +22,12 @@ and oracle-verified in-suite, registration DEFERRED:
   (operators/mp4.py: largesize boxes, stbl sample tables, full
   stco/stsc/stsz sample extraction); tests/test_mp4_box_walk.py,
   third-opinion batch 29.
+* ``parquet_footer_audit`` — from-scratch parquet footer walk
+  (operators/parquet_meta.py: PAR1 framing, a full thrift
+  COMPACT-protocol decoder, per-row-group column Statistics),
+  cross-checked against the data itself; tests/test_parquet_meta.py
+  (the independent re-derivation there is pyarrow's C++ reader,
+  swept over every testdata table and a different writer config).
 
 IMPORTING THIS MODULE HAS NO SIDE EFFECT — registration is an
 explicit :func:`register_queued` call (idempotent), so the suite can
@@ -352,6 +358,65 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf: str):
     )
 
 
+PARQUET_ENTRY_NAME = "parquet_footer_audit"
+
+PARQUET_ORACLE = (
+    # The oracle recomputes FROM THE DATA what the footer claims:
+    # num_values (total slots, nulls included — ColumnMetaData
+    # semantics), null_count, and min/max per audited column. A
+    # thrift mis-parse, a wrong stat-value decode, or a corrupted
+    # writer statistic all hash-mismatch. Only short, non-truncatable
+    # columns are audited (writers may truncate long BYTE_ARRAY
+    # stats).
+    """
+    SELECT 'doc_id' AS col, 'INT64' AS physical_type,
+           CAST(COUNT(*) AS BIGINT) AS num_values,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS null_count,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', 'BYTE_ARRAY',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', 'BYTE_ARRAY',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           MIN(source), MAX(source)
+    FROM documents
+    """
+)
+
+PARQUET_TAGS = ("pipeline", "olap")
+
+PARQUET_DOC = (
+    "Parquet FOOTER audit with a from-scratch reader, no parquet "
+    "library (r20, queued): read the documents table's parquet "
+    "file(s) as binary blobs, parse each footer byte-for-byte — PAR1 "
+    "framing, little-endian footer length, a full Apache Thrift "
+    "COMPACT-protocol decoder (varint/zigzag, delta field ids, "
+    "nested structs/lists), parquet.thrift field numbering down to "
+    "per-row-group column Statistics — and emit the writer-recorded "
+    "num_values/null_count/min/max per audited column. The oracle "
+    "recomputes the same quantities FROM THE DATA, so the entry pins "
+    "both the thrift parse and the statistics every pruned scan "
+    "trusts (operators/parquet_meta.parse_footer). Footer-only "
+    "parse; at scale the read is a range request for the file tail."
+)
+
+
+def parquet_footer_audit(spark: SparkSession, sf: str):
+    from ..operators import parquet_meta as P
+
+    return P.parquet_footer_stats(spark, sf).select(
+        "col", "physical_type", "num_values", "null_count",
+        "min_val", "max_val",
+    )
+
+
 def register_queued() -> None:
     """Register the queued entries (the one-call landing step).
     Idempotent so ``registry()`` — which re-runs its import block on
@@ -368,3 +433,8 @@ def register_queued() -> None:
         register(
             MP4_ENTRY_NAME, oracle=MP4_ORACLE, tags=MP4_TAGS, doc=MP4_DOC
         )(multimodal_mp4_box_walk)
+    if PARQUET_ENTRY_NAME not in _REGISTRY:
+        register(
+            PARQUET_ENTRY_NAME, oracle=PARQUET_ORACLE,
+            tags=PARQUET_TAGS, doc=PARQUET_DOC,
+        )(parquet_footer_audit)

@@ -208,7 +208,8 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "from duckdb_redis_olap_scanner_spark.plans.catalog import "
         "_REGISTRY, registry\n"
         "n0 = len(registry())\n"
-        "names = (Q.ENTRY_NAME, Q.PQ_ENTRY_NAME, Q.MP4_ENTRY_NAME)\n"
+        "names = (Q.ENTRY_NAME, Q.PQ_ENTRY_NAME, Q.MP4_ENTRY_NAME,\n"
+        "         Q.PARQUET_ENTRY_NAME)\n"
         "for nm in names:\n"
         "    assert nm not in _REGISTRY, 'import had a side effect'\n"
         "Q.register_queued(); Q.register_queued()\n"
@@ -220,6 +221,8 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "assert p.oracle == Q.PQ_ORACLE and p.tags == Q.PQ_TAGS\n"
         "v = _REGISTRY[Q.MP4_ENTRY_NAME]\n"
         "assert v.oracle == Q.MP4_ORACLE and v.tags == Q.MP4_TAGS\n"
+        "f = _REGISTRY[Q.PARQUET_ENTRY_NAME]\n"
+        "assert f.oracle == Q.PARQUET_ORACLE and f.tags == Q.PARQUET_TAGS\n"
         "print('QUEUED_OK')\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
