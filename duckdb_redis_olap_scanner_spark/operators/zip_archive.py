@@ -1,0 +1,236 @@
+"""From-scratch ZIP archive reader (r20 capability stretch).
+
+The remaining stdlib-corpus container after gzip/xz/bz2 members and
+ustar shards: a byte-level APPNOTE.TXT reader — End of Central
+Directory discovery (backward scan through a possible archive
+comment), central-directory entry parse, local-header cross-check,
+STORED and DEFLATE (raw, ``zlib.decompressobj(-15)``) member
+extraction, and CRC-32 + size verification per member. The SYNTHESIS
+side deliberately uses stdlib ``zipfile`` — a real, independent
+writer — so every decode is a cross-implementation round trip, not a
+matched pair.
+
+Strictness: missing EOCD, entry-count/offset lies, method other than
+stored/deflate, encrypted or data-descriptor members (flag bits the
+reader does not stream), CRC or size mismatches all raise ValueError.
+
+Reference parity note: the reference engine has no archive path; this
+is beyond-reference LLM-pipeline surface (corpus ingest).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["zip_members", "zip_ingest"]
+
+_EOCD = b"PK\x05\x06"
+_CDIR = b"PK\x01\x02"
+_LOCAL = b"PK\x03\x04"
+
+
+def _unpack(fmt: str, payload: bytes, off: int) -> tuple:
+    """struct.unpack_from with the decoder's ValueError contract — a
+    truncated header must not surface a raw struct.error from inside
+    the Arrow map."""
+    try:
+        return struct.unpack_from(fmt, payload, off)
+    except struct.error as e:
+        raise ValueError(f"truncated record at offset {off}: {e}") from e
+
+
+def zip_members(payload: bytes) -> list:
+    """Parse a ZIP archive into ordered (name, data) members through
+    the central directory, verifying each member's CRC-32 and sizes.
+    The walk is central-directory-driven (the authoritative index per
+    APPNOTE) with the local header cross-checked — a reader that
+    trusts local headers alone can be smuggled past concatenated or
+    appended archives."""
+    import zlib
+
+    # EOCD: fixed 22 bytes + comment (<= 65535); scan backward for the
+    # signature closest to the end.
+    tail_start = max(0, len(payload) - 22 - 65535)
+    at = payload.rfind(_EOCD, tail_start)
+    if at < 0:
+        raise ValueError("no end-of-central-directory record")
+    (
+        _disk, _cd_disk, _n_disk, n_entries, cd_size, cd_off, _clen
+    ) = _unpack("<HHHHIIH", payload, at + 4)
+    if cd_off + cd_size > at:
+        raise ValueError("central directory overruns its EOCD record")
+    members = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if payload[pos : pos + 4] != _CDIR:
+            raise ValueError(f"bad central-directory signature at {pos}")
+        (
+            _ver_made, _ver_need, flags, method, _time, _date, crc,
+            comp_size, uncomp_size, name_len, extra_len, comment_len,
+            _disk_no, _iattr, _eattr, local_off,
+        ) = _unpack("<HHHHHHIIIHHHHHII", payload, pos + 4)
+        name_bytes = payload[pos + 46 : pos + 46 + name_len]
+        name = name_bytes.decode("utf-8")
+        pos += 46 + name_len + extra_len + comment_len
+        if flags & 0x01:
+            raise ValueError(f"member {name!r} is encrypted")
+        if flags & 0x08:
+            raise ValueError(
+                f"member {name!r} uses a data descriptor (streamed "
+                "sizes) — not supported by this central-directory "
+                "reader"
+            )
+        if payload[local_off : local_off + 4] != _LOCAL:
+            raise ValueError(f"member {name!r}: bad local header")
+        # APPNOTE 4.3.7/4.3.12: the local header duplicates the
+        # central entry's metadata. A mismatch ("schizophrenic" ZIP —
+        # readers that trust different copies extract different
+        # content) is rejected, not resolved.
+        (
+            _l_ver, l_flags, l_method, l_time, l_date, l_crc,
+            l_comp, l_uncomp, l_name_len, l_extra_len,
+        ) = _unpack("<HHHHHIIIHH", payload, local_off + 4)
+        l_name = payload[local_off + 30 : local_off + 30 + l_name_len]
+        if (
+            (l_flags, l_method, l_time, l_date, l_crc, l_comp, l_uncomp)
+            != (flags, method, _time, _date, crc, comp_size, uncomp_size)
+            or l_name != name_bytes
+        ):
+            raise ValueError(
+                f"member {name!r}: local header disagrees with the "
+                "central directory"
+            )
+        data_at = local_off + 30 + l_name_len + l_extra_len
+        raw = payload[data_at : data_at + comp_size]
+        if len(raw) != comp_size:
+            raise ValueError(f"member {name!r}: truncated data")
+        if method == 0:
+            data = raw
+        elif method == 8:
+            try:
+                data = zlib.decompressobj(-15).decompress(raw)
+            except zlib.error as e:
+                raise ValueError(
+                    f"member {name!r}: corrupt deflate stream ({e})"
+                ) from e
+        else:
+            raise ValueError(
+                f"member {name!r}: unsupported method {method} (only "
+                "stored and deflate are decodable here)"
+            )
+        if len(data) != uncomp_size:
+            raise ValueError(
+                f"member {name!r}: inflated to {len(data)} bytes, "
+                f"directory says {uncomp_size}"
+            )
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"member {name!r}: CRC-32 mismatch")
+        members.append((name, data))
+    return members
+
+
+ZIP_INGEST_SCHEMA = (
+    "doc_id long, n_members int, n_raw int, txt_md5 string, "
+    "json_md5 string, deflate_smaller boolean"
+)
+
+
+def zip_ingest(docs: DataFrame) -> DataFrame:
+    """ZIP corpus-ingest round trip: pack each doc with stdlib
+    ``zipfile`` (a REAL independent writer; deterministic 1980-01-01
+    timestamps; the text member DEFLATED, the metadata member
+    STORED), then read the archive back with the from-scratch
+    :func:`zip_members` walker and verify — member count, md5s of the
+    RECOVERED members (the oracle recomputes them from the source
+    columns, so a corrupting hop cannot hash-match), and that deflate
+    actually did its job on the larger member. One narrow Arrow
+    stage, payloads never on the driver."""
+    from ..engine import ship_package
+
+    def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import zipfile
+
+        for pdf in batch_iter:
+            rows = []
+            for did, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                did = int(did)
+                raw = ("" if text is None else text).encode("utf-8")
+                meta = (
+                    '{"lang": "%s", "source": "%s"}'
+                    % ("" if lang is None else lang,
+                       "" if source is None else source)
+                ).encode("utf-8")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    for name, data, method in (
+                        (f"{did:09d}.txt", raw, zipfile.ZIP_DEFLATED),
+                        (f"{did:09d}.json", meta, zipfile.ZIP_STORED),
+                    ):
+                        info = zipfile.ZipInfo(
+                            name, date_time=(1980, 1, 1, 0, 0, 0)
+                        )
+                        info.compress_type = method
+                        info.external_attr = 0o644 << 16
+                        zf.writestr(info, data)
+                archive = buf.getvalue()
+                got = dict(zip_members(archive))
+                txt = got[f"{did:09d}.txt"]
+                js = got[f"{did:09d}.json"]
+                # directory-recorded compressed size of the text member
+                comp = next(
+                    s for n, s in _comp_sizes(archive)
+                    if n.endswith(".txt")
+                )
+                rows.append(
+                    (
+                        did,
+                        len(got),
+                        len(txt) + len(js),
+                        hashlib.md5(txt).hexdigest(),
+                        hashlib.md5(js).hexdigest(),
+                        bool(comp <= len(txt)),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_members", "n_raw", "txt_md5",
+                         "json_md5", "deflate_smaller"],
+            )
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for c in ("n_members", "n_raw"):
+                out[c] = out[c].astype("int32")
+            out["deflate_smaller"] = out["deflate_smaller"].astype("bool")
+            yield out
+
+    ship_package(docs.sparkSession)
+    return docs.select("doc_id", "text", "lang", "source").mapInPandas(
+        _run, schema=ZIP_INGEST_SCHEMA
+    )
+
+
+def _comp_sizes(payload: bytes) -> list:
+    """(name, compressed size) per central-directory entry — the
+    metadata half of :func:`zip_members`, kept separate so the ingest
+    row can report compression effectiveness without re-inflating."""
+    at = payload.rfind(_EOCD, max(0, len(payload) - 22 - 65535))
+    if at < 0:
+        raise ValueError("no end-of-central-directory record")
+    n_entries, _sz, cd_off = _unpack("<HII", payload, at + 10)
+    out = []
+    pos = cd_off
+    for _ in range(n_entries):
+        comp_size, _u, name_len, extra_len, comment_len = _unpack(
+            "<IIHHH", payload, pos + 20
+        )
+        name = payload[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        out.append((name, comp_size))
+        pos += 46 + name_len + extra_len + comment_len
+    return out

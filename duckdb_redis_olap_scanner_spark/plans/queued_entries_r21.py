@@ -28,6 +28,12 @@ and oracle-verified in-suite, registration DEFERRED:
   cross-checked against the data itself; tests/test_parquet_meta.py
   (the independent re-derivation there is pyarrow's C++ reader,
   swept over every testdata table and a different writer config).
+* ``zip_corpus_ingest`` — from-scratch ZIP archive reader
+  (operators/zip_archive.py: backward EOCD scan, central-directory
+  walk with local-header cross-check, stored + raw-deflate members,
+  CRC-32/size verification) over archives written by stdlib
+  ``zipfile``, a genuinely independent writer;
+  tests/test_zip_archive.py, third-opinion batch 30.
 
 IMPORTING THIS MODULE HAS NO SIDE EFFECT — registration is an
 explicit :func:`register_queued` call (idempotent), so the suite can
@@ -417,6 +423,58 @@ def parquet_footer_audit(spark: SparkSession, sf: str):
     )
 
 
+ZIP_ENTRY_NAME = "zip_corpus_ingest"
+
+ZIP_ORACLE = (
+    # The oracle recomputes every reported quantity FROM THE SOURCE
+    # COLUMNS, never from the archive: member count is the writer's
+    # contract (one .txt + one .json per doc), n_raw is the byte
+    # length of both members' uncompressed payloads, and the md5s
+    # hash the members the reader RECOVERED — so a walker that
+    # mis-inflates, drops, or swaps a member cannot hash-match.
+    """
+    WITH j AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS txt,
+             '{"lang": "' || COALESCE(lang, '')
+               || '", "source": "' || COALESCE(source, '')
+               || '"}' AS js
+      FROM documents)
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(octet_length(encode(txt)) + octet_length(encode(js))
+                AS INT) AS n_raw,
+           md5(txt) AS txt_md5,
+           md5(js) AS json_md5
+    FROM j
+    """
+)
+
+ZIP_TAGS = ("pipeline",)
+
+ZIP_DOC = (
+    "From-scratch ZIP archive reader (r20, queued): pack each doc "
+    "into a real ZIP with stdlib zipfile (an INDEPENDENT writer — "
+    "text member deflated, metadata member stored), then read it "
+    "back with a byte-level APPNOTE.TXT walker — backward EOCD scan "
+    "through a possible archive comment, central-directory-driven "
+    "member enumeration with local-header cross-check, raw-deflate "
+    "inflation, and per-member CRC-32 + size verification "
+    "(operators/zip_archive.zip_members). The oracle recomputes "
+    "member count, raw bytes, and both member md5s from the source "
+    "columns, so every hop of the round trip is pinned. One narrow "
+    "Arrow map, no shuffle; archives never on the driver."
+)
+
+
+def zip_corpus_ingest(spark: SparkSession, sf: str):
+    from ..operators import zip_archive as Z
+
+    return Z.zip_ingest(table(spark, sf, "documents")).select(
+        "doc_id", "n_members", "n_raw", "txt_md5", "json_md5"
+    )
+
+
 def register_queued() -> None:
     """Register the queued entries (the one-call landing step).
     Idempotent so ``registry()`` — which re-runs its import block on
@@ -438,3 +496,8 @@ def register_queued() -> None:
             PARQUET_ENTRY_NAME, oracle=PARQUET_ORACLE,
             tags=PARQUET_TAGS, doc=PARQUET_DOC,
         )(parquet_footer_audit)
+    if ZIP_ENTRY_NAME not in _REGISTRY:
+        register(
+            ZIP_ENTRY_NAME, oracle=ZIP_ORACLE, tags=ZIP_TAGS,
+            doc=ZIP_DOC,
+        )(zip_corpus_ingest)
