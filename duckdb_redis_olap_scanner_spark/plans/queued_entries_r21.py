@@ -34,6 +34,12 @@ and oracle-verified in-suite, registration DEFERRED:
   CRC-32/size verification) over archives written by stdlib
   ``zipfile``, a genuinely independent writer;
   tests/test_zip_archive.py, third-opinion batch 30.
+* ``deflate_corpus_audit`` — from-scratch DEFLATE/zlib inflater
+  (operators/inflate.py: LSB-first bit reader, canonical Huffman
+  with oversubscription checks, the code-length repeat alphabet,
+  LZ77 copy-back, RFC 1950 header + Adler-32) decoding streams
+  written by stdlib zlib at every block type;
+  tests/test_inflate.py, third-opinion batch 31.
 
 IMPORTING THIS MODULE HAS NO SIDE EFFECT — registration is an
 explicit :func:`register_queued` call (idempotent), so the suite can
@@ -475,6 +481,46 @@ def zip_corpus_ingest(spark: SparkSession, sf: str):
     )
 
 
+INFLATE_ENTRY_NAME = "deflate_corpus_audit"
+
+INFLATE_ORACLE = (
+    # Closed forms over the source column only: the wrapper routing
+    # is doc_id parity, n_raw/txt_md5 are recomputed from text — a
+    # single mis-inflated byte anywhere changes the md5.
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS INT)
+             AS n_raw,
+           CASE WHEN doc_id % 2 = 1 THEN 'raw' ELSE 'zlib' END
+             AS wrapper,
+           md5(COALESCE(text, '')) AS txt_md5
+    FROM documents
+    """
+)
+
+INFLATE_TAGS = ("pipeline",)
+
+INFLATE_DOC = (
+    "From-scratch DEFLATE/zlib inflater audit (r20, queued): "
+    "compress each doc's text with stdlib zlib — the independent "
+    "producer, level = doc_id % 10 so stored, fixed- and "
+    "dynamic-Huffman block types all occur; odd docs raw deflate, "
+    "even docs the RFC 1950 wrapper — then decode the bitstream with "
+    "the from-scratch inflater (operators/inflate.py: LSB-first bit "
+    "reader, canonical Huffman with oversubscription checks, "
+    "code-length repeat alphabet, LZ77 copy-back, Adler-32) and md5 "
+    "the RECOVERED bytes. Audit path for the zlib dependence under "
+    "PNG/TIFF/ZIP, like the parquet footer walk audits pyarrow. One "
+    "narrow Arrow map, no shuffle; streams never on the driver."
+)
+
+
+def deflate_corpus_audit(spark: SparkSession, sf: str):
+    from ..operators import inflate as I
+
+    return I.deflate_audit(table(spark, sf, "documents"))
+
+
 def register_queued() -> None:
     """Register the queued entries (the one-call landing step).
     Idempotent so ``registry()`` — which re-runs its import block on
@@ -501,3 +547,8 @@ def register_queued() -> None:
             ZIP_ENTRY_NAME, oracle=ZIP_ORACLE, tags=ZIP_TAGS,
             doc=ZIP_DOC,
         )(zip_corpus_ingest)
+    if INFLATE_ENTRY_NAME not in _REGISTRY:
+        register(
+            INFLATE_ENTRY_NAME, oracle=INFLATE_ORACLE,
+            tags=INFLATE_TAGS, doc=INFLATE_DOC,
+        )(deflate_corpus_audit)

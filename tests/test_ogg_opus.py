@@ -209,7 +209,8 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "_REGISTRY, registry\n"
         "n0 = len(registry())\n"
         "names = (Q.ENTRY_NAME, Q.PQ_ENTRY_NAME, Q.MP4_ENTRY_NAME,\n"
-        "         Q.PARQUET_ENTRY_NAME, Q.ZIP_ENTRY_NAME)\n"
+        "         Q.PARQUET_ENTRY_NAME, Q.ZIP_ENTRY_NAME,\n"
+        "         Q.INFLATE_ENTRY_NAME)\n"
         "for nm in names:\n"
         "    assert nm not in _REGISTRY, 'import had a side effect'\n"
         "Q.register_queued(); Q.register_queued()\n"
@@ -225,6 +226,8 @@ def test_register_queued_is_idempotent_and_inert_until_called():
         "assert f.oracle == Q.PARQUET_ORACLE and f.tags == Q.PARQUET_TAGS\n"
         "z = _REGISTRY[Q.ZIP_ENTRY_NAME]\n"
         "assert z.oracle == Q.ZIP_ORACLE and z.tags == Q.ZIP_TAGS\n"
+        "i = _REGISTRY[Q.INFLATE_ENTRY_NAME]\n"
+        "assert i.oracle == Q.INFLATE_ORACLE and i.tags == Q.INFLATE_TAGS\n"
         "print('QUEUED_OK')\n"
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
