@@ -31,7 +31,7 @@ this is beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
-__all__ = ["inflate", "inflate_zlib", "deflate_audit"]
+__all__ = ["inflate", "inflate_zlib", "gunzip", "deflate_audit"]
 
 _LEN_BASE = (
     3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
@@ -286,3 +286,58 @@ def deflate_audit(docs):
     return docs.select("doc_id", "text").mapInPandas(
         _run, schema=DEFLATE_AUDIT_SCHEMA
     )
+
+
+def gunzip(data: bytes) -> bytes:
+    """Decode a gzip member (RFC 1952): magic/method/flag checks,
+    the four optional fields (FEXTRA, FNAME, FCOMMENT, FHCRC) walked
+    in spec order, :func:`inflate` on the body, then CRC-32 and
+    ISIZE trailer verification — the audit path for the stdlib-gzip
+    corpus-ingest hop, as :func:`inflate_zlib` is for PNG/TIFF/ZIP."""
+    import zlib as _zlib  # crc32 only — the table-driven checksum
+
+    if len(data) < 18:
+        raise ValueError("gzip member shorter than header + trailer")
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("bad gzip magic")
+    if data[2] != 8:
+        raise ValueError(f"gzip method {data[2]} is not deflate")
+    flg = data[3]
+    if flg & 0xE0:
+        raise ValueError("reserved gzip FLG bits set")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        (xlen,) = _unpack_le16(data, pos)
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = _skip_cstr(data, pos)
+    if flg & 0x10:  # FCOMMENT
+        pos = _skip_cstr(data, pos)
+    if flg & 0x02:  # FHCRC
+        (want,) = _unpack_le16(data, pos)
+        if _zlib.crc32(data[:pos]) & 0xFFFF != want:
+            raise ValueError("gzip header CRC16 mismatch")
+        pos += 2
+    if pos > len(data) - 8:
+        raise ValueError("gzip header overruns the member")
+    out = inflate(data[pos:-8])
+    crc = int.from_bytes(data[-8:-4], "little")
+    isize = int.from_bytes(data[-4:], "little")
+    if _zlib.crc32(out) & 0xFFFFFFFF != crc:
+        raise ValueError("gzip CRC-32 mismatch")
+    if len(out) & 0xFFFFFFFF != isize:
+        raise ValueError("gzip ISIZE mismatch")
+    return out
+
+
+def _unpack_le16(data: bytes, pos: int):
+    if pos + 2 > len(data):
+        raise ValueError("truncated gzip header field")
+    return (int.from_bytes(data[pos : pos + 2], "little"),)
+
+
+def _skip_cstr(data: bytes, pos: int) -> int:
+    end = data.find(b"\x00", pos)
+    if end < 0:
+        raise ValueError("unterminated gzip header string")
+    return end + 1

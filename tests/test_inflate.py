@@ -191,3 +191,94 @@ def test_queued_entry_matches_duckdb_oracle(spark):
     cur = con.execute(Q.INFLATE_ORACLE)
     assert [d[0] for d in cur.description] == sdf.columns
     assert srows == sorted(tuple(r) for r in cur.fetchall())
+
+
+def test_gunzip_round_trip_and_header_fields():
+    """RFC 1952 members from stdlib gzip (independent writer), plus a
+    hand-built header exercising FEXTRA + FCOMMENT + FHCRC — fields
+    stdlib's writer never emits together."""
+    import gzip
+    import io
+
+    from duckdb_redis_olap_scanner_spark.operators.inflate import gunzip
+
+    payload = b"gzip round trip " * 80
+    for level in (0, 1, 9):
+        buf = io.BytesIO()
+        with gzip.GzipFile(
+            fileobj=buf, mode="wb", compresslevel=level, filename="doc.txt"
+        ) as g:
+            g.write(payload)
+        assert gunzip(buf.getvalue()) == payload
+    assert gunzip(gzip.compress(b"", 6)) == b""
+
+    # hand-built: FLG = FHCRC|FEXTRA|FNAME|FCOMMENT
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(payload) + co.flush()
+    header = bytearray(b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x08 | 0x10]))
+    header += bytes(6)  # mtime, XFL, OS
+    header += (4).to_bytes(2, "little") + b"xtra"      # FEXTRA
+    header += b"name.bin\x00"                          # FNAME
+    header += b"a comment\x00"                         # FCOMMENT
+    header += (zlib.crc32(bytes(header)) & 0xFFFF).to_bytes(2, "little")
+    member = (
+        bytes(header) + body
+        + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+        + (len(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    )
+    assert gunzip(member) == payload
+    # header CRC16 lie
+    bad = bytearray(member)
+    bad[len(header) - 2] ^= 0xFF
+    with pytest.raises(ValueError, match="header CRC16"):
+        gunzip(bytes(bad))
+
+
+def test_gunzip_rejections():
+    import gzip
+
+    from duckdb_redis_olap_scanner_spark.operators.inflate import gunzip
+
+    good = gzip.compress(b"reject tests " * 10, 6)
+    with pytest.raises(ValueError, match="magic"):
+        gunzip(b"PK" + good[2:])
+    bad = bytearray(good)
+    bad[2] = 7
+    with pytest.raises(ValueError, match="method"):
+        gunzip(bytes(bad))
+    bad = bytearray(good)
+    bad[3] |= 0x80
+    with pytest.raises(ValueError, match="reserved"):
+        gunzip(bytes(bad))
+    bad = bytearray(good)
+    bad[-6] ^= 0x01  # CRC-32 trailer
+    with pytest.raises(ValueError, match="CRC-32"):
+        gunzip(bytes(bad))
+    bad = bytearray(good)
+    bad[-1] ^= 0x01  # ISIZE trailer
+    with pytest.raises(ValueError, match="ISIZE"):
+        gunzip(bytes(bad))
+    with pytest.raises(ValueError, match="shorter"):
+        gunzip(good[:10])
+
+
+def test_png_idat_inflates_identically_through_both_implementations():
+    """The PNG encoder's zlib-wrapped IDAT stream decoded by the
+    from-scratch inflater must equal stdlib zlib's decode — tying the
+    codec family's remaining library hop to the audited path."""
+    from duckdb_redis_olap_scanner_spark.operators.inflate import inflate_zlib
+    from duckdb_redis_olap_scanner_spark.operators.multimodal import (
+        encode_png_payload,
+    )
+
+    payload = encode_png_payload(11)
+    # concatenate IDAT chunk payloads (PNG spec: one zlib stream)
+    pos, idat = 8, bytearray()
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    assert idat
+    assert inflate_zlib(bytes(idat)) == zlib.decompress(bytes(idat))
