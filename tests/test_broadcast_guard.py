@@ -114,6 +114,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "collect that produces it (probed cells must be plan-time "
         "bucket-pruning literals; r17 moved the site from "
         "ann_indexed_topk into the extracted _bounded_topk core)",
+    ("operators/ann_index.py", "ivf_pq_indexed_topk", "qf"):
+        "Q-row query frame (probed cells + m·ks ADC LUT), "
+        "≤MAX_DRIVER_QUERY_ROWS enforced by LIMIT-before-collect at "
+        "the raw_q materialization directly above the site",
 }
 
 
