@@ -259,3 +259,38 @@ def test_queued_entry_matches_duckdb_oracle(spark):
     cur = con.execute(Q.ZIP_ORACLE)
     assert [d[0] for d in cur.description] == sdf.columns
     assert srows == sorted(tuple(r) for r in cur.fetchall())
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NAME = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00/\\",
+        exclude_categories=("Cs", "Cc"),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(_NAME, st.binary(max_size=500)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    ),
+    stored=st.booleans(),
+    comment=st.binary(max_size=100),
+)
+def test_hypothesis_differential_round_trip(members, stored, comment):
+    """Arbitrary member sets through the independent writer: the
+    walker must recover names, order, and exact bytes — and agree
+    with stdlib zipfile's reader on the same archive."""
+    import io
+
+    method = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    arc = _pack(members, comment=comment, methods=[method] * len(members))
+    got = zip_members(arc)
+    assert got == members
+    with zipfile.ZipFile(io.BytesIO(arc)) as zf:
+        assert got == [(i.filename, zf.read(i)) for i in zf.infolist()]
