@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 __all__ = ["zip_members", "zip_ingest"]
 
 _EOCD = b"PK\x05\x06"
+_EOCD64 = b"PK\x06\x06"
+_EOCD64_LOC = b"PK\x06\x07"
 _CDIR = b"PK\x01\x02"
 _LOCAL = b"PK\x03\x04"
 
@@ -43,15 +45,11 @@ def _unpack(fmt: str, payload: bytes, off: int) -> tuple:
         raise ValueError(f"truncated record at offset {off}: {e}") from e
 
 
-def zip_members(payload: bytes) -> list:
-    """Parse a ZIP archive into ordered (name, data) members through
-    the central directory, verifying each member's CRC-32 and sizes.
-    The walk is central-directory-driven (the authoritative index per
-    APPNOTE) with the local header cross-checked — a reader that
-    trusts local headers alone can be smuggled past concatenated or
-    appended archives."""
-    import zlib
-
+def _central_directory(payload: bytes) -> tuple:
+    """Locate the central directory: (n_entries, cd_size, cd_off).
+    EOCD fields holding the 0xFFFF/0xFFFFFFFF zip64 sentinels are
+    resolved through the EOCD64 locator + record (APPNOTE 4.3.14/15)
+    — the >65535-member / >4 GiB shapes that real corpus shards hit."""
     # EOCD: fixed 22 bytes + comment (<= 65535); scan backward for the
     # signature closest to the end.
     tail_start = max(0, len(payload) - 22 - 65535)
@@ -61,8 +59,67 @@ def zip_members(payload: bytes) -> list:
     (
         _disk, _cd_disk, _n_disk, n_entries, cd_size, cd_off, _clen
     ) = _unpack("<HHHHIIH", payload, at + 4)
-    if cd_off + cd_size > at:
+    if n_entries == 0xFFFF or 0xFFFFFFFF in (cd_size, cd_off):
+        loc_at = at - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != _EOCD64_LOC:
+            raise ValueError(
+                "zip64 sentinel in EOCD but no EOCD64 locator"
+            )
+        _ldisk, rec_at, _ndisks = _unpack("<IQI", payload, loc_at + 4)
+        if payload[rec_at : rec_at + 4] != _EOCD64:
+            raise ValueError("EOCD64 locator points past the record")
+        (
+            _rsize, _vmade, _vneed, _rdisk, _rcd_disk,
+            _n_here, n_entries, cd_size, cd_off,
+        ) = _unpack("<QHHIIQQQQ", payload, rec_at + 4)
+        if cd_off + cd_size > rec_at:
+            raise ValueError(
+                "central directory overruns its EOCD64 record"
+            )
+    elif cd_off + cd_size > at:
         raise ValueError("central directory overruns its EOCD record")
+    return n_entries, cd_size, cd_off
+
+
+def _zip64_resolve(extra: bytes, comp_size: int, uncomp_size: int,
+                   local_off: int) -> tuple:
+    """Resolve 0xFFFFFFFF sentinels in a central-directory entry from
+    its 0x0001 zip64 extra field (values appear in spec order, only
+    for the fields that carry the sentinel)."""
+    e = 0
+    z64 = None
+    while e + 4 <= len(extra):
+        hid, hsz = struct.unpack_from("<HH", extra, e)
+        if hid == 0x0001:
+            z64 = extra[e + 4 : e + 4 + hsz]
+            break
+        e += 4 + hsz
+    if z64 is None:
+        raise ValueError("zip64 sentinel but no 0x0001 extra field")
+    zpos = 0
+    out = []
+    for val in (uncomp_size, comp_size, local_off):
+        if val == 0xFFFFFFFF:
+            if zpos + 8 > len(z64):
+                raise ValueError("zip64 extra field too short")
+            val = int.from_bytes(z64[zpos : zpos + 8], "little")
+            zpos += 8
+        out.append(val)
+    return out[1], out[0], out[2]  # comp, uncomp, local_off
+
+
+def zip_members(payload: bytes) -> list:
+    """Parse a ZIP archive into ordered (name, data) members through
+    the central directory, verifying each member's CRC-32 and sizes.
+    The walk is central-directory-driven (the authoritative index per
+    APPNOTE) with the local header cross-checked — a reader that
+    trusts local headers alone can be smuggled past concatenated or
+    appended archives. zip64 archives (>65535 members / >4 GiB
+    offsets) resolve through the EOCD64 record and per-entry 0x0001
+    extra fields."""
+    import zlib
+
+    n_entries, _cd_size, cd_off = _central_directory(payload)
     members = []
     pos = cd_off
     for _ in range(n_entries):
@@ -75,6 +132,13 @@ def zip_members(payload: bytes) -> list:
         ) = _unpack("<HHHHHHIIIHHHHHII", payload, pos + 4)
         name_bytes = payload[pos + 46 : pos + 46 + name_len]
         name = name_bytes.decode("utf-8")
+        if 0xFFFFFFFF in (comp_size, uncomp_size, local_off):
+            extra = payload[
+                pos + 46 + name_len : pos + 46 + name_len + extra_len
+            ]
+            comp_size, uncomp_size, local_off = _zip64_resolve(
+                extra, comp_size, uncomp_size, local_off
+            )
         pos += 46 + name_len + extra_len + comment_len
         if flags & 0x01:
             raise ValueError(f"member {name!r} is encrypted")
@@ -95,9 +159,14 @@ def zip_members(payload: bytes) -> list:
             l_comp, l_uncomp, l_name_len, l_extra_len,
         ) = _unpack("<HHHHHIIIHH", payload, local_off + 4)
         l_name = payload[local_off + 30 : local_off + 30 + l_name_len]
+        # a local zip64 member stores 0xFFFFFFFF size sentinels (real
+        # values in its own extra field) — treat those as wildcards;
+        # the resolved central sizes + CRC verification still bind.
         if (
-            (l_flags, l_method, l_time, l_date, l_crc, l_comp, l_uncomp)
-            != (flags, method, _time, _date, crc, comp_size, uncomp_size)
+            (l_flags, l_method, l_time, l_date, l_crc)
+            != (flags, method, _time, _date, crc)
+            or (l_comp != 0xFFFFFFFF and l_comp != comp_size)
+            or (l_uncomp != 0xFFFFFFFF and l_uncomp != uncomp_size)
             or l_name != name_bytes
         ):
             raise ValueError(
@@ -220,10 +289,7 @@ def _comp_sizes(payload: bytes) -> list:
     """(name, compressed size) per central-directory entry — the
     metadata half of :func:`zip_members`, kept separate so the ingest
     row can report compression effectiveness without re-inflating."""
-    at = payload.rfind(_EOCD, max(0, len(payload) - 22 - 65535))
-    if at < 0:
-        raise ValueError("no end-of-central-directory record")
-    n_entries, _sz, cd_off = _unpack("<HII", payload, at + 10)
+    n_entries, _sz, cd_off = _central_directory(payload)
     out = []
     pos = cd_off
     for _ in range(n_entries):

@@ -294,3 +294,63 @@ def test_hypothesis_differential_round_trip(members, stored, comment):
     assert got == members
     with zipfile.ZipFile(io.BytesIO(arc)) as zf:
         assert got == [(i.filename, zf.read(i)) for i in zf.infolist()]
+
+
+def test_zip64_many_members():
+    """>65535 members forces the EOCD64 record (sentinel n_entries /
+    offsets in the classic EOCD) — the 100 TB shard shape. Every
+    member must come back; order follows the central directory."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(70_000):
+            info = zipfile.ZipInfo(f"{i:06d}", (1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_STORED
+            zf.writestr(info, b"%d" % i)
+    arc = buf.getvalue()
+    at = arc.rfind(b"PK\x05\x06")
+    assert struct.unpack_from("<H", arc, at + 10)[0] == 0xFFFF  # sentinel
+    got = zip_members(arc)
+    assert len(got) == 70_000
+    assert got[0] == ("000000", b"0")
+    assert got[69_999] == ("069999", b"69999")
+    comp = _comp_sizes(arc)
+    assert len(comp) == 70_000 and comp[9][0] == "000009"
+
+
+def test_zip64_entry_extra_field_resolution():
+    """A central entry whose sizes/offset all carry the 0xFFFFFFFF
+    sentinel must resolve through its 0x0001 extra field — hand-built,
+    since small archives from stdlib never emit per-entry zip64."""
+    payload = b"zip64 entry payload " * 10
+    arc = bytearray(_pack([("big.bin", payload)], methods=[zipfile.ZIP_STORED]))
+    at = arc.rfind(b"PK\x01\x02")
+    eocd_at = arc.rfind(b"PK\x05\x06")
+    (comp, uncomp) = struct.unpack_from("<II", arc, at + 20)
+    local_off = struct.unpack_from("<I", arc, at + 42)[0]
+    name_len = struct.unpack_from("<H", arc, at + 28)[0]
+    # sentinel the three fields, append a zip64 extra field
+    struct.pack_into("<II", arc, at + 20, 0xFFFFFFFF, 0xFFFFFFFF)
+    struct.pack_into("<I", arc, at + 42, 0xFFFFFFFF)
+    extra = struct.pack("<HHQQQ", 0x0001, 24, uncomp, comp, local_off)
+    struct.pack_into("<H", arc, at + 30, len(extra))  # extra_len
+    insert_at = at + 46 + name_len
+    rebuilt = bytes(arc[:insert_at]) + extra + bytes(arc[insert_at:])
+    # fix EOCD cd_size (+len(extra)); cd_off unchanged (entry grew in place)
+    rebuilt = bytearray(rebuilt)
+    new_eocd = eocd_at + len(extra)
+    cd_size = struct.unpack_from("<I", rebuilt, new_eocd + 12)[0]
+    struct.pack_into("<I", rebuilt, new_eocd + 12, cd_size + len(extra))
+    assert zip_members(bytes(rebuilt)) == [("big.bin", payload)]
+    # teeth: strip the extra field id -> sentinel with no resolution
+    broken = bytearray(rebuilt)
+    struct.pack_into("<H", broken, insert_at, 0x9999)
+    with pytest.raises(ValueError, match="no 0x0001 extra field"):
+        zip_members(bytes(broken))
+
+
+def test_zip64_missing_locator_rejected():
+    arc = bytearray(_pack([("x.txt", b"data")]))
+    at = arc.rfind(b"PK\x05\x06")
+    struct.pack_into("<H", arc, at + 10, 0xFFFF)  # lie: zip64 sentinel
+    with pytest.raises(ValueError, match="no EOCD64 locator"):
+        zip_members(bytes(arc))
