@@ -241,14 +241,15 @@ DEFLATE_AUDIT_SCHEMA = "doc_id long, n_raw int, wrapper string, txt_md5 string"
 
 def deflate_audit(docs):
     """Deflate-stream audit over the corpus: compress each doc's text
-    with stdlib zlib (the INDEPENDENT producer; compression level
-    varies with doc_id so stored, fixed- and dynamic-Huffman blocks
-    all appear; odd docs take the raw-deflate path, even docs the
-    zlib wrapper with its Adler-32 trailer), then decode the stream
-    with the from-scratch inflater and hash the RECOVERED bytes — the
-    oracle recomputes the md5 from the source column, so a
-    mis-inflated byte anywhere cannot hash-match. One narrow Arrow
-    map, no shuffle; streams never on the driver."""
+    with stdlib zlib/gzip (the INDEPENDENT producers; compression
+    level varies with doc_id so stored, fixed- and dynamic-Huffman
+    blocks all appear; doc_id % 3 routes the wrapper — raw deflate,
+    the RFC 1950 zlib wrapper with its Adler-32 trailer, or a full
+    RFC 1952 gzip member), then decode the stream with the
+    from-scratch inflater and hash the RECOVERED bytes — the oracle
+    recomputes the md5 from the source column, so a mis-inflated
+    byte anywhere cannot hash-match. One narrow Arrow map, no
+    shuffle; streams never on the driver."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -256,6 +257,7 @@ def deflate_audit(docs):
     from ..engine import ship_package
 
     def _run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
         import hashlib
         import zlib
 
@@ -265,10 +267,14 @@ def deflate_audit(docs):
                 did = int(did)
                 raw = ("" if text is None else text).encode("utf-8")
                 level = did % 10  # 0 = stored blocks .. 9 = max dynamic
-                if did % 2:
+                route = did % 3
+                if route == 1:
                     co = zlib.compressobj(level, zlib.DEFLATED, -15)
                     got = inflate(co.compress(raw) + co.flush())
                     wrapper = "raw"
+                elif route == 2:
+                    got = gunzip(_gzip.compress(raw, level, mtime=0))
+                    wrapper = "gzip"
                 else:
                     got = inflate_zlib(zlib.compress(raw, level))
                     wrapper = "zlib"

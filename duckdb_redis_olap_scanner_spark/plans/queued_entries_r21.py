@@ -485,14 +485,14 @@ INFLATE_ENTRY_NAME = "deflate_corpus_audit"
 
 INFLATE_ORACLE = (
     # Closed forms over the source column only: the wrapper routing
-    # is doc_id parity, n_raw/txt_md5 are recomputed from text — a
+    # is doc_id % 3, n_raw/txt_md5 are recomputed from text — a
     # single mis-inflated byte anywhere changes the md5.
     """
     SELECT doc_id,
            CAST(octet_length(encode(COALESCE(text, ''))) AS INT)
              AS n_raw,
-           CASE WHEN doc_id % 2 = 1 THEN 'raw' ELSE 'zlib' END
-             AS wrapper,
+           CASE doc_id % 3 WHEN 1 THEN 'raw' WHEN 2 THEN 'gzip'
+                ELSE 'zlib' END AS wrapper,
            md5(COALESCE(text, '')) AS txt_md5
     FROM documents
     """
@@ -504,11 +504,12 @@ INFLATE_DOC = (
     "From-scratch DEFLATE/zlib inflater audit (r20, queued): "
     "compress each doc's text with stdlib zlib — the independent "
     "producer, level = doc_id % 10 so stored, fixed- and "
-    "dynamic-Huffman block types all occur; odd docs raw deflate, "
-    "even docs the RFC 1950 wrapper — then decode the bitstream with "
-    "the from-scratch inflater (operators/inflate.py: LSB-first bit "
-    "reader, canonical Huffman with oversubscription checks, "
-    "code-length repeat alphabet, LZ77 copy-back, Adler-32) and md5 "
+    "dynamic-Huffman block types all occur; doc_id % 3 routes raw "
+    "deflate, the RFC 1950 wrapper, or a full RFC 1952 gzip member — "
+    "then decode the bitstream with the from-scratch inflater "
+    "(operators/inflate.py: LSB-first bit reader, canonical Huffman "
+    "with oversubscription checks, code-length repeat alphabet, LZ77 "
+    "copy-back, gzip header walk, CRC-32/ISIZE/Adler-32) and md5 "
     "the RECOVERED bytes. Audit path for the zlib dependence under "
     "PNG/TIFF/ZIP, like the parquet footer walk audits pyarrow. One "
     "narrow Arrow map, no shuffle; streams never on the driver."

@@ -163,14 +163,21 @@ def test_spark_audit_stage(spark):
     import hashlib
 
     docs = spark.createDataFrame(
-        [(0, "even doc zlib-wrapped " * 9), (1, "odd doc raw " * 30),
-         (2, ""), (13, "level three " * 5)],
+        [(0, "zlib-wrapped doc " * 9), (1, "raw-deflate doc " * 30),
+         (2, "gzip-member doc " * 12), (5, ""),
+         (13, "level three " * 5)],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in deflate_audit(docs).collect()}
-    assert rows[0]["wrapper"] == "zlib" and rows[1]["wrapper"] == "raw"
-    assert rows[2]["n_raw"] == 0
-    for did, text in ((0, "even doc zlib-wrapped " * 9), (13, "level three " * 5)):
+    assert rows[0]["wrapper"] == "zlib"
+    assert rows[1]["wrapper"] == "raw"
+    assert rows[2]["wrapper"] == "gzip"
+    assert rows[5]["n_raw"] == 0
+    for did, text in (
+        (0, "zlib-wrapped doc " * 9),
+        (2, "gzip-member doc " * 12),
+        (13, "level three " * 5),
+    ):
         assert rows[did]["txt_md5"] == hashlib.md5(text.encode()).hexdigest()
 
 

@@ -34,8 +34,8 @@ from .conftest import SF_DIR
 
 def ind_expected_rows() -> dict:
     """Entry rows re-derived from the SOURCE column only — the audit
-    contract restated (parity → wrapper, md5 over UTF-8 bytes), no
-    product code, no SQL."""
+    contract restated (doc_id % 3 → wrapper, md5 over UTF-8 bytes),
+    no product code, no SQL."""
     pdf = pd.read_parquet(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -44,7 +44,7 @@ def ind_expected_rows() -> dict:
         raw = ("" if text is None else text).encode("utf-8")
         out[int(did)] = (
             len(raw),
-            "raw" if did % 2 else "zlib",
+            ("zlib", "raw", "gzip")[did % 3],
             hashlib.md5(raw).hexdigest(),
         )
     return out
