@@ -179,6 +179,15 @@ def encode_mp4_payload(doc_id: int) -> bytes:
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
+# Boxes the single-track demux reads exactly one of. A second
+# occurrence (a second trak's tkhd, repeated stbl atoms) must raise
+# instead of silently overwriting the first — the flattened dict would
+# otherwise misreport a multi-track file as its LAST track.
+_REQUIRED_ONCE = (
+    b"ftyp", b"mvhd", b"tkhd", b"mdhd", b"hdlr",
+    b"stsd", b"stts", b"stsc", b"stsz", b"stco", b"mdat",
+)
+
 
 def decode_mp4(payload: bytes) -> dict:
     """Walk an ISO-BMFF file and demux its (single) track: iterative
@@ -214,11 +223,14 @@ def decode_mp4(payload: bytes) -> dict:
                 spans.append((pos + size, end))
                 pos, end = data_start, pos + size
                 continue
+            if btype in boxes and btype in _REQUIRED_ONCE:
+                raise ValueError(
+                    f"duplicate box {btype!r} at {pos}: this decoder's "
+                    "contract is strict single-track"
+                )
             boxes[btype] = payload[data_start : pos + size]
             pos += size
-    for needed in (b"ftyp", b"mvhd", b"tkhd", b"mdhd", b"hdlr",
-                   b"stsd", b"stts", b"stsc", b"stsz", b"stco",
-                   b"mdat"):
+    for needed in _REQUIRED_ONCE:
         if needed not in boxes:
             raise ValueError(f"missing required box {needed!r}")
     brand = boxes[b"ftyp"][:4].decode("ascii")

@@ -3564,7 +3564,10 @@ def synthesize_webdataset_mm_shards(
         )
 
     ship_package(docs.sparkSession)
-    shard = (F.col("doc_id") / samples_per_shard).cast("long")
+    # Integer FLOOR division, matching _build's ``//`` and the SQL
+    # oracle: the previous double-divide-then-cast truncated toward
+    # zero, bucketing negative doc_ids differently from the builder.
+    shard = F.floor(F.col("doc_id") / F.lit(samples_per_shard)).cast("long")
     return (
         docs.select("doc_id")
         .groupBy(shard.alias("shard_id"))

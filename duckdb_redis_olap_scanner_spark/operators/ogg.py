@@ -20,7 +20,7 @@ reassembly, granule bookkeeping, header parsing) the way the AVI
 entries pin RIFF demuxing. Everything decode-side is spec-real.
 
 Reference parity note: the reference engine (C++ DuckDB<->Redis
-connector, src/redis_scanner.cpp) has no media path; this module is
+connector, src/redduck_extension.cpp) has no media path; this module is
 part of the beyond-reference LLM-pipeline surface (multimodal shard
 ingest) the build brief asks for.
 """

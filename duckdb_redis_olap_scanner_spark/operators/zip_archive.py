@@ -181,11 +181,22 @@ def zip_members(payload: bytes) -> list:
             data = raw
         elif method == 8:
             try:
-                data = zlib.decompressobj(-15).decompress(raw)
+                d = zlib.decompressobj(-15)
+                data = d.decompress(raw) + d.flush()
             except zlib.error as e:
                 raise ValueError(
                     f"member {name!r}: corrupt deflate stream ({e})"
                 ) from e
+            # Strictness: the stream must terminate exactly at the
+            # recorded comp_size extent — a member whose deflate data
+            # ends early with trailing junk (not d.eof would also miss
+            # a stream cut off mid-block) is rejected even when the
+            # inflated size and CRC happen to match.
+            if not d.eof or d.unused_data:
+                raise ValueError(
+                    f"member {name!r}: deflate stream does not span "
+                    "its recorded compressed extent"
+                )
         else:
             raise ValueError(
                 f"member {name!r}: unsupported method {method} (only "
@@ -288,15 +299,26 @@ def zip_ingest(docs: DataFrame) -> DataFrame:
 def _comp_sizes(payload: bytes) -> list:
     """(name, compressed size) per central-directory entry — the
     metadata half of :func:`zip_members`, kept separate so the ingest
-    row can report compression effectiveness without re-inflating."""
+    row can report compression effectiveness without re-inflating.
+    zip64 0xFFFFFFFF sentinels resolve through the same 0x0001 extra
+    field as :func:`zip_members` — a >4 GiB member must report its
+    real compressed size, not the sentinel."""
     n_entries, _sz, cd_off = _central_directory(payload)
     out = []
     pos = cd_off
     for _ in range(n_entries):
-        comp_size, _u, name_len, extra_len, comment_len = _unpack(
+        comp_size, uncomp_size, name_len, extra_len, comment_len = _unpack(
             "<IIHHH", payload, pos + 20
         )
+        (local_off,) = _unpack("<I", payload, pos + 42)
         name = payload[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        if 0xFFFFFFFF in (comp_size, uncomp_size, local_off):
+            extra = payload[
+                pos + 46 + name_len : pos + 46 + name_len + extra_len
+            ]
+            comp_size, _uncomp, _local = _zip64_resolve(
+                extra, comp_size, uncomp_size, local_off
+            )
         out.append((name, comp_size))
         pos += 46 + name_len + extra_len + comment_len
     return out

@@ -105,6 +105,17 @@ def test_missing_required_box_rejected():
         V.decode_mp4(bytes(payload))
 
 
+def test_duplicate_required_box_rejected():
+    """A second occurrence of any demux-required box (a second trak's
+    tkhd, a repeated ftyp) must raise instead of silently overwriting
+    the first (ADVICE r20: the flattened dict misreported multi-track
+    files as their last track)."""
+    payload = V.encode_mp4_payload(2)
+    dup = struct.pack(">I4s", 16, b"ftyp") + b"isom" + b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="duplicate box"):
+        V.decode_mp4(payload + dup)
+
+
 def test_geometry_mismatch_rejected():
     """Patch the stsd VisualSampleEntry width: tkhd/stsd disagreement
     must be refused, not silently preferred."""

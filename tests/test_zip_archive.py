@@ -341,6 +341,9 @@ def test_zip64_entry_extra_field_resolution():
     cd_size = struct.unpack_from("<I", rebuilt, new_eocd + 12)[0]
     struct.pack_into("<I", rebuilt, new_eocd + 12, cd_size + len(extra))
     assert zip_members(bytes(rebuilt)) == [("big.bin", payload)]
+    # _comp_sizes must resolve the same sentinel (ADVICE r20: it used
+    # to report the raw 0xFFFFFFFF for a zip64 member)
+    assert _comp_sizes(bytes(rebuilt)) == [("big.bin", comp)]
     # teeth: strip the extra field id -> sentinel with no resolution
     broken = bytearray(rebuilt)
     struct.pack_into("<H", broken, insert_at, 0x9999)
@@ -354,3 +357,33 @@ def test_zip64_missing_locator_rejected():
     struct.pack_into("<H", arc, at + 10, 0xFFFF)  # lie: zip64 sentinel
     with pytest.raises(ValueError, match="no EOCD64 locator"):
         zip_members(bytes(arc))
+
+
+def test_deflate_trailing_junk_inside_extent_rejected():
+    """A deflate member whose stream terminates early, with junk bytes
+    padding out the recorded comp_size, must be rejected even though
+    the inflated size and CRC still match (ADVICE r20: the old path
+    never checked decompressobj.eof/unused_data)."""
+    data = b"the quick brown fox jumps over the lazy dog " * 20
+    arc = bytearray(_pack([("a.txt", data)], methods=[zipfile.ZIP_DEFLATED]))
+    junk = b"\xde\xad\xbe\xef"
+    cd_at = arc.rfind(b"PK\x01\x02")
+    eocd_at = arc.rfind(b"PK\x05\x06")
+    (comp,) = struct.unpack_from("<I", arc, cd_at + 20)
+    name_len = struct.unpack_from("<H", arc, cd_at + 28)[0]
+    (local_off,) = struct.unpack_from("<I", arc, cd_at + 42)
+    data_at = local_off + 30 + name_len  # local extra_len is 0 here
+    l_extra = struct.unpack_from("<H", arc, local_off + 28)[0]
+    data_at += l_extra
+    # grow comp_size by len(junk) in BOTH headers, insert the junk
+    # after the (complete) deflate stream, shift cd_off in the EOCD
+    struct.pack_into("<I", arc, cd_at + 20, comp + len(junk))
+    struct.pack_into("<I", arc, local_off + 18, comp + len(junk))
+    rebuilt = bytearray(
+        bytes(arc[: data_at + comp]) + junk + bytes(arc[data_at + comp :])
+    )
+    new_eocd = eocd_at + len(junk)
+    cd_off = struct.unpack_from("<I", rebuilt, new_eocd + 16)[0]
+    struct.pack_into("<I", rebuilt, new_eocd + 16, cd_off + len(junk))
+    with pytest.raises(ValueError, match="does not span"):
+        zip_members(bytes(rebuilt))
