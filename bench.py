@@ -323,7 +323,6 @@ def scale10x_main() -> None:
     from duckdb_redis_olap_scanner_spark.plans.catalog import (
         runtime_replan_worth_it,
         table,
-        table_keyed,
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -333,12 +332,11 @@ def scale10x_main() -> None:
     )
     entries = registry()
     bench_names = sorted(n for n, e in entries.items() if "bench" in e.tags)
+    # Warmup without .cache(): same measurement fix as main() — every
+    # timed run computes from the parquet inputs (r21 ground rules).
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
-        df = table(spark, dst, t)
-        df.cache()
-        df.count()
-    table_keyed(spark, dst, "orders", "o_custkey").count()
+        table(spark, dst, t).count()
     _force(entries["q1_pricing_summary"].fn(spark, dst))
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
@@ -431,24 +429,22 @@ def main() -> None:
     entries = registry()
     bench_names = sorted(n for n, e in entries.items() if "bench" in e.tags)
 
-    # Warmup: JVM JIT + codegen + parquet footer caches, plus the
-    # hot-table columnar cache — the back-to-back query suite is the
-    # workload Spark's in-memory cache exists for, and the in-process
-    # analog of the OS page cache a single-node engine reuses across
-    # consecutive queries. At cluster scale the same call caches the
-    # working set across executors (dims fully, facts partially, LRU).
+    # Warmup: JVM JIT + codegen + parquet footer caches (+ OS page
+    # cache for the files — which the DuckDB pairing enjoys equally).
+    # MEASUREMENT FIX (r21): rounds <=20 additionally .cache()d every
+    # base table here and pre-built a persisted secondary custkey
+    # layout for q13, so the timed queries read Spark's in-memory
+    # columnar cache instead of computing from parquet. Under the
+    # optimization-round ground rules that is result caching outside
+    # the timed region (gaming), so it is removed: every timed run now
+    # computes end-to-end from the parquet inputs. Recorded
+    # BENCH_r<=20 numbers used the cached methodology and are NOT
+    # directly comparable — see OPTIMIZATION_r21.md for both series.
     from duckdb_redis_olap_scanner_spark.plans.catalog import table
 
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
-        df = table(spark, sf_dir, t)
-        df.cache()
-        df.count()
-    # Secondary keyed layouts (bucketed-by-alternate-key copies; see
-    # catalog.table_keyed) — q13 reads orders bucketed by custkey.
-    from duckdb_redis_olap_scanner_spark.plans.catalog import table_keyed
-
-    table_keyed(spark, sf_dir, "orders", "o_custkey").count()
+        table(spark, sf_dir, t).count()
     _force(entries["q1_pricing_summary"].fn(spark, sf_dir))
 
     # Sampling shape: PASSES over the suite × consecutive REPS per
@@ -467,10 +463,12 @@ def main() -> None:
     best: dict[str, float] = {n: float("inf") for n in bench_names}
     for _ in range(passes):
         for name in bench_names:
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             for _ in range(reps):
                 t0 = time.perf_counter()
                 _force(entries[name].fn(spark, sf_dir))
                 best[name] = min(best[name], time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
     timings = {name: round(v, 3) for name, v in best.items()}
 
     # Per-query dispatch floor: job floor + exchanges × per-exchange
@@ -614,10 +612,10 @@ def main() -> None:
                     "per-exchange floor + Python/Arrow stage count x "
                     "per-arrow-stage floor, all measured on this "
                     "host; a query near its floor is "
-                    "scheduler-bound, not plan-bound. "
-                    "q13_customer_distribution's timing excludes the "
-                    "one-time secondary custkey layout build (warmed "
-                    "above, the bucketed-on-storage assumption)."
+                    "scheduler-bound, not plan-bound. r21: warmup no "
+                    "longer caches base tables or pre-builds keyed "
+                    "layouts — every timed run computes from parquet "
+                    "(see OPTIMIZATION_r21.md, measurement fix)."
                 ),
             }
         )

@@ -727,30 +727,29 @@ def registry() -> dict[str, CatalogEntry]:
 # multi-table queries. Real engines cache catalog metadata the same way.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-# Primary/join key per table: when a scan is under-partitioned for the
-# session (small files = few splits), table() hash-repartitions on this
-# key up to default parallelism. That (a) spreads scan-side work across
-# all cores instead of one, and (b) pre-partitions each table on the key
-# its equi-joins use, so lineitem⋈orders etc. reuse the layout instead
-# of re-shuffling — the bucketed-table co-location strategy, applied at
-# load. At real scale scans arrive well-partitioned and this is a no-op.
+# Tables whose loads fan out to the session's full width at the scan
+# (forced hash layout on the listed key). r21 REDUCED this set to the
+# two corpora feeding CPU-bound per-row work (hashing, shingling,
+# vector math) whose consumers measurably need the wide layout.
+#
+# The relational tables (lineitem/orders/customer/supplier/part/events)
+# used to be force-repartitioned on their join keys here too — the
+# "keyed layout" co-location strategy. That was only free while the
+# bench cached the repartitioned tables OUTSIDE the timed region; with
+# caching removed (r21 measurement fix), the layout exchange runs
+# inside every query, and it is exactly the shuffle the guide says to
+# remove: a join inserts the same exchange itself when it needs one
+# (ENSURE_REQUIREMENTS — same bytes, same width), while scan-bound
+# aggregations (q1/q6/q19/q14) were paying a full fact shuffle BEFORE
+# their map-side partial agg for nothing. Measured (min-of-N, noop
+# sink): sf0.1 suite 7.2→5.95 s, 10× suite 19.5→16.5 s; q1 0.93→0.17 s
+# and q6 0.45→0.11 s at 10× (where the parquet splits wide naturally,
+# so the forced repartition was pure cost). Per-operator width fixes
+# (operators.util.fan_out's non-forced path, agg_width/scorer_width)
+# keep narrow scans parallel where the per-row work warrants it.
 _TABLE_KEYS: dict[str, str] = {
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "customer": "c_custkey",
-    "supplier": "s_suppkey",
-    "part": "p_partkey",
     "documents": "doc_id",
     "embeddings": "vec_id",
-    # events keys by user_id (r10): the family's dominant consumers —
-    # sessionize, funnel, retention, dau_wau, running-distinct, SCD2,
-    # per-user windows — all cluster/shuffle on user_id, so the
-    # one-time keyed layout makes their widest exchange disappear
-    # (measured at 10×: running_distinct −85%, retention −61%,
-    # sessionize −52%, dau_wau −38%). Consumers keying on other
-    # columns (hour buckets, event_type) still shuffle their own
-    # (post-aggregation, much smaller) keys.
-    "events": "user_id",
 }
 
 
@@ -1018,34 +1017,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if part_key is not None:
         from ..operators.util import fan_out
 
-        # Fan out once, AT THE SCAN: every downstream fan_out on the same
-        # key then no-ops, so a query run never pays a repartition
-        # exchange of its own (the bench caches the fanned table, making
-        # the scan-side shuffle one-time), and equi-joins/groupBys on the
-        # key are exchange-free.
-        #
-        # Width policy: documents/embeddings feed CPU-bound per-row work
-        # (hashing, shingling, vector math) — always fan to the session's
-        # full parallelism.  The relational tables feed join/agg
-        # pipelines where each task costs scheduler dispatch time, so
-        # their width scales with DATA VOLUME (one partition per ~MiB of
-        # the largest table), capped at the parallelism: tiny inputs get
-        # narrow plans, cluster-scale inputs get the full width.  All
-        # five share ONE count so co-partitioned join sides stay aligned.
-        if name in ("documents", "embeddings"):
-            df = fan_out(df, key=part_key, force_layout=True)
-        else:
-            # sort_partitions: the relational tables feed sort-merge
-            # joins on part_key; a key-sorted cached partition makes
-            # each query's merge sort near-linear (bucketBy+sortBy
-            # layout, applied at the one-time keyed load).
-            df = fan_out(
-                df,
-                min_parts=_keyed_parts(spark, sf_dir),
-                key=part_key,
-                sort_partitions=True,
-                force_layout=True,
-            )
+        # Fan out once, AT THE SCAN, for the CPU-bound corpora only
+        # (see _TABLE_KEYS): every downstream fan_out on the same key
+        # then no-ops. Relational tables return the raw scan — joins
+        # insert exactly the exchanges they need, aggregations keep
+        # their map-side partial agg before the first shuffle, and at
+        # volume the parquet splits wide by itself (r21; measured
+        # numbers at _TABLE_KEYS).
+        df = fan_out(df, key=part_key, force_layout=True)
     _insert_cache_row(_TABLE_CACHE, key, df)
     return df
 
@@ -1060,13 +1039,18 @@ def table_keyed(
     bucketed projection / sort order of the same table): a query whose
     join or aggregation key differs from the primary layout (q13 needs
     orders BY CUSTKEY; the primary orders layout is by orderkey for the
-    lineitem joins) reads this layout and runs aggregation + join
-    exchange-free, instead of paying a per-query shuffle. The one-time
-    repartition cost sits in the cached load, exactly like the primary
-    layout; partition count comes from the same volume formula, so
-    joins against other keyed tables stay co-partitioned. At cluster
-    scale this corresponds to maintaining the table bucketed by both
-    keys on storage — a standard space-for-shuffle trade.
+    lineitem joins) reads this layout; partition count comes from the
+    same volume formula, so joins against other keyed tables stay
+    co-partitioned. At cluster scale this corresponds to maintaining
+    the table bucketed by both keys on storage.
+
+    r21 measurement fix: the returned frame is a PLAN only — earlier
+    rounds ``.cache()``d it (and the bench pre-warmed it), so q13's
+    timed runs read a persisted intermediate instead of computing from
+    parquet. Under the optimization-round ground rules that is result
+    caching; the plan-level memo below is kept (a prepared statement,
+    no data), the data materialization is gone — every execution pays
+    its own scan + repartition.
     """
     ckey = (_session_key(spark), os.path.abspath(sf_dir), f"{name}@{key}")
     cached = _TABLE_CACHE.get(ckey)
@@ -1076,10 +1060,6 @@ def table_keyed(
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         .repartition(_keyed_parts(spark, sf_dir), key)
         .sortWithinPartitions(key)
-        # A secondary layout IS a materialization — persist it like the
-        # primary keyed loads the bench warms, so consumers read the
-        # bucketed copy instead of re-shuffling the base table per query.
-        .cache()
     )
     _insert_cache_row(_TABLE_CACHE, ckey, df)
     return df

@@ -2105,34 +2105,31 @@ def q18_large_orders(spark: SparkSession, sf: str):
     doc="TPC-H Q13 shape (customer order-count distribution) adapted to "
     "the synthetic schema (no o_comment; the anti-filter is on "
     "o_orderpriority instead). Left outer join keeps zero-order "
-    "customers as c_count=0; the second aggregation's key space is "
-    "tiny (distinct order counts), so the distribution shuffle is "
-    "negligible at any scale — the custkey shuffle dominates and "
-    "reuses the key-partitioned table load.",
+    "customers as c_count=0. COUNT(o_orderkey) over the left join "
+    "≡ COALESCE of a pre-counted per-custkey value with 0, so orders "
+    "collapses to one narrow row per customer (map-side partial agg "
+    "before its only shuffle) and the bounded per-cust count table "
+    "joins customer under the cost-based broadcast gate — no "
+    "customer-side exchange at test scale, co-partitioned shuffle "
+    "fallback at cluster volume. (r21: the previous shape read a "
+    "PERSISTED secondary orders-by-custkey layout whose build the "
+    "bench pre-warmed — removed with the measurement fix.)",
 )
 def q13_customer_distribution(spark: SparkSession, sf: str):
-    from .catalog import table_keyed
-
     c = table(spark, sf, "customer").select("c_custkey")
-    # Orders read from the SECONDARY custkey layout (table_keyed):
-    # the per-customer pre-count then aggregates with NO exchange (the
-    # scan is already hash-partitioned on o_custkey), and the left
-    # outer join against customer — keyed on c_custkey with the same
-    # partition count — is co-partitioned, so the whole plan has ONE
-    # data-dependent exchange left (the tiny distribution shuffle on
-    # c_count). COUNT(o_orderkey) over the left join ≡ COALESCE of the
-    # pre-counted value with 0 for order-less customers. The merge
-    # hint pins the exchange-free sort-merge join; at cluster volume
-    # the same layout is a bucketed-by-custkey table on storage.
     o = (
-        table_keyed(spark, sf, "orders", "o_custkey")
+        table(spark, sf, "orders")
         .filter(F.col("o_orderpriority") != "1-URGENT")
         .select("o_custkey")
     )
+    # One row per customer BEFORE anything moves: the partial agg runs
+    # on the scan tasks, so the only orders-sized exchange carries
+    # (custkey, count) pairs, and the aggregate's row count is bounded
+    # by customer cardinality — broadcastable at test scale.
     per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
     dist = (
         c.join(
-            per_cust.hint("merge"),
+            maybe_broadcast(per_cust, sf, "customer"),
             c.c_custkey == F.col("o_custkey"),
             "left_outer",
         )

@@ -49,10 +49,11 @@ def test_q6_filter_pushdown_and_pruning(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
     # Column pruning: the scan must not read wide columns it doesn't
-    # need. (l_orderkey IS read: it's the load-time hash-partitioning
-    # key from catalog._TABLE_KEYS, referenced by the repartition node.)
+    # need. r21 (raw-scan loads): l_orderkey is no longer forced into
+    # the scan by a load-time repartition either.
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "l_partkey" not in read and "l_comment" not in read
+    for col in ("l_partkey", "l_comment", "l_orderkey"):
+        assert col not in read
 
 
 def test_q1_pruned_scan(spark):
@@ -209,17 +210,22 @@ def test_q9_all_dims_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_copartitioned_queries_add_no_planner_exchanges(spark):
-    """The co-location contract: with lineitem/orders hash-partitioned
-    on the order key at load (same count as the session's shuffle
-    partitions — catalog.suggested_shuffle_partitions), q3's per-order
-    aggregation, its order-key join, and q18's HAVING-aggregate join
-    all reuse the scan partitioning. ZERO ENSURE_REQUIREMENTS
-    exchanges: every byte moved is the one-time keyed load."""
+def test_fact_rows_cross_at_most_one_exchange(spark):
+    """r21 layout contract (raw scans — catalog._TABLE_KEYS no longer
+    force-repartitions the relational tables): q3/q18 collapse lineitem
+    to one row per order with a MAP-SIDE partial aggregation on the
+    scan tasks, so full-width fact rows cross AT MOST ONE hash
+    exchange — the aggregation's own l_orderkey shuffle, which the
+    order-key join can then reuse. Join strategy is the planner's
+    size-estimate call (broadcast at test scale, sort-merge at volume
+    — parquet file size is the estimate's ground truth); never a
+    cartesian fallback."""
     for name in ("q3_shipping_priority", "q18_large_orders"):
         plan = plan_of(spark, name)
         ensure = [ln for ln in plan.splitlines() if "ENSURE_REQUIREMENTS" in ln]
-        assert not ensure, (name, ensure)
+        li = [ln for ln in ensure if "l_orderkey" in ln]
+        assert len(li) <= 1, (name, ensure)
+        assert "CartesianProduct" not in plan
 
 
 def test_cluster_survivors_anti_join_is_hint_free(spark):
