@@ -168,13 +168,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    # l⋈o merge: both hash-partitioned on the order key at the scan →
-    # exchange-free (the unhinted plan broadcast-builds the filtered
-    # orders fact on the driver). customer/supplier scale with SF, so
-    # they take the cost-based maybe_broadcast, not a hard hint.
-    # Measured 0.35→0.23 s at sf0.1.
+    # l⋈o strategy is the planner's size-estimate call (r21 — the
+    # merge hint dated from the cached keyed-layout era): the estimate
+    # scales with the parquet file size times the pruned-column ratio,
+    # so the filtered orders side broadcasts at test scale (no sorts,
+    # no fact exchange) and flips to sort-merge at volume where the
+    # estimate clears the 10 MB threshold by orders of magnitude.
+    # customer/supplier scale with SF, so they take the cost-based
+    # maybe_broadcast keyed on real file size, not a hard hint.
     return (
-        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(s, sf, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(
             maybe_broadcast(c, sf, "customer"),
@@ -247,20 +250,21 @@ def q10_returned_items(spark: SparkSession, sf: str):
     n = table(spark, sf, "nation")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     # Partial-agg pushdown: collapse lineitem to one row per returned
-    # order BEFORE any join.  Cents are floored per ROW, so the per-order
-    # subtotals re-sum to the exact same BIGINT as a flat aggregation.
-    # lineitem is hash-partitioned on l_orderkey at the scan, so this
-    # groupBy is exchange-free — the widest shuffle of the naive plan
-    # (every lineitem row, re-keyed by custkey) shrinks to one narrow
-    # row per order.
+    # order BEFORE any join.  Cents are floored per ROW, so the
+    # per-order subtotals re-sum to the exact same BIGINT as a flat
+    # aggregation; the orderkey exchange carries ~4:1 fewer rows and
+    # the serial portion of the scan task hashes a single LONG key
+    # (r21 re-audit: grouping directly by (custkey, name, nation)
+    # after broadcast probes — one exchange fewer — measured SLOWER,
+    # 0.55 vs 0.47 s interleaved at sf0.1: string-keyed partial
+    # aggregation on the scan task outweighs the saved exchange).
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents(disc)).alias("order_rev_cents")
     )
-    # per_order⋈o merge: the agg output keeps lineitem's orderkey hash
-    # partitioning and orders is scan-partitioned on the same key →
-    # exchange-free.
+    # per_order⋈o: planner's size call (r21) — the pruned orders
+    # projection broadcasts at test scale, sort-merge at volume.
     per_order_cust = per_order.join(
-        o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+        o, F.col("l_orderkey") == F.col("o_orderkey")
     )
     width = keyed_agg_width(sf, "orders", spark.sparkContext.defaultParallelism)
     if width == 1:
@@ -1938,11 +1942,14 @@ def q4_order_priority(spark: SparkSession, sf: str):
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    # Merge hint: both sides are hash-partitioned on the order key at
-    # the scan, so the semi join is exchange-free — without it the
-    # planner broadcasts the 2-column lineitem projection (a fact-table
-    # broadcast: driver-side hash build at test scale, impossible at
-    # 100 TB). Measured 0.42→0.15 s at sf0.1.
+    # Merge hint KEPT after the r21 re-audit: the unhinted plan
+    # broadcast-builds the 600 k-row 2-column lineitem projection on
+    # the driver (0.45 s vs 0.31 s interleaved at sf0.1), and the
+    # MAX(l_shipdate)-per-order pre-aggregate rewrite — equivalent to
+    # the EXISTS since o_orderkey is unique — measured slower at BOTH
+    # scales (0.36 vs 0.31 s at sf0.1, 0.64 vs 0.59 s at 10×: the
+    # aggregation hashmap costs more than the merge join's sort).
+    # Sort-merge also stays the memory-safe semi-join shape at 100 TB.
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate").hint(
         "merge"
     )
@@ -1986,13 +1993,21 @@ def q12_shipmode(spark: SparkSession, sf: str):
         & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    o = table(spark, sf, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    # Merge: both sides scan-partitioned on the order key → the join
-    # runs exchange-free instead of broadcast-building the filtered
-    # lineitem fact on the driver.
+    # Evaluate the priority predicate INSIDE the orders projection
+    # (the q14 is_promo trick): the join side carries (o_orderkey,
+    # high:boolean) — int+bool per order instead of the priority
+    # string — and the IN-list evaluates once per order, off the
+    # per-lineitem probe path. Join strategy is the planner's size
+    # call (r21, merge hint removed): the narrow orders side
+    # broadcasts at test scale, sort-merge once estimates clear the
+    # threshold — the correct shape at both ends of the scale.
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+    )
+    high = F.col("high")
     return (
-        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
