@@ -3329,7 +3329,13 @@ def xz_bz2_ingest(docs: DataFrame) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = ("" if text is None else text).encode("utf-8")
-                xz = lzma.compress(raw)
+                # preset=1: the verification contract (magic bytes,
+                # round-trip equality, md5 of the RECOVERED bytes) is
+                # preset-independent, and preset 6 spent 5.8× the CPU
+                # compressing harder for nothing the entry checks
+                # (r21: 3.84→0.67 s serial over the sf0.1 corpus).
+                # Still a real .xz container with CRC64 stream flags.
+                xz = lzma.compress(raw, preset=1)
                 bz = bz2.compress(raw)
                 back_xz = lzma.decompress(xz)
                 back_bz = bz2.decompress(bz)

@@ -372,10 +372,21 @@ def agg_hll_sketch_union(spark: SparkSession, sf: str):
     from pyspark.sql import functions as F
 
     tol = 0.05
-    l = table(spark, sf, "lineitem")
-    per_flag = l.groupBy("l_returnflag").agg(
+    # ONE distinct-pairs pass feeds everything (r21, 1.94→0.83 s
+    # interleaved at sf0.1): HLL registers are max-of-hash, so a
+    # sketch over DEDUPLICATED (flag, orderkey) pairs is identical to
+    # one over the raw rows; per-flag COUNT(*) over the pairs IS the
+    # exact per-flag distinct (no Expand-based count_distinct); and
+    # the ALL row's exact count re-distincts the pairs' key column —
+    # no second lineitem scan anywhere.
+    pairs = (
+        table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    per_flag = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk"),
-        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
+        F.count(F.lit(1)).alias("exact_distinct_orders"),
     )
     per = per_flag.select(
         "l_returnflag",
@@ -391,7 +402,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf: str):
     union_est = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
-    total_exact = l.agg(
+    total_exact = pairs.agg(
         F.count_distinct("l_orderkey").alias("exact_distinct_orders")
     )
     total = union_est.crossJoin(total_exact).select(

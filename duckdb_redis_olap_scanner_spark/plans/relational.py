@@ -682,12 +682,22 @@ def agg_stats(spark: SparkSession, sf: str):
     "estimate a hash MISMATCH, not an invisible rows-only pass.",
 )
 def agg_approx_distinct(spark: SparkSession, sf: str):
-    est = table(spark, sf, "lineitem").agg(
+    # One agg per distinct column (r21): two exact distincts on
+    # DIFFERENT columns in one aggregate make Spark plan an Expand
+    # (every row replicated per distinct group, then a double-pass
+    # aggregation) — per-column aggs keep each scan pruned to one
+    # column with no row expansion, and the two 1-row results
+    # cross-join for free (1.01→0.87 s interleaved at sf0.1).
+    l = table(spark, sf, "lineitem")
+    parts = l.agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey").alias("ap"),
+    )
+    orders = l.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey").alias("ao"),
     )
+    est = parts.crossJoin(orders)
     tol = 0.15
     return est.select(
         "exact_parts",
@@ -723,9 +733,20 @@ def agg_approx_distinct(spark: SparkSession, sf: str):
     "mismatch in the driver gate.",
 )
 def agg_approx_percentile(spark: SparkSession, sf: str):
+    from ..operators.util import fan_out
+
     cents = _cents("l_extendedprice")
+    # Percentile partial states are value buffers, so the per-row
+    # sketch/collect work runs where the rows are — fan the (narrow)
+    # projection out first so it parallelizes instead of running on a
+    # single-split scan task (2.38→1.85 s interleaved at sf0.1); a
+    # cluster-scale scan is already wide and fan_out no-ops.
     est = (
-        table(spark, sf, "lineitem")
+        fan_out(
+            table(spark, sf, "lineitem").select(
+                "l_returnflag", "l_extendedprice"
+            )
+        )
         .groupBy("l_returnflag")
         .agg(
             F.percentile(cents, F.lit(0.5)).alias("exact_p50_cents"),

@@ -1080,9 +1080,18 @@ def events_retention_cohorts(spark: SparkSession, sf: str):
     "engines regardless of the interpolation formula's association.",
 )
 def agg_percentile_standard(spark: SparkSession, sf: str):
-    l = table(spark, sf, "lineitem").select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    from ..operators.util import fan_out
+
+    # Fan the narrow projection out before the ordered-set aggregate
+    # (r21): the percentile buffers collect every value, so the
+    # per-row work parallelizes instead of running on a single-split
+    # scan task (3.51→3.09 s interleaved at sf0.1); no-op on wide
+    # cluster-scale scans.
+    l = fan_out(
+        table(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
     )
     return (
         l.groupBy("l_returnflag")
