@@ -753,10 +753,16 @@ _TABLE_KEYS: dict[str, str] = {
 }
 
 
-# Scan-side partition sizing for the co-partitioned relational tables:
-# one partition per this many bytes of the LARGEST table (lineitem), so
-# partition count tracks data volume instead of being a fixed constant.
-_PART_BYTES = 1 << 20
+# Shuffle-partition sizing: one reduce partition per this many bytes
+# of the LARGEST table (lineitem), so partition count tracks data
+# volume instead of being a fixed constant (clamped to [4, cpus] in
+# suggested_shuffle_partitions; saturates to full parallelism at
+# cluster volume, where AQE coalescing takes over). r21: 1 MiB → 2 MiB
+# per partition — with raw-scan loads the exchanges carry partially
+# aggregated rows, and per-reducer dispatch dominates below ~2 MiB of
+# source bytes per partition (interleaved A/B at sf0.1: width 6 beats
+# width 11 by ~6% across the exchange-heavy queries, width 4 ties).
+_PART_BYTES = 2 << 20
 
 
 def suggested_shuffle_partitions(sf_dir: str, cpus: int) -> int:
