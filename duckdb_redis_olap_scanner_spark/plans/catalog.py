@@ -766,17 +766,14 @@ _PART_BYTES = 2 << 20
 
 
 def suggested_shuffle_partitions(sf_dir: str, cpus: int) -> int:
-    """ONE partition-count formula for keyed table loads AND the
-    session's ``spark.sql.shuffle.partitions``.
+    """Volume-proportional ``spark.sql.shuffle.partitions`` (also the
+    partition count of :func:`table_keyed` secondary layouts).
 
-    Sized from lineitem (the largest table) so every co-partitioned
-    join side uses the SAME count — Spark only treats hash-partitioned
-    sides as co-partitioned when the counts match, and an aggregation
-    output (shuffle-partition count) joined against a keyed scan
-    (keyed-parts count) pays an alignment Exchange whenever the two
-    formulas disagree. Clamped to [4, cpus]: at test scale this keeps
-    stages a few tasks wide (per-task dispatch dominates tiny stages),
-    at cluster scale the cap is the full parallelism.
+    Sized from lineitem (the largest table) at ``_PART_BYTES`` of
+    source parquet per reduce partition, clamped to [4, cpus]: at test
+    scale this keeps stages a few tasks wide (per-reducer dispatch
+    dominates tiny stages), at cluster scale the cap is the full
+    parallelism and AQE coalescing owns the final width.
     """
     import math
 

@@ -117,9 +117,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     # Pre-aggregate lineitem revenue per order before joining: the final
-    # group key IS the order key, so the groupBy runs exchange-free on
-    # the scan partitioning and the join ships one row per order instead
-    # of one per lineitem (per-row floored cents re-sum exactly).
+    # group key IS the order key, so the map-side partial agg collapses
+    # lineitem on the scan tasks and the join ships one row per order
+    # instead of one per lineitem (per-row floored cents re-sum exactly).
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents(disc)).alias("revenue_cents")
     )
@@ -2105,10 +2105,9 @@ def q18_large_orders(spark: SparkSession, sf: str):
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")
     # The HAVING-subquery aggregate IS the output aggregate: per-order
-    # quantity is grouped once (exchange-free on the scan partitioning),
-    # filtered, and carried through the joins — no second lineitem scan,
-    # no semi join, no re-aggregation.  The few surviving big orders
-    # join orders co-partitioned on the order key, then customer.
+    # quantity is grouped once (map-side partial agg on the scan tasks,
+    # one narrow orderkey exchange), filtered, and carried through the
+    # joins — no second lineitem scan, no semi join, no re-aggregation.
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents("l_quantity")).alias("qty_cents")
     )

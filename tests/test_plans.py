@@ -114,9 +114,8 @@ def test_q1_codegen_and_partial_agg(spark):
 
 def test_window_plans_single_shuffle(spark):
     """A partitioned window function shuffles exactly once on its
-    partition key. (The plan also carries the load-time fan-out
-    exchange on o_orderkey from catalog._TABLE_KEYS — that one is
-    input layout, not window cost.)"""
+    partition key (r21 raw-scan loads: no load-time layout exchange
+    precedes it)."""
     plan = plan_of(spark, "window_running_sum")
     window_shuffles = [
         ln
