@@ -88,6 +88,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     # parameter (k, margin buckets, vocab size), not by SF.
     ("plans/relational2.py", "q15_top_supplier", "top"):
         "1-row max-revenue agg (q15)",
+    ("plans/relational.py", "agg_approx_percentile", "gk"):
+        "per-returnflag GK-sketch agg, ≤3 rows (l_returnflag domain "
+        "A/N/R at every SF)",
     ("plans/pipeline_ops5.py", "pipeline_curriculum_shards", "sh"):
         "margin-bucket shares, ≤#buckets",
     ("operators/similarity.py", "brute_force_topk", "q"):
