@@ -928,6 +928,55 @@ def maybe_broadcast(
     return df
 
 
+# Above this much source parquet, collecting the build side to the
+# driver and building the broadcast hash relation there (serial) costs
+# more than one narrow distributed exchange + merge — see
+# merge_join_above.
+MERGE_OVER_BCAST_BYTES = 8 << 20
+
+
+def merge_join_above(
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    threshold: int = MERGE_OVER_BCAST_BYTES,
+) -> DataFrame:
+    """Cost-based SORT_MERGE hint for a join whose PROBE side is already
+    hash-partitioned on the join key (a preceding per-key aggregation):
+    hint merge iff table ``name``'s on-disk parquet is >= ``threshold``.
+
+    The mid-band problem (r21, measured at the 10× sf1-equivalent): the
+    planner's size estimate for a pruned scan is file bytes × column
+    ratio, so an orders side in the ~5-30 MB file range still estimates
+    under the 10 MB auto-broadcast threshold — and a broadcast of a
+    ~1.5 M-row build side pays a DRIVER-SERIAL collect + hash-relation
+    build that a distributed exchange avoids. Interleaved A/B (min/med
+    of 6): q18 1.34/1.50 s broadcast → 0.82/0.99 s merge, q10
+    1.33/1.60 → 0.87/0.97, q3 0.99/1.17 → 0.69/0.78. Below the
+    threshold (sf0.1 orders = 2.7 MB) the broadcast build is tens of
+    ms and wins — the r21 join re-audit measured removing blanket merge
+    hints improved exactly these queries at test scale — so the gate
+    stays off and plans are unchanged there.
+
+    Merge (not shuffle-hash) because the hinted region is unbounded
+    above: sort-merge is the memory-safe strategy at any volume — at
+    cluster scale the hint simply confirms what the planner's own
+    estimate would pick, overriding it only in the mid-band. Only apply
+    to joins whose other side already carries the join-key partitioning
+    (the hint then adds exactly one narrow exchange + sorts, never a
+    fact-stream shuffle); for joins that probe an UN-keyed fact stream
+    (q7/q9/q12) the broadcast avoids a full fact exchange and stays the
+    measured winner — keep those on the planner / maybe_broadcast.
+    """
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    if size >= threshold:
+        return df.hint("merge")
+    return df
+
+
 def gather_sort(df: DataFrame, *cols) -> DataFrame:
     """Totally-ordered final sort for a DIM-BOUNDED result (an
     aggregation output whose row count is bounded by key cardinality,

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import gather_sort, maybe_broadcast, register, table
+from .catalog import (
+    gather_sort,
+    maybe_broadcast,
+    merge_join_above,
+    register,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # helpers — deterministic money math (see module docstring)
@@ -252,8 +258,16 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents(disc)).alias("revenue_cents")
     )
+    # per_order is already hash-partitioned on the join key by its
+    # aggregation exchange, so the orders join takes the cost-based
+    # merge_join_above gate: planner broadcast below the threshold
+    # (test scale), merge above it — the mid-band broadcast paid a
+    # driver-serial 1.5 M-row hash-relation build (10×: 0.99→0.69 s).
     return (
-        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(
+            merge_join_above(o, sf, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(c, c.c_custkey == o.o_custkey)
         .select(
             "o_orderkey",
@@ -390,10 +404,15 @@ def q10_returned_items(spark: SparkSession, sf: str):
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(_cents(disc)).alias("order_rev_cents")
     )
-    # per_order⋈o: planner's size call (r21) — the pruned orders
-    # projection broadcasts at test scale, sort-merge at volume.
+    # per_order⋈o: cost-based merge_join_above gate (r21) — the pruned
+    # orders projection broadcasts at test scale; above the threshold
+    # the merge hint overrides the planner's mid-band broadcast, whose
+    # driver-serial 1.5 M-row build measured 1.33/1.60 s vs 0.87/0.97 s
+    # merge at the 10× sf1-equivalent (per_order already carries the
+    # orderkey partitioning, so the hint adds one narrow exchange).
     per_order_cust = per_order.join(
-        o, F.col("l_orderkey") == F.col("o_orderkey")
+        merge_join_above(o, sf, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
     )
     width = keyed_agg_width(sf, "orders", spark.sparkContext.defaultParallelism)
     if width == 1:
@@ -2248,8 +2267,16 @@ def q18_large_orders(spark: SparkSession, sf: str):
         F.sum(_cents("l_quantity")).alias("qty_cents")
     )
     big = per_order.filter(F.col("qty_cents") > 21200)
+    # big is already hash-partitioned on the join key by the HAVING
+    # aggregation's exchange → cost-based merge_join_above on orders:
+    # broadcast at test scale, merge above the threshold (the mid-band
+    # broadcast's driver-serial build measured 1.34/1.50 s vs
+    # 0.82/0.99 s merge at the 10× sf1-equivalent).
     return (
-        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(
+            merge_join_above(o, sf, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "o_orderkey", "qty_cents")
         .orderBy(F.desc("qty_cents"), F.asc("o_orderkey"))

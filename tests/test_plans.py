@@ -482,3 +482,72 @@ def test_q10_volume_branch_matches_floor_branch(spark, monkeypatch):
             assert ", 2), REPARTITION_BY_NUM" in plan, (
                 "the re-keying exchange must run at the forced width"
             )
+
+
+def test_merge_join_above_is_size_gated(tmp_path):
+    """catalog.merge_join_above: no hint below the threshold (the
+    planner's broadcast stays the test-scale winner), SORT_MERGE hint
+    at/above it (the mid-band where the planner's pruned-size estimate
+    still broadcasts a ~1.5 M-row build side whose driver-serial
+    collect+build measured 1.3-1.6 s vs 0.8-1.0 s merge at the 10×
+    sf1-equivalent), and a missing stats file leaves the frame
+    untouched (planner's call)."""
+    import os
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        MERGE_OVER_BCAST_BYTES,
+        merge_join_above,
+    )
+
+    class FakeDF:
+        def __init__(self):
+            self.hints = []
+
+        def hint(self, h):
+            self.hints.append(h)
+            return self
+
+    p = tmp_path / "orders.parquet"
+    p.write_bytes(b"x" * 100)
+    df = FakeDF()
+    assert merge_join_above(df, str(tmp_path), "orders") is df
+    assert df.hints == []  # below threshold: planner broadcast
+    os.truncate(p, MERGE_OVER_BCAST_BYTES)
+    assert merge_join_above(df, str(tmp_path), "orders") is df
+    assert df.hints == ["merge"]  # at threshold: merge
+    df2 = FakeDF()
+    assert merge_join_above(df2, str(tmp_path), "missing") is df2
+    assert df2.hints == []  # no stats: untouched
+
+
+def test_preaggregated_order_joins_merge_above_gate(spark, monkeypatch):
+    """q3/q10/q18 orders-side join strategy (r21): at the fixture SF
+    the merge_join_above gate is off and the pruned orders projection
+    broadcasts; with the gate forced on, the same entries plan a
+    SortMergeJoin on the order key and return identical rows — the
+    strategy flip is results-invisible by construction."""
+    import duckdb_redis_olap_scanner_spark.plans.relational as rel
+
+    for name in (
+        "q3_shipping_priority",
+        "q10_returned_items",
+        "q18_large_orders",
+    ):
+        entry = ENTRIES[name]
+        ref_df = entry.raw_fn(spark, SF_DIR)
+        ref_plan = ref_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in ref_plan, (
+            name,
+            "gate must stay off at test scale",
+        )
+        ref = [tuple(r) for r in ref_df.collect()]
+        assert ref
+
+        monkeypatch.setattr(
+            rel, "merge_join_above", lambda df, *a, **k: df.hint("merge")
+        )
+        got_df = entry.raw_fn(spark, SF_DIR)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, (name, "forced gate must merge")
+        assert [tuple(r) for r in got_df.collect()] == ref, name
+        monkeypatch.undo()
