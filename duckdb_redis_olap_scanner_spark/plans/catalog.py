@@ -898,6 +898,20 @@ def keyed_agg_width(sf_dir: str, name: str, cpus: int) -> int | None:
 BROADCAST_CAP_BYTES = 64 << 20
 
 
+def fits_broadcast(
+    sf_dir: str, name: str, cap_bytes: int = BROADCAST_CAP_BYTES
+) -> bool:
+    """The size gate behind :func:`maybe_broadcast`, exposed for call
+    sites that SWITCH SHAPE on broadcastability (e.g. q4's semi-join
+    rewrite) instead of merely hinting: True iff table ``name``'s
+    on-disk parquet is under ``cap_bytes``. Missing stats → False (the
+    safe cluster assumption: never assume a table is small)."""
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < cap_bytes
+    except OSError:
+        return False
+
+
 def maybe_broadcast(
     df: DataFrame, sf_dir: str, name: str, cap_bytes: int = BROADCAST_CAP_BYTES
 ) -> DataFrame:
@@ -917,11 +931,7 @@ def maybe_broadcast(
     shuffled join at 100 TB, with no code change — the table() scans
     are hash-partitioned on their join keys exactly for that fallback.
     """
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return df
-    if size < cap_bytes:
+    if fits_broadcast(sf_dir, name, cap_bytes):
         from pyspark.sql import functions as F
 
         return F.broadcast(df)
@@ -961,12 +971,15 @@ def merge_join_above(
     Merge (not shuffle-hash) because the hinted region is unbounded
     above: sort-merge is the memory-safe strategy at any volume — at
     cluster scale the hint simply confirms what the planner's own
-    estimate would pick, overriding it only in the mid-band. Only apply
-    to joins whose other side already carries the join-key partitioning
+    estimate would pick, overriding it only in the mid-band. Apply to
+    joins whose other side already carries the join-key partitioning
     (the hint then adds exactly one narrow exchange + sorts, never a
-    fact-stream shuffle); for joins that probe an UN-keyed fact stream
-    (q7/q9/q12) the broadcast avoids a full fact exchange and stays the
-    measured winner — keep those on the planner / maybe_broadcast.
+    fact-stream shuffle — q3/q10/q18), or whose probe stream is
+    FILTERED well below the build side (q12: ~430 k surviving lines vs
+    a 1.5 M-row orders build at 10×, merge 0.64 s vs broadcast
+    0.98 s). For joins that probe a large un-keyed, un-filtered fact
+    stream (q7/q9) the broadcast avoids a full fact exchange and stays
+    the measured winner — keep those on the planner / maybe_broadcast.
     """
     try:
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))

@@ -23,6 +23,7 @@ from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import (
+    fits_broadcast,
     gather_sort,
     maybe_broadcast,
     merge_join_above,
@@ -2118,14 +2119,43 @@ def q4_order_priority(spark: SparkSession, sf: str):
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    # Merge hint KEPT after the r21 re-audit: the unhinted plan
-    # broadcast-builds the 600 k-row 2-column lineitem projection on
-    # the driver (0.45 s vs 0.31 s interleaved at sf0.1), and the
-    # MAX(l_shipdate)-per-order pre-aggregate rewrite — equivalent to
-    # the EXISTS since o_orderkey is unique — measured slower at BOTH
-    # scales (0.36 vs 0.31 s at sf0.1, 0.64 vs 0.59 s at 10×: the
+    # Volume branch (r21, measured both scales). When orders fits the
+    # broadcast budget, flip the EXISTS to an inner join against the
+    # BROADCAST filtered orders + distinct on the unique o_orderkey —
+    # equivalent because o_orderkey is unique, so "any qualifying
+    # line" ≡ "appears at least once in the inner join". The semi join
+    # forces both sides through exchange+sort (lineitem is the big
+    # side and can't be the semi's build side without a plan Spark
+    # won't pick); the broadcast-inner shape scans lineitem in place
+    # and only shuffles the surviving (orderkey, priority) pairs.
+    # Interleaved min/med of 6: sf0.1 0.18/0.20 s vs 0.31/0.33 s
+    # merge-semi; 10× 0.54/0.65 vs 0.64/0.79. Above the budget (real
+    # cluster volume) the memory-safe merge semi is kept — same gate
+    # file-size ground truth maybe_broadcast uses.
+    if fits_broadcast(sf, "orders"):
+        ob = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+        j = l.join(
+            F.broadcast(ob),
+            (l.l_orderkey == ob.o_orderkey)
+            & (
+                l.l_shipdate
+                > F.timestamp_add("DAY", F.lit(60), ob.o_orderdate)
+            ),
+        )
+        return (
+            j.select("o_orderkey", "o_orderpriority")
+            .distinct()
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+    # Merge hint KEPT for the fallback after the r21 re-audit: the
+    # unhinted plan broadcast-builds the 600 k-row 2-column lineitem
+    # projection on the driver (0.45 s vs 0.31 s interleaved at
+    # sf0.1), and the MAX(l_shipdate)-per-order pre-aggregate rewrite
+    # measured slower at both scales (0.36/0.64 vs 0.31/0.59: the
     # aggregation hashmap costs more than the merge join's sort).
-    # Sort-merge also stays the memory-safe semi-join shape at 100 TB.
+    # Sort-merge stays the memory-safe semi-join shape at 100 TB.
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate").hint(
         "merge"
     )
@@ -2173,13 +2203,24 @@ def q12_shipmode(spark: SparkSession, sf: str):
     # (the q14 is_promo trick): the join side carries (o_orderkey,
     # high:boolean) — int+bool per order instead of the priority
     # string — and the IN-list evaluates once per order, off the
-    # per-lineitem probe path. Join strategy is the planner's size
-    # call (r21, merge hint removed): the narrow orders side
-    # broadcasts at test scale, sort-merge once estimates clear the
-    # threshold — the correct shape at both ends of the scale.
-    o = table(spark, sf, "orders").select(
-        "o_orderkey",
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+    # per-lineitem probe path. Join strategy: cost-based
+    # merge_join_above gate on orders (r21 second pass). Below the
+    # threshold (sf0.1) the gate is off and the planner broadcasts the
+    # pruned orders — the audited test-scale winner. In the mid-band
+    # (10×: orders 27 MB source, 1.5 M-row build) the broadcast pays a
+    # driver-serial collect + hash-relation build that dwarfs
+    # exchanging the FILTERED lineitem probe (~430 k rows survive the
+    # returnflag+shipdate pushdown): interleaved min/med of 6 at 10×,
+    # merge 0.64/0.69 s vs broadcast 0.98/1.07 s; pre-aggregating per
+    # orderkey first measured worse than both. At cluster volume the
+    # hint confirms what the planner's own estimates pick anyway.
+    o = merge_join_above(
+        table(spark, sf, "orders").select(
+            "o_orderkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+        ),
+        sf,
+        "orders",
     )
     high = F.col("high")
     return (
