@@ -976,10 +976,11 @@ def merge_join_above(
     (the hint then adds exactly one narrow exchange + sorts, never a
     fact-stream shuffle — q3/q10/q18), or whose probe stream is
     FILTERED well below the build side (q12: ~430 k surviving lines vs
-    a 1.5 M-row orders build at 10×, merge 0.64 s vs broadcast
-    0.98 s). For joins that probe a large un-keyed, un-filtered fact
-    stream (q7/q9) the broadcast avoids a full fact exchange and stays
-    the measured winner — keep those on the planner / maybe_broadcast.
+    a 1.5 M-row orders build at 10×, merge 0.64 s vs broadcast 0.98 s;
+    q9: probe pre-filtered by the part join, merge 0.73 s vs 1.03 s).
+    For joins that probe a large un-keyed, un-filtered fact stream
+    (q5/q7) the broadcast avoids a full fact exchange and stays the
+    measured winner — keep those on the planner / maybe_broadcast.
     """
     try:
         size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))

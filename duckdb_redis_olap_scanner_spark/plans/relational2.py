@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import gather_sort, maybe_broadcast, register, table
+from .catalog import (
+    gather_sort,
+    maybe_broadcast,
+    merge_join_above,
+    register,
+    table,
+)
 from .relational import _cents, sql_cents, sql_sum_cents
 
 
@@ -307,15 +313,23 @@ def q9_product_type_profit(spark: SparkSession, sf: str):
         "p_retailprice"
     ) * F.col("l_quantity")
     # part/supplier scale with SF → cost-based broadcast from real file
-    # sizes; l⋈o strategy is the planner's size call (r21 — the pruned
-    # orders projection broadcasts at test scale, sort-merge at volume).
+    # sizes. l⋈o takes the cost-based merge_join_above gate (r21 third
+    # pass): off at sf0.1 (planner broadcasts the pruned orders — the
+    # audited test-scale winner), sort-merge in the mid-band where the
+    # probe is pre-filtered by the part join (p_name LIKE 'red%') well
+    # below the 1.5 M-row driver-serial broadcast build — interleaved
+    # min/med of 6 at 10×: merge 0.73/0.93 s vs broadcast 1.03/1.11 s.
+    # A (l_orderkey, nation) pre-agg before the join measured WORSE at
+    # 10× (1.13/1.19 merge, 1.45/1.51 bcast: the wide-key hashmap on
+    # the probe stream costs more than it saves — same negative result
+    # as q12's pre-agg variant); recorded, rejected.
     return (
         l.join(
             maybe_broadcast(p.select("p_partkey", "p_retailprice"), sf, "part"),
             l.l_partkey == F.col("p_partkey"),
         )
         .join(maybe_broadcast(sn, sf, "supplier"), l.l_suppkey == sn.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(merge_join_above(o, sf, "orders"), l.l_orderkey == o.o_orderkey)
         .select(
             "nation",
             F.year("o_orderdate").alias("o_year"),
