@@ -2135,8 +2135,11 @@ def q4_order_priority(spark: SparkSession, sf: str):
     if fits_broadcast(sf, "orders"):
         ob = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
         l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+        # maybe_broadcast (not a hard hint): inside this branch its
+        # gate is the branch condition, so it always fires here — and
+        # the broadcast-hazard guard keeps exactly one size-gated door.
         j = l.join(
-            F.broadcast(ob),
+            maybe_broadcast(ob, sf, "orders"),
             (l.l_orderkey == ob.o_orderkey)
             & (
                 l.l_shipdate
