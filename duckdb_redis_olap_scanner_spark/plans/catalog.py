@@ -944,6 +944,68 @@ def maybe_broadcast(
 # merge_join_above.
 MERGE_OVER_BCAST_BYTES = 8 << 20
 
+# broadcast_when_counted: stop paying the count probe once the gate
+# table's file alone is cluster-sized — the probe would be a real
+# extra pass over a huge table, and the memory-safe fallback shape is
+# the right plan there anyway. 4 GiB ≈ 64× the static broadcast cap.
+COUNT_PROBE_CAP_BYTES = BROADCAST_CAP_BYTES * 64
+# Row cap for a probe-approved broadcast build: ~4 M narrow rows keeps
+# the driver-serial hash-relation build in the few-hundred-ms range
+# (measured ~0.5-0.8 s/M rows on this host) and the built relation
+# well under the executor-memory budget maybe_broadcast already
+# assumes. Far below Spark's hard 512 M-row/8 GiB broadcast cap.
+COUNTED_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def broadcast_when_counted(
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    max_rows: int = COUNTED_BROADCAST_MAX_ROWS,
+    probe_cap_bytes: int = COUNT_PROBE_CAP_BYTES,
+) -> DataFrame | None:
+    """Runtime-statistics broadcast gate for a FILTERED build side in
+    the band where static file stats say "too big": pay ONE
+    column-pruned count job over ``df`` and return ``F.broadcast(df)``
+    iff the actual row count fits, else ``None`` (caller keeps its
+    memory-safe volume shape).
+
+    Guide §3.1: the planner's size estimates are often badly wrong
+    after filters — without CBO stats a selective date filter on a
+    175 MB orders file still estimates ~file size × column ratio, so
+    q4/q5-class queries sort-merge a 60 M-row fact against a build
+    side that truly holds a few hundred thousand rows (measured at the
+    100× sf10-equivalent: q4 2.19 s merge-semi vs 1.04 s + 0.12 s
+    probe broadcast-inner; q5 4.74 s vs 1.37 s dim-chain). A measured
+    count is ground truth the same way AQE's runtime stage sizes are;
+    the probe is a real job inside the timed region on every
+    execution — never cached across runs.
+
+    The caller reaches this only when ``fits_broadcast`` already said
+    no, so the regimes are:
+    - file < ``probe_cap_bytes`` (the band): run the probe; broadcast
+      on a true count ≤ ``max_rows``.
+    - file ≥ ``probe_cap_bytes`` (cluster scale): skip the probe —
+      scanning a cluster-sized table just to ask is itself the cost
+      the fallback shape avoids, and at that volume the filtered side
+      almost never fits the driver. Return ``None``.
+    """
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return None
+    if size >= probe_cap_bytes:
+        return None
+    # A plain count: fully parallel, column-pruned (Catalyst prunes to
+    # the filter columns), one row per task over the wire. A LIMIT-ed
+    # count would funnel up to max_rows per partition through a
+    # single-partition exchange — strictly worse here.
+    if df.count() > max_rows:
+        return None
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df)
+
 
 def merge_join_above(
     df: DataFrame,
@@ -1010,7 +1072,14 @@ def gather_sort(df: DataFrame, *cols) -> DataFrame:
 # AQE pays once each core chews this many bytes per stage — the regime
 # where stages run multiple seconds and one saved skew/shuffle re-plan
 # dwarfs the per-stage materialization + driver round-trip cost.
-_AQE_BYTES_PER_CORE = 256 << 20
+# Calibrated r21 from the two nearest measured anchors: at the 10×
+# sf1-equivalent (4.3 MiB/core) AQE costs 15-40% per query (r6, re-
+# confirmed r21); at the 100× sf10-equivalent (43 MiB/core) AQE-on
+# wins the 13-query suite 27.05 s vs 29.54 s (−8%, min-of-3
+# interleaved; q10 −35% from runtime coalescing of its 9 M-row
+# narrow exchanges). 16 MiB/core is the geometric midpoint of the
+# two anchors; both measured regimes keep their winning setting.
+_AQE_BYTES_PER_CORE = 16 << 20
 
 
 def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:

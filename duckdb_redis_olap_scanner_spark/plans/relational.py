@@ -23,6 +23,8 @@ from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import (
+    MERGE_OVER_BCAST_BYTES,
+    broadcast_when_counted,
     fits_broadcast,
     gather_sort,
     maybe_broadcast,
@@ -312,6 +314,44 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str):
     l = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Band branch (r21, measured at the 100× sf10-equivalent): above
+    # the static broadcast cap the planner sort-merges l⋈o — a full
+    # exchange + sort of BOTH fact streams (60 M lineitem rows) — yet
+    # the true build side after the date window (29%) and the ASIA
+    # region cut (1/5) is well under a million rows. When customer is
+    # still statically broadcastable, fold region→nation→customer into
+    # a broadcast dim chain, stream orders against it (no orders
+    # exchange), and let the runtime count probe decide whether the
+    # resulting (orderkey → nation) frame broadcasts into lineitem:
+    # 4.74 s → 1.37 s min-of-5 interleaved, result-identical. At
+    # cluster volume the probe is skipped / says no and the planner
+    # shape below stays (memory-safe sort-merge).
+    if not fits_broadcast(sf, "orders") and fits_broadcast(sf, "customer"):
+        c_asia = (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("c_custkey", "c_nationkey", "n_name")
+        )
+        build = (
+            o.select("o_orderkey", "o_custkey")
+            .join(
+                maybe_broadcast(c_asia, sf, "customer"),
+                F.col("o_custkey") == c_asia.c_custkey,
+            )
+            .select("o_orderkey", "c_nationkey", "n_name")
+        )
+        build_b = broadcast_when_counted(build, sf, "orders")
+        if build_b is not None:
+            return (
+                l.join(build_b, l.l_orderkey == F.col("o_orderkey"))
+                .join(
+                    maybe_broadcast(s, sf, "supplier"),
+                    (l.l_suppkey == s.s_suppkey)
+                    & (s.s_nationkey == F.col("c_nationkey")),
+                )
+                .groupBy("n_name")
+                .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+            )
     # l⋈o strategy is the planner's size-estimate call (r21 — the
     # merge hint dated from the cached keyed-layout era): the estimate
     # scales with the parquet file size times the pruned-column ratio,
@@ -2129,17 +2169,28 @@ def q4_order_priority(spark: SparkSession, sf: str):
     # won't pick); the broadcast-inner shape scans lineitem in place
     # and only shuffles the surviving (orderkey, priority) pairs.
     # Interleaved min/med of 6: sf0.1 0.18/0.20 s vs 0.31/0.33 s
-    # merge-semi; 10× 0.54/0.65 vs 0.64/0.79. Above the budget (real
-    # cluster volume) the memory-safe merge semi is kept — same gate
-    # file-size ground truth maybe_broadcast uses.
+    # merge-semi; 10× 0.54/0.65 vs 0.64/0.79. Above the budget the
+    # band probe below gets one more say; past that the memory-safe
+    # merge semi is kept — same gate file-size ground truth
+    # maybe_broadcast uses.
+    ob = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
     if fits_broadcast(sf, "orders"):
-        ob = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        # Static gate: no probe job — same plan as rounds ≤20 here.
+        ob_b = maybe_broadcast(ob, sf, "orders")
+    else:
+        # Band above the static cap (r21, measured at the 100×
+        # sf10-equivalent): file stats say orders is too big, but the
+        # 3-month date window keeps ~3.6% of rows — one pruned count
+        # job (0.12 s) decides, and the broadcast-inner shape beats
+        # the merge-semi 1.04 s vs 2.19 s (min-of-5 interleaved)
+        # because the 60 M-row lineitem side is never exchanged or
+        # sorted. At cluster volume the probe is skipped / says no
+        # and the merge semi below stays the plan.
+        ob_b = broadcast_when_counted(ob, sf, "orders")
+    if ob_b is not None:
         l = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-        # maybe_broadcast (not a hard hint): inside this branch its
-        # gate is the branch condition, so it always fires here — and
-        # the broadcast-hazard guard keeps exactly one size-gated door.
         j = l.join(
-            maybe_broadcast(ob, sf, "orders"),
+            ob_b,
             (l.l_orderkey == ob.o_orderkey)
             & (
                 l.l_shipdate
@@ -2268,9 +2319,20 @@ def q14_promo_effect(spark: SparkSession, sf: str):
         "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
     )
     disc_cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-    # part scales with SF → cost-based hint: same broadcast plan at
-    # test scale, co-partitioned shuffle fallback at cluster volume.
-    return l.join(maybe_broadcast(p, sf, "part"), l.l_partkey == p.p_partkey).agg(
+    # part scales with SF → strategy split at MERGE_OVER_BCAST_BYTES
+    # (r21, 100× sf10-equivalent): below it the (partkey, bool)
+    # projection broadcast-builds in tens of ms (sf0.1/10× plans
+    # unchanged); above it the probe stream is FILTERED far below the
+    # build side (one shipdate month ≈ 1/84 of lineitem vs all of
+    # part — the q12/q9 criterion) and the merge's two narrow
+    # exchanges beat the driver-serial multi-M-row broadcast build,
+    # 0.66 s vs 1.12 s min-of-5. Merge stays memory-safe at cluster
+    # volume, where part outgrows any driver.
+    if fits_broadcast(sf, "part", MERGE_OVER_BCAST_BYTES):
+        p = maybe_broadcast(p, sf, "part")
+    else:
+        p = p.hint("merge")
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.sum(F.when(F.col("is_promo"), disc_cents).otherwise(0))
         .cast("long")
         .alias("promo_cents"),
@@ -2369,9 +2431,27 @@ def q13_customer_distribution(spark: SparkSession, sf: str):
     # (custkey, count) pairs, and the aggregate's row count is bounded
     # by customer cardinality — broadcastable at test scale.
     per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    # Strategy split at MERGE_OVER_BCAST_BYTES of customer (r21, 100×
+    # sf10-equivalent measurement): below it the per-cust count table
+    # is a tens-of-ms broadcast build (sf0.1/10× plans unchanged);
+    # above it the driver-serial build of a million-plus-row relation
+    # costs more than the distributed narrow exchange + sorts the
+    # merge takes (1.67 s broadcast vs 1.00 s merge min-of-5) — and
+    # merge stays the memory-safe shape at cluster volume, where
+    # per_cust (bounded by customer cardinality) outgrows any driver.
+    # per_cust is already hash-partitioned by its agg exchange, so the
+    # merge adds exactly one narrow customer exchange + sorts — the
+    # q3/q10/q18 criterion. (A join-elimination variant computing the
+    # zero bucket as |customer| − |per_cust| measured WORSE at 100×,
+    # 1.53 s: the reused-exchange second aggregation pass costs more
+    # than the join it saves — negative result, kept the join.)
+    if fits_broadcast(sf, "customer", MERGE_OVER_BCAST_BYTES):
+        per_cust = maybe_broadcast(per_cust, sf, "customer")
+    else:
+        per_cust = per_cust.hint("merge")
     dist = (
         c.join(
-            maybe_broadcast(per_cust, sf, "customer"),
+            per_cust,
             c.c_custkey == F.col("o_custkey"),
             "left_outer",
         )

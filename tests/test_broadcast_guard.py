@@ -36,6 +36,12 @@ ALLOWED: dict[tuple[str, str, str], str] = {
     # through, guarded by the on-disk size estimate.
     ("plans/catalog.py", "maybe_broadcast", "df"):
         "inside maybe_broadcast, size-gated",
+    # The runtime-statistics gate (r21): reached only above the static
+    # cap, in the band below COUNT_PROBE_CAP_BYTES, and the broadcast
+    # fires only after a real count job proves the frame holds at most
+    # COUNTED_BROADCAST_MAX_ROWS rows.
+    ("plans/catalog.py", "broadcast_when_counted", "df"):
+        "inside broadcast_when_counted, row-count-gated",
     # Fixed dimensions: 25 nations / 5 regions at every SF.
     ("plans/relational.py", "q5_local_supplier_volume", "n"):
         "nation dim, 25 rows",
