@@ -191,6 +191,44 @@ def _dispatch_floor_model(
     )
 
 
+def _group_task_count(spark, group: str) -> int:
+    """Executed task count for every job submitted under ``group``
+    (statusTracker sums stage numTasks across the group's jobs) — the
+    per-query parallelism evidence the scaling analysis needs: a query
+    whose executed task count is ~1 cannot speed up with more cores,
+    whatever its plan looks like."""
+    tracker = spark.sparkContext.statusTracker()
+    total = 0
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                total += sinfo.numTasks
+    return total
+
+
+def _task_counts(spark, entries, bench_names, sf_dir) -> dict[str, int]:
+    """One forced run per query under a dedicated job group, OUTSIDE
+    the timed region, to record how many tasks each query actually
+    executes (r21 verdict: the driver's 8-vs-32-core ratios at sf0.1
+    are ~1 and the payload gave no way to see why — single-row-group
+    scans are 1 task at any core count, and the volume-proportional
+    shuffle width clamps to ~6 at this SF; the task counts make that
+    regime visible in the payload instead of looking like a harness
+    that ignores $SPARK_GRAFT_CPUS)."""
+    out: dict[str, int] = {}
+    for name in bench_names:
+        group = f"tasks:{name}"
+        spark.sparkContext.setJobGroup(group, f"task-count probe: {name}")
+        _force(entries[name].fn(spark, sf_dir))
+        spark.sparkContext.setJobGroup(None, None)
+        out[name] = _group_task_count(spark, group)
+    return out
+
+
 def _plan_arrow_stages(df) -> int:
     """Python-worker stage count (mapInArrow / mapInPandas / pandas
     UDF eval) in the executed plan — each pays a fixed Arrow
@@ -521,6 +559,146 @@ def scale100x_main() -> None:
     print(json.dumps(payload))
 
 
+def scaling10x_main(factor: int = 10) -> None:
+    """Core-scaling evidence at the 10×/100× dirs (r21 verdict item
+    1). The driver's 8-vs-32-core ratios at sf0.1 are ~1 BY
+    CONSTRUCTION: every sf0.1 table is a single-row-group parquet file
+    (scans are 1 task at any core count) and the volume-proportional
+    shuffle width clamps to ~6 at that SF — so the flat ratios say
+    "this SF can't use more cores", not "the harness ignores
+    $SPARK_GRAFT_CPUS". At the 10× dir the scans split ~32+ ways and
+    core count becomes observable for the CPU-bound operators; at the
+    100× dir (TPC-H subset, multi-second queries) it separates for
+    the relational plans too. This mode runs the suite at
+    $SPARK_GRAFT_CPUS (default 32) and at a low core count (default
+    8), one Spark session each — the SAME get_spark construction the
+    driver uses, master local[N] from the env var — and records
+    SCALING_10X.json / SCALING_100X.json with per-query ratios and
+    executed task counts."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if factor >= 100:
+        dst = os.environ.get("SPARK_GRAFT_100X_DIR", "/tmp/spark_graft_sf10eq")
+        artifact, sf_out = "SCALING_100X.json", 10.0
+    else:
+        dst = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/spark_graft_sf1eq")
+        artifact, sf_out = "SCALING_10X.json", 1.0
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(os.path.join(dst, ".complete")):
+        print(f"building {factor}x dir {dst} from {src} ...", file=sys.stderr)
+        build_scale10x_dir(
+            src, dst, factor=factor,
+            tables=_RELATIONAL_TABLES if factor >= 100 else _ALL_TABLES,
+        )
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        runtime_replan_worth_it,
+        table,
+    )
+
+    cpus_main = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_low = int(os.environ.get("SPARK_GRAFT_CPUS_LOW", "8"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    entries = registry()
+    # Only the tables the dir actually holds (the 100× dir replicates
+    # the relational subset), and only the queries over those tables.
+    tables_here = tuple(
+        t for t in _ALL_TABLES
+        if os.path.exists(os.path.join(dst, f"{t}.parquet"))
+    )
+    bench_names = sorted(
+        n for n, e in entries.items()
+        if "bench" in e.tags
+        and (len(tables_here) == len(_ALL_TABLES) or n.startswith("q"))
+    )
+
+    saved_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    results: dict[int, dict] = {}
+    try:
+        # Low first: the main-core session then runs on the warmer page
+        # cache — any cache bias makes the scaling ratio SMALLER, the
+        # conservative direction for a claim that more cores help.
+        for cpus in (cpus_low, cpus_main):
+            # get_spark derives master=local[N] and every width/AQE
+            # formula from this env var — identical to a driver run at
+            # that core count (no hard-coded master anywhere).
+            os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+            spark = get_spark(
+                app_name=f"scaling10x-{cpus}",
+                shuffle_partitions=_shuffle_partitions(dst),
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                str(runtime_replan_worth_it(dst, cpus)).lower(),
+            )
+            for t in tables_here:
+                table(spark, dst, t).count()
+            _force(entries["q1_pricing_summary"].fn(spark, dst))
+            best: dict[str, float] = {n: float("inf") for n in bench_names}
+            for _ in range(passes):
+                for name in bench_names:
+                    spark.sparkContext.setJobDescription(
+                        f"scaling10x[{cpus}]: {name}"
+                    )
+                    t0 = time.perf_counter()
+                    _force(entries[name].fn(spark, dst))
+                    best[name] = min(best[name], time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
+            tasks = _task_counts(spark, entries, bench_names, dst)
+            results[cpus] = {
+                "queries": {n: round(v, 3) for n, v in best.items()},
+                "total": round(sum(best.values()), 3),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "tasks": tasks,
+            }
+            spark.stop()
+    finally:
+        if saved_cpus is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = saved_cpus
+
+    main_q = results[cpus_main]["queries"]
+    low_q = results[cpus_low]["queries"]
+    ratios = {
+        n: round(low_q[n] / main_q[n], 2)
+        for n in bench_names
+        if main_q.get(n)
+    }
+    payload = {
+        "metric": f"scaling_{factor}x_low_over_main",
+        "cpus_main": cpus_main,
+        "cpus_low": cpus_low,
+        "main": results[cpus_main],
+        "low": results[cpus_low],
+        "ratios": ratios,
+        "ratio_total": round(
+            results[cpus_low]["total"] / results[cpus_main]["total"], 3
+        ),
+        "sf": sf_out,
+        "unit": "sec",
+        "notes": (
+            f"Core-scaling evidence at the {factor}x dir, where "
+            "parallelism is observable (scans split ~32 ways; at "
+            "sf0.1 every table is a single-row-group file so scans "
+            "are 1 task at any core count and 8-vs-32 ratios sit at "
+            "~1 by construction). ratios = low-core sec / main-core "
+            "sec per query, min over passes, noop sink, warmup per "
+            "session; the low-core session runs FIRST so page-cache "
+            "bias, if any, shrinks the ratio (conservative). tasks = "
+            "executed task counts per query per session "
+            "(statusTracker)."
+        ),
+    }
+    with open(os.path.join(repo, artifact), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -611,6 +789,13 @@ def main() -> None:
             + _plan_arrow_stages(df) * arrow_floor,
             3,
         )
+
+    # Scaling evidence (r21 verdict item 1): per-query executed task
+    # counts + the session's actual parallelism, recorded OUTSIDE the
+    # timed region, so the payload itself shows whether more cores
+    # CAN help at this SF (a 1-task scan or a 6-wide shuffle is
+    # core-count-invariant by construction, not by a harness bug).
+    task_counts = _task_counts(spark, entries, bench_names, sf_dir)
 
     # Regression guard on stderr — stdout stays the single JSON line
     # the driver parses. Floors from THIS run so a noisy host raises
@@ -727,6 +912,12 @@ def main() -> None:
                     "per_exchange_sec": round(ex_floor, 4),
                     "per_arrow_stage_sec": round(arrow_floor, 4),
                 },
+                "cpus": cpus,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "tasks": task_counts,
                 "notes": (
                     "floor_sec = measured job floor x (1 + extra "
                     "driver jobs) + executed-plan exchange count x "
@@ -736,7 +927,17 @@ def main() -> None:
                     "scheduler-bound, not plan-bound. r21: warmup no "
                     "longer caches base tables or pre-builds keyed "
                     "layouts — every timed run computes from parquet "
-                    "(see OPTIMIZATION_r21.md, measurement fix)."
+                    "(see OPTIMIZATION_r21.md, measurement fix). "
+                    "r22: tasks = executed task count per query (one "
+                    "forced run outside the timed region, "
+                    "statusTracker). At sf0.1 every table is a "
+                    "single-row-group parquet file (scans = 1 task "
+                    "at ANY core count) and the volume-proportional "
+                    "shuffle width clamps to ~6, so 8-vs-32-core "
+                    "ratios CANNOT separate here by construction — "
+                    "core scaling is observable at the 10x dir "
+                    "(bench.py --scaling10x, SCALING_10X.json), "
+                    "where scans split ~32 ways."
                 ),
             }
         )
@@ -747,6 +948,10 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scale100x" in sys.argv:
         scale100x_main()
+    elif "--scaling100x" in sys.argv:
+        scaling10x_main(factor=100)
+    elif "--scaling10x" in sys.argv:
+        scaling10x_main()
     elif "--scale10x" in sys.argv:
         scale10x_main()
     else:
