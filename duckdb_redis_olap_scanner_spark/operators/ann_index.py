@@ -662,14 +662,11 @@ def ivf_pq_codebooks(
             f"n_cells={n_cells} exceeds MAX_DRIVER_QUERY_ROWS="
             f"{S.MAX_DRIVER_QUERY_ROWS}"
         )
-    coarse_rows = sorted(
-        embeddings.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", S.quantized().alias("v"))
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    coarse = [[int(x) for x in r.v] for r in coarse_rows]
-    cent, sd = S._pq_centroids(embeddings, m, ks)
+    # One collect covers coarse centroids AND PQ seeds (r22: was two
+    # driver jobs per codebook build).
+    prefix = S._prefix_rows(embeddings, max(n_cells, ks))
+    coarse = [[int(x) for x in r.v] for r in prefix if r.vec_id < n_cells]
+    cent, sd = S._pq_centroids(embeddings, m, ks, seed_rows=prefix)
     return coarse, cent, sd
 
 
@@ -693,7 +690,7 @@ def _pq_coded(
         return F.aggregate(
             F.zip_with(
                 col,
-                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                S._lit_arr(c),
                 lambda x, y: x * y,
             ),
             F.lit(0).cast("long"),
@@ -704,7 +701,7 @@ def _pq_coded(
         return F.aggregate(
             F.zip_with(
                 sub,
-                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                S._lit_arr(c),
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0).cast("long"),
