@@ -944,6 +944,29 @@ def maybe_broadcast(
 # merge_join_above.
 MERGE_OVER_BCAST_BYTES = 8 << 20
 
+# Below this much source parquet a (group, value)→count histogram's
+# map-side hash aggregation cannot pay for itself before the percentile
+# finisher: at sf0.1 the 600 k lineitem cents are ~99% distinct, so the
+# aggregate burns a 594 k-group hash pass to save ~1% of exchange rows
+# (measured r22: 1.24 s → 0.80 s skipping it). At and above the 10×
+# dir, repeated values make the histogram value-space-bounded — its
+# exchange carries 10×+ fewer rows than the raw stream (measured:
+# raw 3.09 s vs histogram 0.69 s at 10×) and at cluster volume it is
+# the ONLY shape whose finisher input stays bounded. Missing stats →
+# histogram (the safe cluster assumption).
+HISTOGRAM_OVER_RAW_BYTES = 32 << 20
+
+
+def histogram_pays(sf_dir: str, name: str) -> bool:
+    """True iff table ``name`` is big enough that the percentile
+    histogram's map-side reduction beats shipping raw (group, value)
+    rows to the finisher — see :data:`HISTOGRAM_OVER_RAW_BYTES`."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return True
+    return size >= HISTOGRAM_OVER_RAW_BYTES
+
 # broadcast_when_counted: stop paying the count probe once the gate
 # table's file alone is cluster-sized — the probe would be a real
 # extra pass over a huge table, and the memory-safe fallback shape is

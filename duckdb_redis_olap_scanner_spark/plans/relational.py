@@ -57,7 +57,11 @@ def sql_sum_cents(expr: str) -> str:
 
 
 def exact_group_percentiles(
-    df, group: str, value: Column, specs: list[tuple[str, str, int, int]]
+    df,
+    group: str,
+    value: Column,
+    specs: list[tuple[str, str, int, int]],
+    pre_aggregate: bool = True,
 ):
     """Exact per-group percentiles over integer values, computed from a
     ``(group, value) → count`` histogram instead of Spark's
@@ -101,19 +105,39 @@ def exact_group_percentiles(
     stage does the lexsort + cumsum + rank lookups in numpy — no
     WindowExec pass (two window functions over the same 490 k-row
     histogram measured ~1.1 s on their own) and no JVM row sort.
+
+    ``pre_aggregate=False`` (r22, volume-gated by callers via
+    ``catalog.histogram_pays``): skip the histogram aggregation and
+    ship raw ``(group, value, cnt=1)`` rows to the finisher — a
+    degenerate histogram, so the finisher code and every emitted value
+    are IDENTICAL (duplicate values sort adjacent; the cumsum/rank
+    arithmetic never assumed distinct rows). At sf0.1 the lineitem
+    cents are ~99% distinct, so the 594 k-group hash aggregation saves
+    ~1% of exchange rows while costing 0.56 s (measured: 1.24 →
+    0.80 s); at the 10× dir and above, value repetition makes the
+    histogram 10×+ smaller than the raw stream (raw 3.09 s vs 0.69 s
+    measured at 10×) and it stays the only value-space-bounded shape
+    at cluster volume — so the histogram remains the default and the
+    raw form is strictly a small-input dispatch-floor optimization.
     """
     gtype = df.schema[group].dataType.simpleString()
-    hist = (
-        df.select(F.col(group), value.alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .groupBy(group, "_v")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        # Every row of one group into one task (no JVM sort: the
-        # finisher lexsorts its few hundred thousand rows in numpy in
-        # ~30 ms where UnsafeExternalSorter measured ~0.25 s). 100 TB
-        # note above: histogram rows are value-space-bounded.
-        .repartition(F.col(group))
+    base = df.select(F.col(group), value.alias("_v")).filter(
+        F.col("_v").isNotNull()
     )
+    if pre_aggregate:
+        hist = (
+            base.groupBy(group, "_v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            # Every row of one group into one task (no JVM sort: the
+            # finisher lexsorts its few hundred thousand rows in numpy
+            # in ~30 ms where UnsafeExternalSorter measured ~0.25 s).
+            # 100 TB note above: histogram rows are value-space-bounded.
+            .repartition(F.col(group))
+        )
+    else:
+        hist = base.select(
+            group, "_v", F.lit(1).cast("long").alias("_cnt")
+        ).repartition(F.col(group))
     out_schema = f"{group} {gtype}, " + ", ".join(
         f"{name} " + ("double" if kind == "cont" else "bigint")
         for name, kind, _, _ in specs
@@ -932,6 +956,8 @@ def agg_approx_percentile(spark: SparkSession, sf: str):
     # exchange first (0.51 vs 0.95 s measured at sf0.1 — and at volume
     # the scan is already wide, so fan_out would no-op anyway). The
     # two subtrees are independent stages of one job and overlap.
+    from .catalog import histogram_pays
+
     exact = exact_group_percentiles(
         table(spark, sf, "lineitem"),
         "l_returnflag",
@@ -940,6 +966,7 @@ def agg_approx_percentile(spark: SparkSession, sf: str):
             ("exact_p50_cents", "cont", 1, 2),
             ("exact_p95_cents", "cont", 19, 20),
         ],
+        pre_aggregate=histogram_pays(sf, "lineitem"),
     )
     gk = (
         table(spark, sf, "lineitem")

@@ -1094,6 +1094,7 @@ def events_retention_cohorts(spark: SparkSession, sf: str):
     "engines regardless of the interpolation formula's association.",
 )
 def agg_percentile_standard(spark: SparkSession, sf: str):
+    from .catalog import histogram_pays
     from .relational import exact_group_percentiles
 
     # r21: histogram + Arrow finisher instead of the ordered-set
@@ -1104,6 +1105,9 @@ def agg_percentile_standard(spark: SparkSession, sf: str):
     # DISC, the engines' shared two-product interpolation for CONT —
     # see exact_group_percentiles) in ~0.8 s. Result bit-identical at
     # sf0.001/0.01/0.1 (oracle parity + third-opinion numpy checks).
+    # r22: below HISTOGRAM_OVER_RAW_BYTES the aggregation itself is
+    # skipped (raw rows are a degenerate histogram — same finisher,
+    # same values; see exact_group_percentiles).
     res = exact_group_percentiles(
         table(spark, sf, "lineitem"),
         "l_returnflag",
@@ -1113,5 +1117,6 @@ def agg_percentile_standard(spark: SparkSession, sf: str):
             ("median_cents", "cont", 1, 2),
             ("p90_cents", "disc", 9, 10),
         ],
+        pre_aggregate=histogram_pays(sf, "lineitem"),
     )
     return gather_sort(res, "l_returnflag")

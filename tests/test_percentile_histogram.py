@@ -176,3 +176,55 @@ def test_interpolation_is_two_product_form(spark):
     # and DuckDB agrees with that form on the same rows
     duck = _duck(rows)["a"][3]
     assert struct.pack("<d", duck) == struct.pack("<d", want_b)
+
+
+def test_raw_mode_identical_to_histogram_mode(spark):
+    """r22: ``pre_aggregate=False`` ships raw (group, value, cnt=1)
+    rows to the finisher — a degenerate histogram. Every emitted value
+    must be bitwise identical to the aggregated path on data with
+    heavy duplicates (where the two paths' finisher inputs differ
+    most) and on the edge-case shapes above."""
+    import random
+
+    rng = random.Random(22)
+    rows = [
+        (g, rng.choice([1, 2, 2, 3, 5, 5, 5, 8, 1000003]))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(1, 400))
+    ] + [("solo", 42)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = exact_group_percentiles(
+        df, "g", F.col("v"), SPECS, pre_aggregate=True
+    ).collect()
+    raw = exact_group_percentiles(
+        df, "g", F.col("v"), SPECS, pre_aggregate=False
+    ).collect()
+    key = lambda r: r["g"]  # noqa: E731
+    assert sorted(map(tuple, hist), key=lambda t: t[0]) == sorted(
+        map(tuple, raw), key=lambda t: t[0]
+    )
+    for h in hist:  # CONT doubles compared bitwise, not approximately
+        r = [x for x in raw if x["g"] == h["g"]][0]
+        for name, kind, _, _ in SPECS:
+            if kind == "cont":
+                assert struct.pack("<d", h[name]) == struct.pack(
+                    "<d", r[name]
+                )
+
+
+def test_histogram_pays_gate():
+    """The raw path is gated on source bytes: small files skip the
+    aggregation, large files (and missing stats — the safe cluster
+    assumption) keep the value-space-bounded histogram."""
+    import os
+
+    from duckdb_redis_olap_scanner_spark.plans.catalog import (
+        HISTOGRAM_OVER_RAW_BYTES,
+        histogram_pays,
+    )
+
+    assert not histogram_pays("/root/testdata/sf0.1", "lineitem")
+    assert histogram_pays("/root/testdata/sf0.1", "no_such_table")
+    assert os.path.getsize(
+        "/root/testdata/sf0.1/lineitem.parquet"
+    ) < HISTOGRAM_OVER_RAW_BYTES
