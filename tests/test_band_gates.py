@@ -91,16 +91,19 @@ def test_band_branch_q13_q14_use_merge(spark, monkeypatch):
 
 
 def test_broadcast_when_counted_contract(spark, monkeypatch):
+    # r21 ADVICE seam fix: patch catalog._file_size (the one stats
+    # source every gate reads), NOT os.path.getsize globally — PySpark
+    # internals call getsize during collect() and saw the fake too.
     df = spark.range(10)
 
     # Probe cap: a cluster-sized gate table skips the probe entirely.
     monkeypatch.setattr(
-        C.os.path, "getsize", lambda p: C.COUNT_PROBE_CAP_BYTES
+        C, "_file_size", lambda d, n: C.COUNT_PROBE_CAP_BYTES
     )
     assert C.broadcast_when_counted(df, SF_DIR, "orders") is None
 
     # In-band, over the row cap: probe runs, says no.
-    monkeypatch.setattr(C.os.path, "getsize", lambda p: 1 << 20)
+    monkeypatch.setattr(C, "_file_size", lambda d, n: 1 << 20)
     assert C.broadcast_when_counted(df, SF_DIR, "orders", max_rows=5) is None
 
     # In-band, under the row cap: broadcast hint applied.
@@ -109,8 +112,71 @@ def test_broadcast_when_counted_contract(spark, monkeypatch):
     assert sorted(r[0] for r in out.collect()) == list(range(10))
 
     # Missing stats: the safe cluster assumption — never broadcast.
-    def raise_oserror(p):
-        raise OSError(p)
+    def raise_oserror(d, n):
+        raise OSError(n)
 
-    monkeypatch.setattr(C.os.path, "getsize", raise_oserror)
+    monkeypatch.setattr(C, "_file_size", raise_oserror)
     assert C.broadcast_when_counted(df, SF_DIR, "orders") is None
+
+
+def test_broadcast_when_counted_byte_budget(spark, monkeypatch):
+    """r21 ADVICE: the row cap alone would admit wide frames — a
+    probe-approved count must also fit the schema-estimated byte
+    budget."""
+    df = spark.range(10)
+    monkeypatch.setattr(C, "_file_size", lambda d, n: 1 << 20)
+    monkeypatch.setattr(C, "_counted_broadcast_max_bytes", lambda: 16)
+    # 10 rows x 8 B = 80 B > 16 B budget -> refused despite row cap.
+    assert (
+        C.broadcast_when_counted(df, SF_DIR, "orders", max_rows=100) is None
+    )
+
+
+def test_broadcast_when_counted_footer_short_circuit(spark, monkeypatch):
+    """When the gate table's parquet footer already proves the
+    unfiltered row count fits, the count job is skipped (the filtered
+    frame can only be smaller)."""
+    df = spark.range(10)
+    monkeypatch.setattr(C, "_file_size", lambda d, n: 1 << 20)
+    rows = int(
+        __import__("pyarrow.parquet", fromlist=["ParquetFile"])
+        .ParquetFile(os.path.join(SF_DIR, "orders.parquet"))
+        .metadata.num_rows
+    )
+    group = "bwc-footer-test"
+    spark.sparkContext.setJobGroup(group, "footer short-circuit probe")
+    out = C.broadcast_when_counted(
+        df, SF_DIR, "orders", max_rows=rows + 1
+    )
+    spark.sparkContext.setJobGroup(None, None)
+    assert out is not None
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 0, "footer-provable fit must not run a count job"
+
+
+def test_broadcast_when_counted_probe_opt_out(spark, monkeypatch):
+    """SPARK_GRAFT_NO_COUNT_PROBE=1 keeps plan capture side-effect
+    free: the band gate answers None without running any job."""
+    df = spark.range(10)
+    monkeypatch.setattr(C, "_file_size", lambda d, n: 1 << 20)
+    monkeypatch.setenv("SPARK_GRAFT_NO_COUNT_PROBE", "1")
+    assert (
+        C.broadcast_when_counted(df, SF_DIR, "orders", max_rows=100) is None
+    )
+
+
+def test_derived_band_thresholds_match_measured_anchors():
+    """VERDICT item 6: the band thresholds derive from session facts
+    (cores, driver heap) and reproduce the measured anchors exactly at
+    this sandbox's default config — so every committed plan artifact
+    re-diffs byte-identical."""
+    assert C._MERGE_ANCHOR_BYTES == 8 << 20
+    # at the default 32 cores the derived value IS the anchor
+    assert (C._MERGE_ANCHOR_BYTES * C._MERGE_ANCHOR_CPUS) // 32 == 8 << 20
+    # fewer cores -> exchange slower -> broadcast pays longer
+    assert (C._MERGE_ANCHOR_BYTES * C._MERGE_ANCHOR_CPUS) // 8 == 32 << 20
+    # default 8 GiB driver reproduces the r21 4 M-row cap
+    assert C._derived_counted_broadcast_max_rows() in (
+        C.COUNTED_BROADCAST_MAX_ROWS,
+    )
+    assert int(8.0 * C._COUNTED_ROWS_PER_DRIVER_GIB) == 4_000_000
