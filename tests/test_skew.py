@@ -107,3 +107,23 @@ def test_cluster_pairs_components(spark):
         (20, 20), (21, 20),
         (30, 30),
     }
+
+
+def test_cluster_pairs_deep_chain_crosses_checkpoint(spark):
+    """r22: a path component whose diameter exceeds
+    _CHECKPOINT_EVERY_ROUNDS forces the fixpoint through its
+    localCheckpoint lineage cut — the labels must still collapse to
+    the component minimum (and the checkpointed round's result must
+    keep feeding later rounds correctly)."""
+    from duckdb_redis_olap_scanner_spark.operators import dedup as D
+
+    n = D._CHECKPOINT_EVERY_ROUNDS + 4  # chain longer than the cut
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 100 + n)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.cluster_pairs(pairs, max_iter=2 * n).collect()
+    }
+    assert got == {(100 + i, 100) for i in range(n + 1)}
