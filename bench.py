@@ -699,6 +699,104 @@ def scaling10x_main(factor: int = 10) -> None:
     print(json.dumps(payload))
 
 
+def streaming_main() -> None:
+    """Timed surface for the STREAMING operators (r21 verdict item 7).
+
+    The registry's stream_* entries run the same transformations in
+    batch mode (that's what the driver's oracle can check); this mode
+    times the real micro-batch executions — file stream source over
+    the sf dir's events parquet (a fixed, deterministic row budget),
+    availableNow trigger, memory sink, fresh checkpoint per run — so
+    optimization claims about streaming_ops.py/streaming/events.py are
+    falsifiable instead of 'examined, left'. Records STREAM_BENCH.json
+    (min over passes; each sample is one complete stream run including
+    source listing, state store setup and sink commit). Not part of
+    the driver-parsed headline line — additive artifact only."""
+    import shutil
+    import tempfile
+
+    from duckdb_redis_olap_scanner_spark.streaming import events as SE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(
+        os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="bench-streaming",
+        shuffle_partitions=_shuffle_partitions(sf_dir),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    OPS = {
+        "stream_tumbling_window": (SE.tumbling_window_counts, "complete"),
+        "stream_sliding_window": (SE.sliding_window_counts, "complete"),
+        "stream_session_window": (SE.session_window_stats, "complete"),
+        "stream_stream_join": (SE.clicks_purchases_join, "append"),
+        "stream_dedup_watermark": (
+            SE.dedup_events_within_watermark, "append"),
+        "stream_running_user_state": (SE.running_user_state, "update"),
+        "stream_rolling_anomaly": (SE.rolling_anomaly_stream, "append"),
+        "stream_type_histogram": (SE.running_type_histogram, "update"),
+    }
+    n_rows = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    best: dict[str, float] = {n: float("inf") for n in OPS}
+    rows_out: dict[str, int] = {}
+    run_id = 0
+    # warmup: one full stream run (JIT, codegen, state-store classes)
+    src = SE.read_events_stream(spark, sf_dir)
+    SE.run_stream_to_memory(
+        SE.tumbling_window_counts(src), "s_warmup"
+    ).count()
+    for _ in range(passes):
+        for name, (fn, mode) in OPS.items():
+            run_id += 1
+            qname = f"sbench_{run_id}"
+            ckpt = tempfile.mkdtemp(prefix=f"sbench-ckpt-{run_id}-")
+            spark.sparkContext.setJobDescription(f"stream-bench: {name}")
+            try:
+                df = fn(SE.read_events_stream(spark, sf_dir))
+                t0 = time.perf_counter()
+                out = SE.run_stream_to_memory(
+                    df, qname, output_mode=mode, checkpoint_dir=ckpt
+                )
+                rows_out[name] = out.count()
+                best[name] = min(best[name], time.perf_counter() - t0)
+            finally:
+                spark.catalog.dropTempView(qname)
+                shutil.rmtree(ckpt, ignore_errors=True)
+    spark.sparkContext.setJobDescription(None)
+    timings = {n: round(v, 3) for n, v in best.items()}
+    payload = {
+        "metric": "streaming_ops_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows_out": rows_out,
+        "input_rows": n_rows,
+        "sf": sf,
+        "cpus": cpus,
+        "notes": (
+            "Real micro-batch executions: file stream source over the "
+            "sf dir's events parquet (fixed deterministic row budget), "
+            "availableNow trigger, memory sink, fresh checkpoint per "
+            "run; min over passes, each sample a complete stream run "
+            "(source listing + state store + sink commit included). "
+            "rows_out sanity-pins each op's emitted row count."
+        ),
+    }
+    with open(os.path.join(repo, "STREAM_BENCH.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -946,7 +1044,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--scale100x" in sys.argv:
+    if "--streaming" in sys.argv:
+        streaming_main()
+    elif "--scale100x" in sys.argv:
         scale100x_main()
     elif "--scaling100x" in sys.argv:
         scaling10x_main(factor=100)
