@@ -591,43 +591,74 @@ _SQL_BUCKET = (
     "per-stage 100 TB arguments.",
 )
 def pipeline_full_curation(spark: SparkSession, sf: str):
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import exact_dedup, shingles
+    from ..operators.dedup import shingles
 
     docs = table(spark, sf, "documents")
-    # 1) repetition quality gate
-    ok = (
+    # r22 restructure (guide §8: decide on small rows, move heavy rows
+    # once). The previous composition re-derived canonicalization/
+    # tokenization in every consuming subtree — Catalyst does no
+    # DAG-level common-subexpression elimination, so the gate, the
+    # dedup fingerprint, the bucket split, the two shingle passes and
+    # the final n_tok each re-scanned and re-canonicalized the corpus
+    # (~7 text passes at sf0.1, and the same multiple at 100 TB).
+    # Now ONE narrow per-doc decision frame carries everything except
+    # the shingle sets: rep stats (which already include n_tok), the
+    # exact-dedup fingerprint (sha2(canonical, 256) — the identical
+    # exact_dedup expression), and the split bucket, computed in one
+    # pass over the text and PERSISTED for the duration of this plan's
+    # execution. It feeds four consumers (dedup keep set, train
+    # gating, val split, final projection); same within-one-execution
+    # rationale and storage level as pipeline_curation_v2's persist —
+    # a production run would checkpoint it to storage instead. Raw
+    # text is touched again ONLY by the two shingle passes, each over
+    # an id-pruned semi-join of the corpus.
+    c = T.canonical_text()
+    per_doc = (
         T.with_repetition_stats(docs)
-        .filter(F.col("rep_ok"))
-        .select("doc_id")
+        .join(
+            docs.select(
+                "doc_id",
+                "lang",
+                F.sha2(c, 256).alias("content_fp"),
+                (T.md5_hash64(c) % 100).alias("bucket"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "n_tok", "rep_ok", "content_fp",
+                "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    gated = docs.join(ok, "doc_id")
-    # 2) exact-dedup survivors (keep_id = min doc per fingerprint)
-    keep = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
-    surv = gated.join(keep, "doc_id")
+    # 1) repetition quality gate + 2) exact-dedup survivors (keep_id =
+    #    min doc per fingerprint among gated docs — exact_dedup's
+    #    grouping, here over the narrow frame)
+    gated = per_doc.filter(F.col("rep_ok"))
+    keep = gated.groupBy("content_fp").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
     # 3) content-hash train bucket
-    bucket = T.md5_hash64(T.canonical_text()) % 100
-    tr = surv.withColumn("bucket", bucket).filter(F.col("bucket") < 80)
+    tr = gated.join(keep, "doc_id").filter(F.col("bucket") < 80)
     # 4) decontaminate against the held-out (val) split of the FULL
     #    corpus — contamination comes from what's held out, regardless
     #    of what the quality gate dropped from train.
-    val = docs.withColumn("bucket", bucket).filter(
+    val_ids = per_doc.filter(
         (F.col("bucket") >= 80) & (F.col("bucket") < 90)
-    )
+    ).select("doc_id")
     vh = (
-        shingles(val)
+        shingles(docs.join(val_ids, "doc_id"))
         .select(T.md5_hash64(F.col("shingle")).alias("h"))
         .distinct()
     )
-    th = shingles(tr).select(
+    th = shingles(docs.join(tr.select("doc_id"), "doc_id")).select(
         "doc_id", T.md5_hash64(F.col("shingle")).alias("h")
     )
     contaminated = th.join(vh, "h").select("doc_id").distinct()
     clean = tr.join(contaminated, "doc_id", "left_anti")
-    return clean.select(
-        "doc_id", "lang", F.size(T.tokens_col()).alias("n_tok")
-    )
+    # n_tok rides the narrow frame (with_repetition_stats computes the
+    # identical F.size(tokens) — no re-tokenization of survivors).
+    return clean.select("doc_id", "lang", F.col("n_tok").cast("int"))
 
 
 # Gap-fill spine guard: the per-user hourly spine is h1-h0+1 rows per
