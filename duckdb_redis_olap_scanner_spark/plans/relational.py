@@ -278,6 +278,47 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     o = table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Band branch (r22, measured at the 100× sf10-equivalent): the
+    # pre-agg-first shape below aggregates EVERY order with a late
+    # line (13.2 M groups from 31.9 M rows at 100×) and only then
+    # drops non-BUILDING customers — ~80% of that aggregation is
+    # thrown away (DuckDB joins first, which is why its q3 ran 8× our
+    # time). When orders is above the static broadcast cap, build the
+    # QUALIFIED order set (date window × BUILDING customers — one
+    # broadcast dim join, ~1.4 M narrow rows at 100×) and let the
+    # runtime count probe decide whether it broadcasts into lineitem:
+    # group AFTER the join, so the aggregation sees only qualifying
+    # lines (~3 M rows, 1.4 M groups). 3.37 → 2.53 s min-of-5
+    # including the probe job, rows identical. Grouping by
+    # (o_orderkey, o_orderdate) is exact: o_orderkey is unique, the
+    # date functionally dependent, and per-row floored cents re-sum
+    # exactly in any order. At cluster volume the probe is skipped /
+    # says no and the memory-safe pre-agg + merge shape below stays.
+    if not fits_broadcast(sf, "orders"):
+        qual = (
+            o.select("o_orderkey", "o_orderdate", "o_custkey")
+            .join(
+                maybe_broadcast(c.select("c_custkey"), sf, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "o_orderdate")
+        )
+        qual_b = broadcast_when_counted(qual, sf, "orders")
+        if qual_b is not None:
+            return (
+                l.join(qual_b, l.l_orderkey == F.col("o_orderkey"))
+                .groupBy("o_orderkey", "o_orderdate")
+                .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+                .select(
+                    "o_orderkey",
+                    "revenue_cents",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                        "orderdate"
+                    ),
+                )
+                .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+                .limit(10)
+            )
     # Pre-aggregate lineitem revenue per order before joining: the final
     # group key IS the order key, so the map-side partial agg collapses
     # lineitem on the scan tasks and the join ships one row per order

@@ -59,6 +59,9 @@ def _force_band(monkeypatch, *, small: tuple[str, ...] = ()):
         ("q5_local_supplier_volume", ("customer",)),
         ("q13_customer_distribution", ()),
         ("q14_promo_effect", ()),
+        # r22: q3's qualified-orders band branch (join-first + counted
+        # broadcast, group after).
+        ("q3_shipping_priority", ()),
     ],
 )
 def test_band_branch_matches_oracle(spark, monkeypatch, query, small):
